@@ -1,0 +1,53 @@
+"""Scalar function surface (OP-FN-* / OP-PRJ-4 in SURVEY §2).
+
+All JVM-side Column expressions — whole-stage-codegen friendly, no UDFs.
+Semantics verified against the reference (SURVEY §2.3.4):
+
+- ``year_week``: calendar year + ISO week number, e.g. 2019-12-30 →
+  ``"2019-1"`` (quirk included: Spark ``weekofyear`` is ISO week while
+  ``year`` is the calendar year — exactly what the reference's
+  ``f'{d.year}-{d.isocalendar()[1]}'`` produces).
+- ``year_month`` → ``"2020-Jan"``; ``day_of_week`` → ``"Mon"``;
+  ``month`` → ``"Jan"`` (``date_format`` patterns ``MMM`` / ``EEE``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def year_week(d: Column) -> Column:
+    return F.concat_ws("-", F.year(d).cast("string"), F.weekofyear(d).cast("string"))
+
+
+def year_month(d: Column) -> Column:
+    return F.concat_ws("-", F.year(d).cast("string"), F.date_format(d, "MMM"))
+
+
+def day_of_week(d: Column) -> Column:
+    return F.date_format(d, "EEE")
+
+
+def month_abbrev(d: Column) -> Column:
+    return F.date_format(d, "MMM")
+
+
+def time_dims(d: Column) -> dict[str, Column]:
+    """The four derived time-dimension columns (reference :510-513)."""
+    return {
+        "year_week": year_week(d),
+        "year_month": year_month(d),
+        "day_of_week": day_of_week(d),
+        "month": month_abbrev(d),
+    }
+
+
+def strip_spaces(c: Column) -> Column:
+    """Whitespace removal in dimension values (reference :372, OP-FN-4)."""
+    return F.regexp_replace(c, " ", "")
+
+
+def key_concat(*cols: Column | str) -> Column:
+    """Colon-joined composite key (reference :390, OP-FN-3)."""
+    return F.concat_ws(":", *cols)

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (charter extension).
+
+- ``cosine_topk``: brute-force exact top-k — corpus ⋈ broadcast(queries)
+  with a JVM-side fold dot product (``F.aggregate`` over ``zip_with``)
+  and a ranking window per query. The corpus never shuffles: the join
+  is broadcast-nested-loop over a tiny query set, then one shuffle of
+  (query, candidate, score) tuples for the top-k window — at 100 TB
+  replace the final window with a per-partition top-k (``mapInPandas``
+  heap) + global merge, or the same window after a coarse score filter.
+- ``signlsh_topk``: the scale path — random-hyperplane sign-LSH.
+  Hyperplanes are deterministic (seeded numpy), shipped as literal
+  arrays; bucket join prunes the candidate set before exact re-scoring.
+
+All arithmetic is cast to double before folding so results are
+reproducible against the DuckDB oracle (float32 folds are not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — matches DuckDB list_dot_product
+    evaluation order (pairwise multiply, left-to-right sum)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query (self excluded).
+
+    Returns (query_id, rank, neighbor_id, cosine)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit string of the vector against each plane."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def signlsh_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, n_planes: int = 8, seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: bucket-join on the sign-LSH key, exact cosine
+    re-score within bucket. Recall < 1 by construction; the bucket join
+    replaces the all-pairs product with |bucket| co-location."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", signlsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", signlsh_bucket(F.col("qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,78 @@
+"""Text analysis operators (charter extensions): token counting,
+type-token ratio, quality scoring, stopword-based language ID,
+content fingerprinting. All built-in expressions — the hot path stays
+inside whole-stage codegen; no Python crosses per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic mini stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "für"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def type_token_ratio(text: Column) -> Column:
+    return distinct_token_count(text).cast("double") / token_count(text).cast("double")
+
+
+def avg_token_length(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t).cast("double")
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words))).cast("long")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_count(text, lang).cast("double") / token_count(text).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation (40%),
+    lexical diversity (30%), English stopword presence (30%)."""
+    length_part = F.least(token_count(text).cast("double") / F.lit(100.0), F.lit(1.0))
+    diversity = type_token_ratio(text)
+    stop_part = F.least(stopword_ratio(text, "en") * F.lit(5.0), F.lit(1.0))
+    return 0.4 * length_part + 0.3 * diversity + 0.3 * stop_part
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over per-language stopword counts; ties → 'und' unless one
+    language strictly wins. Deterministic, oracle-expressible."""
+    en = stopword_count(text, "en")
+    fr = stopword_count(text, "fr")
+    de = stopword_count(text, "de")
+    return (
+        F.when((en > fr) & (en > de), F.lit("en"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 of the lower-cased,
+    whitespace-normalized text (first 16 hex chars)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.substring(F.md5(norm), 1, 16)

@@ -1,0 +1,186 @@
+"""Core scan/projection/aggregation queries (OP-PRJ-*, OP-FN-*, OP-AGG-2/3).
+
+The flagship ``tpch_q1_pricing_summary`` is the canonical "wide scan →
+grouped aggregate" shape: Catalyst pushes the shipdate filter and the
+8-column projection into the parquet scan; the aggregation is partial
+map-side then one shuffle on a 6-cell key space — the plan that scales
+linearly to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import key_concat, time_dims
+from ..sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report (OP-AGG-2, plain AVG)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.expr("timestamp'1998-09-02 00:00:00'")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(avg(l_quantity), 6)                                           AS avg_qty,
+       round(avg(l_extendedprice), 6)                                      AS avg_price,
+       round(avg(l_discount), 6)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-3/4: seconds-weighted mean (weight = l_extendedprice) with
+    integer truncation for INTEGER-typed columns (reference :416-422)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.col("l_extendedprice")
+    wm_disc = F.sum(F.col("l_discount") * w) / F.sum(w)
+    wm_qty = F.sum(F.col("l_quantity") * w) / F.sum(w)
+    return li.groupBy("l_returnflag").agg(
+        F.round(wm_disc, 6).alias("w_mean_discount"),
+        wm_qty.cast("long").alias("w_mean_qty_int"),  # trunc toward 0 == int()
+        F.round(F.sum(w), 2).alias("total_weight"),
+    )
+
+
+WEIGHTED_MEAN_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6) AS w_mean_discount,
+       CAST(trunc(sum(l_quantity * l_extendedprice) / sum(l_extendedprice)) AS BIGINT) AS w_mean_qty_int,
+       round(sum(l_extendedprice), 2) AS total_weight
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def time_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PRJ-4 / OP-FN-1/2: ISO-week + calendar-year labels, month/day
+    abbreviations — the reference's quirky `year-isoweek` included
+    (SURVEY §2.3.4). Also OP-FN-6 (min/max date per group)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    dims = time_dims(d)
+    return (
+        ev.select(
+            d.alias("date"),
+            dims["year_week"].alias("year_week"),
+            dims["year_month"].alias("year_month"),
+            dims["day_of_week"].alias("day_of_week"),
+            dims["month"].alias("month"),
+        )
+        .groupBy("year_week", "year_month", "day_of_week", "month")
+        .agg(
+            F.min("date").alias("first_date"),
+            F.max("date").alias("last_date"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+TIME_DIMS_ORACLE = """
+SELECT year(ts)::VARCHAR || '-' || weekofyear(ts)::VARCHAR AS year_week,
+       year(ts)::VARCHAR || '-' || strftime(ts, '%b')      AS year_month,
+       strftime(ts, '%a')                                  AS day_of_week,
+       strftime(ts, '%b')                                  AS month,
+       min(ts::DATE)                                       AS first_date,
+       max(ts::DATE)                                       AS last_date,
+       count(*)                                            AS n
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def config_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PRJ-1/3/5, OP-FN-3/4/5: config-driven cast + unit factor +
+    banker's rounding (``F.bround`` == Python round, reference :435-437),
+    unit-conversion twin columns, boolean normalization, key concat and
+    whitespace strip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        key_concat(F.col("l_orderkey"), F.col("l_linenumber")).alias("row_key"),
+        F.bround(F.col("l_quantity"), 2).alias("km"),
+        F.bround(F.col("l_quantity") * F.lit(0.621371), 6).alias("miles"),
+        # 6 dp: x/60 of 2-dp inputs lands on 1/6000 grid points, which are
+        # never 6-dp midpoints — 2 dp would hit exact ties where the two
+        # engines' rounding differs.
+        F.bround(F.col("l_extendedprice") / F.lit(60.0), 6).alias("minutes"),
+        F.bround(F.col("l_extendedprice") / F.lit(3600.0), 6).alias("hours"),
+        F.bround(F.col("l_quantity") * F.lit(3.28084), 0).cast("long").alias("ascent_feet"),
+        (F.col("l_discount") != 0).cast("int").cast("long").alias("has_discount"),
+        F.regexp_replace(F.col("l_returnflag"), " ", "").alias("flag_clean"),
+    )
+
+
+CONFIG_PROJECTION_ORACLE = """
+SELECT l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS row_key,
+       round(l_quantity, 2)                      AS km,
+       round(l_quantity * 0.621371, 6)           AS miles,
+       round(l_extendedprice / 60.0, 6)          AS minutes,
+       round(l_extendedprice / 3600.0, 6)        AS hours,
+       CAST(round(l_quantity * 3.28084, 0) AS BIGINT) AS ascent_feet,
+       CAST(CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END AS BIGINT) AS has_discount,
+       replace(l_returnflag, ' ', '')            AS flag_clean
+FROM lineitem
+"""
+
+
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props), grouped stats."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_EXTRACTION_ORACLE = """
+SELECT event_type,
+       sum(CAST(props->>'$.k' AS BIGINT))   AS sum_k,
+       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+       min(CAST(props->>'$.k' AS BIGINT))   AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))   AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+from .base import Query  # noqa: E402
+
+QUERIES = {
+    "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
+    "op_agg_3_weighted_mean": Query(weighted_mean, WEIGHTED_MEAN_ORACLE),
+    "op_prj_4_time_dims": Query(time_dimensions, TIME_DIMS_ORACLE),
+    "op_prj_1_config_projection": Query(config_projection, CONFIG_PROJECTION_ORACLE),
+    "op_fn_json_extraction": Query(json_extraction, JSON_EXTRACTION_ORACLE),
+}

@@ -1,0 +1,200 @@
+"""Lattice queries: the reference's core cube semantics on lineitem.
+
+Role mapping (FIXTURES.md §B.1): activity = l_returnflag, activity_type
+= l_linestatus, equipment = a synthetic low-cardinality dim derived from
+l_suppkey that includes 'Not Set' / '' values and embedded spaces — so
+the per-set filter (SURVEY §2.3.1) and space-stripping (OP-FN-4) are
+both exercised. Measures mirror the reference's workout merge: SUM for
+km/seconds, seconds-weighted mean for rpe (double) and hr (integer,
+truncated), BOOL-OR for is_race, and the post-aggregation mapper
+recompute for mph / rpe_tss (SURVEY §2.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lattice import cube_lattice
+from ..operators.rollup import periodic_rollup
+from ..functions.scalars import year_week, year_month
+from ..sources.tables import load_table
+from .base import Query
+
+# Synthetic equipment dim: ~1/7 of rows 'Not Set', ~1/11 '', rest "SUP <k>"
+# (space present → exercises strip). Shared between Spark + oracle.
+_EQUIP_SQL = (
+    "CASE WHEN l_suppkey % 7 = 0 THEN 'Not Set' "
+    "WHEN l_suppkey % 11 = 0 THEN '' "
+    "ELSE 'SUP ' || CAST(l_suppkey % 5 AS VARCHAR) END"
+)
+
+
+def _source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("activity"),
+        F.col("l_linestatus").alias("activity_type"),
+        F.expr(
+            "CASE WHEN l_suppkey % 7 = 0 THEN 'Not Set' "
+            "WHEN l_suppkey % 11 = 0 THEN '' "
+            "ELSE concat('SUP ', CAST(l_suppkey % 5 AS STRING)) END"
+        ).alias("equipment"),
+        F.col("l_quantity").alias("km"),
+        F.col("l_extendedprice").alias("seconds"),
+        F.col("l_discount").alias("rpe"),
+        F.bround(F.col("l_tax") * 1000, 0).cast("long").alias("hr"),
+        (F.col("l_quantity") > 25).cast("int").alias("is_race"),
+    )
+
+
+def _measures() -> list:
+    w = F.col("seconds")
+    return [
+        F.sum("km").alias("km_raw"),
+        F.sum("seconds").alias("seconds_raw"),
+        (F.sum(F.col("rpe") * w) / F.sum(w)).alias("rpe_raw"),
+        (F.sum(F.col("hr") * w) / F.sum(w)).cast("long").alias("hr"),
+        F.max("is_race").cast("long").alias("is_race"),
+        F.count(F.lit(1)).alias("n_workouts"),
+    ]
+
+
+def cube_lattice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-1/2/3/4/5/7 + OP-FLT-1: the full 8-set lattice with 'All'
+    labels, per-set Not-Set exclusion, and mapper recompute post-agg."""
+    src = _source(spark, sf_dir)
+    lat = cube_lattice(src, _measures())
+    secs, km, rpe = F.col("seconds_raw"), F.col("km_raw"), F.col("rpe_raw")
+    mph = F.when(secs > 0, F.bround(km * 0.621371 / (secs / 3600.0), 1)).otherwise(0.0)
+    rpe_tss = F.bround(rpe * rpe * secs / F.lit(49.0 * 36.0), 1)
+    return lat.select(
+        "activity", "activity_type", "equipment",
+        F.round(km, 2).alias("km"),
+        F.round(secs, 2).alias("seconds"),
+        F.round(rpe, 6).alias("rpe"),
+        "hr", "is_race", "n_workouts",
+        mph.alias("mph"),
+        rpe_tss.alias("rpe_tss"),
+    )
+
+
+CUBE_LATTICE_ORACLE = f"""
+WITH src AS (
+  SELECT l_returnflag AS activity,
+         l_linestatus AS activity_type,
+         {_EQUIP_SQL} AS equipment,
+         l_quantity AS km,
+         l_extendedprice AS seconds,
+         l_discount AS rpe,
+         CAST(round(l_tax * 1000, 0) AS BIGINT) AS hr,
+         CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS is_race
+  FROM lineitem
+),
+half_a AS (
+  SELECT coalesce(activity, 'All') AS activity,
+         coalesce(activity_type, 'All') AS activity_type,
+         'All' AS equipment,
+         sum(km) AS km_raw, sum(seconds) AS seconds_raw,
+         sum(rpe * seconds) / sum(seconds) AS rpe_raw,
+         CAST(trunc(sum(hr * seconds) / sum(seconds)) AS BIGINT) AS hr,
+         CAST(max(is_race) AS BIGINT) AS is_race,
+         count(*) AS n_workouts
+  FROM src
+  GROUP BY GROUPING SETS ((), (activity), (activity_type), (activity, activity_type))
+),
+half_b AS (
+  SELECT coalesce(activity, 'All') AS activity,
+         coalesce(activity_type, 'All') AS activity_type,
+         replace(equipment, ' ', '') AS equipment,
+         sum(km) AS km_raw, sum(seconds) AS seconds_raw,
+         sum(rpe * seconds) / sum(seconds) AS rpe_raw,
+         CAST(trunc(sum(hr * seconds) / sum(seconds)) AS BIGINT) AS hr,
+         CAST(max(is_race) AS BIGINT) AS is_race,
+         count(*) AS n_workouts
+  FROM src
+  WHERE equipment NOT IN ('Not Set', '')
+  GROUP BY GROUPING SETS ((equipment), (activity, equipment),
+                          (activity_type, equipment), (activity, activity_type, equipment))
+),
+lat AS (SELECT * FROM half_a UNION ALL SELECT * FROM half_b)
+SELECT activity, activity_type, equipment,
+       round(km_raw, 2) AS km,
+       round(seconds_raw, 2) AS seconds,
+       round(rpe_raw, 6) AS rpe,
+       hr, is_race, n_workouts,
+       CASE WHEN seconds_raw > 0
+            THEN round(km_raw * 0.621371 / (seconds_raw / 3600.0), 1)
+            ELSE 0.0 END AS mph,
+       round(rpe_raw * rpe_raw * seconds_raw / 1764.0, 1) AS rpe_tss
+FROM lat
+"""
+
+
+def rollup_query(period: str):
+    """OP-AGG-6: periodic rollup of a daily per-activity series —
+    MAX(date) representative, SUM + **plain AVG** (SURVEY §2.3.6)."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        daily = (
+            li.groupBy(
+                F.to_date("l_shipdate").alias("date"),
+                F.col("l_returnflag").alias("activity"),
+            )
+            .agg(
+                # km: sums of integer-valued doubles — exact. rpe: the
+                # day-grain value is a weighted mean (as in the reference's
+                # day grain) and deliberately UNROUNDED — clean-decimal
+                # daily values make the downstream plain-AVG land on exact
+                # rounding midpoints where the engines' rounding diverges;
+                # full-precision ratios never do.
+                F.sum("l_quantity").alias("km"),
+                (F.sum(F.col("l_discount") * F.col("l_extendedprice"))
+                 / F.sum("l_extendedprice")).alias("rpe"),
+            )
+        )
+        label = year_week(F.col("date")) if period == "week" else year_month(F.col("date"))
+        daily = daily.withColumn("period", label)
+        rolled = periodic_rollup(
+            daily,
+            "period",
+            keys=["activity"],
+            measures=[
+                F.round(F.sum("km"), 4).alias("km"),
+                F.round(F.avg("rpe"), 6).alias("rpe"),
+                F.count(F.lit(1)).alias("n_days"),
+            ],
+        )
+        return rolled.select("activity", "period", "date", "km", "rpe", "n_days")
+
+    return build
+
+
+def _rollup_oracle(period: str) -> str:
+    label = (
+        "year(date)::VARCHAR || '-' || weekofyear(date)::VARCHAR"
+        if period == "week"
+        else "year(date)::VARCHAR || '-' || strftime(date, '%b')"
+    )
+    return f"""
+WITH daily AS (
+  SELECT l_shipdate::DATE AS date, l_returnflag AS activity,
+         sum(l_quantity) AS km,
+         sum(l_discount * l_extendedprice) / sum(l_extendedprice) AS rpe
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT activity, {label} AS period,
+       max(date) AS date,
+       round(sum(km), 4) AS km,
+       round(avg(rpe), 6) AS rpe,
+       count(*) AS n_days
+FROM daily GROUP BY activity, period
+"""
+
+
+QUERIES = {
+    "op_agg_1_cube_lattice": Query(cube_lattice_query, CUBE_LATTICE_ORACLE),
+    "op_agg_6_rollup_week": Query(rollup_query("week"), _rollup_oracle("week")),
+    "op_agg_6_rollup_month": Query(rollup_query("month"), _rollup_oracle("month")),
+}

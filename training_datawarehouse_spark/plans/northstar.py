@@ -1,0 +1,224 @@
+"""North-star extension queries: dedup, similarity search, text
+analysis over ``documents`` / ``embeddings`` (charter-mandated; no
+reference implementation — SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..sources.tables import load_table
+from .base import Query
+
+
+# ------------------------------------------------------- exact dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: first doc_id per distinct text (hash-groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+# -------------------------------------------------------- text stats
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.distinct_token_count(t).alias("n_distinct"),
+        F.round(tx.type_token_ratio(t), 6).alias("ttr"),
+        F.round(tx.avg_token_length(t), 6).alias("avg_token_len"),
+        tx.stopword_count(t, "en").alias("n_stopwords_en"),
+    )
+
+
+TEXT_STATS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS ttr,
+       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+             / len(toks)::DOUBLE, 6) AS avg_token_len,
+       len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','was','for')))::BIGINT
+         AS n_stopwords_en
+FROM t
+"""
+
+
+# --------------------------------------------- language id + quality
+
+def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID + [0,1] quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.lang_id(t).alias("lang_pred"),
+        F.round(tx.quality_score(t), 6).alias("quality"),
+    )
+
+
+_SW_EN = "('the','and','of','to','in','is','that','it','was','for')"
+_SW_FR = "('le','la','les','de','et','un','une','est','que','pour')"
+_SW_DE = "('der','die','das','und','ist','ein','eine','nicht','mit','für')"
+
+LANG_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cnt AS (
+  SELECT doc_id, toks,
+         len(list_filter(toks, x -> x IN {_SW_EN})) AS en,
+         len(list_filter(toks, x -> x IN {_SW_FR})) AS fr,
+         len(list_filter(toks, x -> x IN {_SW_DE})) AS de
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN en > fr AND en > de THEN 'en'
+            WHEN fr > en AND fr > de THEN 'fr'
+            WHEN de > en AND de > fr THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+           + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           + 0.3 * least((en::DOUBLE / len(toks)::DOUBLE) * 5.0, 1.0), 6) AS quality
+FROM cnt
+"""
+
+
+# ------------------------------------------------------- fingerprint
+
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 fingerprint of normalized text + dupe-group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("group_size"))
+    return fp.join(counts, "fp").select("doc_id", "fp", "group_size")
+
+
+FINGERPRINT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+  FROM documents
+)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS group_size FROM fp
+"""
+
+
+# ------------------------------------------------ similarity search
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbours for 8 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return sim.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+SIMILARITY_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (scale path) — approximate, rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return sim.signlsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=6)
+
+
+# ------------------------------------------------------ near-dedup
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+  FROM t WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates (murmur3 signatures are
+    Spark-native — rows-only check; the exact-Jaccard verification step
+    is itself oracle-checked via ns_ngram_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    return dd.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4,
+                                  jaccard_threshold=0.5)
+
+
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 is Spark-native — rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash64(docs, "doc_id", "text")
+
+
+QUERIES = {
+    "ns_dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE),
+    "ns_text_stats": Query(text_stats, TEXT_STATS_ORACLE),
+    "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
+    "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),
+    "ns_similarity_topk": Query(similarity_topk, SIMILARITY_ORACLE),
+    "ns_similarity_lsh": Query(similarity_lsh, None,
+                               note="approximate ANN — rows-only"),
+    "ns_ngram_jaccard": Query(ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    "ns_dedup_minhash_lsh": Query(minhash_lsh, None,
+                                  note="murmur3 signatures — rows-only"),
+    "ns_dedup_simhash": Query(simhash_q, None,
+                              note="xxhash64 bits — rows-only"),
+}

@@ -1,0 +1,271 @@
+"""Relational surface: joins, set ops, top-k, dedup, streaming-window
+batch equivalents (SURVEY §2.2 — absent from the reference, free in
+Spark, required by the charter).
+
+Join strategy notes (100 TB posture): dimension tables (region, nation,
+customer at TPC-H ratios) are broadcast — no shuffle of the fact side;
+fact-fact joins (orders⋈lineitem) shuffle on the join key and benefit
+from AQE skew splitting. The explicit ``F.broadcast`` hints below mark
+the intended physical plan; Catalyst would choose the same under
+autoBroadcastJoinThreshold, but the hint keeps the plan stable at any
+statistics quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .base import Query
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped agg + deterministic top-10."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.expr("timestamp'1995-03-15 00:00:00'")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"),
+                "o_orderpriority", "revenue")
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate::DATE AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, broadcast dims, revenue per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (OP-FLT-3 bulk form): customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one open ('O') order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+SEMI_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with customers EXCEPT nations with
+    suppliers, UNION nations present in both (INTERSECT) — tagged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    only_cust = cust.subtract(supp).withColumn("tag", F.lit("cust_only"))
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    return only_cust.unionByName(both)
+
+
+SET_OPS_ORACLE = """
+SELECT nationkey, 'cust_only' AS tag FROM (
+  SELECT c_nationkey::BIGINT AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey::BIGINT FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'both' AS tag FROM (
+  SELECT c_nationkey::BIGINT AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey::BIGINT FROM supplier
+)
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window: top 3 orders per market
+    segment by totalprice (deterministic tie-break on orderkey)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+TOPK_ORACLE = """
+SELECT c_mktsegment, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rank <= 3
+"""
+
+
+def dedup_first_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-DD-1: first-writer-wins dedup — one row per order, the lowest
+    linenumber wins (the reference's insert-or-ignore on the UNIQUE date
+    key, reference :465,:531-535)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # total order: linenumbers repeat within an order in the synthetic
+    # data, so the tie-break must fully determine the winner.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    )
+    first = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return first.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+DEDUP_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_orders,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_returnflag) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+GROUP BY l_returnflag
+"""
+
+
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the streaming tumbling-window aggregation
+    (same ``F.window`` semantics the streaming module uses): 6-hour
+    buckets per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    "tpch_q5_nation_revenue": Query(q5_nation_revenue, Q5_ORACLE),
+    "op_jn_anti": Query(anti_join, ANTI_JOIN_ORACLE),
+    "op_jn_semi": Query(semi_join, SEMI_JOIN_ORACLE),
+    "op_set_ops": Query(set_ops, SET_OPS_ORACLE),
+    "op_topk_per_group": Query(topk_per_group, TOPK_ORACLE),
+    "op_dd_1_dedup_first": Query(dedup_first_writer, DEDUP_ORACLE),
+    "op_stream_tumbling_batch": Query(tumbling_window, TUMBLING_ORACLE),
+}

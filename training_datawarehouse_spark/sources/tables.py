@@ -1,0 +1,38 @@
+"""Parquet table sources for the driver's synthetic star schema.
+
+Plain ``spark.read.parquet`` — no schema override, so Catalyst gets
+parquet statistics, predicate pushdown and column pruning for free.
+At cluster scale these would be partitioned/bucketed tables behind the
+session catalog; the loader is the single place to swap that in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS) — Spark has no nanosecond
+        # timestamp type; read the raw int64 and truncate to micros
+        # (integer DIV — a double division would lose precision at 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
