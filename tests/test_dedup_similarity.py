@@ -1,0 +1,111 @@
+"""Dedup + similarity operator tests with planted duplicates/neighbours."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from training_datawarehouse_spark.operators import dedup as dd
+from training_datawarehouse_spark.operators import similarity as sim
+from training_datawarehouse_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(60)]
+        rows.append((i, " ".join(words)))
+    # plant: 50 == 10 exactly; 51 ≈ 11 with small edit
+    rows.append((50, rows[10][1]))
+    near = rows[11][1].split()
+    near[5] = "CHANGED"
+    rows.append((51, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_first(docs):
+    kept = dd.exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 10 in ids and 50 not in ids
+    assert 51 in ids  # near-dup is NOT exact
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4,
+                                   jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((10, 50)) == pytest.approx(1.0)
+    assert (11, 51) in got and got[(11, 51)] > 0.8
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((10, 50)) == pytest.approx(1.0)
+    assert (11, 51) in got
+
+
+def test_simhash_near_dup_small_hamming(docs, spark):
+    hashes = {r["id"]: r["simhash"] for r in dd.simhash64(docs, "doc_id", "text").collect()}
+    assert hashes[10] == hashes[50]  # identical docs → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = hamming(hashes[11], hashes[51])
+    far = [hamming(hashes[11], hashes[i]) for i in range(10)]
+    assert near < min(far)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    # 100 ≈ 0 (tiny perturbation)
+    rows.append((100, [v + 0.001 for v in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_finds_planted_neighbor(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk(vectors, queries, "vec_id", "embedding", k=3).collect()
+    assert out[0]["neighbor_id"] == 100
+    assert out[0]["cosine"] > 0.999
+
+
+def test_signlsh_same_bucket_for_near_identical(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = sim.signlsh_topk(vectors, queries, "vec_id", "embedding", k=3, n_planes=4)
+    rows = out.collect()
+    assert rows and rows[0]["neighbor_id"] == 100
+
+
+def test_text_operators(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "le chat et le chien est la")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        tx.token_count(F.col("text")).alias("n"),
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n"] == 5
+    assert by_id[1]["lang"] == "en"
+    assert by_id[2]["lang"] == "fr"
+    assert len(by_id[1]["fp"]) == 16
+    # fingerprint is whitespace/case-insensitive
+    df2 = spark.createDataFrame([(3, "  THE cat   and the DOG ")], "id long, text string")
+    fp2 = df2.select(tx.fingerprint(F.col("text"))).collect()[0][0]
+    assert fp2 == by_id[1]["fp"]

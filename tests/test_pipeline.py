@@ -1,0 +1,106 @@
+"""End-to-end diary pipeline test (E1→E4) with the property-based
+lattice invariants from SURVEY §5.4."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from training_datawarehouse_spark.pipeline import (
+    CELL_KEYS,
+    run_e1_ingest,
+    run_e2_tsb,
+    run_e3_strain,
+    run_e4_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def facts(spark, diary_path):
+    df = run_e1_ingest(spark, diary_path)
+    df = run_e2_tsb(df)
+    df = run_e3_strain(df)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_every_cell_has_every_date(facts):
+    span = facts.agg(F.min("date"), F.max("date")).collect()[0]
+    n_days = (span[1] - span[0]).days + 1
+    per_cell = facts.groupBy(*CELL_KEYS).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("date").alias("nd")
+    ).collect()
+    assert all(r["n"] == n_days and r["nd"] == n_days for r in per_cell)
+
+
+def test_tsb_identity(facts):
+    bad = facts.filter(
+        F.abs(F.col("tsb") - (F.col("ctl") - F.col("atl"))) > 1e-9
+    ).count()
+    assert bad == 0
+
+
+def test_booleans_are_01(facts):
+    for c in ("is_race", "brick", "watts_estimated"):
+        vals = {r[0] for r in facts.select(c).distinct().collect()}
+        assert vals <= {0, 1}
+
+
+def test_all_cell_sum_invariant(facts):
+    """All/All/All SUM(km) == Σ over activity-partition cells (the
+    activity dimension has no Not-Set exclusion)."""
+    total = facts.filter(
+        (F.col("activity") == "All") & (F.col("activity_type") == "All")
+        & (F.col("equipment") == "All")
+    ).agg(F.sum("km")).collect()[0][0]
+    parts = facts.filter(
+        (F.col("activity") != "All") & (F.col("activity_type") == "All")
+        & (F.col("equipment") == "All")
+    ).agg(F.sum("km")).collect()[0][0]
+    assert parts == pytest.approx(total, rel=1e-9)
+
+
+def test_ctl_positive_where_load_exists(facts):
+    row = facts.filter(
+        (F.col("activity") == "All") & (F.col("activity_type") == "All")
+        & (F.col("equipment") == "All")
+    ).orderBy(F.col("date").desc()).first()
+    assert row["ctl"] > 0
+
+
+def test_interpolated_physiology_attached(facts):
+    # kg interpolated onto every cell-date within the weights span
+    some = facts.filter((F.col("kg") > 0)).count()
+    assert some > 0
+    # lbs = bround(kg·2.20462, 1) wherever kg present
+    bad = facts.filter(
+        (F.col("kg") > 0)
+        & (F.abs(F.col("lbs") - F.bround(F.col("kg") * 2.20462, 1)) > 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_weekly_rollup_shapes(spark, facts):
+    weekly = run_e4_rollup(facts, "year_week")
+    cols = set(weekly.columns)
+    # Mean columns present, no-AggMethod columns dropped (§2.3.6)
+    assert "rpe" in cols and "km" in cols and "date" in cols
+    assert "type" not in cols and "sleep_quality" not in cols
+    # one row per (cell, week)
+    dup = weekly.groupBy(*CELL_KEYS, "year_week").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_monthly_rollup_sum_matches_daily(spark, facts):
+    monthly = run_e4_rollup(facts, "year_month")
+    m = monthly.filter(
+        (F.col("activity") == "All") & (F.col("activity_type") == "All")
+        & (F.col("equipment") == "All")
+    ).agg(F.sum("km")).collect()[0][0]
+    d = facts.filter(
+        (F.col("activity") == "All") & (F.col("activity_type") == "All")
+        & (F.col("equipment") == "All")
+    ).agg(F.sum("km")).collect()[0][0]
+    assert m == pytest.approx(d, rel=1e-9)

@@ -69,6 +69,8 @@ class ColumnSpec:
         BOOLEAN → 0 if x == 0 else 1
         """
         src = F.coalesce(F.col(self.source or self.name), F.lit(self.default))
+        if isinstance(self.dtype, T.StringType):
+            return src.cast("string").alias(self.name)
         if self.is_boolean():
             return (src.cast("double") != 0).cast("int").alias(self.name)
         scaled = src.cast("double") * F.lit(self.factor)

@@ -1,0 +1,78 @@
+"""Structured Streaming ingest of the events stream.
+
+The reference has no streaming story — its "incremental" mode is a full
+batch re-run (SURVEY §2.2). Here the events table doubles as a stream:
+``readStream`` over a parquet directory, event-time watermark, tumbling
+window aggregation — the standard late-data-tolerant shape. The batch
+query ``op_stream_tumbling_batch`` in plans/relational.py computes the
+identical result with the same ``F.window`` expression, which is how the
+streaming semantics get an oracle (stream/batch parity is a Structured
+Streaming guarantee for append-mode windowed aggregation).
+
+At scale: the watermark bounds state (old windows are evicted once the
+watermark passes), and the pre-shuffle partial aggregation keeps the
+state store keyed by (window, event_type) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def event_schema() -> T.StructType:
+    """Explicit schema — streaming sources never infer. ``ts`` arrives
+    as nanosecond int64 in the driver's parquet (same as the batch
+    loader's nanosAsLong path)."""
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(event_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window counts + sums per event_type with a watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def run_available_now(
+    spark: SparkSession, src_path: str, checkpoint: str
+) -> list:
+    """Drain the whole source with trigger(availableNow) into memory and
+    return the rows — used by tests to assert stream/batch parity."""
+    q = (
+        windowed_counts(stream_events(spark, src_path))
+        .writeStream.format("memory")
+        .queryName("events_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("select * from events_windowed").collect()
