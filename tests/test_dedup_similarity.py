@@ -37,8 +37,8 @@ def test_exact_dedup_keeps_first(docs):
 
 
 def test_minhash_lsh_finds_planted_pairs(docs):
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
-    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4,
+    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
+                                   bands=8, rows_per_band=4,
                                    jaccard_threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got.get((10, 50)) == pytest.approx(1.0)

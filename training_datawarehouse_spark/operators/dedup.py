@@ -46,57 +46,95 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, minhash array<int>[num_hashes], shingles) per document.
+    """(id, minhash array<int>[num_hashes]) per document.
 
-    Hash family: murmur3 with seed-chaining — ``F.hash(s, lit(i))`` is
+    Hash family: murmur3 with seed-chaining — ``F.hash(g, lit(i))`` is
     an independent-enough family and stays JVM-side.
+
+    Formulated as explode → groupBy(id) → k ``min`` aggregates rather
+    than ``array_min(transform(...))`` columns: the Aggregate is an
+    optimizer barrier (CollapseProject would otherwise inline the whole
+    shingle construction into EACH of the k hash expressions — measured
+    ~5× slowdown), and partial map-side mins mean the shuffle carries
+    one slim row per (mapper, doc), which is the shape that survives
+    100 TB. Docs with fewer than ``shingle_n`` tokens have no shingles
+    and drop out (they cannot be near-dups at this shingle size).
     """
-    with_sh = df.select(
-        F.col(id_col), F.col(text_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
     )
-    mins = [
-        F.array_min(F.transform("shingles", lambda s, i=i: F.hash(s, F.lit(i)))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return with_sh.select(id_col, "shingles", F.array(*[m for m in mins]).alias("minhash"))
+    mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4,
-    jaccard_threshold: float = 0.5,
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5, shingle_n: int = 3,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs verified with exact shingle Jaccard.
+    """Banded-LSH near-dup pairs verified with exact shingle Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
-    threshold. Shuffles: one explode+join on (band, signature) to find
-    candidates, then a self-join back to shingle sets for verification.
+    threshold. Plan shape: signatures (1 shuffle on id) → band explode →
+    groupBy bucket → in-bucket pair expansion via array expression (1
+    shuffle of slim (band, sig, id) triples, no self-join) → distinct
+    pairs → join shingle sets for the exact-Jaccard verification (only
+    candidate pairs ever carry shingle arrays through a shuffle).
     """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[
+                F.col("minhash")[b * rows_per_band + j].cast("string")
+                for j in range(rows_per_band)
+            ]).alias("sig"),
+        )
+        for b in range(bands)
+    ])
     banded = sigs.select(
-        F.col(id_col).alias("bid"),
-        F.col("shingles").alias("bsh"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band", "band_sig"),
-    ).select("bid", "bsh", "band", F.concat_ws("_", F.col("band_sig").cast("array<string>")).alias("sig"))
+        F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
+    ).select("bid", F.col("bs.band"), F.col("bs.sig"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.bid") < F.col("b.bid")))
-        .select(F.col("a.bid").alias("id_a"), F.col("b.bid").alias("id_b"),
-                F.col("a.bsh").alias("sh_a"), F.col("b.bsh").alias("sh_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("bid")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pairs_expr(ids: str) -> Column:
+    """All ordered pairs (a<b) from a sorted id array, as one expression:
+    flatten(transform(ids, (x,i) -> transform(tail_after_i, y -> (x,y))))."""
+    return F.flatten(
+        F.transform(
+            F.col(ids),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids), (i + 2).cast("int"), F.greatest(F.size(F.col(ids)) - i - 1, F.lit(0)).cast("int")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
 
 
@@ -112,10 +150,17 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("g")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # One scan, no self-join: group each shingle's (sorted) posting list,
+    # expand in-list pairs with an array expression, count pair hits.
+    # In-bucket expansion is quadratic in posting-list length — inherent
+    # to exact Jaccard; rare hot shingles can be dropped like stopwords
+    # upstream if a corpus makes them explode.
     common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        sh.groupBy("g")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

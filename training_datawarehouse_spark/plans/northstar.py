@@ -197,8 +197,8 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-native — rows-only check; the exact-Jaccard verification step
     is itself oracle-checked via ns_ngram_jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
-    return dd.lsh_candidate_pairs(sigs, "doc_id", bands=8, rows_per_band=4,
+    return dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
+                                  bands=8, rows_per_band=4,
                                   jaccard_threshold=0.5)
 
 
