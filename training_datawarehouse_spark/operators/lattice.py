@@ -83,3 +83,32 @@ def cube_lattice(
     )
 
     return half_a.unionByName(half_b)
+
+
+def cube_lattice_two_level(
+    df: DataFrame,
+    base_aggs: list[Column],
+    re_aggs: list[Column],
+    activity: str = "activity",
+    activity_type: str = "activity_type",
+    equipment: str = "equipment",
+    extra_keys: list[str] | None = None,
+    not_set: tuple[str, ...] = NOT_SET,
+) -> DataFrame:
+    """Lattice via pre-aggregation — the shape that wins at 100 TB.
+
+    ``cube_lattice`` feeds every input row through an 8-way Expand
+    (8× the aggregation work and shuffle input). When every measure is
+    algebraic (sum / weighted-sum / max / count — all of the
+    reference's, SURVEY §2.1), aggregate once to the physical cell
+    grain ``(extra, a, t, e)`` with ``base_aggs`` (ordinary shuffle,
+    map-side combine collapses to |cells| rows per task), then run the
+    8-set lattice over the tiny cell table with ``re_aggs`` re-merging
+    the partials. The per-set Not-Set filter (SURVEY §2.3.1) drops
+    whole cells, so applying it to the pre-aggregate is exact.
+    """
+    extra = extra_keys or []
+    base = df.groupBy(*extra, activity, activity_type, equipment).agg(*base_aggs)
+    return cube_lattice(
+        base, re_aggs, activity, activity_type, equipment, extra_keys, not_set
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.lattice import cube_lattice
+from ..operators.lattice import cube_lattice_two_level
 from ..operators.rollup import periodic_rollup
 from ..functions.scalars import year_week, year_month
 from ..sources.tables import load_table
@@ -48,15 +48,30 @@ def _source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _measures() -> list:
+def _base_aggs() -> list:
+    # Partial (cell-grain) aggregates: everything the lattice needs is
+    # algebraic, so the 600k-row input collapses to |cells| rows in one
+    # ordinary shuffle before any grouping-set expansion.
     w = F.col("seconds")
     return [
-        F.sum("km").alias("km_raw"),
-        F.sum("seconds").alias("seconds_raw"),
-        (F.sum(F.col("rpe") * w) / F.sum(w)).alias("rpe_raw"),
-        (F.sum(F.col("hr") * w) / F.sum(w)).cast("long").alias("hr"),
-        F.max("is_race").cast("long").alias("is_race"),
-        F.count(F.lit(1)).alias("n_workouts"),
+        F.sum("km").alias("km_s"),
+        F.sum("seconds").alias("sec_s"),
+        F.sum(F.col("rpe") * w).alias("rpe_ws"),
+        F.sum(F.col("hr") * w).alias("hr_ws"),
+        F.max("is_race").alias("race_m"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+
+
+def _re_aggs() -> list:
+    # Final merge of cell partials inside the 8-set lattice.
+    return [
+        F.sum("km_s").alias("km_raw"),
+        F.sum("sec_s").alias("seconds_raw"),
+        (F.sum("rpe_ws") / F.sum("sec_s")).alias("rpe_raw"),
+        (F.sum("hr_ws") / F.sum("sec_s")).cast("long").alias("hr"),
+        F.max("race_m").cast("long").alias("is_race"),
+        F.sum("n").alias("n_workouts"),
     ]
 
 
@@ -64,7 +79,7 @@ def cube_lattice_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-1/2/3/4/5/7 + OP-FLT-1: the full 8-set lattice with 'All'
     labels, per-set Not-Set exclusion, and mapper recompute post-agg."""
     src = _source(spark, sf_dir)
-    lat = cube_lattice(src, _measures())
+    lat = cube_lattice_two_level(src, _base_aggs(), _re_aggs())
     secs, km, rpe = F.col("seconds_raw"), F.col("km_raw"), F.col("rpe_raw")
     mph = F.when(secs > 0, F.bround(km * 0.621371 / (secs / 3600.0), 1)).otherwise(0.0)
     rpe_tss = F.bround(rpe * rpe * secs / F.lit(49.0 * 36.0), 1)
