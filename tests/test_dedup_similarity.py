@@ -89,6 +89,47 @@ def test_signlsh_same_bucket_for_near_identical(vectors):
     assert rows and rows[0]["neighbor_id"] == 100
 
 
+def test_cosine_neardup_pairs_exact(vectors):
+    pairs = sim.cosine_neardup_pairs(vectors, "vec_id", "embedding", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    assert (0, 100) in got and got[(0, 100)] > 0.999
+    # random 16-dim vectors don't hit 0.99 — only the planted pair survives
+    assert all(a == 0 and b == 100 for a, b in got)
+
+
+def test_ivf_topk_finds_planted_neighbor(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    rows = sim.ivf_topk(vectors, queries, "vec_id", "embedding",
+                        k=3, n_lists=4, n_probe=2).collect()
+    # vec 100 is a tiny perturbation of vec 0 → same coarse list; must
+    # be retrieved and rank first
+    assert rows and rows[0]["neighbor_id"] == 100
+
+
+def test_approx_aggs_error_bounds(spark):
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 5000), float(rng.gauss(50, 10))) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    exact_users = df.select("user_id").distinct().count()
+    exact_p50 = sorted(v for _, v in rows)[len(rows) // 2]
+    r = df.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("u"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+    ).collect()[0]
+    assert abs(r["u"] - exact_users) / exact_users < 0.05
+    assert abs(r["p50"] - exact_p50) < 0.5
+
+
+def test_regex_tokens(spark):
+    df = spark.createDataFrame([(1, "Hello, world-42 foo_bar")], "id long, text string")
+    row = df.select(
+        tx.regex_tokens(F.col("text")).alias("toks"),
+        tx.regex_token_count(F.col("text")).alias("n"),
+    ).collect()[0]
+    assert row["toks"] == ["Hello", ",", "world", "-", "42", "foo", "_", "bar"]
+    assert row["n"] == 8
+
+
 def test_text_operators(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog"), (2, "le chat et le chien est la")],

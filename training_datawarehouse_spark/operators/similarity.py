@@ -61,6 +61,81 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold — exact all-pairs.
+
+    Quadratic by construction (this is the exact verifier / oracle
+    anchor). The 100 TB path is the same computation behind a
+    candidate-pruning stage: sign-LSH buckets (``signlsh_bucket``) or an
+    IVF coarse quantizer (``ivf_topk``) so only same-bucket pairs reach
+    the dot product; both prune strategies live in this module.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, n_lists: int = 8, n_probe: int = 2, seed: int = 13,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
+    (inverted list), probe each query's ``n_probe`` closest lists, exact
+    re-score inside the probed lists only.
+
+    Centroids are deterministic pseudo-random unit-ish vectors (seeded
+    numpy) rather than trained k-means — the *query shape* (assign →
+    bucket-join → rescore) is identical, and that shape is what matters
+    at scale: the corpus partitions by list id once, queries broadcast,
+    and the all-pairs product shrinks by ~n_probe/n_lists. Recall < 1
+    by construction → rows-only check.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_lists, dim)).round(6).tolist()
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        scored = F.array(*[
+            F.struct(
+                (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("neg"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(cents)
+        ])
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("list_id", nearest_lists(F.col("cv"), 1)[0]["list_id"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(nearest_lists(F.col("qv"), n_probe), lambda s: s["list_id"])
+        ).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -71,6 +71,23 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# BPE-pretokenizer-style regex: runs of letters, runs of digits, or a
+# single non-alphanumeric non-space mark. Explicit character classes —
+# identical semantics under Java regex (Spark) and RE2/PCRE (oracles).
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_tokens(text: Column, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """Regex tokenization (BPE-ish pre-tokenizer splits), JVM-side."""
+    # group 0 = whole match (Spark defaults to group 1 and rejects
+    # patterns without capture groups)
+    return F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
+
+
+def regex_token_count(text: Column, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    return F.size(regex_tokens(text, pattern)).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of the lower-cased,
     whitespace-normalized text (first 16 hex chars)."""

@@ -208,8 +208,116 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash64(docs, "doc_id", "text")
 
 
+# ------------------------------------------------ regex tokenization
+
+def token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pretokenizer-style regex token counts (letters / digits /
+    single marks) next to whitespace token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("n_ws_tokens"),
+        tx.regex_token_count(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tx.regex_tokens(t))).cast("long").alias("n_bpe_distinct"),
+    )
+
+
+TOKEN_REGEX_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT
+         AS n_bpe_distinct
+FROM documents
+"""
+
+
+# ------------------------------------- embedding-cosine near-dedup
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs over a deterministic
+    corpus slice (vec_id % 4 = 0) — the oracle anchor for the pruned
+    (LSH / IVF) scale paths."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return sim.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+EMBEDDING_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 4 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+"""
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse-quantize → probe 2 lists → rescore) —
+    approximate, rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return sim.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_lists=8, n_probe=2)
+
+
+# ------------------------------------------------ multimodal columns
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: attach a deterministic binary
+    payload, decode metadata via Arrow-batched ``mapInPandas`` (stub
+    kernel — real decoder would be PIL/libav), aggregate per format.
+    The fake decode is pure arithmetic on the payload bytes, so the
+    whole pipeline has an exact SQL oracle."""
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = mm.attach_binary_payload(docs, "doc_id", "text")
+    meta = mm.decode_metadata(with_payload)
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )
+
+
+# payload = unhex(md5(text)); byte k = hex pair 2k+1..2k+2 of the md5.
+_HEXVAL = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+_B0 = f"({_HEXVAL.format(p=1)} * 16 + {_HEXVAL.format(p=2)})"
+_B1 = f"({_HEXVAL.format(p=3)} * 16 + {_HEXVAL.format(p=4)})"
+
+MULTIMODAL_ORACLE = f"""
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+meta AS (
+  SELECT doc_id,
+         16::BIGINT AS n_bytes,
+         CASE {_B0} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+         64 + {_B0} % 64 AS width,
+         64 + {_B1} % 64 AS height
+  FROM hx
+)
+SELECT format,
+       count(*) AS n_docs,
+       sum(n_bytes) AS total_bytes,
+       round(avg(width), 4) AS avg_width,
+       round(avg(height), 4) AS avg_height
+FROM meta GROUP BY format
+"""
+
+
 QUERIES = {
     "ns_dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE),
+    "ns_token_regex": Query(token_regex, TOKEN_REGEX_ORACLE),
+    "ns_dedup_embedding_cosine": Query(embedding_neardup, EMBEDDING_NEARDUP_ORACLE),
+    "ns_similarity_ivf": Query(similarity_ivf, None,
+                               note="approximate ANN — rows-only"),
+    "ns_multimodal_meta": Query(multimodal_meta, MULTIMODAL_ORACLE),
     "ns_text_stats": Query(text_stats, TEXT_STATS_ORACLE),
     "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
     "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),

@@ -259,8 +259,88 @@ GROUP BY 1, 2
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-filter-agg. All three predicates reach
+    the parquet scan (PushedFilters) and only 4 columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join with a
+    non-equi predicate alongside the key (lineitem shipped > 60 days
+    after order date), then priority counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1996-07-01 00:00:00'"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
+    distinct counts and quantile sketches per event_type. Sketch
+    internals differ across engines → rows-only driver check; error
+    bounds are asserted in tests/test_dedup_similarity.py against exact
+    recomputation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    "tpch_q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE),
+    "tpch_q4_order_priority": Query(q4_order_priority, Q4_ORACLE),
+    "op_approx_aggs": Query(approx_aggs, None,
+                            note="sketch internals engine-specific — rows-only"),
     "tpch_q5_nation_revenue": Query(q5_nation_revenue, Q5_ORACLE),
     "op_jn_anti": Query(anti_join, ANTI_JOIN_ORACLE),
     "op_jn_semi": Query(semi_join, SEMI_JOIN_ORACLE),
