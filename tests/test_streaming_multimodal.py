@@ -28,6 +28,82 @@ def test_stream_batch_parity(spark, tmp_path):
     assert s == b
 
 
+def _two_batch_stream(spark, tmp_path, name):
+    """Stage the sf0.001 events as TWO files so maxFilesPerTrigger=1
+    yields two micro-batches — state must survive between them."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), src / "part0.parquet")
+    pq.write_table(t.slice(half), src / "part1.parquet")
+    from training_datawarehouse_spark.streaming.events_stream import stream_events
+
+    return stream_events(spark, str(src))
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from training_datawarehouse_spark.streaming.stateful import running_user_totals
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    ev = _two_batch_stream(spark, tmp_path, "totals")
+    q = (
+        running_user_totals(ev)
+        .writeStream.format("memory").queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_totals"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode re-emits a user's row each batch it appears in — the
+    # LAST emission per user must equal the batch-exact totals
+    got = {}
+    for r in spark.sql("select * from user_totals").collect():
+        got[r["user_id"]] = (r["n_events"], r["total_value"])
+    exact = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    from training_datawarehouse_spark.streaming.stateful import streaming_first_seen_dedup
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    ev = _two_batch_stream(spark, tmp_path, "dedup")
+    q = (
+        streaming_first_seen_dedup(ev, "event_type")
+        .writeStream.format("memory").queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from first_seen").collect()
+    # exactly one row per event_type, and it is the true global first
+    batch = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    exact = {
+        r["event_type"]: r["event_id"]
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {r["key"]: r["first_event_id"] for r in rows}
+    assert got == exact
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "another doc")], "doc_id long, text string"

@@ -335,8 +335,88 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the streaming sliding-window aggregation:
+    6-hour windows sliding every 2 hours (each event lands in 3
+    windows). Same ``F.window(ts, size, slide)`` expression the
+    streaming path uses."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+# A 6h/2h sliding window = union of 3 offset tumbling 2h-bucket shifts:
+# event ts belongs to windows starting at bucket_2h(ts) − k·2h, k ∈ 0..2.
+SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours' AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+CROSS JOIN (VALUES (0), (1), (2)) offs(k)
+GROUP BY 1, 2
+"""
+
+
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of streaming session windows: per-user sessions
+    closed by a 30-minute inactivity gap (``F.session_window``), for a
+    bounded user slice."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp").alias("session_start"),
+            F.col("last_ts").cast("timestamp").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+# Classic gaps-and-islands sessionization: a session break is a gap
+# > 30 min; session id = running count of breaks per user.
+SESSION_ORACLE = """
+WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 50),
+flg AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ses AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM ses GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    "op_stream_sliding_batch": Query(sliding_window, SLIDING_ORACLE),
+    "op_stream_session_batch": Query(session_window_q, SESSION_ORACLE),
     "tpch_q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE),
     "tpch_q4_order_priority": Query(q4_order_priority, Q4_ORACLE),
     "op_approx_aggs": Query(approx_aggs, None,
