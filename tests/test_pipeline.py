@@ -104,3 +104,30 @@ def test_monthly_rollup_sum_matches_daily(spark, facts):
         & (F.col("equipment") == "All")
     ).agg(F.sum("km")).collect()[0][0]
     assert m == pytest.approx(d, rel=1e-9)
+
+
+def test_warehouse_write_prune_and_idempotent_append(spark, facts, tmp_path):
+    from training_datawarehouse_spark.pipeline import append_days, write_warehouse
+
+    wh = str(tmp_path / "warehouse")
+    write_warehouse(facts, wh)
+    back = spark.read.parquet(wh)
+    assert back.count() == facts.count()
+
+    # cell-key filter must become a partition filter, not a data filter:
+    # only that cell's files are scanned
+    one = back.filter(
+        (F.col("activity") == "Run") & (F.col("activity_type") == "Road")
+        & (F.col("equipment") == "ShoesA")
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "activity" in plan.split("PartitionFilters")[1][:200]
+
+    # re-appending the same facts is a no-op (first-writer-wins on
+    # (date, cell)); appending genuinely new dates lands exactly once
+    n0 = back.count()
+    after_dup = append_days(spark, wh, facts)
+    assert after_dup.count() == n0
+    shifted = facts.withColumn("date", F.date_add("date", 10000))
+    after_new = append_days(spark, wh, shifted)
+    assert after_new.count() == 2 * n0

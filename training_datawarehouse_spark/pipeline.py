@@ -153,6 +153,36 @@ def run_e4_rollup(facts: DataFrame, period_col: str) -> DataFrame:
     )
 
 
+def write_warehouse(facts: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """OP-SNK-1: materialize the fact lattice, partitioned by cell keys.
+
+    The reference's one-SQLite-table-per-cell (``create_table``
+    :457-501) becomes parquet partition directories — a reader filtering
+    on cell keys touches only its partitions (dynamic partition pruning;
+    see test_pipeline partition-pruning assertion). Cell cardinality is
+    bounded (|activities|×|types|×|equipment|), so partition count stays
+    sane at any fact volume; ``date`` stays *inside* each partition as
+    the natural sort/cluster column rather than exploding directories.
+    """
+    facts.write.mode(mode).partitionBy(*CELL_KEYS).parquet(path)
+
+
+def append_days(
+    spark: SparkSession, warehouse_path: str, new_facts: DataFrame
+) -> DataFrame:
+    """OP-SNK-2 + OP-DD-1: idempotent append — first-writer-wins on
+    (date, cell). The reference relied on ``date UNIQUE`` +
+    swallow-error inserts (:531-535); here the existing (date, cell)
+    keys anti-join away re-arriving rows BEFORE the write, so the
+    stored table never holds duplicates. Only the slim key columns of
+    the existing table are read (column pruning reaches the scan)."""
+    existing = spark.read.parquet(warehouse_path)
+    keys = ["date", *CELL_KEYS]
+    fresh = new_facts.join(existing.select(*keys), keys, "left_anti")
+    fresh.write.mode("append").partitionBy(*CELL_KEYS).parquet(warehouse_path)
+    return spark.read.parquet(warehouse_path)
+
+
 def run_full_pipeline(spark: SparkSession, diary_path: str) -> dict[str, DataFrame]:
     facts = run_e1_ingest(spark, diary_path)
     facts = run_e2_tsb(facts)
