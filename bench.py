@@ -40,6 +40,11 @@ HEADLINE = [
     "ns_text_stats",
     "ns_similarity_topk",
     "ns_dedup_minhash_lsh",
+    "tpch_q6_forecast_revenue",
+    "op_stream_session_batch",
+    "ns_token_regex",
+    "ns_multimodal_meta",
+    "op_approx_aggs",
 ]
 
 

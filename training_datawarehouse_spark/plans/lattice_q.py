@@ -208,8 +208,44 @@ FROM daily GROUP BY activity, period
 """
 
 
+def catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-2: catalog scan — the reference's ``Tables`` metadata table
+    (create_db.py:9-16) becomes SELECT DISTINCT over the grouping
+    columns plus the generated cell/table name (OP-FN-3): the lattice
+    keys live *in* the data, not in a side catalog."""
+    src = _source(spark, sf_dir)
+    cells = (
+        src.filter(~F.col("equipment").isin("Not Set", ""))
+        .select(
+            "activity", "activity_type",
+            F.regexp_replace("equipment", " ", "").alias("equipment"),
+        )
+        .distinct()
+    )
+    return cells.withColumn(
+        "table_name",
+        F.concat_ws("_", F.lit("Day"), "activity", "activity_type", "equipment"),
+    )
+
+
+CATALOG_ORACLE = f"""
+WITH src AS (
+  SELECT l_returnflag AS activity,
+         l_linestatus AS activity_type,
+         {_EQUIP_SQL} AS equipment
+  FROM lineitem
+)
+SELECT DISTINCT activity, activity_type,
+       replace(equipment, ' ', '') AS equipment,
+       'Day' || '_' || activity || '_' || activity_type || '_'
+             || replace(equipment, ' ', '') AS table_name
+FROM src WHERE equipment NOT IN ('Not Set', '')
+"""
+
+
 QUERIES = {
     "op_agg_1_cube_lattice": Query(cube_lattice_query, CUBE_LATTICE_ORACLE),
+    "op_src_2_catalog": Query(catalog_query, CATALOG_ORACLE),
     "op_agg_6_rollup_week": Query(rollup_query("week"), _rollup_oracle("week")),
     "op_agg_6_rollup_month": Query(rollup_query("month"), _rollup_oracle("month")),
 }
