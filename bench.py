@@ -54,8 +54,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + parquet footer caches with an off-benchmark query
+    # warm up the JVM + parquet footer caches with an off-benchmark query,
+    # and the Python/Arrow worker pool (long-lived in a real deployment —
+    # spark.python.worker.reuse keeps it hot) with a one-row applyInPandas
     QUERIES["op_agg_3_weighted_mean"].builder(spark, sf_dir).collect()
+    import pandas as _pd
+
+    spark.range(1).groupBy("id").applyInPandas(
+        lambda p: p, schema="id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

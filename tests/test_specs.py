@@ -14,7 +14,7 @@ def test_workout_specs_cover_reference_columns():
             "brick", "watts_estimated", "cadence", "rpe_tss", "mph", "kph"} == names
 
 
-def test_agg_methods():
+def test_agg_methods(spark):  # fixture: Column exprs need a live session
     by_name = {c.name: c for c in S.WORKOUT_SPECS}
     assert by_name["km"].agg is S.Agg.SUM
     assert by_name["rpe"].agg is S.Agg.WEIGHTED_MEAN
@@ -52,3 +52,33 @@ def test_spark_projection_semantics(spark):
     bdf = spark.createDataFrame([(0,), (3,), (None,)], "isRace long")
     vals = [r[0] for r in bdf.select(b.ingest_expr()).collect()]
     assert vals == [0, 1, 0]
+
+
+def test_salted_agg_matches_plain(spark):
+    """Salted two-level aggregation is result-identical to the plain
+    groupBy (hot-key spreading must not change semantics)."""
+    from pyspark.sql import functions as F
+
+    from training_datawarehouse_spark.operators.skew import salted_agg
+
+    # 90% of rows on one hot key
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    plain = {
+        r["k"]: (r["n"], r["v"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("v"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["v"])
+        for r in salted_agg(
+            df, ["k"],
+            partials=[F.count(F.lit(1)).alias("n_p"), F.sum("v").alias("v_p")],
+            finals=[F.sum("n_p").alias("n"), F.round(F.sum("v_p"), 6).alias("v")],
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
