@@ -205,15 +205,19 @@ def dedup_first_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     linenumber wins (the reference's insert-or-ignore on the UNIQUE date
     key, reference :465,:531-535)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # total order: linenumbers repeat within an order in the synthetic
-    # data, so the tie-break must fully determine the winner.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    # min_by over a lexicographic struct key = the window row_number()=1
+    # winner, but as a HASH aggregate: map-side combine collapses each
+    # task to one row per order before the shuffle, and there is no
+    # per-partition sort — the shape that wins on a 100 TB fact table.
+    # The key includes the payload columns, so tied keys carry identical
+    # payloads and the winner is fully determined.
+    ordkey = F.struct("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+    first = li.groupBy("l_orderkey").agg(
+        F.min_by(F.struct("l_quantity", "l_returnflag"), ordkey).alias("w")
     )
-    first = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return first.groupBy("l_returnflag").agg(
+    return first.groupBy(F.col("w.l_returnflag").alias("l_returnflag")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("w.l_quantity"), 2).alias("sum_qty"),
     )
 
 
