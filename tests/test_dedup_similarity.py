@@ -150,3 +150,17 @@ def test_text_operators(spark):
     df2 = spark.createDataFrame([(3, "  THE cat   and the DOG ")], "id long, text string")
     fp2 = df2.select(tx.fingerprint(F.col("text"))).collect()[0][0]
     assert fp2 == by_id[1]["fp"]
+
+
+def test_cosine_topk_vectorized_matches_expression(vectors):
+    exact = sim.cosine_topk(vectors, vectors.filter(F.col("vec_id") < 3),
+                            "vec_id", "embedding", k=4).collect()
+    vect = sim.cosine_topk_vectorized(vectors, vectors.filter(F.col("vec_id") < 3),
+                                      "vec_id", "embedding", k=4).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+                        for r in rows}
+    a, b = key(exact), key(vect)
+    assert a.keys() == b.keys()
+    for kk in a:
+        assert a[kk][0] == b[kk][0]
+        assert a[kk][1] == pytest.approx(b[kk][1], abs=1e-6)

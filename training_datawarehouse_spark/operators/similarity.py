@@ -61,6 +61,60 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Brute-force top-k via one numpy matmul per Arrow batch — the
+    scale path for dense scoring (the expression-based ``cosine_topk``
+    folds per element, interpreted; this moves the O(|corpus|·|queries|
+    ·dim) inner loop into BLAS).
+
+    Queries are collected to the driver (they are top-k *probes*, tiny
+    by contract) and closed over; the corpus streams through
+    ``mapInPandas`` in Arrow batches emitting per-batch top-k per
+    query, then a global per-query top-k window merges batch winners:
+    shuffle carries ≤ batches·queries·k slim rows, never scores for
+    the whole corpus.
+    """
+    import numpy as np  # noqa: F811 — numpy is module-level already
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = (
+        f"query_id long, neighbor_id long, cosine double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.array(list(pdf[vec_col]), dtype="float64")
+            c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # |batch| × |queries|
+            import pandas as _pd
+
+            outs = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                outs.append(_pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids[top], "cosine": col[top],
+                }))
+            yield _pd.concat(outs, ignore_index=True)
+
+    batch_topk = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        batch_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:

@@ -152,6 +152,16 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 via Arrow-batched numpy matmul (the dense
+    scoring scale path). Same result as ns_similarity_topk — equality
+    asserted in tests; rows-only here because float fold order differs
+    from the SQL oracle in the last ulp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return sim.cosine_topk_vectorized(emb, queries, "vec_id", "embedding", k=5)
+
+
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (scale path) — approximate, rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -322,6 +332,8 @@ QUERIES = {
     "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
     "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),
     "ns_similarity_topk": Query(similarity_topk, SIMILARITY_ORACLE),
+    "ns_similarity_topk_vec": Query(similarity_topk_vectorized, None,
+                                    note="numpy fold order ≠ SQL — rows-only; parity tested"),
     "ns_similarity_lsh": Query(similarity_lsh, None,
                                note="approximate ANN — rows-only"),
     "ns_ngram_jaccard": Query(ngram_jaccard, NGRAM_JACCARD_ORACLE),
