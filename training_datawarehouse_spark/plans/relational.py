@@ -417,8 +417,49 @@ FROM ses GROUP BY user_id, sid
 """
 
 
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth beyond frames: lag/lead day-over-day deltas and a
+    cumulative running total per activity — driven through the SQL
+    surface (``register_tables`` + ``spark.sql``) to exercise the
+    spark.sql entry path with the identical Catalyst plan."""
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH daily AS (
+          SELECT to_date(l_shipdate) AS date, l_returnflag AS activity,
+                 round(sum(l_quantity), 4) AS load
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT activity, date, load,
+               round(load - (lag(load) OVER w), 4) AS delta_prev,
+               round((lead(load) OVER w) - load, 4) AS delta_next,
+               round(sum(load) OVER (PARTITION BY activity ORDER BY date
+                     ROWS UNBOUNDED PRECEDING), 4) AS running_total
+        FROM daily
+        WINDOW w AS (PARTITION BY activity ORDER BY date)
+    """)
+
+
+LAG_LEAD_ORACLE = """
+WITH daily AS (
+  SELECT l_shipdate::DATE AS date, l_returnflag AS activity,
+         round(sum(l_quantity), 4) AS load
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT activity, date, load,
+       round(load - lag(load)  OVER w, 4) AS delta_prev,
+       round(lead(load) OVER w - load, 4) AS delta_next,
+       round(sum(load) OVER (PARTITION BY activity ORDER BY date
+             ROWS UNBOUNDED PRECEDING), 4) AS running_total
+FROM daily
+WINDOW w AS (PARTITION BY activity ORDER BY date)
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    "op_win_lag_lead": Query(lag_lead_deltas, LAG_LEAD_ORACLE),
     "op_stream_sliding_batch": Query(sliding_window, SLIDING_ORACLE),
     "op_stream_session_batch": Query(session_window_q, SESSION_ORACLE),
     "tpch_q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE),

@@ -36,3 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view so users can drive the engine
+    through ``spark.sql(...)`` — same loader (nanos handling included),
+    same Catalyst plans as the DataFrame surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
