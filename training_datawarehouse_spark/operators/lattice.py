@@ -9,20 +9,18 @@ sets in ONE DataFrame with grain ``(dims..., measures...)``.
 The subtle part (reference :391-392): rows whose equipment is
 ``'Not Set'`` or ``''`` are excluded **only from grouping sets that
 include the equipment dimension**; sets without equipment still count
-them. Expressed as two GROUPING SETS passes over a conditionally
-filtered source, unioned:
+them. This needs only ONE grouping-sets pass: within equipment-grouped
+sets, excluded rows can only land in groups keyed by a Not-Set value,
+so dropping those output groups (guarded by ``grouping(equipment)``)
+is exactly the per-set filter. Equipment names are space-stripped
+*after* the Not-Set check but *before* grouping (reference :372).
 
-    half A: GROUPING SETS {(), (a), (t), (a,t)}          — all rows
-    half B: GROUPING SETS {(e), (a,e), (t,e), (a,t,e)}   — filtered rows
-
-Each half is one Expand + partial (map-side) agg + one shuffle; both
-halves read the same scan. Equipment names are space-stripped *after*
-the Not-Set check (reference :372).
-
-Scale: Expand multiplies rows 4× before the partial aggregate, but
-map-side combine collapses them to |distinct cells| per task — cell
+Scale: one scan, one 8× Expand + partial (map-side) agg, one shuffle;
+map-side combine collapses to |distinct cells| per task — cell
 cardinality is the product of three low-cardinality dims, so the
-shuffle is negligible at any scale factor.
+shuffle is negligible at any scale factor. For massive fact tables use
+``cube_lattice_two_level`` below, which pre-aggregates to cell grain
+so the Expand touches |cells| rows instead of every fact row.
 """
 
 from __future__ import annotations
@@ -53,36 +51,49 @@ def cube_lattice(
     extra_keys: list[str] | None = None,
     not_set: tuple[str, ...] = NOT_SET,
 ) -> DataFrame:
-    """Aggregate ``df`` over the full 8-set lattice.
+    """Aggregate ``df`` over the full 8-set lattice in ONE pass.
 
     ``measures`` are reusable unresolved aggregate expressions (built by
     ``specs.agg_exprs`` or ad hoc). ``extra_keys`` (e.g. ``date``) are
     grouped in every set — the reference lattice is per-day.
+
+    The per-set Not-Set exclusion (§2.3.1) does NOT need two passes:
+    in grouping sets that include ``equipment``, Not-Set rows can only
+    feed groups whose key IS a Not-Set value (a group key is shared by
+    all its rows), so dropping those output groups — but only where
+    ``grouping(equipment) = 0`` — removes exactly the excluded rows
+    while sets without equipment still count them. One scan, one
+    Expand, one shuffle. Equipment is space-stripped *before* grouping
+    (group identity uses the stripped name, reference :372) but only
+    for non-Not-Set values (the check precedes the strip).
     """
     extra = extra_keys or []
     a, t, e = activity, activity_type, equipment
 
-    agg_a = df.groupingSets(
-        [[*extra], [*extra, a], [*extra, t], [*extra, a, t]], *extra, a, t
-    ).agg(_label(a).alias("__a"), _label(t).alias("__t"), *measures)
-    mcols = [c for c in agg_a.columns if c not in (*extra, a, t, "__a", "__t")]
-    half_a = agg_a.select(
+    e_col = F.col(e)
+    src = df.withColumn(
+        e, F.when(e_col.isin(*not_set), e_col).otherwise(strip_spaces(e_col))
+    )
+    agg = src.groupingSets(
+        [
+            [*extra], [*extra, a], [*extra, t], [*extra, a, t],
+            [*extra, e], [*extra, a, e], [*extra, t, e], [*extra, a, t, e],
+        ],
+        *extra, a, t, e,
+    ).agg(
+        _label(a).alias("__a"), _label(t).alias("__t"), _label(e).alias("__e"),
+        F.grouping(e).alias("__ge"),
+        *measures,
+    )
+    kept = agg.filter((F.col("__ge") == 1) | ~F.col(e).isin(*not_set))
+    mcols = [
+        c for c in agg.columns
+        if c not in (*extra, a, t, e, "__a", "__t", "__e", "__ge")
+    ]
+    return kept.select(
         *extra, F.col("__a").alias(a), F.col("__t").alias(t),
-        F.lit("All").alias(e), *mcols
+        F.col("__e").alias(e), *mcols
     )
-
-    filtered = df.filter(~F.col(e).isin(*not_set)).withColumn(e, strip_spaces(F.col(e)))
-    half_b = (
-        filtered.groupingSets(
-            [[*extra, e], [*extra, a, e], [*extra, t, e], [*extra, a, t, e]],
-            *extra, a, t, e,
-        )
-        .agg(_label(a).alias("__a"), _label(t).alias("__t"), *measures)
-        .select(*extra, F.col("__a").alias(a), F.col("__t").alias(t),
-                F.col(e), *mcols)
-    )
-
-    return half_a.unionByName(half_b)
 
 
 def cube_lattice_two_level(
