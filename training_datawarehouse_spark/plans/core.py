@@ -177,8 +177,55 @@ GROUP BY event_type
 
 from .base import Query  # noqa: E402
 
+def mapper_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-PRJ-2 / OP-UDF-1: the derived-scalar mapper registry (mph,
+    kph, rpe_tss) applied per row with the reference's div-by-zero
+    guards and banker's 1dp rounding — dispatched from the static
+    registry, never ``eval``."""
+    from ..functions.mappers import MAPPERS
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").alias("km"),
+        # ~2% zero-seconds rows exercise the guards
+        F.when(F.col("l_partkey") % 50 == 0, F.lit(0.0))
+        .otherwise(F.col("l_extendedprice")).alias("seconds"),
+        F.col("l_discount").alias("rpe"),
+    )
+    return src.select(
+        "id", "ln",
+        MAPPERS["mph"]().alias("mph"),
+        MAPPERS["kph"]().alias("kph"),
+        MAPPERS["rpe_tss"]().alias("rpe_tss"),
+    )
+
+
+MAPPER_SCALARS_ORACLE = """
+WITH src AS (
+  SELECT l_orderkey AS id, l_linenumber AS ln,
+         l_quantity AS km,
+         CASE WHEN l_partkey % 50 = 0 THEN 0.0 ELSE l_extendedprice END AS seconds,
+         l_discount AS rpe
+  FROM lineitem
+)
+SELECT id, ln,
+       CASE WHEN seconds > 0
+            THEN round(km * 0.621371 / (seconds / 3600.0), 1)
+            ELSE 0.0 END AS mph,
+       CASE WHEN seconds > 0
+            THEN round(km / (seconds / 3600.0), 1)
+            ELSE 0.0 END AS kph,
+       round(rpe * rpe * seconds / 1764.0, 1) AS rpe_tss
+FROM src
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
+    "op_prj_2_mappers": Query(mapper_scalars, MAPPER_SCALARS_ORACLE),
     "op_agg_3_weighted_mean": Query(weighted_mean, WEIGHTED_MEAN_ORACLE),
     "op_prj_4_time_dims": Query(time_dimensions, TIME_DIMS_ORACLE),
     "op_prj_1_config_projection": Query(config_projection, CONFIG_PROJECTION_ORACLE),
