@@ -164,3 +164,24 @@ def test_cosine_topk_vectorized_matches_expression(vectors):
     for kk in a:
         assert a[kk][0] == b[kk][0]
         assert a[kk][1] == pytest.approx(b[kk][1], abs=1e-6)
+
+
+def test_asof_join_semantics(spark):
+    from training_datawarehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 15)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100.0), ("a", 18, 200.0), ("b", 99, 300.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["id"]: r["v_asof"]
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out[1] == 100.0   # equal ts matches (inclusive)
+    assert out[2] == 200.0   # most recent prior, not first
+    assert out[3] is None    # no prior right row
+    assert out[4] is None    # right row is in the future

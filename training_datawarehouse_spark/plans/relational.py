@@ -457,8 +457,101 @@ WINDOW w AS (PARTITION BY activity ORDER BY date)
 """
 
 
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JN-ASOF: attach to each click event the most recent prior
+    purchase (value + time) by the same user — union-and-carry as-of
+    join, one shuffle (see operators/joins.py)."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases,
+        keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "ts"],
+    )
+    return out.select(
+        "event_id", "user_id", "click_value",
+        "purchase_value_asof",
+        F.col("ts_asof").cast("timestamp").alias("purchase_ts"),
+    )
+
+
+# DuckDB has native ASOF JOIN (backward, inclusive). Spark reads the
+# nanosecond parquet timestamps truncated to micros — cast to
+# micro-precision TIMESTAMP on the DuckDB side BEFORE comparing so both
+# engines order identical values.
+ASOF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events
+),
+clicks AS (
+  SELECT event_id, user_id, ts, round(value, 6) AS click_value
+  FROM ev WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, round(value, 6) AS purchase_value
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.click_value,
+       p.purchase_value AS purchase_value_asof,
+       p.ts AS purchase_ts
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag × linestatus quantity matrix
+    (``groupBy().pivot()`` → conditional-aggregation oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: linear interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    "op_jn_asof": Query(asof_join_q, ASOF_ORACLE),
+    "op_pivot_matrix": Query(pivot_matrix, PIVOT_ORACLE),
+    "op_percentiles_exact": Query(percentiles_exact, PERCENTILES_ORACLE),
     "op_win_lag_lead": Query(lag_lead_deltas, LAG_LEAD_ORACLE),
     "op_stream_sliding_batch": Query(sliding_window, SLIDING_ORACLE),
     "op_stream_session_batch": Query(session_window_q, SESSION_ORACLE),
