@@ -38,6 +38,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Materialize a table bucketed (and sorted) on its join key.
+
+    Two tables bucketed on the same key with the same bucket count
+    co-locate: a join between them needs NO exchange on either side
+    (asserted in tests/test_plan_quality.py). This is the 100 TB answer
+    for repeated fact⋈fact joins — pay the clustering once at write
+    time, never shuffle at read time.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view so users can drive the engine
     through ``spark.sql(...)`` — same loader (nanos handling included),
