@@ -185,3 +185,23 @@ def test_asof_join_semantics(spark):
     assert out[2] == 200.0   # most recent prior, not first
     assert out[3] is None    # no prior right row
     assert out[4] is None    # right row is in the future
+
+
+def test_split_membership_stable_under_growth(spark):
+    from training_datawarehouse_spark.operators.text import train_val_test_split
+
+    small = spark.range(0, 1000).select(
+        F.col("id"), train_val_test_split(F.col("id")).alias("s")
+    )
+    big = spark.range(0, 5000).select(
+        F.col("id"), train_val_test_split(F.col("id")).alias("s")
+    )
+    a = {r["id"]: r["s"] for r in small.collect()}
+    b = {r["id"]: r["s"] for r in big.collect()}
+    assert all(b[i] == a[i] for i in a)  # membership never migrates
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 0.85 < c["train"] / 5000 < 0.95
+    assert 0.02 < c["val"] / 5000 < 0.09
+    assert 0.02 < c["test"] / 5000 < 0.09

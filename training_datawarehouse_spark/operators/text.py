@@ -71,6 +71,35 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def hash_bucket(key: Column, n_buckets: int = 256) -> Column:
+    """Deterministic content-hash bucket in [0, n_buckets) from the md5
+    of the key's string form. Unlike ``df.sample``, this is stable
+    across engines, runs, partitionings, and cluster sizes — the only
+    sampling that gives reproducible train/val/test membership when the
+    corpus is re-processed. n_buckets ≤ 256 keeps the parse to one hex
+    byte (oracle-friendly)."""
+    if n_buckets < 2 or n_buckets > 256:
+        raise ValueError("n_buckets must be in [2, 256]")
+    b0 = F.conv(F.substring(F.md5(key.cast("string")), 1, 2), 16, 10).cast("int")
+    return b0 % n_buckets
+
+
+def train_val_test_split(
+    key: Column, val_pct: int = 5, test_pct: int = 5
+) -> Column:
+    """Stable split label from 256 hash buckets: first ``256·test%``
+    buckets → 'test', next ``256·val%`` → 'val', rest → 'train'.
+    Membership of a given key never changes as the corpus grows."""
+    b = hash_bucket(key, 256)
+    test_hi = round(256 * test_pct / 100)
+    val_hi = test_hi + round(256 * val_pct / 100)
+    return (
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
 # BPE-pretokenizer-style regex: runs of letters, runs of digits, or a
 # single non-alphanumeric non-space mark. Explicit character classes —
 # identical semantics under Java regex (Spark) and RE2/PCRE (oracles).

@@ -321,8 +321,47 @@ FROM meta GROUP BY format
 """
 
 
+# --------------------------------------------- deterministic splits
+
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/5/5 train/val/test membership by content hash of
+    doc_id — reproducible across engines/runs/cluster sizes (unlike
+    ``df.sample``), which is what makes re-processed corpora keep their
+    split."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id", tx.train_val_test_split(F.col("doc_id")).alias("split")
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# one hex byte of md5(doc_id) → bucket 0..255; test = [0,13), val = [13,26)
+_B0_DOC = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+)
+
+SPLIT_ORACLE = f"""
+WITH hx AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+lbl AS (
+  SELECT doc_id,
+         CASE WHEN {_B0_DOC} % 256 < 13 THEN 'test'
+              WHEN {_B0_DOC} % 256 < 26 THEN 'val'
+              ELSE 'train' END AS split
+  FROM hx
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM lbl GROUP BY split
+"""
+
+
 QUERIES = {
     "ns_dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE),
+    "ns_split_train_val": Query(split_train_val, SPLIT_ORACLE),
     "ns_token_regex": Query(token_regex, TOKEN_REGEX_ORACLE),
     "ns_dedup_embedding_cosine": Query(embedding_neardup, EMBEDDING_NEARDUP_ORACLE),
     "ns_similarity_ivf": Query(similarity_ivf, None,
