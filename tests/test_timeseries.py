@@ -127,3 +127,22 @@ def test_date_spine_span(spark):
         [(dt.date(2021, 1, 1),), (dt.date(2021, 1, 10),)], "date date"
     )
     assert date_spine(df).count() == 10
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty facts → empty outputs, no errors (spine/densify/EWMA/
+    interpolation/rolling all flow a null min/max date through
+    sequence+explode, which yields no rows)."""
+    from training_datawarehouse_spark.operators.timeseries import (
+        date_spine, densify, ewma, interpolate_linear, rolling_monotony_strain,
+    )
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "date date, activity string, tss double")
+    assert date_spine(empty).count() == 0
+    assert densify(empty, keys=["activity"]).count() == 0
+    assert ewma(empty, [("tss", "ctl", 42.0)]).count() == 0
+    assert interpolate_linear(
+        empty.select("date", F.col("tss").alias("value")), ["value"]
+    ).count() == 0
+    assert rolling_monotony_strain(empty, "tss").count() == 0

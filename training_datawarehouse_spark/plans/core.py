@@ -223,8 +223,76 @@ FROM src
 """
 
 
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface over embeddings: higher-order transform /
+    filter / aggregate expressions with DuckDB list_* twins."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("max_el"),
+        F.round(F.array_min(v), 6).alias("min_el"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+ARRAY_OPS_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       len(v)::INT AS dim,
+       round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_norm,
+       round(list_max(v), 6) AS max_el,
+       round(list_min(v), 6) AS min_el,
+       len(list_filter(v, x -> x > 0))::INT AS n_positive
+FROM e
+"""
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time breadth: trunc, last_day, dayofweek, quarter,
+    datediff from a fixed epoch — one row per order month."""
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.select(
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.quarter(d).alias("qtr"),
+            F.dayofweek(d).alias("dow"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        )
+        .groupBy("month_start", "month_end", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dow").alias("min_dow"),
+            F.max("days_since_epoch").alias("max_days"),
+        )
+    )
+
+
+DATETIME_ORACLE = """
+SELECT date_trunc('month', o_orderdate)::DATE AS month_start,
+       last_day(o_orderdate::DATE) AS month_end,
+       quarter(o_orderdate)::INT AS qtr,
+       count(*) AS n,
+       min(dayofweek(o_orderdate)::INT + 1) AS min_dow,
+       max(date_diff('day', DATE '1995-01-01', o_orderdate::DATE)) AS max_days
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
+    "op_fn_array_ops": Query(array_ops, ARRAY_OPS_ORACLE),
+    "op_fn_datetime": Query(datetime_functions, DATETIME_ORACLE),
     "op_prj_2_mappers": Query(mapper_scalars, MAPPER_SCALARS_ORACLE),
     "op_agg_3_weighted_mean": Query(weighted_mean, WEIGHTED_MEAN_ORACLE),
     "op_prj_4_time_dims": Query(time_dimensions, TIME_DIMS_ORACLE),
