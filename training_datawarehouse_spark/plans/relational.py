@@ -547,8 +547,64 @@ FROM events GROUP BY event_type
 """
 
 
+def multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) in one aggregate (Expand-based
+    rewrite under the hood) + a plain sum alongside."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+MULTI_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT ts::DATE) AS n_days,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP (flag → flag+status → grand total) with grouping
+    labels — the partial-hierarchy companion to the full cube."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "g_flag", "g_status", "qty", "n",
+        )
+    )
+
+
+ROLLUP_HIERARCHY_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       (CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END)::TINYINT AS g_flag,
+       (CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END)::TINYINT AS g_status,
+       round(sum(l_quantity), 2) AS qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    "op_agg_multi_distinct": Query(multi_distinct, MULTI_DISTINCT_ORACLE),
+    "op_agg_rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE),
     "op_jn_asof": Query(asof_join_q, ASOF_ORACLE),
     "op_pivot_matrix": Query(pivot_matrix, PIVOT_ORACLE),
     "op_percentiles_exact": Query(percentiles_exact, PERCENTILES_ORACLE),
