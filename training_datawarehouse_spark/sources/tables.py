@@ -21,16 +21,23 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type; read the raw int64 and truncate to micros
-        # (integer DIV — a double division would lose precision at 2^53).
+        # The driver's events.ts is INT64 TIMESTAMP(NANOS) — Spark has
+        # no nanosecond timestamp type; read the raw int64 and truncate
+        # to micros (integer DIV — a double division would lose
+        # precision at 2^53). Files from other writers may already
+        # carry a micro-precision timestamp: pass those through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
