@@ -131,3 +131,28 @@ def test_multimodal_frame_sampling(spark):
 def test_decode_stub_raises_on_empty():
     with pytest.raises(NotImplementedError):
         mm.deterministic_fake_decode(b"")
+
+
+def test_multimodal_resize_plumbing(spark):
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    payloads = mm.attach_binary_payload(docs, "doc_id", "text")
+    resized = mm.resize_images(payloads, width=8, height=4).collect()
+    assert len(resized) == 20
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert all((r["width"], r["height"]) == (8, 4) for r in resized)
+
+
+def test_multimodal_features_compose_with_similarity(spark):
+    """Fake-encoder features flow straight into the similarity ops —
+    the multimodal and embedding halves of the engine compose."""
+    from training_datawarehouse_spark.operators import similarity as sim
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    payloads = mm.attach_binary_payload(docs, "doc_id", "text")
+    feats = mm.extract_features(payloads, dim=8).withColumnRenamed("id", "vec_id")
+    out = sim.cosine_topk(feats, feats.limit(2), "vec_id", "features", k=3).collect()
+    assert len(out) == 6  # 2 queries x top-3
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)

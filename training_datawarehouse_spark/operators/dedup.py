@@ -111,6 +111,7 @@ def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
     jaccard_threshold: float = 0.5, shingle_n: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Banded-LSH near-dup pairs verified with exact shingle Jaccard.
 
@@ -141,10 +142,16 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
     ).select("bid", F.col("bs.band"), F.col("bs.sig"))
 
+    # In-bucket pair expansion is quadratic in bucket size. A bucket
+    # larger than max_bucket means a degenerate signature (boilerplate/
+    # spam floods at corpus scale) — expanding it would dominate the
+    # job for pairs that exact verification mostly rejects anyway.
+    # Standard practice: drop the bucket (its members still pair up in
+    # their other bands unless they collide everywhere).
     cand = (
         banded.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("bid")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(_pairs_expr("ids")).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()

@@ -86,6 +86,79 @@ def decode_metadata(
     return df.select("id", "payload").mapInPandas(decode_batches, MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize plumbing: (id, payload) → (id, resized payload, w, h).
+
+    STUB kernel — a real implementation calls PIL's ``Image.resize``
+    here; the deterministic fake tiles/truncates the bytes to the
+    target size so output payload length is exactly ``width·height``
+    and the pipeline shape (binary in → binary out through Arrow) is
+    testable. Unlike metadata extraction, the binary column legitimately
+    survives this operator — downstream writers should partition before
+    shuffling payloads.
+    """
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for pid, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    raise NotImplementedError("empty payload: real resizer not available")
+                reps = -(-target // len(payload))  # ceil
+                outs.append((payload * reps)[:target])
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "payload": outs,
+                "width": width,
+                "height": height,
+            })
+
+    return df.select("id", "payload").mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: (id, payload) → (id, float vector).
+
+    STUB kernel — a real implementation runs an image/audio encoder;
+    the deterministic fake hashes byte windows into ``dim`` floats in
+    [0, 1). Output is a dense ``array<float>`` column, i.e. the same
+    shape the similarity operators consume — the multimodal and
+    embedding halves of the engine compose end-to-end (tested).
+    """
+    import hashlib
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ])
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    raise NotImplementedError("empty payload: real encoder not available")
+                vec = []
+                for i in range(dim):
+                    h = hashlib.sha256(payload + bytes([i])).digest()
+                    vec.append(int.from_bytes(h[:4], "big") / 2**32)
+                feats.append(vec)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "features": feats})
+
+    return df.select("id", "payload").mapInPandas(feat_batches, schema)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 4
 ) -> DataFrame:
