@@ -205,3 +205,18 @@ def test_split_membership_stable_under_growth(spark):
     assert 0.85 < c["train"] / 5000 < 0.95
     assert 0.02 < c["val"] / 5000 < 0.09
     assert 0.02 < c["test"] / 5000 < 0.09
+
+
+def test_winnowing_guarantee(docs, spark):
+    """Winnowing's core guarantee: docs sharing a substring of length
+    >= k + window - 1 tokens share at least one fingerprint; identical
+    docs share ALL fingerprints."""
+    fps = dd.winnowing_fingerprints(docs, "doc_id", "text", k=4, window=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[10] == by_doc[50]          # identical docs
+    assert by_doc[11] & by_doc[51]           # 1-token edit: overlap survives
+    # density: selected fingerprints are a strict subset of positions
+    n_tokens = 60
+    assert 1 <= len(by_doc[10]) < n_tokens - 4 + 1

@@ -192,6 +192,42 @@ def _pairs_expr(ids: str) -> Column:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, window: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS scheme): rolling k-gram hashes → per-position minimum over a
+    ``window``-wide frame → distinct minima per document.
+
+    Guarantees: any shared substring of length ≥ k + window − 1 between
+    two documents yields at least one shared fingerprint, and
+    fingerprint density is ~2/(window+1) of positions — a tunable
+    size/recall knob for plagiarism-style containment detection
+    (complementary to MinHash, which measures whole-set resemblance).
+
+    Pure built-ins: token rolling hashes ride the same codegen path as
+    ``hashed_shingles``; the window minimum is one more frame over the
+    per-doc ordering the shingle window already established.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for j in range(1, k):
+        sh = sh.withColumn(f"t{j}", F.lead("t0", j).over(w))
+    sh = sh.filter(F.col(f"t{k-1}").isNotNull()).select(
+        id_col, "pos", F.xxhash64(*[f"t{j}" for j in range(k)]).alias("g")
+    )
+    wmin = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        sh.select(id_col, F.min("g").over(wmin).alias("fp"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

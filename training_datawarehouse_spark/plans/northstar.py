@@ -212,6 +212,22 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   jaccard_threshold=0.5)
 
 
+def winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme): per-doc count
+    of selected fingerprints plus the corpus-wide shared-fingerprint
+    count (xxhash64 not in DuckDB — rows-only; selection properties
+    asserted in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dd.winnowing_fingerprints(docs, "doc_id", "text", k=4, window=5)
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    shared = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") > 1
+    )
+    return per_doc.join(
+        F.broadcast(shared.agg(F.count(F.lit(1)).alias("n_shared_fps"))), how="cross"
+    )
+
+
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64 is Spark-native — rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -380,4 +396,6 @@ QUERIES = {
                                   note="murmur3 signatures — rows-only"),
     "ns_dedup_simhash": Query(simhash_q, None,
                               note="xxhash64 bits — rows-only"),
+    "ns_fingerprint_winnowing": Query(winnowing_q, None,
+                                      note="rolling-hash winnowing — rows-only"),
 }
