@@ -43,4 +43,11 @@ def tune_for_queries(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Size the initial shuffle-partition count to the actual cores —
+    # an externally-built session may carry the 200 default, which is
+    # pure task overhead under local[N] (AQE coalesces, but cheaper to
+    # start right).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     return spark
