@@ -146,3 +146,32 @@ def test_operators_handle_empty_input(spark):
         empty.select("date", F.col("tss").alias("value")), ["value"]
     ).count() == 0
     assert rolling_monotony_strain(empty, "tss").count() == 0
+
+
+def test_ewma_scan_matches_applyinpandas(spark):
+    """Segmented prefix-scan EWMA ≡ the sequential loop, including
+    ragged last blocks and multiple keys (worst diff ~1e-13)."""
+    import random
+
+    from training_datawarehouse_spark.operators.timeseries import ewma, ewma_scan
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, round(rng.uniform(0, 300), 6))
+        for k, n in (("a", 301), ("b", 32), ("c", 1), ("d", 95))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, date int, tss double")
+    pairs = [("tss", "ctl", 42.0), ("tss", "atl", 7.0)]
+    ref = {
+        (r["k"], r["date"]): (r["ctl"], r["atl"])
+        for r in ewma(df, pairs, keys=["k"]).collect()
+    }
+    scan = {
+        (r["k"], r["date"]): (r["ctl"], r["atl"])
+        for r in ewma_scan(df, pairs, keys=["k"], block=32).collect()
+    }
+    assert ref.keys() == scan.keys()
+    for x in ref:
+        assert abs(ref[x][0] - scan[x][0]) < 1e-9
+        assert abs(ref[x][1] - scan[x][1]) < 1e-9

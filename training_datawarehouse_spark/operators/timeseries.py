@@ -182,6 +182,122 @@ def ewma_alpha(n_days: float) -> float:
     return 1.0 - math.exp(-1.0 / n_days)
 
 
+def ewma_scan(
+    df: DataFrame,
+    pairs: Iterable[tuple[str, str, float]],
+    keys: Sequence[str] = (),
+    date_col: str = "date",
+    block: int = 32,
+) -> DataFrame:
+    """EWMA as a segmented prefix scan — pure built-ins, no Python.
+
+    The ``ewma`` operator above runs each key's series through one
+    ``applyInPandas`` task; this is the documented fallback when a
+    single series outgrows a task (SURVEY §2.3.5): a blocked linear
+    recurrence, fully distributed.
+
+    Numerics: the naive rescaled form ``Σ x_i·d^{−i} · d^t`` overflows/
+    loses precision because ``d^{−i}`` grows unboundedly. Blocking
+    bounds every exponent:
+
+    1. within a ``block``-row segment, local prefix
+       ``pre_j = d^j · Σ_{i≤j} (α x_i d^{−i})`` uses exponents ≤ block
+       (d^{−31} ≈ 84 at N=7 — harmless);
+    2. each block's closing state B_b feeds a block-level closed form
+       ``S_b = Σ_{k≤b} B_k · d^{block·(b−k)}`` where every exponent is
+       ≥ 0 (terms underflow to 0 exactly when they stop mattering) —
+       computed with a per-key range join over the tiny block-summary
+       table (|blocks| = |series|/block rows per key);
+    3. ``y = d^{j+1}·S_{b−1} + pre_j``.
+
+    Differential-tested against ``ewma`` and hash-checked against the
+    same recursive-CTE oracle as the applyInPandas path.
+    """
+    pairs = list(pairs)
+    keys = list(keys)
+    if not keys:
+        df = df.withColumn("__g", F.lit(0))
+        group_keys = ["__g"]
+    else:
+        group_keys = keys
+
+    w_rn = Window.partitionBy(*group_keys).orderBy(date_col)
+    out_df = (
+        df.withColumn("__rn", F.row_number().over(w_rn) - 1)
+        .withColumn("__b", F.floor(F.col("__rn") / block).cast("int"))
+        .withColumn("__j", (F.col("__rn") % block).cast("int"))
+    )
+
+    w_blk = (
+        Window.partitionBy(*group_keys, "__b")
+        .orderBy("__j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre_cols = {}
+    for src, out, n in pairs:
+        alpha = ewma_alpha(n)
+        d = 1.0 - alpha
+        u = (
+            F.coalesce(F.col(src), F.lit(0.0)).cast("double")
+            * F.lit(alpha)
+            * F.pow(F.lit(d), -F.col("__j"))
+        )
+        pre = F.pow(F.lit(d), F.col("__j")) * F.sum(u).over(w_blk)
+        pre_cols[out] = f"__pre_{out}"
+        out_df = out_df.withColumn(pre_cols[out], pre)
+
+    # Block summaries: the prefix value on each block's last row.
+    w_b = Window.partitionBy(*group_keys, "__b")
+    ends = (
+        out_df.withColumn("__maxj", F.max("__j").over(w_b))
+        .filter(F.col("__j") == F.col("__maxj"))
+        .select(*group_keys, "__b", *[F.col(c).alias(f"__B_{o}") for o, c in pre_cols.items()])
+    )
+
+    # Cross-block states via range join over the tiny summary table:
+    # S_b = Σ_{k≤b} B_k · d^{block·(b−k)}. Exponents ≥ 0 throughout.
+    b1 = ends.select(*group_keys, F.col("__b").alias("__b1"))
+    b2 = ends.select(
+        *[F.col(k).alias(f"__k2_{k}") for k in group_keys],
+        F.col("__b").alias("__b2"),
+        *[F.col(f"__B_{o}") for o in pre_cols],
+    )
+    cond = [F.col(k) == F.col(f"__k2_{k}") for k in group_keys] + [
+        F.col("__b2") <= F.col("__b1")
+    ]
+    state_aggs = []
+    for (src, out, n) in pairs:
+        d = 1.0 - ewma_alpha(n)
+        term = F.col(f"__B_{out}") * F.pow(
+            F.lit(d), F.lit(float(block)) * (F.col("__b1") - F.col("__b2"))
+        )
+        state_aggs.append(F.sum(term).alias(f"__S_{out}"))
+    states = (
+        b1.join(b2, cond)
+        .groupBy(*group_keys, "__b1")
+        .agg(*state_aggs)
+        # rows consume the PREVIOUS block's state
+        .select(
+            *group_keys, (F.col("__b1") + 1).alias("__b"),
+            *[F.col(f"__S_{o}") for o in pre_cols],
+        )
+    )
+
+    out_df = out_df.join(F.broadcast(states), [*group_keys, "__b"], "left")
+    for src, out, n in pairs:
+        d = 1.0 - ewma_alpha(n)
+        carry = F.pow(F.lit(d), F.col("__j") + 1) * F.coalesce(
+            F.col(f"__S_{out}"), F.lit(0.0)
+        )
+        out_df = out_df.withColumn(out, carry + F.col(pre_cols[out]))
+
+    drop = ["__rn", "__b", "__j", "__maxj", *pre_cols.values(),
+            *[f"__S_{o}" for o in pre_cols]]
+    if not keys:
+        drop.append("__g")
+    return out_df.drop(*[c for c in drop if c in out_df.columns])
+
+
 def tsb(df: DataFrame, ctl: str = "ctl", atl: str = "atl", out: str = "tsb") -> DataFrame:
     """Training-stress balance: form stress = fitness − fatigue (:269)."""
     return df.withColumn(out, F.col(ctl) - F.col(atl))
