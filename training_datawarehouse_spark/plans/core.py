@@ -289,8 +289,78 @@ GROUP BY 1, 2, 3
 """
 
 
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string breadth: case, pad, reverse, substring, and
+    levenshtein edit distance (small-string near-dup primitive)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 20)
+    return docs.select(
+        "doc_id",
+        F.upper(F.col("lang")).alias("lang_uc"),
+        F.lpad(F.col("source"), 12, "_").alias("src_pad"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.length(F.trim(head)).alias("head_len"),
+        F.levenshtein(head, F.lit("the quick brown fox ")).alias("edit_dist"),
+    )
+
+
+STRING_FUNCTIONS_ORACLE = """
+SELECT doc_id,
+       upper(lang) AS lang_uc,
+       lpad(source, 12, '_') AS src_pad,
+       reverse(lang) AS lang_rev,
+       length(trim(substr(text, 1, 20))) AS head_len,
+       levenshtein(substr(text, 1, 20), 'the quick brown fox ') AS edit_dist
+FROM documents
+"""
+
+
+def subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries through the SQL surface: events above the
+    global mean value, restricted to users seen on the busiest day."""
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+               count(*) AS n_above_mean,
+               round(sum(value), 4) AS total_value
+        FROM events
+        WHERE value > (SELECT avg(value) FROM events)
+          AND user_id IN (
+            SELECT user_id FROM events
+            WHERE to_date(ts) = (
+              SELECT to_date(ts) FROM events
+              GROUP BY to_date(ts) ORDER BY count(*) DESC, to_date(ts) LIMIT 1
+            )
+          )
+        GROUP BY event_type
+    """)
+
+
+SUBQUERIES_ORACLE = """
+SELECT event_type,
+       count(*) AS n_above_mean,
+       round(sum(value), 4) AS total_value
+FROM events
+WHERE value > (SELECT avg(value) FROM events)
+  AND user_id IN (
+    SELECT user_id FROM events
+    WHERE ts::DATE = (
+      SELECT ts::DATE FROM events
+      GROUP BY ts::DATE ORDER BY count(*) DESC, ts::DATE LIMIT 1
+    )
+  )
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
+    "op_fn_strings": Query(string_functions, STRING_FUNCTIONS_ORACLE),
+    "op_subqueries": Query(subqueries, SUBQUERIES_ORACLE),
     "op_fn_array_ops": Query(array_ops, ARRAY_OPS_ORACLE),
     "op_fn_datetime": Query(datetime_functions, DATETIME_ORACLE),
     "op_prj_2_mappers": Query(mapper_scalars, MAPPER_SCALARS_ORACLE),
