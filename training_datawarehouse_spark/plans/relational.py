@@ -263,6 +263,61 @@ GROUP BY 1, 2
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    a quarter — fact⋈fact shuffle join + broadcast dims + grouped agg +
+    deterministic top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1996-04-01 00:00:00'"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        # 2dp price x 2dp discount factor = exactly 4 decimals: sum exact
+        # integer ten-thousandths so the total is order-independent (a
+        # plain double sum here landed on a .005 rounding midpoint and
+        # diverged from the oracle by one ulp)
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("rev4")
+        )
+        .withColumn("revenue", F.col("rev4") / 10000.0)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name", "c_mktsegment", "revenue",
+        )
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name, c_mktsegment,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight scan-filter-agg. All three predicates reach
     the parquet scan (PushedFilters) and only 4 columns are read."""
@@ -612,6 +667,7 @@ QUERIES = {
     "op_stream_sliding_batch": Query(sliding_window, SLIDING_ORACLE),
     "op_stream_session_batch": Query(session_window_q, SESSION_ORACLE),
     "tpch_q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE),
+    "tpch_q10_returned_items": Query(q10_returned_items, Q10_ORACLE),
     "tpch_q4_order_priority": Query(q4_order_priority, Q4_ORACLE),
     "op_approx_aggs": Query(approx_aggs, None,
                             note="sketch internals engine-specific — rows-only"),
