@@ -220,3 +220,15 @@ def test_winnowing_guarantee(docs, spark):
     # density: selected fingerprints are a strict subset of positions
     n_tokens = 60
     assert 1 <= len(by_doc[10]) < n_tokens - 4 + 1
+
+
+def test_kmeans_inertia_decreases(vectors):
+    cents, hist = sim.kmeans_fit(vectors, "embedding", k=3, iters=4, seed=5)
+    assert len(cents) == 3 and all(len(c) == 16 for c in cents)
+    # Lloyd's guarantee: inertia is monotonically non-increasing
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+    # trained centroids plug into IVF
+    queries = vectors.filter(F.col("vec_id") == 0)
+    rows = sim.ivf_topk(vectors, queries, "vec_id", "embedding",
+                        k=3, n_probe=2, centroids=cents).collect()
+    assert rows and rows[0]["neighbor_id"] == 100

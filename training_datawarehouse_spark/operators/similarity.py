@@ -140,21 +140,26 @@ def cosine_neardup_pairs(
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     k: int = 5, n_lists: int = 8, n_probe: int = 2, seed: int = 13,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
     (inverted list), probe each query's ``n_probe`` closest lists, exact
     re-score inside the probed lists only.
 
-    Centroids are deterministic pseudo-random unit-ish vectors (seeded
-    numpy) rather than trained k-means — the *query shape* (assign →
-    bucket-join → rescore) is identical, and that shape is what matters
-    at scale: the corpus partitions by list id once, queries broadcast,
-    and the all-pairs product shrinks by ~n_probe/n_lists. Recall < 1
-    by construction → rows-only check.
+    Pass ``centroids`` (e.g. from ``kmeans_fit``) for a trained coarse
+    quantizer; the default is deterministic pseudo-random vectors
+    (seeded numpy). Either way the *query shape* (assign → bucket-join
+    → rescore) is identical, and that shape is what matters at scale:
+    the corpus partitions by list id once, queries broadcast, and the
+    all-pairs product shrinks by ~n_probe/n_lists. Recall < 1 by
+    construction → rows-only check.
     """
     dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    cents = rng.standard_normal((n_lists, dim)).round(6).tolist()
+    if centroids is not None:
+        cents = centroids
+    else:
+        rng = np.random.RandomState(seed)
+        cents = rng.standard_normal((n_lists, dim)).round(6).tolist()
 
     def nearest_lists(vec: Column, n: int) -> Column:
         scored = F.array(*[
@@ -190,7 +195,66 @@ def ivf_topk(
     )
 
 
-def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 13,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's k-means over an embedding column with DataFrame ops —
+    the iterative-algorithm shape: per iteration ONE distributed pass
+    (assign + per-cluster partial sums), then only k·dim floats come
+    back to the driver to become the next iteration's literals. The
+    corpus never caches on the driver and never shuffles vectors —
+    explode sends (cluster, pos, component) triples to a groupBy.
+
+    Returns (centroids, inertia_per_iteration). Deterministic: seeded
+    init, fixed iteration count (empty clusters keep their previous
+    centroid).
+    """
+    rng = np.random.RandomState(seed)
+    sample = df.select(vec_col).head(max(k * 20, 100))
+    pool = np.array([r[0] for r in sample], dtype="float64")
+    cents = pool[rng.choice(len(pool), size=k, replace=False)].tolist()
+
+    v = _as_double(F.col(vec_col))
+    inertia_hist: list[float] = []
+    for _ in range(iters):
+        # nearest centroid by squared L2 — array_sort on (dist, id) structs
+        scored = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ])
+        best = F.array_sort(scored)[0]
+        assigned = df.select(
+            v.alias("__v"), best["cid"].alias("__c"), best["d2"].alias("__d2")
+        )
+        stats = (
+            assigned.select("__c", "__d2", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__c", "__p")
+            .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        inertia = assigned.agg(F.sum("__d2")).collect()[0][0]
+        inertia_hist.append(float(inertia))
+        rows = stats.collect()  # k·dim tiny rows
+        new_cents = [list(c) for c in cents]
+        acc: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            acc.setdefault(r["__c"], {})[r["__p"]] = (r["s"], r["n"])
+        for cid, comps in acc.items():
+            new_cents[cid] = [
+                comps[p][0] / comps[p][1] for p in sorted(comps)
+            ]
+        cents = new_cents
+    return cents, inertia_hist
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()

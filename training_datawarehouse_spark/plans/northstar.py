@@ -284,6 +284,35 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
 """
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm surface: 4 Lloyd's iterations over the
+    embeddings (one distributed pass each; only k·dim floats return to
+    the driver between iterations), then final cluster sizes + mean
+    in-cluster squared distance. Seeded/deterministic but not
+    SQL-expressible as one query → rows-only; inertia monotonicity is
+    asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = sim.kmeans_fit(emb, "embedding", k=6, iters=4, seed=13)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ])
+    best = F.array_sort(scored)[0]
+    assigned = emb.select(best["cid"].alias("cluster"), best["d2"].alias("d2"))
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+    )
+
+
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (coarse-quantize → probe 2 lists → rescore) —
     approximate, rows-only check."""
@@ -382,6 +411,8 @@ QUERIES = {
     "ns_dedup_embedding_cosine": Query(embedding_neardup, EMBEDDING_NEARDUP_ORACLE),
     "ns_similarity_ivf": Query(similarity_ivf, None,
                                note="approximate ANN — rows-only"),
+    "ns_kmeans_clusters": Query(kmeans_clusters, None,
+                                note="iterative (Lloyd's) — rows-only"),
     "ns_multimodal_meta": Query(multimodal_meta, MULTIMODAL_ORACLE),
     "ns_text_stats": Query(text_stats, TEXT_STATS_ORACLE),
     "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
