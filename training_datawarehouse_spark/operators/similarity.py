@@ -255,6 +255,9 @@ def kmeans_fit(
             ]
         cents = new_cents
     return cents, inertia_hist
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
