@@ -131,3 +131,64 @@ def test_warehouse_write_prune_and_idempotent_append(spark, facts, tmp_path):
     shifted = facts.withColumn("date", F.date_add("date", 10000))
     after_new = append_days(spark, wh, shifted)
     assert after_new.count() == 2 * n0
+
+
+def test_delete_rows_rewrites_only_affected_partitions(spark, facts, tmp_path):
+    import glob
+    import os
+
+    from training_datawarehouse_spark.pipeline import delete_rows, write_warehouse
+
+    wh = str(tmp_path / "wh_del")
+    write_warehouse(facts, wh)
+    n0 = spark.read.parquet(wh).count()
+
+    # snapshot file mtimes per partition directory
+    def mtimes():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{wh}/activity=*/activity_type=*/equipment=*/*.parquet")
+        }
+
+    before = mtimes()
+    target_cell = (F.col("activity") == "Run") & (F.col("activity_type") == "Road")
+    victim_dates = (
+        spark.read.parquet(wh).filter(target_cell).select("date").limit(5).collect()
+    )
+    dates = [r["date"] for r in victim_dates]
+    pred = target_cell & F.col("date").isin(dates)
+    n_match = spark.read.parquet(wh).filter(pred).count()
+    assert n_match > 0
+
+    after_df = delete_rows(spark, wh, pred)
+    assert after_df.count() == n0 - n_match
+    assert after_df.filter(pred).count() == 0
+
+    after = mtimes()
+    untouched = [p for p in before if "activity=Run/activity_type=Road" not in p]
+    changed = [p for p in untouched if p not in after or after[p] != before[p]]
+    assert changed == []  # only Run/Road partitions rewritten
+
+
+def test_compact_warehouse_single_file_per_partition(spark, facts, tmp_path):
+    import glob
+
+    from training_datawarehouse_spark.pipeline import (
+        append_days,
+        compact_warehouse,
+        write_warehouse,
+    )
+
+    wh = str(tmp_path / "wh_compact")
+    write_warehouse(facts, wh)
+    # fragment: append a disjoint copy, creating extra files per dir
+    shifted = facts.withColumn("date", F.date_add("date", 20000))
+    append_days(spark, wh, shifted)
+    n0 = spark.read.parquet(wh).count()
+
+    compact_warehouse(spark, wh, n_tasks=8)
+    assert spark.read.parquet(wh).count() == n0
+    dirs = glob.glob(f"{wh}/activity=*/activity_type=*/equipment=*")
+    for d in dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d

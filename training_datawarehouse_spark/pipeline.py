@@ -183,6 +183,60 @@ def append_days(
     return spark.read.parquet(warehouse_path)
 
 
+def delete_rows(
+    spark: SparkSession,
+    warehouse_path: str,
+    predicate,
+) -> DataFrame:
+    """Takedown-style deletion from the partitioned warehouse: rewrite
+    ONLY the partitions that contain matching rows.
+
+    Without a table format that supports row deletes, the primitive is
+    a partition-selective rewrite: find affected cell partitions,
+    anti-filter their rows, and overwrite just those partition
+    directories via dynamic partition overwrite — untouched partitions'
+    files are never read or rewritten (asserted by mtime in tests).
+    ``predicate`` is a boolean Column (e.g. a doc-id blocklist via
+    ``isin`` or a semi-join flag).
+    """
+    facts = spark.read.parquet(warehouse_path)
+    affected_cells = facts.filter(predicate).select(*CELL_KEYS).distinct()
+    survivors = facts.join(F.broadcast(affected_cells), CELL_KEYS, "left_semi").filter(
+        ~predicate
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy(*CELL_KEYS).parquet(warehouse_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(warehouse_path)
+
+
+def compact_warehouse(
+    spark: SparkSession, warehouse_path: str, n_tasks: int = 32
+) -> None:
+    """Small-file compaction: rewrite every cell partition to ONE file
+    (append-heavy ingest fragments partitions; scan cost at 100 TB
+    tracks file count as much as bytes). Hash-repartitioning on the
+    cell keys routes each partition's rows to exactly one of
+    ``n_tasks`` tasks — one output file per directory, partitions
+    compacted in parallel — then dynamic overwrite swaps directories
+    in place."""
+    facts = spark.read.parquet(warehouse_path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            facts.repartition(n_tasks, *CELL_KEYS)
+            .write.mode("overwrite")
+            .partitionBy(*CELL_KEYS)
+            .parquet(warehouse_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_full_pipeline(spark: SparkSession, diary_path: str) -> dict[str, DataFrame]:
     facts = run_e1_ingest(spark, diary_path)
     facts = run_e2_tsb(facts)
