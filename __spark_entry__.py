@@ -18,9 +18,13 @@ from training_datawarehouse_spark.session import tune_for_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the reference's core semantic (SURVEY §7 phase 1):
+    the 8-set aggregation lattice with 'All' roll-ups, per-set Not-Set
+    filtering, and post-aggregation mapper recompute."""
     tune_for_queries(spark)
-    return QUERIES["tpch_q1_pricing_summary"].builder(spark, "/root/testdata/sf0.001")
+    return QUERIES["op_agg_1_cube_lattice"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
