@@ -3,19 +3,23 @@ extensions; no reference implementation — SURVEY §2.2).
 
 All variants are compositions of built-in expressions — no Python UDFs:
 
-- ``exact_dedup``: hash-groupBy keep-first. One shuffle on the content
-  hash; at 100 TB the md5 key distributes uniformly so no skew.
-- ``minhash_signatures`` + ``lsh_candidate_pairs``: MinHash over word
-  shingles with k seeded murmur3 hashes (``F.hash(shingle, lit(seed))``),
-  banded LSH self-join on (band, band-signature). The band join is an
-  equi-join on a high-cardinality composite key — shuffle both sides,
-  no broadcast; candidate verification re-computes exact Jaccard on the
-  (tiny) candidate set only.
+- ``exact_dedup``: min_by hash aggregate keyed on the content hash.
+  One shuffle; at 100 TB the md5 key distributes uniformly so no skew.
+- ``hashed_shingles``: the shared shingling kernel — posexplode +
+  window lead + one xxhash64, fully whole-stage-codegen, shingles as
+  8-byte longs.
+- ``minhash_signatures`` + ``lsh_candidate_pairs``: k seeded murmur3
+  minima per doc; banded LSH buckets expanded in-bucket (no self-join),
+  hot buckets capped, candidates broadcast into exact-Jaccard
+  verification over the shingle sets produced by the SAME groupBy pass
+  as the signatures.
 - ``simhash``: 64-bit SimHash from xxhash64 token hashes — per-bit
   weighted majority via explode + 64 conditional sums.
-- ``ngram_jaccard_pairs``: exact all-pairs n-gram Jaccard via
-  explode + shingle equi-join — quadratic in docs sharing a shingle;
-  the scale path is LSH above, this is the exact verifier.
+- ``winnowing_fingerprints``: rolling-hash window minima (MOSS) — the
+  containment-detection complement to MinHash resemblance.
+- ``ngram_jaccard_pairs``: exact all-pairs n-gram Jaccard via shingle
+  posting lists — quadratic in posting-list length; the scale path is
+  LSH above, this is the exact verifier (and the DuckDB-oracled one).
 """
 
 from __future__ import annotations
