@@ -161,10 +161,13 @@ def write_warehouse(facts: DataFrame, path: str, mode: str = "overwrite") -> Non
     on cell keys touches only its partitions (dynamic partition pruning;
     see test_pipeline partition-pruning assertion). Cell cardinality is
     bounded (|activities|×|types|×|equipment|), so partition count stays
-    sane at any fact volume; ``date`` stays *inside* each partition as
-    the natural sort/cluster column rather than exploding directories.
+    sane at any fact volume; ``date`` stays *inside* each partition,
+    sorted, so parquet row-group min/max stats let date-range predicates
+    skip row groups without a directory explosion.
     """
-    facts.write.mode(mode).partitionBy(*CELL_KEYS).parquet(path)
+    facts.sortWithinPartitions(*CELL_KEYS, "date").write.mode(mode).partitionBy(
+        *CELL_KEYS
+    ).parquet(path)
 
 
 def append_days(
