@@ -76,3 +76,42 @@ def test_sum_over_partition_equals_all_cell(spark, workouts):
         & (F.col("equipment") == "All")
     ).collect()[0]["km"]
     assert acts == pytest.approx(total)
+
+
+def test_lattice_adversarial_labels_multiset(spark):
+    """Single-pass and two-level lattices agree as MULTISETS even when
+    the data contains literal 'All'/'Not Set'/empty/space-laden values
+    in every dimension (label collisions produce duplicate keys — both
+    implementations must emit identical row multisets)."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from training_datawarehouse_spark.operators.lattice import (
+        cube_lattice,
+        cube_lattice_two_level,
+    )
+
+    rng = random.Random(99)
+    dims = ["Run", "Bike", "", "All", "Not Set", "x y z"]
+    eq = ["SUP 1", "SUP1", "Not Set", "", "  ", "Gear  X"]
+    for _ in range(3):
+        rows = [
+            (rng.choice(dims), rng.choice(dims), rng.choice(eq),
+             round(rng.uniform(0, 100), 3), round(rng.uniform(1, 50), 3))
+            for _ in range(rng.randint(1, 60))
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "activity string, activity_type string, equipment string, km double, seconds double",
+        )
+        meas = [F.round(F.sum("km"), 6).alias("km"), F.count(F.lit(1)).alias("n")]
+        key = lambda r: (r["activity"], r["activity_type"], r["equipment"], r["km"], r["n"])  # noqa: E731
+        single = Counter(key(r) for r in cube_lattice(df, meas).collect())
+        two = Counter(key(r) for r in cube_lattice_two_level(
+            df,
+            [F.sum("km").alias("km_s"), F.count(F.lit(1)).alias("n_s")],
+            [F.round(F.sum("km_s"), 6).alias("km"), F.sum("n_s").alias("n")],
+        ).collect())
+        assert single == two

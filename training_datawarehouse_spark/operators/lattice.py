@@ -57,6 +57,12 @@ def cube_lattice(
     ``specs.agg_exprs`` or ad hoc). ``extra_keys`` (e.g. ``date``) are
     grouped in every set — the reference lattice is per-day.
 
+    Note: a literal dimension value ``'All'`` in the data produces a row
+    indistinguishable from the roll-up label by key — faithful to the
+    reference, whose cell naming has the identical collision
+    (``:363-372``); consumers needing the distinction should read
+    ``grouping_id`` before the label projection.
+
     The per-set Not-Set exclusion (§2.3.1) does NOT need two passes:
     in grouping sets that include ``equipment``, Not-Set rows can only
     feed groups whose key IS a Not-Set value (a group key is shared by
