@@ -156,3 +156,45 @@ def test_multimodal_features_compose_with_similarity(spark):
     out = sim.cosine_topk(feats, feats.limit(2), "vec_id", "features", k=3).collect()
     assert len(out) == 6  # 2 queries x top-3
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)
+
+
+def test_stream_stream_join_parity(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch range join
+    over the same events (multi-micro-batch drain)."""
+    from training_datawarehouse_spark.sources.tables import load_table
+    from training_datawarehouse_spark.streaming.joins import clicks_purchases_stream_join
+
+    ev_stream = _two_batch_stream(spark, tmp_path, "ssjoin")
+    q = (
+        clicks_purchases_stream_join(ev_stream)
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["click_id"], r["p_ts"], r["p_value"])
+        for r in spark.sql("select * from ss_join").collect()
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.round("value", 6).alias("p_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("interval 1 hour"))
+        & (F.col("p_ts") < F.col("c_ts")),
+    )
+    want = sorted(
+        (r["click_id"], r["p_ts"], r["p_value"])
+        for r in batch.select("click_id", "p_ts", "p_value").collect()
+    )
+    assert got == want and len(got) > 0

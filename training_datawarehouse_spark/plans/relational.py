@@ -562,6 +562,46 @@ ASOF LEFT JOIN purchases p
 """
 
 
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-JN-RANGE: interval join — purchases within the hour BEFORE
+    each click by the same user. Equi key (user) + time-range
+    predicates → sort-merge join with a range condition; the same
+    condition drives the stream-stream join in streaming/joins.py
+    (parity asserted in tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.round("value", 6).alias("p_value")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("interval 1 hour"))
+        & (F.col("p_ts") < F.col("c_ts")),
+    )
+    return joined.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("purchase_value"),
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+clicks AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM ev WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts AS p_ts, round(value, 6) AS p_value FROM ev WHERE event_type = 'purchase')
+SELECT click_id,
+       count(*) AS n_purchases,
+       round(sum(p_value), 4) AS purchase_value
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id
+ AND p.p_ts >= c.c_ts - INTERVAL '1 hour'
+ AND p.p_ts <  c.c_ts
+GROUP BY click_id
+"""
+
+
 def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: returnflag × linestatus quantity matrix
     (``groupBy().pivot()`` → conditional-aggregation oracle)."""
@@ -661,6 +701,7 @@ QUERIES = {
     "op_agg_multi_distinct": Query(multi_distinct, MULTI_DISTINCT_ORACLE),
     "op_agg_rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE),
     "op_jn_asof": Query(asof_join_q, ASOF_ORACLE),
+    "op_jn_range": Query(range_join_q, RANGE_JOIN_ORACLE),
     "op_pivot_matrix": Query(pivot_matrix, PIVOT_ORACLE),
     "op_percentiles_exact": Query(percentiles_exact, PERCENTILES_ORACLE),
     "op_win_lag_lead": Query(lag_lead_deltas, LAG_LEAD_ORACLE),
