@@ -192,3 +192,17 @@ def test_compact_warehouse_single_file_per_partition(spark, facts, tmp_path):
     for d in dirs:
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) == 1, d
+
+
+def test_cli_main_end_to_end(diary_path, tmp_path):
+    """`python -m training_datawarehouse_spark DIARY OUT` writes the
+    partitioned warehouse + rollups (reference parity: one command)."""
+    from training_datawarehouse_spark.__main__ import main
+
+    out = str(tmp_path / "wh_cli")
+    main([diary_path, out, "--cpus", "4"])
+    import glob
+
+    assert glob.glob(f"{out}/facts/activity=*/activity_type=*/equipment=*/*.parquet")
+    assert glob.glob(f"{out}/weekly/*.parquet")
+    assert glob.glob(f"{out}/monthly/*.parquet")
