@@ -602,6 +602,49 @@ GROUP BY click_id
 """
 
 
+
+def outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with null-safe grouping: per-nation customer and
+    supplier account totals side by side, nations missing on either
+    side preserved (nulls coalesced into the output)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("cust_bal"),
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk2")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal"),
+    )
+    j = c.join(s, F.col("nk").eqNullSafe(F.col("nk2")), "full_outer")
+    return j.select(
+        F.coalesce("nk", "nk2").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+OUTER_JOIN_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust, round(sum(c_acctbal), 2) AS cust_bal
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk2, count(*) AS n_supp, round(sum(s_acctbal), 2) AS supp_bal
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(nk, nk2) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(n_supp, 0) AS n_supp,
+       coalesce(supp_bal, 0.0) AS supp_bal
+FROM c FULL OUTER JOIN s ON nk IS NOT DISTINCT FROM nk2
+"""
+
+
 def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: returnflag × linestatus quantity matrix
     (``groupBy().pivot()`` → conditional-aggregation oracle)."""
@@ -702,6 +745,7 @@ QUERIES = {
     "op_agg_rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE),
     "op_jn_asof": Query(asof_join_q, ASOF_ORACLE),
     "op_jn_range": Query(range_join_q, RANGE_JOIN_ORACLE),
+    "op_jn_outer": Query(outer_join_q, OUTER_JOIN_ORACLE),
     "op_pivot_matrix": Query(pivot_matrix, PIVOT_ORACLE),
     "op_percentiles_exact": Query(percentiles_exact, PERCENTILES_ORACLE),
     "op_win_lag_lead": Query(lag_lead_deltas, LAG_LEAD_ORACLE),
