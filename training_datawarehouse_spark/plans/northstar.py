@@ -228,6 +228,31 @@ def winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal agreement: text near-dup candidate pairs (MinHash
+    LSH, τ=0.3) scored by embedding cosine for the ids that carry
+    embeddings (doc_id ≡ vec_id on the shared prefix). Disagreement
+    (high Jaccard, low cosine) is the standard embedding-quality QA
+    signal in dedup pipelines. Composes two subsystems → rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
+                                   bands=8, rows_per_band=4,
+                                   jaccard_threshold=0.3)
+    v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    joined = (
+        pairs.join(v.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}), "id_b")
+    )
+    out = joined.select(
+        "id_a", "id_b", "jaccard",
+        F.round(sim.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    )
+    return out.withColumn(
+        "agree", (F.col("cosine") >= 0.2).cast("int")
+    )
+
+
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64 is Spark-native — rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -429,4 +454,6 @@ QUERIES = {
                               note="xxhash64 bits — rows-only"),
     "ns_fingerprint_winnowing": Query(winnowing_q, None,
                                       note="rolling-hash winnowing — rows-only"),
+    "ns_dedup_cross_modal": Query(cross_modal_dedup, None,
+                                  note="MinHash ∘ cosine composition — rows-only"),
 }
