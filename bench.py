@@ -45,6 +45,10 @@ HEADLINE = [
     "ns_token_regex",
     "ns_multimodal_meta",
     "op_approx_aggs",
+    "op_jn_asof",
+    "op_jn_range",
+    "op_agg_multi_distinct",
+    "op_win_1_ewma_scan",
 ]
 
 

@@ -117,6 +117,44 @@ def regex_token_count(text: Column, pattern: str = BPE_TOKEN_PATTERN) -> Column:
     return F.size(regex_tokens(text, pattern)).cast("long")
 
 
+# Frequent character trigrams per language (deterministic mini
+# profiles — real systems learn these from corpora; these are the
+# classic high-frequency trigrams incl. word-boundary spaces).
+CHAR_TRIGRAM_PROFILES = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of", "of "),
+    "fr": (" le", "le ", " de", "de ", "es ", "ent", "nt ", " la", "la ", "que"),
+    "de": (" de", "der", "er ", "ie ", " di", "die", "sch", "ch ", "und", "nd "),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character trigrams of the lower-cased text (leading/
+    trailing space added so word boundaries produce boundary grams)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: padded.substr(i, F.lit(3)))
+    )
+
+
+def lang_id_char_ngram(text: Column) -> Column:
+    """Char-trigram language ID: count overlap of the doc's trigram set
+    with each language profile; argmax, ties → 'und'. The n-gram
+    complement to the word-level ``lang_id`` heuristic."""
+    grams = char_trigrams(text)
+    counts = {
+        lang: F.size(F.array_intersect(grams, F.array(*[F.lit(g) for g in prof])))
+        for lang, prof in CHAR_TRIGRAM_PROFILES.items()
+    }
+    en, fr, de = counts["en"], counts["fr"], counts["de"]
+    return (
+        F.when((en > fr) & (en > de), F.lit("en"))
+        .when((fr > en) & (fr > de), F.lit("fr"))
+        .when((de > en) & (de > fr), F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of the lower-cased,
     whitespace-normalized text (first 16 hex chars)."""

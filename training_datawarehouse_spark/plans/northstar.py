@@ -103,6 +103,55 @@ FROM cnt
 """
 
 
+def lang_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram heuristic complement to the
+    stopword-based lang_id), plus per-language overlap counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    grams = tx.char_trigrams(t)
+    cols = [
+        F.size(F.array_intersect(grams, F.array(*[F.lit(g) for g in prof])))
+        .alias(f"n_{lang}")
+        for lang, prof in tx.CHAR_TRIGRAM_PROFILES.items()
+    ]
+    return docs.select(
+        "doc_id", tx.lang_id_char_ngram(t).alias("lang_pred"), *cols
+    )
+
+
+def _prof_sql(lang: str) -> str:
+    grams = ", ".join("'" + g.replace("'", "''") + "'" for g in
+                      tx.CHAR_TRIGRAM_PROFILES[lang])
+    return f"[{grams}]"
+
+
+LANG_CHAR_NGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([substr(p, i, 3)
+                        for i in range(1, greatest(length(p) - 2, 0) + 1)]) AS grams
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         len(list_intersect(grams, {_prof_sql('en')})) AS n_en,
+         len(list_intersect(grams, {_prof_sql('fr')})) AS n_fr,
+         len(list_intersect(grams, {_prof_sql('de')})) AS n_de
+  FROM g
+)
+SELECT doc_id,
+       CASE WHEN n_en > n_fr AND n_en > n_de THEN 'en'
+            WHEN n_fr > n_en AND n_fr > n_de THEN 'fr'
+            WHEN n_de > n_en AND n_de > n_fr THEN 'de'
+            ELSE 'und' END AS lang_pred,
+       n_en::INT AS n_en, n_fr::INT AS n_fr, n_de::INT AS n_de
+FROM c
+"""
+
+
 # ------------------------------------------------------- fingerprint
 
 def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +490,7 @@ QUERIES = {
     "ns_multimodal_meta": Query(multimodal_meta, MULTIMODAL_ORACLE),
     "ns_text_stats": Query(text_stats, TEXT_STATS_ORACLE),
     "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
+    "ns_lang_char_ngram": Query(lang_char_ngram, LANG_CHAR_NGRAM_ORACLE),
     "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),
     "ns_similarity_topk": Query(similarity_topk, SIMILARITY_ORACLE),
     "ns_similarity_topk_vec": Query(similarity_topk_vectorized, None,
