@@ -198,3 +198,25 @@ def test_stream_stream_join_parity(spark, tmp_path):
         for r in batch.select("click_id", "p_ts", "p_value").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_to_warehouse_replay_idempotent(spark, tmp_path):
+    """Replaying the whole stream with a FRESH checkpoint (simulated
+    checkpoint loss) must not duplicate warehouse rows — the anti-join
+    landing makes redelivery safe."""
+    from training_datawarehouse_spark.streaming.events_stream import stream_to_warehouse
+
+    src = tmp_path / "wh_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    wh = str(tmp_path / "stream_wh")
+
+    q1 = stream_to_warehouse(spark, str(src), wh, str(tmp_path / "ck1"))
+    q1.awaitTermination(300)
+    n1 = spark.read.parquet(wh).count()
+    assert n1 > 0
+
+    # same data, new checkpoint → full replay → zero new rows
+    q2 = stream_to_warehouse(spark, str(src), wh, str(tmp_path / "ck2"))
+    q2.awaitTermination(300)
+    assert spark.read.parquet(wh).count() == n1

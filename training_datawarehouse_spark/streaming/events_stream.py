@@ -76,3 +76,46 @@ def run_available_now(
     )
     q.awaitTermination(300)
     return spark.sql("select * from events_windowed").collect()
+
+
+def stream_to_warehouse(
+    spark: SparkSession,
+    src_path: str,
+    warehouse_path: str,
+    checkpoint: str,
+    window: str = "6 hours",
+    watermark: str = "1 day",
+):
+    """Streaming ingest into a keyed parquet warehouse with replay
+    idempotence: each micro-batch lands via an anti-join on the
+    (window_start, event_type) key, so reprocessing after checkpoint
+    loss (or at-least-once source replays) never duplicates rows —
+    the streaming twin of ``pipeline.append_days``.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from pyspark.sql import functions as F
+
+    agg = windowed_counts(stream_events(spark, src_path), window, watermark)
+
+    def land(batch_df, batch_id: int) -> None:
+        import os
+
+        keys = ["window_start", "event_type"]
+        if os.path.isdir(warehouse_path) and any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for root, _, files in os.walk(warehouse_path) for f in files
+        ):
+            existing = batch_df.sparkSession.read.parquet(warehouse_path)
+            fresh = batch_df.join(existing.select(*keys), keys, "left_anti")
+        else:
+            fresh = batch_df
+        fresh.write.mode("append").parquet(warehouse_path)
+
+    return (
+        agg.writeStream.foreachBatch(land)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
