@@ -665,6 +665,38 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+def unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivot matrix back to long form — wide
+    per-status quantity columns become (returnflag, status, qty) rows."""
+    wide = pivot_matrix(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="status_col",
+        valueColumnName="qty",
+    ).select(
+        "l_returnflag",
+        F.upper(F.substring("status_col", 5, 1)).alias("status"),
+        "qty",
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       upper(substr(status_col, 5, 1)) AS status,
+       qty
+FROM wide
+UNPIVOT INCLUDE NULLS (qty FOR status_col IN (qty_f, qty_o))
+"""
+
+
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``: linear interpolation)."""
@@ -747,6 +779,7 @@ QUERIES = {
     "op_jn_range": Query(range_join_q, RANGE_JOIN_ORACLE),
     "op_jn_outer": Query(outer_join_q, OUTER_JOIN_ORACLE),
     "op_pivot_matrix": Query(pivot_matrix, PIVOT_ORACLE),
+    "op_unpivot_melt": Query(unpivot_q, UNPIVOT_ORACLE),
     "op_percentiles_exact": Query(percentiles_exact, PERCENTILES_ORACLE),
     "op_win_lag_lead": Query(lag_lead_deltas, LAG_LEAD_ORACLE),
     "op_stream_sliding_batch": Query(sliding_window, SLIDING_ORACLE),
