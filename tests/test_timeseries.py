@@ -175,3 +175,31 @@ def test_ewma_scan_matches_applyinpandas(spark):
     for x in ref:
         assert abs(ref[x][0] - scan[x][0]) < 1e-9
         assert abs(ref[x][1] - scan[x][1]) < 1e-9
+
+
+def test_interpolation_keyed_series_independent(spark):
+    """The per-key interpolation branch: each key interpolates on its
+    own anchors; one key's gaps never read another key's values."""
+    from datetime import date
+
+    from training_datawarehouse_spark.operators.timeseries import interpolate_linear
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", date(2020, 1, 1), 10.0),
+        ("a", date(2020, 1, 5), 50.0),
+        ("b", date(2020, 1, 1), 100.0),
+        ("b", date(2020, 1, 3), 300.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, date date, v double")
+    out = {
+        (r["k"], r["date"].isoformat()): r["v"]
+        for r in interpolate_linear(df, ["v"], keys=["k"], fill_zero=True).collect()
+    }
+    # key a: linear 10→50 over 4 days
+    assert out[("a", "2020-01-03")] == pytest.approx(30.0)
+    # key b: linear 100→300 over 2 days; beyond last anchor → 0 fill
+    assert out[("b", "2020-01-02")] == pytest.approx(200.0)
+    assert out[("b", "2020-01-05")] == 0.0
+    # every key × every spine date exists
+    assert len(out) == 2 * 5
