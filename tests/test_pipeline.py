@@ -170,6 +170,29 @@ def test_delete_rows_rewrites_only_affected_partitions(spark, facts, tmp_path):
     assert changed == []  # only Run/Road partitions rewritten
 
 
+def test_delete_rows_removes_fully_emptied_partitions(spark, facts, tmp_path):
+    """Deleting EVERY row of a cell must remove the partition directory —
+    dynamic partition overwrite alone would silently leave the old files
+    (no survivor rows → no output partition → no rewrite)."""
+    import glob
+
+    from training_datawarehouse_spark.pipeline import delete_rows, write_warehouse
+
+    wh = str(tmp_path / "wh_del_all")
+    write_warehouse(facts, wh)
+    n0 = spark.read.parquet(wh).count()
+
+    target_cell = (F.col("activity") == "Run") & (F.col("activity_type") == "Road")
+    n_match = spark.read.parquet(wh).filter(target_cell).count()
+    assert n_match > 0
+
+    after_df = delete_rows(spark, wh, target_cell)
+    assert after_df.count() == n0 - n_match
+    assert after_df.filter(target_cell).count() == 0
+    # the on-disk partition directories are gone, not just unreferenced
+    assert glob.glob(f"{wh}/activity=Run/activity_type=Road/*") == []
+
+
 def test_compact_warehouse_single_file_per_partition(spark, facts, tmp_path):
     import glob
 

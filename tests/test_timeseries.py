@@ -188,7 +188,7 @@ def test_interpolation_keyed_series_independent(spark):
     rows = [
         ("a", date(2020, 1, 1), 10.0),
         ("a", date(2020, 1, 5), 50.0),
-        ("b", date(2020, 1, 1), 100.0),
+        ("b", date(2020, 1, 2), 100.0),
         ("b", date(2020, 1, 3), 300.0),
     ]
     df = spark.createDataFrame(rows, "k string, date date, v double")
@@ -198,8 +198,10 @@ def test_interpolation_keyed_series_independent(spark):
     }
     # key a: linear 10→50 over 4 days
     assert out[("a", "2020-01-03")] == pytest.approx(30.0)
-    # key b: linear 100→300 over 2 days; beyond last anchor → 0 fill
-    assert out[("b", "2020-01-02")] == pytest.approx(200.0)
-    assert out[("b", "2020-01-05")] == 0.0
+    # key b before first anchor: leading gap → 0 fill
+    assert out[("b", "2020-01-01")] == 0.0
+    # key b beyond last anchor: forward-fill of the last observed
+    # value (pandas interpolate limit_direction='forward' parity)
+    assert out[("b", "2020-01-05")] == pytest.approx(300.0)
     # every key × every spine date exists
     assert len(out) == 2 * 5

@@ -84,8 +84,11 @@ def interpolate_linear(
     the previous/next non-null anchors via ``last/first ignorenulls``
     over unbounded frames, then the lerp
     ``prev + (next-prev) · Δ(d,prev_d)/Δ(next_d,prev_d)``.
-    Leading/trailing gaps stay null, then → 0 when ``fill_zero``
-    (reference ``fillna(0)`` :175-176,222-224, OP-TS-3).
+    Pandas' default ``limit_direction='forward'`` forward-fills every
+    gap AFTER the last anchor with the last observed value, so trailing
+    gaps get ``prev`` here too; only LEADING gaps (no prior anchor) stay
+    null, then → 0 when ``fill_zero`` (the reference's ``fillna(0)``
+    :175-176,222-224 only ever hits those, OP-TS-3).
     """
     spine = date_spine(series, date_col)
     if keys:
@@ -112,7 +115,8 @@ def interpolate_linear(
         lerp = prev_v + (next_v - prev_v) * F.datediff(F.col(date_col), prev_d) / span
         interp = (
             F.when(F.col(v).isNotNull(), F.col(v))
-            .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+            .when(next_v.isNull() & prev_v.isNotNull(), prev_v)
+            .when(prev_v.isNull(), F.lit(None))
             .otherwise(lerp)
         )
         if fill_zero:

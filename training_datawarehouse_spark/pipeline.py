@@ -145,10 +145,15 @@ def run_e3_strain(facts: DataFrame) -> DataFrame:
 
 
 def run_e4_rollup(facts: DataFrame, period_col: str) -> DataFrame:
-    """E4: week/month rollup with the reference's plain-AVG semantics."""
+    """E4: week/month rollup with the reference's plain-AVG semantics.
+
+    Includes the calculated columns (ctl/atl/tsb/monotony/strain and
+    rpe_ variants) — the reference's agg-list generator (:540-546)
+    rolls those up with Mean → AVG; only type/sleep_quality/physiology
+    are dropped (SURVEY §2.3.6)."""
     return periodic_rollup(
         facts, period_col,
-        specs=S.WORKOUT_SPECS + S.DAY_SPECS,
+        specs=S.WORKOUT_SPECS + S.DAY_SPECS + S.CALCULATED_SPECS,
         keys=CELL_KEYS,
     )
 
@@ -207,12 +212,30 @@ def delete_rows(
     survivors = facts.join(F.broadcast(affected_cells), CELL_KEYS, "left_semi").filter(
         ~predicate
     )
+    # Dynamic partition overwrite only rewrites partitions PRESENT in
+    # the output. A cell whose every row matches the predicate yields
+    # zero survivor rows → no output partition → its old files would
+    # silently stay on disk. Find those fully-emptied cells and remove
+    # their directories explicitly (Hadoop FS API, so this works on any
+    # Hadoop-compatible store, not just local disk). Cell cardinality is
+    # bounded by design, so the collect is a handful of rows.
+    surviving_cells = survivors.select(*CELL_KEYS).distinct()
+    emptied = (
+        affected_cells.join(surviving_cells, CELL_KEYS, "left_anti").collect()
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         survivors.write.mode("overwrite").partitionBy(*CELL_KEYS).parquet(warehouse_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(warehouse_path).getFileSystem(hconf)
+        for row in emptied:
+            subdir = "/".join(f"{k}={row[k]}" for k in CELL_KEYS)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{warehouse_path}/{subdir}"), True)
     return spark.read.parquet(warehouse_path)
 
 

@@ -167,7 +167,9 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_EXTRACTION_ORACLE = """
 SELECT event_type,
-       sum(CAST(props->>'$.k' AS BIGINT))   AS sum_k,
+       -- DuckDB sum(BIGINT) widens to HUGEINT (pandas float64); cast back
+       -- so both engines hand the driver an int64 column.
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
        min(CAST(props->>'$.k' AS BIGINT))   AS min_k,
        max(CAST(props->>'$.k' AS BIGINT))   AS max_k
@@ -357,7 +359,66 @@ GROUP BY event_type
 """
 
 
+def diary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-SRC-1: nested-JSON diary ingest (reference
+    ``populate_from_json.py:111-135``) — explicit-schema ``multiLine``
+    JSON read, ``explode`` of ``days[].workouts[]``, ISO-8601 date
+    parse (OP-FN-1), then a per-cell aggregation slice so the whole
+    E1 entry path is oracle-checkable. The fixture document lives at a
+    fixed temp path (written at registry import) so DuckDB's
+    ``read_json`` sees the same bytes; every numeric is on a
+    binary-exact grid, so no rounding slack is needed."""
+    from ..sources.diary import read_diary
+    from ..sources.diary_fixture import ensure_diary_fixture
+
+    path = ensure_diary_fixture()
+    w = read_diary(spark, path)["workouts"]
+    return w.groupBy("activity", "activity_type", "equipment").agg(
+        F.count(F.lit(1)).alias("n_workouts"),
+        F.min("date").alias("first_date"),
+        F.max("date").alias("last_date"),
+        F.sum(F.col("tss").cast("long")).alias("sum_tss"),
+        F.sum("km").alias("sum_km"),
+        F.round(F.sum(F.col("rpe") * F.col("seconds")) / F.sum("seconds"), 6)
+        .alias("rpe_wmean"),
+    )
+
+
+def _diary_ingest_oracle() -> str:
+    from ..sources.diary_fixture import ensure_diary_fixture
+
+    path = ensure_diary_fixture()
+    return f"""
+WITH doc AS (
+  SELECT days FROM read_json('{path}', format='unstructured', records='true',
+    columns={{days: 'STRUCT(iso8061DateString VARCHAR, "type" VARCHAR,
+      fatigue DOUBLE, motivation DOUBLE, sleep DOUBLE, sleepQuality VARCHAR,
+      workouts STRUCT(activityString VARCHAR, activityTypeString VARCHAR,
+        equipmentName VARCHAR, km DOUBLE, tss BIGINT, rpe DOUBLE, hr BIGINT,
+        watts BIGINT, seconds BIGINT, ascentMetres BIGINT, kj BIGINT,
+        reps BIGINT, isRace BIGINT, brick BIGINT, wattsEstimated BIGINT,
+        cadence BIGINT)[])[]'}})
+),
+d AS (SELECT unnest(days) AS d FROM doc),
+w AS (
+  SELECT substr(d.iso8061DateString, 1, 10)::DATE AS date, unnest(d.workouts) AS w
+  FROM d WHERE d.workouts IS NOT NULL
+)
+SELECT w.activityString AS activity,
+       w.activityTypeString AS activity_type,
+       w.equipmentName AS equipment,
+       count(*) AS n_workouts,
+       min(date) AS first_date,
+       max(date) AS last_date,
+       CAST(sum(w.tss) AS BIGINT) AS sum_tss,
+       sum(w.km) AS sum_km,
+       round(sum(w.rpe * w.seconds) / sum(w.seconds), 6) AS rpe_wmean
+FROM w GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "op_src_1_diary_ingest": Query(diary_ingest, _diary_ingest_oracle()),
     "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
     "op_fn_strings": Query(string_functions, STRING_FUNCTIONS_ORACLE),
     "op_subqueries": Query(subqueries, SUBQUERIES_ORACLE),

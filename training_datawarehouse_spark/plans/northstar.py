@@ -433,7 +433,7 @@ meta AS (
 )
 SELECT format,
        count(*) AS n_docs,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(width), 4) AS avg_width,
        round(avg(height), 4) AS avg_height
 FROM meta GROUP BY format

@@ -387,9 +387,15 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are asserted in tests/test_dedup_similarity.py against exact
     recomputation."""
     ev = load_table(spark, sf_dir, "events")
+    # Project the quantile sketch into scalar columns — array-valued
+    # output is hostile to downstream tabular consumers (and the
+    # driver's pandas canonicalizer).
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_q"),
+        q[0].alias("q50"),
+        q[1].alias("q95"),
+        q[2].alias("q99"),
         F.count(F.lit(1)).alias("n"),
     )
 

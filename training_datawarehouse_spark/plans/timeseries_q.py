@@ -72,7 +72,8 @@ FROM win
 
 def interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-TS-1/2/3: sparse anchors (every 5th calendar day) → dense daily
-    spine → linear interpolation → trailing/leading nulls → 0."""
+    spine → linear interpolation → trailing gaps forward-filled with the
+    last anchor (pandas parity), leading nulls → 0."""
     ev = load_table(spark, sf_dir, "events")
     anchors = (
         ev.filter(F.dayofmonth(F.to_date("ts")) % 5 == 1)
@@ -110,7 +111,8 @@ anch AS (
 SELECT date,
        round(coalesce(
          CASE WHEN value IS NOT NULL THEN value
-              WHEN pv IS NULL OR nv IS NULL THEN NULL
+              WHEN nv IS NULL AND pv IS NOT NULL THEN pv
+              WHEN pv IS NULL THEN NULL
               ELSE pv + (nv - pv) * date_diff('day', pd, date)::DOUBLE
                                   / date_diff('day', pd, nd)::DOUBLE
          END, 0.0), 6) AS value
@@ -128,11 +130,14 @@ def densify_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.to_date("ts").alias("date"), F.col("event_type").alias("activity")
     ).agg(F.round(F.sum("value"), 6).alias("load"))
-    dense = densify(daily, keys=["activity"], defaults={"load": 0.0})
+    dense = densify(daily, keys=["activity"])
+    # Gap days come from the pre-coalesce null flag — a real daily sum
+    # that happens to be 0.0 must NOT classify as a gap, and float
+    # equality against 0.0 is engine-sensitive anyway.
     return dense.groupBy("activity").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum(F.when(F.col("load") == 0.0, 1).otherwise(0)).alias("n_gap_days"),
-        F.round(F.sum("load"), 4).alias("total_load"),
+        F.sum(F.when(F.col("load").isNull(), 1).otherwise(0)).alias("n_gap_days"),
+        F.round(F.sum(F.coalesce("load", F.lit(0.0))), 4).alias("total_load"),
     )
 
 
@@ -147,14 +152,14 @@ spine AS (
 ),
 cells AS (SELECT DISTINCT activity FROM daily),
 dense AS (
-  SELECT g.date, g.activity, coalesce(d.load, 0.0) AS load
+  SELECT g.date, g.activity, d.load AS load
   FROM (SELECT s.date, c.activity FROM spine s CROSS JOIN cells c) g
   LEFT JOIN daily d ON d.date = g.date AND d.activity = g.activity
 )
 SELECT activity,
        count(*) AS n_days,
-       sum(CASE WHEN load = 0.0 THEN 1 ELSE 0 END) AS n_gap_days,
-       round(sum(load), 4) AS total_load
+       CAST(sum(CASE WHEN load IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+       round(sum(coalesce(load, 0.0)), 4) AS total_load
 FROM dense GROUP BY activity
 """
 

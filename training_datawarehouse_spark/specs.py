@@ -133,10 +133,12 @@ WORKOUT_SPECS: list[ColumnSpec] = [
     ColumnSpec("hr", "hr", L, agg=Agg.WEIGHTED_MEAN),
     ColumnSpec("watts", "watts", L, agg=Agg.WEIGHTED_MEAN),
     ColumnSpec("seconds", "seconds", L, agg=Agg.SUM),
-    ColumnSpec("minutes", "seconds", D, factor=1 / 60, agg=Agg.SUM),
+    # minutes/ascent_feet are INTEGER in the reference (:35-38): ingest is
+    # int(round(x·factor)) — 90 s → 2 minutes, not 1.5 (SURVEY §2.3.9).
+    ColumnSpec("minutes", "seconds", L, factor=1 / 60, agg=Agg.SUM),
     ColumnSpec("hours", "seconds", D, factor=1 / 3600, agg=Agg.SUM),
     ColumnSpec("ascent_metres", "ascentMetres", L, agg=Agg.SUM),
-    ColumnSpec("ascent_feet", "ascentMetres", D, factor=3.28084, agg=Agg.SUM),
+    ColumnSpec("ascent_feet", "ascentMetres", L, factor=3.28084, agg=Agg.SUM),
     ColumnSpec("kj", "kj", L, agg=Agg.SUM),
     ColumnSpec("reps", "reps", L, agg=Agg.SUM),
     ColumnSpec("is_race", "isRace", B, agg=Agg.BOOL_OR),
@@ -152,15 +154,21 @@ WORKOUT_SPECS: list[ColumnSpec] = [
 DAY_SPECS: list[ColumnSpec] = [
     ColumnSpec("fatigue", "fatigue", D, agg=Agg.WEIGHTED_MEAN),
     ColumnSpec("motivation", "motivation", D, agg=Agg.WEIGHTED_MEAN),
-    ColumnSpec("sleep_seconds", "sleep", D, factor=3600, agg=Agg.SUM),
-    ColumnSpec("sleep_minutes", "sleep", D, factor=60, agg=Agg.SUM),
-    ColumnSpec("sleep_hours", "sleep", D, factor=1, agg=Agg.WEIGHTED_MEAN),
+    # sleep_seconds/sleep_minutes are INTEGER in the reference (:55-57);
+    # sleep_hours is Sum-tagged there too, so weekly/monthly rollups hold
+    # TOTAL sleep, not the daily average.
+    ColumnSpec("sleep_seconds", "sleep", L, factor=3600, agg=Agg.SUM),
+    ColumnSpec("sleep_minutes", "sleep", L, factor=60, agg=Agg.SUM),
+    ColumnSpec("sleep_hours", "sleep", D, factor=1, agg=Agg.SUM),
     ColumnSpec("type", "type", S, agg=Agg.NONE, default="Normal"),
     ColumnSpec("sleep_quality", "sleepQuality", S, agg=Agg.NONE, default="Average"),
 ]
 
+# Mean-tagged (reference agg-list generator :540-546 includes the
+# calculated_map with Mean → plain AVG in rollups); at day grain these
+# are computed by E2/E3, never merged, so only ``rollup_expr`` fires.
 CALCULATED_SPECS: list[ColumnSpec] = [
-    ColumnSpec(n, None, D, agg=Agg.NONE)
+    ColumnSpec(n, None, D, agg=Agg.WEIGHTED_MEAN)
     for n in (
         "ctl", "atl", "tsb", "rpe_ctl", "rpe_atl", "rpe_tsb",
         "monotony", "strain", "rpe_monotony", "rpe_strain",
