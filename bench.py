@@ -29,26 +29,25 @@ from training_datawarehouse_spark.plans import QUERIES  # noqa: E402
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "op_agg_1_cube_lattice",
-    "op_agg_6_rollup_week",
+    "op_agg_6_rollup_periodic",
     "op_win_2_monotony_strain",
-    "op_win_1_ewma_tsb",
+    "op_win_1_ewma_dual",
     "op_ts_2_interpolation",
     "tpch_q3_shipping_priority",
     "tpch_q5_nation_revenue",
     "op_dd_1_dedup_first",
     "ns_dedup_exact",
-    "ns_text_stats",
+    "ns_text_profile",
     "ns_similarity_topk",
-    "ns_dedup_minhash_lsh",
+    "ns_dedup_lsh_cross_modal",
     "tpch_q6_forecast_revenue",
     "op_stream_session_batch",
-    "ns_token_regex",
     "ns_multimodal_meta",
     "op_approx_aggs",
     "op_jn_asof",
     "op_jn_range",
-    "op_agg_multi_distinct",
-    "op_win_1_ewma_scan",
+    "op_agg_event_profile",
+    "op_fn_scalar_breadth",
 ]
 
 

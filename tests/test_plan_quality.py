@@ -17,9 +17,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # The only queries allowed to cross into Python — and only via Arrow
 # (FlatMapGroupsInPandas / MapInPandas / FlatMapGroupsInPandasWithState).
 ARROW_ALLOWED = {
-    "op_win_1_ewma_tsb",        # sequential EWMA recurrence
+    "op_win_1_ewma_dual",       # sequential EWMA recurrence (pandas path)
     "ns_multimodal_meta",       # stub media decode
-    "ns_similarity_topk_vec",   # BLAS matmul scoring
 }
 
 

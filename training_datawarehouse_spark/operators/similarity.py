@@ -237,14 +237,22 @@ def kmeans_fit(
         assigned = df.select(
             v.alias("__v"), best["cid"].alias("__c"), best["d2"].alias("__d2")
         )
+        # ONE action per iteration: the per-(cluster, position) partial
+        # sums AND the inertia ride the same shuffle — each source row's
+        # d2 is attributed only to its position-0 triple so the global
+        # sum isn't dim-times overcounted.
         stats = (
             assigned.select("__c", "__d2", F.posexplode("__v").alias("__p", "__x"))
             .groupBy("__c", "__p")
-            .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("__x").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("__p") == 0, F.col("__d2"))).alias("d2p"),
+            )
         )
-        inertia = assigned.agg(F.sum("__d2")).collect()[0][0]
-        inertia_hist.append(float(inertia))
         rows = stats.collect()  # k·dim tiny rows
+        inertia = sum(r["d2p"] for r in rows if r["d2p"] is not None)
+        inertia_hist.append(float(inertia))
         new_cents = [list(c) for c in cents]
         acc: dict[int, dict[int, tuple[float, int]]] = {}
         for r in rows:

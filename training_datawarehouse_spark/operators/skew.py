@@ -24,15 +24,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
-    """Deterministic row-level salt in [0, n_salts): hash of the whole
-    row's monotonic id is NOT reproducible across retries — use a
-    content hash of a stable column set instead when exact determinism
-    matters. Here: spark_partition_id ⊕ per-partition counter is enough
-    to spread rows and is retry-stable for deterministic inputs."""
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    col_name: str = "__salt",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic row-level salt in [0, n_salts): a content hash of a
+    stable column set (retry-stable, unlike monotonic ids). Pass
+    ``cols`` to hash a small distinguishing subset — on wide rows,
+    hashing every column costs real CPU per row for no extra spread."""
     return df.withColumn(
         col_name,
-        F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(*(cols or df.columns)), F.lit(n_salts)).cast("int"),
     )
 
 

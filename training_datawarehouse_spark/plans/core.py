@@ -319,6 +319,24 @@ FROM documents
 """
 
 
+def scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + array scalar-function breadth in one entry: the
+    documents string surface (case/pad/reverse/levenshtein) joined to
+    the embeddings array surface (higher-order transform/filter/
+    aggregate) on the shared id domain (doc_id ≡ vec_id)."""
+    s = string_functions(spark, sf_dir)
+    a = array_ops(spark, sf_dir)
+    return s.join(a, s.doc_id == a.vec_id).drop("vec_id")
+
+
+SCALAR_BREADTH_ORACLE = f"""
+WITH s AS ({STRING_FUNCTIONS_ORACLE}),
+a AS ({ARRAY_OPS_ORACLE})
+SELECT s.*, a.dim, a.l2_norm, a.max_el, a.min_el, a.n_positive
+FROM s JOIN a ON s.doc_id = a.vec_id
+"""
+
+
 def subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + IN subqueries through the SQL surface: events above the
     global mean value, restricted to users seen on the busiest day."""
@@ -420,13 +438,11 @@ FROM w GROUP BY 1, 2, 3
 QUERIES = {
     "op_src_1_diary_ingest": Query(diary_ingest, _diary_ingest_oracle()),
     "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
-    "op_fn_strings": Query(string_functions, STRING_FUNCTIONS_ORACLE),
+    "op_fn_scalar_breadth": Query(scalar_breadth, SCALAR_BREADTH_ORACLE),
     "op_subqueries": Query(subqueries, SUBQUERIES_ORACLE),
-    "op_fn_array_ops": Query(array_ops, ARRAY_OPS_ORACLE),
     "op_fn_datetime": Query(datetime_functions, DATETIME_ORACLE),
     "op_prj_2_mappers": Query(mapper_scalars, MAPPER_SCALARS_ORACLE),
     "op_agg_3_weighted_mean": Query(weighted_mean, WEIGHTED_MEAN_ORACLE),
     "op_prj_4_time_dims": Query(time_dimensions, TIME_DIMS_ORACLE),
     "op_prj_1_config_projection": Query(config_projection, CONFIG_PROJECTION_ORACLE),
-    "op_fn_json_extraction": Query(json_extraction, JSON_EXTRACTION_ORACLE),
 }

@@ -243,9 +243,23 @@ FROM src WHERE equipment NOT IN ('Not Set', '')
 """
 
 
+def rollup_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-AGG-6 both grains in one entry: the week AND month rollups,
+    tagged by grain — each still hash-checked against its own oracle."""
+    wk = rollup_query("week")(spark, sf_dir).withColumn("grain", F.lit("week"))
+    mo = rollup_query("month")(spark, sf_dir).withColumn("grain", F.lit("month"))
+    return wk.unionByName(mo)
+
+
+ROLLUP_PERIODIC_ORACLE = f"""
+SELECT *, 'week' AS grain FROM ({_rollup_oracle("week")})
+UNION ALL
+SELECT *, 'month' AS grain FROM ({_rollup_oracle("month")})
+"""
+
+
 QUERIES = {
     "op_agg_1_cube_lattice": Query(cube_lattice_query, CUBE_LATTICE_ORACLE),
     "op_src_2_catalog": Query(catalog_query, CATALOG_ORACLE),
-    "op_agg_6_rollup_week": Query(rollup_query("week"), _rollup_oracle("week")),
-    "op_agg_6_rollup_month": Query(rollup_query("month"), _rollup_oracle("month")),
+    "op_agg_6_rollup_periodic": Query(rollup_periodic, ROLLUP_PERIODIC_ORACLE),
 }

@@ -478,32 +478,75 @@ FROM lbl GROUP BY split
 """
 
 
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one entry: lexical stats
+    (token counts, TTR, stopwords) joined on doc_id to the
+    BPE-pretokenizer regex token counts — all JVM-side expressions,
+    all values hash-checked."""
+    return text_stats(spark, sf_dir).join(token_regex(spark, sf_dir), "doc_id")
+
+
+TEXT_PROFILE_ORACLE = f"""
+WITH ts AS ({TEXT_STATS_ORACLE}),
+tr AS ({TOKEN_REGEX_ORACLE})
+SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct
+FROM ts JOIN tr USING (doc_id)
+"""
+
+
+def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both bucketed ANN scale paths in one entry, tagged by method:
+    sign-LSH (hyperplane buckets) and IVF (trained coarse quantizer,
+    2-probe). Approximate by construction → rows-only; recall against
+    the exact top-k is asserted in tests."""
+    lsh = similarity_lsh(spark, sf_dir).withColumn("method", F.lit("signlsh"))
+    ivf = similarity_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signature surface in one entry: 64-bit SimHash
+    joined to winnowing/MOSS fingerprint counts on doc_id. Both rest on
+    xxhash64 (not in DuckDB) → rows-only; selection/Hamming properties
+    are asserted in tests."""
+    sh = simhash_q(spark, sf_dir).withColumnRenamed("id", "doc_id")
+    wn = winnowing_q(spark, sf_dir)
+    return sh.join(wn, "doc_id")
+
+
+def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (τ=0.5) plus the cross-modal
+    agreement pass (τ=0.3 candidates scored by embedding cosine),
+    tagged by stage — the candidate stage carries null cosine/agree."""
+    cand = minhash_lsh(spark, sf_dir).select(
+        F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(None).cast("int").alias("agree"),
+    )
+    cm = cross_modal_dedup(spark, sf_dir).select(
+        F.lit("cross_modal").alias("stage"), "id_a", "id_b", "jaccard",
+        "cosine", "agree",
+    )
+    return cand.unionByName(cm)
+
+
 QUERIES = {
     "ns_dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE),
     "ns_split_train_val": Query(split_train_val, SPLIT_ORACLE),
-    "ns_token_regex": Query(token_regex, TOKEN_REGEX_ORACLE),
     "ns_dedup_embedding_cosine": Query(embedding_neardup, EMBEDDING_NEARDUP_ORACLE),
-    "ns_similarity_ivf": Query(similarity_ivf, None,
-                               note="approximate ANN — rows-only"),
     "ns_kmeans_clusters": Query(kmeans_clusters, None,
                                 note="iterative (Lloyd's) — rows-only"),
     "ns_multimodal_meta": Query(multimodal_meta, MULTIMODAL_ORACLE),
-    "ns_text_stats": Query(text_stats, TEXT_STATS_ORACLE),
+    "ns_text_profile": Query(text_profile, TEXT_PROFILE_ORACLE),
     "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
     "ns_lang_char_ngram": Query(lang_char_ngram, LANG_CHAR_NGRAM_ORACLE),
     "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),
     "ns_similarity_topk": Query(similarity_topk, SIMILARITY_ORACLE),
-    "ns_similarity_topk_vec": Query(similarity_topk_vectorized, None,
-                                    note="numpy fold order ≠ SQL — rows-only; parity tested"),
-    "ns_similarity_lsh": Query(similarity_lsh, None,
-                               note="approximate ANN — rows-only"),
     "ns_ngram_jaccard": Query(ngram_jaccard, NGRAM_JACCARD_ORACLE),
-    "ns_dedup_minhash_lsh": Query(minhash_lsh, None,
-                                  note="murmur3 signatures — rows-only"),
-    "ns_dedup_simhash": Query(simhash_q, None,
-                              note="xxhash64 bits — rows-only"),
-    "ns_fingerprint_winnowing": Query(winnowing_q, None,
-                                      note="rolling-hash winnowing — rows-only"),
-    "ns_dedup_cross_modal": Query(cross_modal_dedup, None,
-                                  note="MinHash ∘ cosine composition — rows-only"),
+    "ns_similarity_ann": Query(similarity_ann, None,
+                               note="approximate ANN (sign-LSH + IVF) — rows-only"),
+    "ns_doc_signatures": Query(doc_signatures, None,
+                               note="xxhash64 signatures — rows-only"),
+    "ns_dedup_lsh_cross_modal": Query(lsh_cross_modal, None,
+                                      note="murmur3 MinHash ∘ cosine — rows-only"),
 }

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .base import Query
+from .core import JSON_EXTRACTION_ORACLE
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,18 +778,80 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-FLT-3 both probes in one entry: the semi (has open orders)
+    and anti (no orders) existence probes, tagged — each branch still
+    hash-checked against its own EXISTS/NOT EXISTS oracle."""
+    s = semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("probe"), "c_mktsegment", "n_customers",
+        F.col("avg_acctbal").alias("acctbal_stat"),
+    )
+    a = anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("probe"), "c_mktsegment", "n_customers",
+        F.col("total_acctbal").alias("acctbal_stat"),
+    )
+    return s.unionByName(a)
+
+
+SEMI_ANTI_ORACLE = f"""
+SELECT 'semi' AS probe, c_mktsegment, n_customers, avg_acctbal AS acctbal_stat
+FROM ({SEMI_JOIN_ORACLE})
+UNION ALL
+SELECT 'anti' AS probe, c_mktsegment, n_customers, total_acctbal AS acctbal_stat
+FROM ({ANTI_JOIN_ORACLE})
+"""
+
+
+def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding window aggregations in one entry (same
+    ``F.window`` expressions the streaming module uses), tagged by
+    kind — each grain hash-checked against its time_bucket oracle."""
+    t = tumbling_window(spark, sf_dir).withColumn("kind", F.lit("tumbling"))
+    s = sliding_window(spark, sf_dir).withColumn("kind", F.lit("sliding"))
+    return t.unionByName(s)
+
+
+WINDOWED_BATCH_ORACLE = f"""
+SELECT *, 'tumbling' AS kind FROM ({TUMBLING_ORACLE})
+UNION ALL
+SELECT *, 'sliding' AS kind FROM ({SLIDING_ORACLE})
+"""
+
+
+def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile joining three aggregate families on one
+    grain: multi-COUNT(DISTINCT) (Expand rewrite), exact interpolated
+    percentiles, and JSON-string extraction stats — one entry, all
+    values hash-checked."""
+    from .core import json_extraction
+
+    md = multi_distinct(spark, sf_dir)
+    p = percentiles_exact(spark, sf_dir)
+    j = json_extraction(spark, sf_dir)
+    return md.join(p, "event_type").join(j, "event_type")
+
+
+EVENT_PROFILE_ORACLE = f"""
+WITH md AS ({MULTI_DISTINCT_ORACLE}),
+p AS ({PERCENTILES_ORACLE}),
+j AS ({JSON_EXTRACTION_ORACLE})
+SELECT md.event_type, md.n_users, md.n_days, md.n_events, md.total_value,
+       p.p25, p.p50, p.p95,
+       j.sum_k, j.n_with_k, j.min_k, j.max_k
+FROM md JOIN p USING (event_type) JOIN j USING (event_type)
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
-    "op_agg_multi_distinct": Query(multi_distinct, MULTI_DISTINCT_ORACLE),
+    "op_agg_event_profile": Query(event_profile, EVENT_PROFILE_ORACLE),
     "op_agg_rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE),
     "op_jn_asof": Query(asof_join_q, ASOF_ORACLE),
     "op_jn_range": Query(range_join_q, RANGE_JOIN_ORACLE),
     "op_jn_outer": Query(outer_join_q, OUTER_JOIN_ORACLE),
-    "op_pivot_matrix": Query(pivot_matrix, PIVOT_ORACLE),
-    "op_unpivot_melt": Query(unpivot_q, UNPIVOT_ORACLE),
-    "op_percentiles_exact": Query(percentiles_exact, PERCENTILES_ORACLE),
+    "op_pivot_unpivot": Query(unpivot_q, UNPIVOT_ORACLE),
     "op_win_lag_lead": Query(lag_lead_deltas, LAG_LEAD_ORACLE),
-    "op_stream_sliding_batch": Query(sliding_window, SLIDING_ORACLE),
+    "op_stream_windows_batch": Query(windowed_batch, WINDOWED_BATCH_ORACLE),
     "op_stream_session_batch": Query(session_window_q, SESSION_ORACLE),
     "tpch_q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE),
     "tpch_q10_returned_items": Query(q10_returned_items, Q10_ORACLE),
@@ -796,8 +859,7 @@ QUERIES = {
     "op_approx_aggs": Query(approx_aggs, None,
                             note="sketch internals engine-specific — rows-only"),
     "tpch_q5_nation_revenue": Query(q5_nation_revenue, Q5_ORACLE),
-    "op_jn_anti": Query(anti_join, ANTI_JOIN_ORACLE),
-    "op_jn_semi": Query(semi_join, SEMI_JOIN_ORACLE),
+    "op_jn_semi_anti": Query(semi_anti_join, SEMI_ANTI_ORACLE),
     "op_set_ops": Query(set_ops, SET_OPS_ORACLE),
     "op_topk_per_group": Query(topk_per_group, TOPK_ORACLE),
     "op_dd_1_dedup_first": Query(dedup_first_writer, DEDUP_ORACLE),

@@ -190,7 +190,7 @@ def ewma_tsb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # α literals are repr()-exact doubles: both engines parse the identical
 # 17-digit decimal, so the recurrences are evaluated bit-identically.
-EWMA_ORACLE = f"""
+_EWMA_REC_CTE = f"""
 WITH RECURSIVE daily AS (
   SELECT o_orderdate::DATE AS date, round(sum(o_totalprice / 1000.0), 6) AS tss
   FROM orders GROUP BY 1
@@ -215,11 +215,16 @@ rec AS (
          {_ALPHA_ATL!r} * d.tss + (1.0 - {_ALPHA_ATL!r}) * r.atl
   FROM rec r JOIN dense d ON d.rn = r.rn + 1
 )
-SELECT date, tss,
-       round(ctl, 4) AS ctl,
-       round(atl, 4) AS atl,
-       round(ctl - atl, 4) AS tsb
-FROM rec
+"""
+
+# Both execution paths are checked against the SAME recurrence — the
+# oracle emits the reference series once per path tag.
+EWMA_DUAL_ORACLE = _EWMA_REC_CTE + """
+SELECT date, tss, round(ctl, 4) AS ctl, round(atl, 4) AS atl,
+       round(ctl - atl, 4) AS tsb, 'pandas' AS path FROM rec
+UNION ALL
+SELECT date, tss, round(ctl, 4) AS ctl, round(atl, 4) AS atl,
+       round(ctl - atl, 4) AS tsb, 'scan' AS path FROM rec
 """
 
 
@@ -245,10 +250,18 @@ def ewma_tsb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_tsb_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-WIN-1 both ways in one entry: the applyInPandas sequential
+    recurrence AND the pure-SQL segmented prefix scan, tagged, each
+    hash-checked against the same recursive-CTE oracle."""
+    a = ewma_tsb(spark, sf_dir).withColumn("path", F.lit("pandas"))
+    b = ewma_tsb_scan(spark, sf_dir).withColumn("path", F.lit("scan"))
+    return a.unionByName(b)
+
+
 QUERIES = {
     "op_win_2_monotony_strain": Query(monotony_strain, MONOTONY_ORACLE),
-    "op_win_1_ewma_scan": Query(ewma_tsb_scan, EWMA_ORACLE),
     "op_ts_2_interpolation": Query(interpolation, INTERPOLATION_ORACLE),
     "op_jn_1_densify": Query(densify_query, DENSIFY_ORACLE),
-    "op_win_1_ewma_tsb": Query(ewma_tsb, EWMA_ORACLE),
+    "op_win_1_ewma_dual": Query(ewma_tsb_dual, EWMA_DUAL_ORACLE),
 }
