@@ -152,6 +152,52 @@ def test_text_operators(spark):
     assert fp2 == by_id[1]["fp"]
 
 
+def test_repetition_score(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),      # 4 bigrams, 1 distinct
+            (2, "all words here are distinct"),   # 4 bigrams, 4 distinct
+            (3, "one"),                           # no bigrams
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["rep"]
+        for r in df.select(
+            "id", tx.repetition_score(F.col("text"), 2).alias("rep")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.75)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk or see https://ex.com/a?b=1 now"),
+            (2, "call +1(555)123-4567 twice"),
+            (3, "clean text with no identifiers"),
+        ],
+        "id long, text string",
+    )
+    counts = tx.pii_counts(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", tx.redact_pii(F.col("text")).alias("red"),
+            *[c.alias(k) for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+    assert "<EMAIL>" in out[1]["red"] and "<URL>" in out[1]["red"]
+    assert "example.co.uk" not in out[1]["red"]
+    assert "ex.com" not in out[1]["red"]
+    assert out[2]["n_phones"] == 1 and "<PHONE>" in out[2]["red"]
+    assert out[3]["red"] == "clean text with no identifiers"
+    assert out[3]["n_emails"] == out[3]["n_urls"] == out[3]["n_phones"] == 0
+
+
 def test_cosine_topk_vectorized_matches_expression(vectors):
     exact = sim.cosine_topk(vectors, vectors.filter(F.col("vec_id") < 3),
                             "vec_id", "embedding", k=4).collect()

@@ -88,9 +88,33 @@ def test_weekly_rollup_shapes(spark, facts):
     # Mean columns present, no-AggMethod columns dropped (§2.3.6)
     assert "rpe" in cols and "km" in cols and "date" in cols
     assert "type" not in cols and "sleep_quality" not in cols
+    # calculated columns roll up with plain AVG (reference agg-list
+    # generator includes the calculated map; only type/sleep_quality/
+    # physiology are dropped)
+    for c in ("ctl", "atl", "tsb", "monotony", "strain"):
+        assert c in cols, c
+    assert "kg" not in cols and "resting_hr" not in cols
     # one row per (cell, week)
     dup = weekly.groupBy(*CELL_KEYS, "year_week").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_weekly_rollup_calculated_and_sleep_semantics(spark, facts):
+    """ctl rolls up as the plain AVG of the daily ctl values; sleep_hours
+    rolls up as the SUM (the reference's day_map tags sleep as Sum)."""
+    cell = (
+        (F.col("activity") == "All") & (F.col("activity_type") == "All")
+        & (F.col("equipment") == "All")
+    )
+    weekly = run_e4_rollup(facts, "year_week")
+    some_week = weekly.filter(cell).orderBy("year_week").first()["year_week"]
+    daily = facts.filter(cell & (F.col("year_week") == some_week))
+    got = weekly.filter(cell & (F.col("year_week") == some_week)).first()
+    exp = daily.agg(
+        F.avg("ctl").alias("ctl"), F.sum("sleep_hours").alias("sleep_hours")
+    ).first()
+    assert got["ctl"] == pytest.approx(exp["ctl"], rel=1e-9)
+    assert got["sleep_hours"] == pytest.approx(exp["sleep_hours"], rel=1e-9)
 
 
 def test_monthly_rollup_sum_matches_daily(spark, facts):

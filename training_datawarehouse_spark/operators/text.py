@@ -160,3 +160,63 @@ def fingerprint(text: Column) -> Column:
     whitespace-normalized text (first 16 hex chars)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
     return F.substring(F.md5(norm), 1, 16)
+
+
+# ------------------------------------------------------ repetition
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams as joined strings, JVM-side: slide over the token
+    array via an index sequence (no explode — stays one row). Texts
+    shorter than n tokens yield an empty array — guarded explicitly
+    because ``sequence(1, 0)`` counts DOWN in Spark."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(t) < n, empty).otherwise(grams)
+
+
+def repetition_score(text: Column, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams: 1 − distinct/total. The
+    standard cheap repetition/boilerplate signal for corpus quality
+    filtering (high score = the doc repeats itself)."""
+    g = word_ngrams(text, n)
+    return (
+        F.when(F.size(g) <= 0, F.lit(0.0))
+        .otherwise(
+            1.0 - F.size(F.array_distinct(g)).cast("double")
+            / F.size(g).cast("double")
+        )
+    )
+
+
+# ----------------------------------------------------- PII scrubbing
+
+# Explicit character classes only — identical semantics under Java
+# regex (Spark) and RE2 (DuckDB), like BPE_TOKEN_PATTERN above.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+URL_PATTERN = "https?://[^ ]+"
+PHONE_PATTERN = "\\+?[0-9][0-9()-]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (emails, URLs, phone-ish numbers)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))).cast("long"),
+        "n_urls": F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))).cast("long"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails → <EMAIL>, URLs → <URL>, phone-ish numbers →
+    <PHONE>. Order matters: URLs first so an email-looking userinfo
+    inside a URL doesn't split it."""
+    out = F.regexp_replace(text, URL_PATTERN, "<URL>")
+    out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")

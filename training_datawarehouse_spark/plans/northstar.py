@@ -68,13 +68,16 @@ FROM t
 # --------------------------------------------- language id + quality
 
 def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID + [0,1] quality score."""
+    """Stopword-heuristic language ID + [0,1] quality score + word-
+    bigram repetition fraction (the cheap boilerplate signal used in
+    corpus quality filtering)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
         tx.lang_id(t).alias("lang_pred"),
         F.round(tx.quality_score(t), 6).alias("quality"),
+        F.round(tx.repetition_score(t, 2), 6).alias("repetition"),
     )
 
 
@@ -98,7 +101,11 @@ SELECT doc_id,
             ELSE 'und' END AS lang_pred,
        round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
            + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
-           + 0.3 * least((en::DOUBLE / len(toks)::DOUBLE) * 5.0, 1.0), 6) AS quality
+           + 0.3 * least((en::DOUBLE / len(toks)::DOUBLE) * 5.0, 1.0), 6) AS quality,
+       round(CASE WHEN len(toks) < 2 THEN 0.0
+                  ELSE 1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                                for i in range(1, len(toks))]))::DOUBLE
+                             / (len(toks) - 1)::DOUBLE END, 6) AS repetition
 FROM cnt
 """
 
