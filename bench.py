@@ -48,6 +48,7 @@ HEADLINE = [
     "op_jn_range",
     "op_agg_event_profile",
     "op_fn_scalar_breadth",
+    "ns_chunk_pack",
 ]
 
 

@@ -198,6 +198,53 @@ def test_pii_redaction_and_counts(spark):
     assert out[3]["n_emails"] == out[3]["n_urls"] == out[3]["n_phones"] == 0
 
 
+def test_chunking_boundaries(spark):
+    from training_datawarehouse_spark.operators import chunking as ck
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(130))), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = ck.chunk_text_tokens(df, "doc_id", "text", 64, 56).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    # 130 tokens, starts 1/57/113 -> lens 64, 64, 18; overlap of 8
+    assert sorted(by_doc[1]) == [(0, 64), (1, 64), (2, 18)]
+    assert sorted(by_doc[2]) == [(0, 2)]
+    assert sorted(by_doc[3]) == [(0, 1)]
+    first = {r["chunk_idx"]: r["chunk_text"] for r in rows if r["doc_id"] == 1}
+    # chunk 1 starts at token 57 (index 56): overlapping region repeats
+    assert first[1].split(" ")[0] == "t56"
+
+
+def test_pack_training_windows_matches_global_cumsum(spark):
+    """The two-level prefix scan must equal the naive global cumsum for
+    any shard count (including shards with no rows)."""
+    import random
+
+    from training_datawarehouse_spark.operators.chunking import pack_training_windows
+
+    rng = random.Random(11)
+    rows = [(i * 3, rng.randint(1, 700)) for i in range(200)]  # gappy ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    expected = {}
+    before = 0
+    for did, n in sorted(rows):
+        expected[did] = (before // 512, before % 512)
+        before += n
+
+    for n_shards in (1, 7, 64):
+        got = {
+            r["doc_id"]: (r["win_id"], r["win_offset"])
+            for r in pack_training_windows(
+                df, "doc_id", "n_tokens", capacity=512, n_shards=n_shards
+            ).collect()
+        }
+        assert got == expected, f"n_shards={n_shards}"
+
+
 def test_cosine_topk_vectorized_matches_expression(vectors):
     exact = sim.cosine_topk(vectors, vectors.filter(F.col("vec_id") < 3),
                             "vec_id", "embedding", k=4).collect()

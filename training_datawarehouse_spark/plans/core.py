@@ -439,7 +439,7 @@ QUERIES = {
     "op_src_1_diary_ingest": Query(diary_ingest, _diary_ingest_oracle()),
     "tpch_q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
     "op_fn_scalar_breadth": Query(scalar_breadth, SCALAR_BREADTH_ORACLE),
-    "op_subqueries": Query(subqueries, SUBQUERIES_ORACLE),
+    # subqueries ride inside relational.event_profile (sq branch)
     "op_fn_datetime": Query(datetime_functions, DATETIME_ORACLE),
     "op_prj_2_mappers": Query(mapper_scalars, MAPPER_SCALARS_ORACLE),
     "op_agg_3_weighted_mean": Query(weighted_mean, WEIGHTED_MEAN_ORACLE),

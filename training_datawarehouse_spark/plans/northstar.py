@@ -501,6 +501,63 @@ FROM ts JOIN tr USING (doc_id)
 """
 
 
+def chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → training-batch preparation: fixed-size overlapping
+    token chunks (64/stride 56) per document, joined to the packed
+    training-window assignment (capacity 512, corpus concatenated in
+    doc_id order). The packing side runs the two-level prefix scan
+    (``operators/chunking.py``) whose plain-cumsum DuckDB twin makes
+    this entry a differential test of the segmented-scan rewrite."""
+    from ..operators import chunking as ck
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = ck.chunk_text_tokens(docs, "doc_id", "text", chunk_tokens=64, stride=56)
+    stats = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("chunk_tokens_total"),
+        F.max("n_tokens").alias("max_chunk_tokens"),
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    packed = ck.pack_training_windows(
+        toks, "doc_id", "n_tokens", capacity=512, n_shards=16
+    )
+    return stats.join(packed, "doc_id")
+
+
+CHUNK_PACK_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+starts AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         unnest(range(1, greatest(len(toks), 1) + 1, 56)) AS s
+  FROM t
+),
+chunks AS (
+  SELECT doc_id, least(64, n_tok - s + 1) AS chunk_len FROM starts
+),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         CAST(sum(chunk_len) AS BIGINT) AS chunk_tokens_total,
+         CAST(max(chunk_len) AS BIGINT) AS max_chunk_tokens
+  FROM chunks GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before
+  FROM t
+)
+SELECT stats.doc_id, stats.n_chunks, stats.chunk_tokens_total,
+       stats.max_chunk_tokens, p.n_tokens,
+       CAST(before // 512 AS BIGINT) AS win_id,
+       CAST(before % 512 AS BIGINT) AS win_offset
+FROM stats JOIN p USING (doc_id)
+"""
+
+
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both bucketed ANN scale paths in one entry, tagged by method:
     sign-LSH (hyperplane buckets) and IVF (trained coarse quantizer,
@@ -550,6 +607,7 @@ QUERIES = {
     "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),
     "ns_similarity_topk": Query(similarity_topk, SIMILARITY_ORACLE),
     "ns_ngram_jaccard": Query(ngram_jaccard, NGRAM_JACCARD_ORACLE),
+    "ns_chunk_pack": Query(chunk_pack, CHUNK_PACK_ORACLE),
     "ns_similarity_ann": Query(similarity_ann, None,
                                note="approximate ANN (sign-LSH + IVF) — rows-only"),
     "ns_doc_signatures": Query(doc_signatures, None,

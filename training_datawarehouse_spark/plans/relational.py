@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .base import Query
-from .core import JSON_EXTRACTION_ORACLE
+from .core import JSON_EXTRACTION_ORACLE, SUBQUERIES_ORACLE
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,31 +819,40 @@ SELECT *, 'sliding' AS kind FROM ({SLIDING_ORACLE})
 
 
 def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type profile joining three aggregate families on one
+    """Per-event-type profile joining four aggregate families on one
     grain: multi-COUNT(DISTINCT) (Expand rewrite), exact interpolated
-    percentiles, and JSON-string extraction stats — one entry, all
-    values hash-checked."""
-    from .core import json_extraction
+    percentiles, JSON-string extraction stats, and the scalar+IN
+    subquery slice (``spark.sql`` surface) — one entry, all values
+    hash-checked."""
+    from .core import json_extraction, subqueries
 
     md = multi_distinct(spark, sf_dir)
     p = percentiles_exact(spark, sf_dir)
     j = json_extraction(spark, sf_dir)
-    return md.join(p, "event_type").join(j, "event_type")
+    sq = subqueries(spark, sf_dir).withColumnRenamed(
+        "total_value", "above_mean_value"
+    )
+    return md.join(p, "event_type").join(j, "event_type").join(sq, "event_type")
 
 
 EVENT_PROFILE_ORACLE = f"""
 WITH md AS ({MULTI_DISTINCT_ORACLE}),
 p AS ({PERCENTILES_ORACLE}),
-j AS ({JSON_EXTRACTION_ORACLE})
+j AS ({JSON_EXTRACTION_ORACLE}),
+sq AS (SELECT event_type, n_above_mean, total_value AS above_mean_value
+       FROM ({SUBQUERIES_ORACLE}))
 SELECT md.event_type, md.n_users, md.n_days, md.n_events, md.total_value,
        p.p25, p.p50, p.p95,
-       j.sum_k, j.n_with_k, j.min_k, j.max_k
+       j.sum_k, j.n_with_k, j.min_k, j.max_k,
+       sq.n_above_mean, sq.above_mean_value
 FROM md JOIN p USING (event_type) JOIN j USING (event_type)
+         JOIN sq USING (event_type)
 """
 
 
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
+    # op_subqueries folded in as the sq branch (scalar + IN subqueries)
     "op_agg_event_profile": Query(event_profile, EVENT_PROFILE_ORACLE),
     "op_agg_rollup_hierarchy": Query(rollup_hierarchy, ROLLUP_HIERARCHY_ORACLE),
     "op_jn_asof": Query(asof_join_q, ASOF_ORACLE),
