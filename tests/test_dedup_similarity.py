@@ -235,14 +235,16 @@ def test_pack_training_windows_matches_global_cumsum(spark):
         expected[did] = (before // 512, before % 512)
         before += n
 
-    for n_shards in (1, 7, 64):
+    # widths that straddle/align/exceed the id span, incl. width 1
+    # (one shard per id) and a width leaving many empty shards
+    for shard_width in (1, 13, 100, 10_000):
         got = {
             r["doc_id"]: (r["win_id"], r["win_offset"])
             for r in pack_training_windows(
-                df, "doc_id", "n_tokens", capacity=512, n_shards=n_shards
+                df, "doc_id", "n_tokens", capacity=512, shard_width=shard_width
             ).collect()
         }
-        assert got == expected, f"n_shards={n_shards}"
+        assert got == expected, f"shard_width={shard_width}"
 
 
 def test_cosine_topk_vectorized_matches_expression(vectors):

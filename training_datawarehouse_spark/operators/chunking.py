@@ -62,7 +62,7 @@ def pack_training_windows(
     id_col: str,
     n_tokens_col: str,
     capacity: int = 512,
-    n_shards: int = 64,
+    shard_width: int = 1024,
 ) -> DataFrame:
     """Assign each doc (ordered by ``id_col``) its packed training
     window: ``win_id`` = window index of the doc's FIRST token,
@@ -70,31 +70,34 @@ def pack_training_windows(
     to ``floor(prefix_sum/capacity)`` over a global cumsum, computed as
     a two-level scan:
 
-      1. shard by contiguous id range (``pct_rank``-free: modulo-range
-         on a dense rank would shuffle; a range shard on the id keeps
-         shard ↔ order alignment),
+      1. shard by FIXED contiguous id range ``floor(id / shard_width)``
+         — shard ids need not be dense, so no min/max pre-scan (a
+         driver action here would recompute the input lineage just to
+         size shards); any width preserves shard ↔ order alignment,
       2. per-shard cumsum (parallel windows over single shards),
       3. per-shard totals → tiny frame → running offsets → broadcast.
 
-    The only global structure that ever moves is one row per shard.
+    The only global structure that ever moves is one row per non-empty
+    shard. Pick ``shard_width`` so a shard's rows fit one task (it is a
+    partitioning knob, not a correctness one — any value ≥ 1 is exact).
+
+    All other columns of ``df`` are carried through unchanged, so
+    callers never need a recompute-the-lineage self-join to reattach
+    their data to the assignment.
     """
-    ids = df.select(F.col(id_col), F.col(n_tokens_col).alias("__n"))
-    # contiguous range shard: preserves global order across shards
-    lo_hi = ids.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
-    span = max(int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1, 1)
-    per = max(-(-span // n_shards), 1)  # ceil
-    sharded = ids.withColumn(
-        "__shard", ((F.col(id_col) - F.lit(int(lo_hi["lo"]))) / per).cast("long")
+    sharded = df.withColumn(
+        "__shard", F.floor(F.col(id_col) / shard_width).cast("long")
     )
+    n = F.col(n_tokens_col)
 
     w = Window.partitionBy("__shard").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    within = sharded.withColumn("__before_in_shard", F.coalesce(F.sum("__n").over(w), F.lit(0)))
-
-    totals = (
-        sharded.groupBy("__shard").agg(F.sum("__n").alias("__shard_total"))
+    within = sharded.withColumn(
+        "__before_in_shard", F.coalesce(F.sum(n).over(w), F.lit(0))
     )
+
+    totals = sharded.groupBy("__shard").agg(F.sum(n).alias("__shard_total"))
     w2 = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
     # |shards| rows: the single-partition window here is over a tiny
     # frame by construction, not over the data
@@ -104,9 +107,8 @@ def pack_training_windows(
 
     packed = within.join(F.broadcast(offsets), "__shard")
     before = F.col("__before_in_shard") + F.col("__shard_offset")
-    return packed.select(
-        id_col,
-        F.col("__n").alias(n_tokens_col),
-        F.floor(before / capacity).cast("long").alias("win_id"),
-        (before % capacity).cast("long").alias("win_offset"),
+    return (
+        packed.withColumn("win_id", F.floor(before / capacity).cast("long"))
+        .withColumn("win_offset", (before % capacity).cast("long"))
+        .drop("__shard", "__before_in_shard", "__shard_offset")
     )

@@ -486,11 +486,24 @@ FROM lbl GROUP BY split
 
 
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis in one entry: lexical stats
-    (token counts, TTR, stopwords) joined on doc_id to the
-    BPE-pretokenizer regex token counts — all JVM-side expressions,
-    all values hash-checked."""
-    return text_stats(spark, sf_dir).join(token_regex(spark, sf_dir), "doc_id")
+    """Per-document text analysis in one entry: lexical stats (token
+    counts, TTR, stopwords) and BPE-pretokenizer regex token counts —
+    ONE projection over one scan (a self-join on doc_id would read the
+    corpus twice and shuffle it once for nothing); all JVM-side
+    expressions, all values hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.distinct_token_count(t).alias("n_distinct"),
+        F.round(tx.type_token_ratio(t), 6).alias("ttr"),
+        F.round(tx.avg_token_length(t), 6).alias("avg_token_len"),
+        tx.stopword_count(t, "en").alias("n_stopwords_en"),
+        tx.token_count(t).alias("n_ws_tokens"),
+        tx.regex_token_count(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tx.regex_tokens(t))).cast("long").alias("n_bpe_distinct"),
+    )
 
 
 TEXT_PROFILE_ORACLE = f"""
@@ -516,14 +529,22 @@ def chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("chunk_tokens_total"),
         F.max("n_tokens").alias("max_chunk_tokens"),
+        F.max(F.struct("chunk_idx", "n_tokens"))["n_tokens"].alias("__last_len"),
     )
-    toks = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    # n_tokens reconstructs exactly from the chunk stats — the last
+    # chunk starts at stride·(n_chunks−1) — so packing rides the SAME
+    # scan instead of re-reading the corpus
+    stats = stats.withColumn(
+        "n_tokens",
+        (56 * (F.col("n_chunks") - 1) + F.col("__last_len")).cast("long"),
     )
     packed = ck.pack_training_windows(
-        toks, "doc_id", "n_tokens", capacity=512, n_shards=16
+        stats, "doc_id", "n_tokens", capacity=512, shard_width=64
     )
-    return stats.join(packed, "doc_id")
+    return packed.select(
+        "doc_id", "n_chunks", "chunk_tokens_total", "max_chunk_tokens",
+        "n_tokens", "win_id", "win_offset",
+    )
 
 
 CHUNK_PACK_ORACLE = """

@@ -819,20 +819,33 @@ SELECT *, 'sliding' AS kind FROM ({SLIDING_ORACLE})
 
 
 def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type profile joining four aggregate families on one
-    grain: multi-COUNT(DISTINCT) (Expand rewrite), exact interpolated
-    percentiles, JSON-string extraction stats, and the scalar+IN
-    subquery slice (``spark.sql`` surface) — one entry, all values
-    hash-checked."""
-    from .core import json_extraction, subqueries
+    """Per-event-type profile: multi-COUNT(DISTINCT) (Expand rewrite),
+    exact interpolated percentiles, and JSON-string extraction stats
+    computed in ONE scan + ONE aggregation (they share the grain — at
+    100 TB, three separate scans joined back together would triple the
+    read), plus the scalar+IN subquery slice (``spark.sql`` surface)
+    joined on. All values hash-checked."""
+    from .core import subqueries
 
-    md = multi_distinct(spark, sf_dir)
-    p = percentiles_exact(spark, sf_dir)
-    j = json_extraction(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    base = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
     sq = subqueries(spark, sf_dir).withColumnRenamed(
         "total_value", "above_mean_value"
     )
-    return md.join(p, "event_type").join(j, "event_type").join(sq, "event_type")
+    return base.join(sq, "event_type")
 
 
 EVENT_PROFILE_ORACLE = f"""

@@ -25,8 +25,14 @@ import os
 import random
 import tempfile
 
+# Inside the repo (committed, deterministic): the oracle SQL embeds this
+# absolute path, so DuckDB must be able to read it even in a process
+# that never imported this package — a tmp-dir file could be missing
+# after a container restart.
 DIARY_FIXTURE_PATH = os.path.join(
-    tempfile.gettempdir(), "spark_graft_training_diary.json"
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "testdata_fixtures",
+    "training_diary.json",
 )
 
 _N_DAYS = 150
@@ -98,6 +104,7 @@ def ensure_diary_fixture(path: str = DIARY_FIXTURE_PATH) -> str:
     """Write the fixture if absent (atomic rename — concurrent callers
     race benignly to identical bytes). Returns the path."""
     if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         payload = json.dumps(build_diary_doc())
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         try:
