@@ -68,6 +68,68 @@ def test_monotony_strain_matches_pandas(spark, xs):
         assert got[i][1] == pytest.approx(strain[i], rel=1e-9, abs=1e-9)
 
 
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=40),
+    chunk=st.integers(min_value=2, max_value=80),
+    stride_frac=st.floats(min_value=0.2, max_value=1.0),
+)
+@_settings
+def test_chunking_covers_every_token_exactly(spark, lens, chunk, stride_frac):
+    """Invariants for any (chunk, stride ≤ chunk): chunk 0 starts at
+    token 0; consecutive chunks advance by exactly `stride`; the union
+    of chunks covers the whole doc; every chunk ≤ chunk_tokens."""
+    from training_datawarehouse_spark.operators.chunking import chunk_text_tokens
+
+    stride = max(1, int(chunk * stride_frac))
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_text_tokens(df, "doc_id", "text", chunk, stride).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    for i, n in enumerate(lens):
+        n_tok = max(n, 1)  # "" splits to one empty token
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        for idx, r in chunks.items():
+            start = idx * stride
+            assert r["n_tokens"] == min(chunk, n_tok - start)
+        last = max(chunks)
+        # full coverage: last chunk reaches the end, and one more stride
+        # would start past the end
+        assert last * stride + chunks[last]["n_tokens"] == n_tok
+        assert (last + 1) * stride + 1 > n_tok
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 900)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    capacity=st.integers(min_value=1, max_value=1024),
+    shard_width=st.integers(min_value=1, max_value=5_000),
+)
+@_settings
+def test_packing_equals_global_cumsum_any_shape(spark, rows, capacity, shard_width):
+    from training_datawarehouse_spark.operators.chunking import pack_training_windows
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    expected, before = {}, 0
+    for did, n in sorted(rows):
+        expected[did] = (before // capacity, before % capacity)
+        before += n
+    got = {
+        r["doc_id"]: (r["win_id"], r["win_offset"])
+        for r in pack_training_windows(
+            df, "doc_id", "n_tokens", capacity=capacity, shard_width=shard_width
+        ).collect()
+    }
+    assert got == expected
+
+
 _dims = st.sampled_from(["Run", "Bike", "All?", ""])  # includes junky labels
 _equip = st.sampled_from(["SUP 1", "SUP 2", "Not Set", ""])
 
