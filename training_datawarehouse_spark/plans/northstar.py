@@ -284,17 +284,24 @@ def winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cross_modal_dedup(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Cross-modal agreement: text near-dup candidate pairs (MinHash
     LSH, τ=0.3) scored by embedding cosine for the ids that carry
     embeddings (doc_id ≡ vec_id on the shared prefix). Disagreement
     (high Jaccard, low cosine) is the standard embedding-quality QA
-    signal in dedup pipelines. Composes two subsystems → rows-only."""
-    docs = load_table(spark, sf_dir, "documents")
+    signal in dedup pipelines. Composes two subsystems → rows-only.
+
+    ``pairs`` lets a caller share one LSH candidate pass across several
+    consumers (see ``lsh_cross_modal``) instead of recomputing the
+    shingle→signature→band pipeline per consumer."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
-                                   bands=8, rows_per_band=4,
-                                   jaccard_threshold=0.3)
+    if pairs is None:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
+                                       bands=8, rows_per_band=4,
+                                       jaccard_threshold=0.3)
     v = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     joined = (
         pairs.join(v.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a")
@@ -602,13 +609,23 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (τ=0.5) plus the cross-modal
     agreement pass (τ=0.3 candidates scored by embedding cosine),
-    tagged by stage — the candidate stage carries null cosine/agree."""
-    cand = minhash_lsh(spark, sf_dir).select(
+    tagged by stage — the candidate stage carries null cosine/agree.
+
+    The LSH threshold only gates the final verified-Jaccard filter, so
+    ONE candidate pass at τ=0.3 feeds both stages (τ=0.5 is a filter of
+    it); the union's branches then share a canonical-identical subplan
+    and Spark's exchange reuse turns the second branch's shuffles into
+    ReusedExchange nodes instead of a full recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
+                                   bands=8, rows_per_band=4,
+                                   jaccard_threshold=0.3)
+    cand = pairs.filter(F.col("jaccard") >= 0.5).select(
         F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
         F.lit(None).cast("double").alias("cosine"),
         F.lit(None).cast("int").alias("agree"),
     )
-    cm = cross_modal_dedup(spark, sf_dir).select(
+    cm = cross_modal_dedup(spark, sf_dir, pairs=pairs).select(
         F.lit("cross_modal").alias("stage"), "id_a", "id_b", "jaccard",
         "cosine", "agree",
     )
