@@ -819,12 +819,20 @@ SELECT *, 'sliding' AS kind FROM ({SLIDING_ORACLE})
 
 
 def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type profile: multi-COUNT(DISTINCT) (Expand rewrite),
-    exact interpolated percentiles, and JSON-string extraction stats
-    computed in ONE scan + ONE aggregation (they share the grain — at
-    100 TB, three separate scans joined back together would triple the
-    read), plus the scalar+IN subquery slice (``spark.sql`` surface)
-    joined on. All values hash-checked."""
+    """Per-event-type profile: multi-COUNT(DISTINCT) (Expand rewrite)
+    plus JSON-string extraction stats in ONE aggregation, exact
+    interpolated percentiles in a second, and the scalar+IN subquery
+    slice (``spark.sql`` surface) joined on. All values hash-checked.
+
+    Why percentiles are a SEPARATE aggregation (measured, sf0.1): a
+    distinct-agg forces the Expand(×3) rewrite, and ``percentile`` is
+    sort-based — fused into one agg, the sort aggregate runs over the
+    tripled null-padded rows and the query goes 0.66 s → 2.8 s. Split,
+    the distinct branch stays a hash agg over its Expand and the
+    percentile sort sees each row once; the join-back is 5 broadcast
+    rows. At 100 TB the extra scan is the cheaper side of that trade —
+    or swap the branch to ``percentile_approx`` (one hash-agg pass,
+    fused fine) when approximate quantiles are acceptable."""
     from .core import subqueries
 
     ev = load_table(spark, sf_dir, "events")
@@ -834,18 +842,22 @@ def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("ts")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+    p = percentiles_exact(spark, sf_dir)
     sq = subqueries(spark, sf_dir).withColumnRenamed(
         "total_value", "above_mean_value"
     )
-    return base.join(sq, "event_type")
+    return base.join(F.broadcast(p), "event_type").join(
+        F.broadcast(sq), "event_type"
+    ).select(
+        "event_type", "n_users", "n_days", "n_events", "total_value",
+        "p25", "p50", "p95", "sum_k", "n_with_k", "min_k", "max_k",
+        "n_above_mean", "above_mean_value",
+    )
 
 
 EVENT_PROFILE_ORACLE = f"""
