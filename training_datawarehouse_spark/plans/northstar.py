@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators import sampling
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..sources.tables import load_table
@@ -456,20 +457,52 @@ FROM meta GROUP BY format
 
 # --------------------------------------------- deterministic splits
 
+# Target mixture: srcN gets fraction ((N % 4) + 1)/8 ∈ {.125,.25,.375,.5}
+# — a literal dict on the Spark side, the same closed-form rule in the
+# oracle SQL. Unlisted domains default to 0 (excluded).
+MIXTURE_FRACTIONS = {f"src{i}": ((i % 4) + 1) / 8 for i in range(20)}
+
+
 def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable 90/5/5 train/val/test membership by content hash of
-    doc_id — reproducible across engines/runs/cluster sizes (unlike
-    ``df.sample``), which is what makes re-processed corpora keep their
-    split."""
+    """Dataset-composition surface in one entry, tagged by stage:
+
+    - 'split': stable 90/5/5 train/val/test membership by content hash
+      of doc_id — reproducible across engines/runs/cluster sizes
+      (unlike ``df.sample``), which is what makes re-processed corpora
+      keep their split.
+    - 'mixture_exact': per-domain exact-quota selection under
+      MIXTURE_FRACTIONS (hash-ranked within domain; one window pass).
+    - 'mixture_threshold': the scan-only approximate-quota path (hash
+      bucket under per-domain cutoff; no shuffle).
+
+    All three hash-checked against the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.select(
-        "doc_id", tx.train_val_test_split(F.col("doc_id")).alias("split")
-    )
-    return out.groupBy("split").agg(
+    agg = lambda g: [  # noqa: E731 — shared 3-metric summary
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    ]
+    split = (
+        docs.select("doc_id", tx.train_val_test_split(F.col("doc_id")).alias("label"))
+        .groupBy("label")
+        .agg(*agg("label"))
+        .select(F.lit("split").alias("stage"), "label", "n_docs", "min_id", "max_id")
     )
+    ex = (
+        sampling.mixture_sample_exact(docs, "source", "doc_id", MIXTURE_FRACTIONS)
+        .groupBy(F.col("source").alias("label"))
+        .agg(*agg("source"))
+        .select(F.lit("mixture_exact").alias("stage"), "label",
+                "n_docs", "min_id", "max_id")
+    )
+    th = (
+        sampling.mixture_sample_threshold(docs, "source", "doc_id", MIXTURE_FRACTIONS)
+        .groupBy(F.col("source").alias("label"))
+        .agg(*agg("source"))
+        .select(F.lit("mixture_threshold").alias("stage"), "label",
+                "n_docs", "min_id", "max_id")
+    )
+    return split.unionByName(ex).unionByName(th)
 
 
 # one hex byte of md5(doc_id) → bucket 0..255; test = [0,13), val = [13,26)
@@ -478,17 +511,43 @@ _B0_DOC = (
     " + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
 )
 
+# srcN → ((N % 4) + 1)/8 — the SQL twin of MIXTURE_FRACTIONS.
+_FRAC_SQL = "((CAST(substr(source, 4) AS INT) % 4) + 1) / 8.0"
+
 SPLIT_ORACLE = f"""
 WITH hx AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
 lbl AS (
   SELECT doc_id,
          CASE WHEN {_B0_DOC} % 256 < 13 THEN 'test'
               WHEN {_B0_DOC} % 256 < 26 THEN 'val'
-              ELSE 'train' END AS split
+              ELSE 'train' END AS label
   FROM hx
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_d
+  FROM documents
+),
+bkt AS (
+  SELECT source, doc_id, md5(doc_id::VARCHAR) AS h FROM documents
 )
-SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
-FROM lbl GROUP BY split
+SELECT 'split' AS stage, label, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM lbl GROUP BY label
+UNION ALL
+SELECT 'mixture_exact' AS stage, source AS label, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM ranked
+WHERE rk <= floor({_FRAC_SQL} * n_d + 0.5)
+GROUP BY source
+UNION ALL
+SELECT 'mixture_threshold' AS stage, source AS label, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM bkt
+WHERE {_B0_DOC} % 256 < floor({_FRAC_SQL} * 256 + 0.5)
+GROUP BY source
 """
 
 
