@@ -288,3 +288,83 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseOR(term)
     return votes.select("id", sim.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the smallest node id
+    in its component. Returns (node, component).
+
+    Iterative surface (like Lloyd's k-means): each round is ONE
+    distributed join + groupBy-min — label table joined to the
+    symmetrized edges, neighbor minima merged with the node's own
+    label — and the only driver-side value is the scalar changed-count
+    that decides convergence. ``localCheckpoint`` truncates lineage per
+    round so the plan doesn't grow exponentially with iterations.
+
+    Rounds needed = component diameter. Near-dup clusters are small and
+    dense (diameter ≲ 3), so this converges in a handful of rounds; for
+    general giant-component graphs swap in the large-star/small-star
+    halving scheme, which this API deliberately matches.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = fwd.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = sym.select("a").distinct().withColumn("label", F.col("a"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("a").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, "a", "left")
+            .select(
+                "a",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("a", F.col("label").alias("old")), "a")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def resolve_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality: Column | None = None,
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate-cluster resolution — the end step of every dedup
+    pipeline: candidate pairs → connected components → ONE canonical
+    survivor per cluster, highest ``quality`` first (default: text
+    length), smallest id as tiebreak. Returns (component, survivor,
+    n_members).
+
+    The survivor pick is a ``max_by`` hash aggregation over a struct
+    sort key — map-side combinable, no per-cluster sort window.
+    Pass ``components`` to reuse an already-computed labeling.
+    """
+    comp = components if components is not None else connected_components(pairs)
+    q = quality if quality is not None else F.length("text")
+    members = docs.join(
+        comp, docs[id_col] == comp["node"], "inner"
+    ).select("component", F.col(id_col).alias("member"), q.alias("q"))
+    return members.groupBy("component").agg(
+        F.max_by(
+            "member", F.struct(F.col("q"), (-F.col("member")).alias("nid"))
+        ).alias("survivor"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
