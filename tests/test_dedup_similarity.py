@@ -327,3 +327,75 @@ def test_kmeans_inertia_decreases(vectors):
     rows = sim.ivf_topk(vectors, queries, "vec_id", "embedding",
                         k=3, n_probe=2, centroids=cents).collect()
     assert rows and rows[0]["neighbor_id"] == 100
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    from training_datawarehouse_spark.operators.dedup import connected_components
+
+    # component {1,2,3} as a chain (diameter 2) + component {10,11}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_path_graph(spark):
+    from training_datawarehouse_spark.operators.dedup import connected_components
+
+    # path 0-1-2-...-9: worst-case diameter for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_resolve_near_duplicates_keeps_longest_then_smallest_id(spark):
+    from training_datawarehouse_spark.operators.dedup import resolve_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text wins"), (3, "short"),
+         (10, "same len"), (11, "same len"), (99, "untouched loner")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.7)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["component"]: (r["survivor"], r["n_members"])
+           for r in resolve_near_duplicates(docs, pairs).collect()}
+    # cluster 1: doc 2 has the longest text; cluster 10: equal length
+    # ties break to the smallest id; loner 99 is in no cluster
+    assert got == {1: (2, 3), 10: (10, 2)}
+
+
+def test_drop_reason_rule_order_and_kept(spark):
+    from pyspark.sql import functions as F
+    from training_datawarehouse_spark.operators import text as tx
+
+    rows = [
+        (1, "a b"),                                   # < 5 tokens -> too_short
+        (2, "x y " * 40),                             # repeated bigrams, also low quality
+        (3, "zz qq ww ee rr tt yy uu ii oo"),         # no stopwords -> low_quality/unknown
+        (4, "the quick cat and one slow dog ran past that old house in "
+            "a small town while it was raining there for several hours"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    lp = tx.lang_id(t)
+    q = F.round(tx.quality_score(t), 6)
+    r = F.round(tx.repetition_score(t, 2), 6)
+    got = {
+        row["doc_id"]: row["reason"]
+        for row in df.select(
+            "doc_id",
+            tx.drop_reason(lp, q, r, tx.token_count(t)).alias("reason"),
+        ).collect()
+    }
+    assert got[1] == "too_short"          # structural check fires first
+    assert got[2] == "repetitive"         # repetition outranks low_quality
+    assert got[3] in ("low_quality", "unknown_lang")
+    assert got[4] == "kept"

@@ -57,6 +57,30 @@ def quality_score(text: Column) -> Column:
     return 0.4 * length_part + 0.3 * diversity + 0.3 * stop_part
 
 
+def drop_reason(
+    lang_pred: Column,
+    quality: Column,
+    repetition: Column,
+    n_tokens: Column,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    max_repetition: float = 0.5,
+) -> Column:
+    """Filter-with-provenance: the FIRST failing quality rule, or
+    'kept'. Corpus filtering that records WHY each document was dropped
+    is what makes a 100 TB cleaning pass debuggable — the funnel
+    (count per reason) falls out as a groupBy. Rule order is part of
+    the contract: short-circuit cheap structural checks before model-ish
+    scores, mirroring how production filters are layered."""
+    return (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(repetition > max_repetition, F.lit("repetitive"))
+        .when(quality < min_quality, F.lit("low_quality"))
+        .when(lang_pred == "und", F.lit("unknown_lang"))
+        .otherwise(F.lit("kept"))
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Argmax over per-language stopword counts; ties → 'und' unless one
     language strictly wins. Deterministic, oracle-expressible."""

@@ -71,14 +71,22 @@ FROM t
 def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID + [0,1] quality score + word-
     bigram repetition fraction (the cheap boilerplate signal used in
-    corpus quality filtering)."""
+    corpus quality filtering) + ``drop_reason`` — the first failing
+    filter rule per document ('kept' if none), so the cleaning funnel
+    is a groupBy away. Reasons are computed from the ROUNDED scores the
+    row itself reports, keeping Spark and the oracle bit-identical at
+    the thresholds."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    lp = tx.lang_id(t)
+    q = F.round(tx.quality_score(t), 6)
+    r = F.round(tx.repetition_score(t, 2), 6)
     return docs.select(
         "doc_id",
-        tx.lang_id(t).alias("lang_pred"),
-        F.round(tx.quality_score(t), 6).alias("quality"),
-        F.round(tx.repetition_score(t, 2), 6).alias("repetition"),
+        lp.alias("lang_pred"),
+        q.alias("quality"),
+        r.alias("repetition"),
+        tx.drop_reason(lp, q, r, tx.token_count(t)).alias("drop_reason"),
     )
 
 
@@ -95,7 +103,8 @@ cnt AS (
          len(list_filter(toks, x -> x IN {_SW_DE})) AS de
   FROM t
 )
-SELECT doc_id,
+, m AS (
+SELECT doc_id, len(toks) AS n_tokens,
        CASE WHEN en > fr AND en > de THEN 'en'
             WHEN fr > en AND fr > de THEN 'fr'
             WHEN de > en AND de > fr THEN 'de'
@@ -108,6 +117,14 @@ SELECT doc_id,
                                                 for i in range(1, len(toks))]))::DOUBLE
                              / (len(toks) - 1)::DOUBLE END, 6) AS repetition
 FROM cnt
+)
+SELECT doc_id, lang_pred, quality, repetition,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN repetition > 0.5 THEN 'repetitive'
+            WHEN quality < 0.3 THEN 'low_quality'
+            WHEN lang_pred = 'und' THEN 'unknown_lang'
+            ELSE 'kept' END AS drop_reason
+FROM m
 """
 
 
@@ -229,13 +246,44 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ near-dedup
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs word-3-gram Jaccard ≥ 0.5."""
+    """The full exact-dedup pipeline, tagged by stage — each stage
+    hash-checked against the recursive-CTE oracle:
+
+    - 'pairs': exact all-pairs word-3-gram Jaccard ≥ 0.5 (the oracle
+      anchor for the LSH scale path).
+    - 'cluster': connected components over those pairs (min-label
+      propagation; label = smallest doc_id in the component).
+    - 'survivor': duplicate-cluster resolution — one canonical doc per
+      cluster (longest text, then smallest id) with member count.
+
+    ``pairs`` is localCheckpointed once and feeds all three stages, so
+    the quadratic verification runs exactly once."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    comp = dd.connected_components(pairs)
+    surv = dd.resolve_near_duplicates(docs, pairs, components=comp)
+    nul = lambda: F.lit(None).cast("double")  # noqa: E731
+    p = pairs.select(
+        F.lit("pairs").alias("stage"), "id_a", "id_b", "jaccard",
+        F.lit(None).cast("long").alias("n_members"),
+    )
+    c = comp.select(
+        F.lit("cluster").alias("stage"),
+        F.col("node").alias("id_a"), F.col("component").alias("id_b"),
+        nul().alias("jaccard"), F.lit(None).cast("long").alias("n_members"),
+    )
+    s = surv.select(
+        F.lit("survivor").alias("stage"),
+        F.col("survivor").alias("id_a"), F.col("component").alias("id_b"),
+        nul().alias("jaccard"), "n_members",
+    )
+    return p.unionByName(c).unionByName(s)
 
 
 NGRAM_JACCARD_ORACLE = """
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 g AS (
@@ -249,13 +297,43 @@ common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+surv AS (
+  SELECT component, doc_id AS survivor, n_members FROM (
+    SELECT c.component, d.doc_id,
+           count(*) OVER (PARTITION BY c.component) AS n_members,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY len(d.text) DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+  ) WHERE rn = 1
 )
-SELECT id_a, id_b,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+SELECT 'pairs' AS stage, id_a, id_b, jaccard, NULL::BIGINT AS n_members
+FROM pairs
+UNION ALL
+SELECT 'cluster', node, component, NULL, NULL FROM comp
+UNION ALL
+SELECT 'survivor', survivor, component, NULL, n_members FROM surv
 """
 
 
