@@ -49,6 +49,7 @@ HEADLINE = [
     "op_agg_event_profile",
     "op_fn_scalar_breadth",
     "ns_chunk_pack",
+    "ns_split_train_val",
 ]
 
 
