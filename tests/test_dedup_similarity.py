@@ -399,3 +399,33 @@ def test_drop_reason_rule_order_and_kept(spark):
     assert got[2] == "repetitive"         # repetition outranks low_quality
     assert got[3] in ("low_quality", "unknown_lang")
     assert got[4] == "kept"
+
+
+def test_lsh_incremental_probe_finds_cross_generation_dups(spark):
+    from pyspark.sql import functions as F
+    from training_datawarehouse_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_probe_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the quiet green forest before the sun finally sets")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about database join "
+                        "strategies and shuffle partitioning at scale")],
+        "doc_id long, text string",
+    )
+    index = lsh_band_index(corpus, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(100, base + " now"),            # near-dup of corpus doc 1
+         (101, base + " today"),          # near-dup of 1 AND of 100
+         (102, "fresh unique content mentioning nothing ever seen in "
+               "any earlier generation of this growing corpus at all")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["new_id"], r["old_id"])
+             for r in lsh_probe_index(index, new, "doc_id", "text").collect()}
+    assert (100, 1) in pairs and (101, 1) in pairs
+    assert (100, 101) in pairs          # in-batch collision
+    assert not any(102 in p for p in pairs)
+    assert not any(2 in p for p in pairs)

@@ -368,3 +368,68 @@ def resolve_near_duplicates(
         ).alias("survivor"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def lsh_band_index(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(band, sig, id) rows — the persistable LSH index of a corpus.
+
+    Incremental-dedup support: build once, write partitioned/bucketed
+    by (band, sig), then each new ingest batch probes the index with
+    ``lsh_probe_index`` instead of re-hashing the whole corpus. The
+    index row is 3 longs — at 100 TB of text it is orders of magnitude
+    smaller than its corpus and cheap to keep hot.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[
+                F.element_at("minhash", b * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ]).alias("sig"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_probe_index(
+    index: DataFrame, new_docs: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates: (new_id, old_id) pairs whose
+    band signature collides with the stored corpus index, plus
+    new-vs-new collisions within the batch (old_id < new_id convention
+    cannot hold across generations, so columns are role-named).
+
+    The probe joins the batch's band rows — tiny — against the index on
+    (band, sig): with the index bucketed on those keys this reads only
+    the touched buckets, never the corpus. Verification (exact Jaccard
+    on the candidate ids' texts) stays a separate composable step, as
+    in ``lsh_candidate_pairs``.
+    """
+    probe = lsh_band_index(
+        new_docs, id_col, text_col, num_hashes, bands, rows_per_band, shingle_n
+    )
+    vs_corpus = (
+        probe.alias("n")
+        .join(index.alias("o"), ["band", "sig"])
+        .filter(F.col("n.id") != F.col("o.id"))
+        .select(F.col("n.id").alias("new_id"), F.col("o.id").alias("old_id"))
+        .distinct()
+    )
+    vs_batch = (
+        probe.alias("x")
+        .join(probe.alias("y"), ["band", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("old_id"))
+        .distinct()
+    )
+    return vs_corpus.unionByName(vs_batch).distinct()

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import sampling
+from ..operators import sharding
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..sources.tables import load_table
@@ -685,9 +686,14 @@ def chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = ck.pack_training_windows(
         stats, "doc_id", "n_tokens", capacity=512, shard_width=64
     )
-    return packed.select(
+    # final layout step: deterministic seeded-hash shard + in-shard
+    # position (what write_training_shards materializes on disk)
+    laid_out = sharding.training_order(packed, "doc_id", seed="r2", n_shards=8)
+    return laid_out.select(
         "doc_id", "n_chunks", "chunk_tokens_total", "max_chunk_tokens",
         "n_tokens", "win_id", "win_offset",
+        F.col("tshard").cast("long").alias("tshard"),
+        F.col("tshard_pos").cast("long").alias("tshard_pos"),
     )
 
 
@@ -715,11 +721,26 @@ p AS (
            AS before
   FROM t
 )
+, packed AS (
 SELECT stats.doc_id, stats.n_chunks, stats.chunk_tokens_total,
        stats.max_chunk_tokens, p.n_tokens,
        CAST(before // 512 AS BIGINT) AS win_id,
        CAST(before % 512 AS BIGINT) AS win_offset
 FROM stats JOIN p USING (doc_id)
+),
+keyed AS (
+  SELECT *, md5('r2:' || doc_id::VARCHAR) AS tkey FROM packed
+)
+SELECT doc_id, n_chunks, chunk_tokens_total, max_chunk_tokens, n_tokens,
+       win_id, win_offset,
+       CAST(((strpos('0123456789abcdef', substr(tkey, 1, 1)) - 1) * 16
+        + strpos('0123456789abcdef', substr(tkey, 2, 1)) - 1) % 8 AS BIGINT)
+         AS tshard,
+       CAST(row_number() OVER (
+         PARTITION BY ((strpos('0123456789abcdef', substr(tkey, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(tkey, 2, 1)) - 1) % 8
+         ORDER BY tkey, doc_id) - 1 AS BIGINT) AS tshard_pos
+FROM keyed
 """
 
 
