@@ -73,3 +73,19 @@ def test_default_fraction_excludes_unlisted_domains(spark):
     df = _corpus(spark)
     out = mixture_sample_exact(df, "source", "doc_id", {"web": 0.5})
     assert out.select("source").distinct().collect()[0]["source"] == "web"
+
+
+def test_empty_input_yields_empty_everywhere(spark):
+    from training_datawarehouse_spark.operators.dedup import (
+        connected_components,
+        resolve_near_duplicates,
+    )
+    from training_datawarehouse_spark.operators.sharding import training_order
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    edges = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+    assert mixture_sample_exact(docs, "text", "doc_id", {"x": 0.5}).count() == 0
+    assert mixture_sample_threshold(docs, "text", "doc_id", {"x": 0.5}).count() == 0
+    assert training_order(docs, "doc_id").count() == 0
+    assert connected_components(edges).count() == 0
+    assert resolve_near_duplicates(docs, edges).count() == 0
