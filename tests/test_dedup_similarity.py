@@ -429,3 +429,38 @@ def test_lsh_incremental_probe_finds_cross_generation_dups(spark):
     assert (100, 101) in pairs          # in-batch collision
     assert not any(102 in p for p in pairs)
     assert not any(2 in p for p in pairs)
+
+
+def test_contamination_pairs_planted_overlap(spark):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    train_rows = [
+        # doc 1 contains an eval doc's full 5-gram run (contaminated)
+        (1, "intro words then alpha beta gamma delta epsilon zeta closing"),
+        # doc 2 shares only shorter runs (max 4 consecutive tokens)
+        (2, "alpha beta gamma delta UNRELATED epsilon zeta eta theta oops"),
+        (3, "entirely different tokens about spark shuffle partitions here"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    evals = spark.createDataFrame([(900, eval_text)], "doc_id long, text string")
+    out = dd.contamination_pairs(train, evals, "doc_id", "text", n=5)
+    rows = {r["train_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    hit = rows[1]
+    assert hit["eval_id"] == 900
+    # "alpha beta gamma delta epsilon" + "beta gamma delta epsilon zeta"
+    assert hit["n_shared"] == 2
+    # train doc 1 has 10 tokens → 6 distinct 5-grams
+    assert hit["overlap"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_contamination_broadcast_plan(spark):
+    train = spark.createDataFrame(
+        [(i, f"token{i} filler one two three four five six") for i in range(20)],
+        "doc_id long, text string",
+    )
+    evals = train.limit(2)
+    plan = dd.contamination_pairs(
+        train, evals, "doc_id", "text", n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -270,6 +270,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share
+    word n-grams with an evaluation/benchmark set, so they can be
+    dropped before training (the standard train/test-overlap guard;
+    production pipelines use n of 8-13 — the knob is ``n``).
+
+    Returns (train_id, eval_id, n_shared, overlap) where ``n_shared``
+    counts shared DISTINCT n-grams and ``overlap`` is the fraction of
+    the train doc's n-grams that are shared.
+
+    Scale shape: the eval side is benchmark data — a few MB against a
+    100 TB corpus — so its exploded gram list broadcasts and the train
+    corpus NEVER shuffles for the join; the only shuffle is the final
+    per-pair count, whose input is already filtered to gram hits.
+    """
+    base = train.select(
+        F.col(id_col).alias("train_id"),
+        word_shingles(F.col(text_col), n).alias("gs"),
+    )
+    tr = base.select(
+        "train_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("g")
+    )
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    hits = tr.join(F.broadcast(ev), "g")
+    return (
+        hits.groupBy("train_id", "eval_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "train_id",
+            "eval_id",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap"),
+        )
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document from xxhash64 token hashes.
 

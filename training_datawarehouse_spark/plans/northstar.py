@@ -16,6 +16,14 @@ from ..operators import text as tx
 from ..sources.tables import load_table
 from .base import Query
 
+# one hex byte of md5(doc_id) → bucket 0..255; test = [0,13), val = [13,26)
+# (the SQL twin of text.train_val_test_split — shared by the split and
+# decontamination oracles)
+_B0_DOC = (
+    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+)
+
 
 # ------------------------------------------------------- exact dedup
 
@@ -256,15 +264,27 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       propagation; label = smallest doc_id in the component).
     - 'survivor': duplicate-cluster resolution — one canonical doc per
       cluster (longest text, then smallest id) with member count.
+    - 'contam': benchmark decontamination — train docs (content-hash
+      split) sharing word-5-grams with the val/test docs, the
+      train/eval-overlap guard every corpus release runs. id_a = train
+      doc, id_b = eval doc, jaccard = shared fraction of the train
+      doc's grams, n_members = shared distinct-gram count.
 
-    ``pairs`` is localCheckpointed once and feeds all three stages, so
-    the quadratic verification runs exactly once."""
+    ``pairs`` is localCheckpointed once and feeds the three dedup
+    stages, so the quadratic verification runs exactly once; 'contam'
+    rides its own scan (eval grams broadcast — the corpus side never
+    shuffles for the probe)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     ).localCheckpoint(eager=True)
     comp = dd.connected_components(pairs)
     surv = dd.resolve_near_duplicates(docs, pairs, components=comp)
+    label = tx.train_val_test_split(F.col("doc_id"))
+    contam = dd.contamination_pairs(
+        docs.filter(label == "train"), docs.filter(label != "train"),
+        "doc_id", "text", n=5,
+    )
     nul = lambda: F.lit(None).cast("double")  # noqa: E731
     p = pairs.select(
         F.lit("pairs").alias("stage"), "id_a", "id_b", "jaccard",
@@ -280,10 +300,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("survivor").alias("id_a"), F.col("component").alias("id_b"),
         nul().alias("jaccard"), "n_members",
     )
-    return p.unionByName(c).unionByName(s)
+    x = contam.select(
+        F.lit("contam").alias("stage"),
+        F.col("train_id").alias("id_a"), F.col("eval_id").alias("id_b"),
+        F.col("overlap").alias("jaccard"), F.col("n_shared").alias("n_members"),
+    )
+    return p.unionByName(c).unionByName(s).unionByName(x)
 
 
-NGRAM_JACCARD_ORACLE = """
+NGRAM_JACCARD_ORACLE = f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
@@ -328,6 +353,24 @@ surv AS (
                               ORDER BY len(d.text) DESC, d.doc_id) AS rn
     FROM comp c JOIN documents d ON d.doc_id = c.node
   ) WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+  FROM t WHERE len(toks) >= 5
+),
+g5sizes AS (SELECT doc_id, count(*) AS n_g FROM g5 GROUP BY doc_id),
+hx AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+lbl AS (SELECT doc_id, {_B0_DOC} % 256 < 26 AS is_eval FROM hx),
+contam AS (
+  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
+  FROM g5 tr
+  JOIN lbl lt ON lt.doc_id = tr.doc_id AND NOT lt.is_eval
+  JOIN g5 ev ON ev.gram = tr.gram
+  JOIN lbl le ON le.doc_id = ev.doc_id AND le.is_eval
+  GROUP BY 1, 2
 )
 SELECT 'pairs' AS stage, id_a, id_b, jaccard, NULL::BIGINT AS n_members
 FROM pairs
@@ -335,6 +378,9 @@ UNION ALL
 SELECT 'cluster', node, component, NULL, NULL FROM comp
 UNION ALL
 SELECT 'survivor', survivor, component, NULL, n_members FROM surv
+UNION ALL
+SELECT 'contam', train_id, eval_id, round(n_shared / s.n_g, 6), n_shared
+FROM contam JOIN g5sizes s ON s.doc_id = train_id
 """
 
 
@@ -583,12 +629,6 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return split.unionByName(ex).unionByName(th)
 
-
-# one hex byte of md5(doc_id) → bucket 0..255; test = [0,13), val = [13,26)
-_B0_DOC = (
-    "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
-    " + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
-)
 
 # srcN → ((N % 4) + 1)/8 — the SQL twin of MIXTURE_FRACTIONS.
 _FRAC_SQL = "((CAST(substr(source, 4) AS INT) % 4) + 1) / 8.0"
