@@ -217,6 +217,40 @@ def test_delete_rows_removes_fully_emptied_partitions(spark, facts, tmp_path):
     assert glob.glob(f"{wh}/activity=Run/activity_type=Road/*") == []
 
 
+def test_delete_rows_handles_escaped_and_default_partitions(spark, tmp_path):
+    """Partition values that Hive-escape on disk ('' and null →
+    __HIVE_DEFAULT_PARTITION__; ':', '%', '/' → %XX) must still be
+    deletable when their cell is fully emptied — path string-building
+    misses exactly these directories (round-2 ADVICE)."""
+    import glob
+
+    from training_datawarehouse_spark.pipeline import delete_rows, write_warehouse
+
+    rows = []
+    for eq in ["", "a:b", "x%y", "Run/Road", "plain"]:
+        for d in ["2020-01-01", "2020-01-02"]:
+            rows.append(("Run", "Road", eq, d, 1.0))
+    df = spark.createDataFrame(
+        rows, "activity string, activity_type string, equipment string, date string, tss double"
+    ).withColumn("date", F.to_date("date"))
+    wh = str(tmp_path / "wh_escaped")
+    write_warehouse(df, wh)
+    # '' is stored as the default-partition token and reads back as null
+    back = spark.read.parquet(wh)
+    assert back.count() == 10
+
+    # empty the null ('') cell and every escaped-value cell entirely
+    pred = F.col("equipment").isNull() | F.col("equipment").isin(
+        "a:b", "x%y", "Run/Road"
+    )
+    after = delete_rows(spark, wh, pred)
+    assert after.count() == 2
+    assert [r["equipment"] for r in after.collect()] == ["plain", "plain"]
+    # the escaped directories are gone from disk, not just unreferenced
+    leaf_dirs = glob.glob(f"{wh}/activity=*/activity_type=*/equipment=*")
+    assert len(leaf_dirs) == 1 and leaf_dirs[0].endswith("equipment=plain")
+
+
 def test_compact_warehouse_single_file_per_partition(spark, facts, tmp_path):
     import glob
 

@@ -216,9 +216,14 @@ def delete_rows(
     # the output. A cell whose every row matches the predicate yields
     # zero survivor rows → no output partition → its old files would
     # silently stay on disk. Find those fully-emptied cells and remove
-    # their directories explicitly (Hadoop FS API, so this works on any
-    # Hadoop-compatible store, not just local disk). Cell cardinality is
-    # bounded by design, so the collect is a handful of rows.
+    # their directories explicitly. Cell cardinality is bounded by
+    # design, so the collect is a handful of rows. The directories are
+    # resolved by LISTING the store and decoding Hive partition names —
+    # never by string-building paths from the values: Spark writes
+    # null/'' partition values as __HIVE_DEFAULT_PARTITION__ and
+    # percent-escapes special characters (%, :, =, /, #, ...), so a
+    # hand-built f"{k}={v}" path misses exactly those cells and the
+    # "deleted" rows would silently survive.
     surviving_cells = survivors.select(*CELL_KEYS).distinct()
     emptied = (
         affected_cells.join(surviving_cells, CELL_KEYS, "left_anti").collect()
@@ -230,13 +235,68 @@ def delete_rows(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     if emptied:
+        dirs = _partition_dirs(spark, warehouse_path, len(CELL_KEYS))
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         fs = jvm.org.apache.hadoop.fs.Path(warehouse_path).getFileSystem(hconf)
         for row in emptied:
-            subdir = "/".join(f"{k}={row[k]}" for k in CELL_KEYS)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{warehouse_path}/{subdir}"), True)
+            key = tuple(_normalize_part_value(row[k]) for k in CELL_KEYS)
+            path = dirs.get(key)
+            if path is not None:
+                fs.delete(path, True)
     return spark.read.parquet(warehouse_path)
+
+
+def _normalize_part_value(v) -> str | None:
+    """A partition value as it round-trips through a Hive-style layout:
+    null and '' are both stored as the default-partition token and read
+    back as null — one equivalence class."""
+    if v is None or v == "":
+        return None
+    return str(v)
+
+
+def _unescape_part_name(name: str):
+    """Decode one ``key=value`` directory's value the way Spark/Hive
+    escaped it (``ExternalCatalogUtils.unescapePathName``): %XX byte
+    escapes, __HIVE_DEFAULT_PARTITION__ → null."""
+    import re
+
+    if name == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
+
+
+def _partition_dirs(spark: SparkSession, root: str, n_levels: int) -> dict:
+    """Map (decoded partition values...) → Hadoop Path of the leaf
+    directory, by listing the store (works on any Hadoop-compatible FS,
+    not just local disk). Decoding the on-disk names and matching the
+    decoded tuple is total — unlike re-implementing the escape rules,
+    which silently breaks the day Spark's escape set and ours diverge."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(hconf)
+    out: dict = {}
+
+    def walk(path, values, depth):
+        if depth == n_levels:
+            out[tuple(values)] = path
+            return
+        for st in fs.listStatus(path):
+            if st.isDirectory():
+                name = st.getPath().getName()
+                if "=" in name:
+                    walk(
+                        st.getPath(),
+                        values + [_unescape_part_name(name.split("=", 1)[1])],
+                        depth + 1,
+                    )
+
+    walk(root_path, [], 0)
+    return out
 
 
 def compact_warehouse(
