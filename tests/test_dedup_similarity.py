@@ -372,6 +372,81 @@ def test_resolve_near_duplicates_keeps_longest_then_smallest_id(spark):
     assert got == {1: (2, 3), 10: (10, 2)}
 
 
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """A 64-node path converges well inside max_iter: pointer jumping
+    makes rounds O(log diameter), not O(diameter) — plain min-label
+    propagation would need 63 rounds here (round-2 ADVICE)."""
+    from training_datawarehouse_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_resolve_near_duplicates_string_ids(spark):
+    """Survivor tiebreak must work for ANY orderable id type — with
+    string doc ids the smallest-id tiebreak is lexicographic (round-2
+    ADVICE: a negate-the-id trick silently casts strings to null)."""
+    from training_datawarehouse_spark.operators.dedup import resolve_near_duplicates
+
+    docs = spark.createDataFrame(
+        [("doc-b", "same len"), ("doc-a", "same len"), ("doc-c", "longest text here")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b", 0.9), ("doc-b", "doc-c", 0.8)],
+        "id_a string, id_b string, jaccard double",
+    )
+    rows = resolve_near_duplicates(docs, pairs, id_col="doc_id").collect()
+    assert len(rows) == 1
+    # doc-c wins on length; component label is the smallest id
+    assert rows[0]["component"] == "doc-a"
+    assert rows[0]["survivor"] == "doc-c"
+    assert rows[0]["n_members"] == 3
+
+    # pure tie on quality: smallest STRING id survives
+    pairs2 = spark.createDataFrame(
+        [("doc-a", "doc-b", 0.9)], "id_a string, id_b string, jaccard double"
+    )
+    rows2 = resolve_near_duplicates(
+        docs.filter(F.col("doc_id") != "doc-c"), pairs2, id_col="doc_id"
+    ).collect()
+    assert rows2[0]["survivor"] == "doc-a"
+
+
+def test_lsh_probe_index_hot_bucket_cap(spark):
+    """An ingest batch flooded with one degenerate signature must not
+    expand quadratically: with max_bucket below the flood size the
+    in-batch path drops the hot bucket (same guard as
+    lsh_candidate_pairs), while distinct small-bucket pairs survive."""
+    from training_datawarehouse_spark.operators.dedup import (
+        lsh_band_index,
+        lsh_probe_index,
+    )
+
+    flood = ("boilerplate template text repeated verbatim across the whole "
+             "spam burst with absolutely no variation between documents")
+    pair = ("a genuinely unique document about incremental lsh probing "
+            "strategies that appears exactly twice in this batch of docs")
+    corpus = spark.createDataFrame(
+        [(1, "some unrelated archival corpus document text entirely")],
+        "doc_id long, text string",
+    )
+    index = lsh_band_index(corpus, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(100 + i, flood) for i in range(8)] + [(900, pair), (901, pair)],
+        "doc_id long, text string",
+    )
+    got = {(r["new_id"], r["old_id"])
+           for r in lsh_probe_index(index, new, "doc_id", "text",
+                                    max_bucket=4).collect()}
+    assert (900, 901) in got
+    assert not any(100 <= a < 200 and 100 <= b < 200 for a, b in got)
+
+
 def test_drop_reason_rule_order_and_kept(spark):
     from pyspark.sql import functions as F
     from training_datawarehouse_spark.operators import text as tx

@@ -338,23 +338,25 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 60
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
-    propagation: every node's label converges to the smallest node id
-    in its component. Returns (node, component).
+    propagation with pointer jumping: every node's label converges to
+    the smallest node id in its component. Returns (node, component).
 
-    Iterative surface (like Lloyd's k-means): each round is ONE
-    distributed join + groupBy-min — label table joined to the
-    symmetrized edges, neighbor minima merged with the node's own
-    label — and the only driver-side value is the scalar changed-count
-    that decides convergence. ``localCheckpoint`` truncates lineage per
-    round so the plan doesn't grow exponentially with iterations.
+    Iterative surface (like Lloyd's k-means): each round joins the
+    label table to the symmetrized edges for the neighbor minimum, then
+    jumps each node's label to its label's label (path halving — the
+    same shortcutting that makes large-star/small-star O(log n)). The
+    only driver-side value is the scalar changed-count that decides
+    convergence; ``localCheckpoint`` truncates lineage per round so the
+    plan doesn't grow with iterations.
 
-    Rounds needed = component diameter. Near-dup clusters are small and
-    dense (diameter ≲ 3), so this converges in a handful of rounds; for
-    general giant-component graphs swap in the large-star/small-star
-    halving scheme, which this API deliberately matches.
+    Rounds needed: O(log(diameter)) thanks to the jump step — a
+    10⁶-node boilerplate chain converges in ~20 rounds instead of 10⁶,
+    so the default ``max_iter=60`` bounds any graph of < 2⁶⁰ nodes
+    rather than being a scale hazard (round-2 ADVICE: diameter-bound
+    propagation turned template chains into hard failures).
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = fwd.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -368,11 +370,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nl").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, "a", "left").select(
+            "a",
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer jump: label ← min(label, label(label)). Labels are
+        # always node ids present in the table, so the self-join is
+        # total; each jump halves remaining chain depth.
+        lbl_of_lbl = stepped.select(
+            F.col("a").alias("label"), F.col("label").alias("ll")
+        )
         new = (
-            labels.join(nbr_min, "a", "left")
+            stepped.join(lbl_of_lbl, "label", "left")
             .select(
                 "a",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                F.least("label", F.coalesce("ll", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -400,8 +412,12 @@ def resolve_near_duplicates(
     length), smallest id as tiebreak. Returns (component, survivor,
     n_members).
 
-    The survivor pick is a ``max_by`` hash aggregation over a struct
-    sort key — map-side combinable, no per-cluster sort window.
+    The survivor is row 1 of a (quality DESC, member ASC) window per
+    component — the tiebreak works for ANY orderable id type (string
+    doc ids included; a negate-the-id max_by trick silently breaks on
+    non-numeric ids — round-2 ADVICE). Clusters are tiny relative to
+    the corpus (only duplicate members reach this stage), so the
+    per-component sort is bounded.
     Pass ``components`` to reuse an already-computed labeling.
     """
     comp = components if components is not None else connected_components(pairs)
@@ -409,11 +425,14 @@ def resolve_near_duplicates(
     members = docs.join(
         comp, docs[id_col] == comp["node"], "inner"
     ).select("component", F.col(id_col).alias("member"), q.alias("q"))
-    return members.groupBy("component").agg(
-        F.max_by(
-            "member", F.struct(F.col("q"), (-F.col("member")).alias("nid"))
-        ).alias("survivor"),
-        F.count(F.lit(1)).alias("n_members"),
+    w = Window.partitionBy("component").orderBy(
+        F.col("q").desc(), F.col("member").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("__rn") == 1)
+        .select("component", F.col("member").alias("survivor"), "n_members")
     )
 
 
@@ -449,7 +468,7 @@ def lsh_band_index(
 def lsh_probe_index(
     index: DataFrame, new_docs: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
-    shingle_n: int = 3,
+    shingle_n: int = 3, max_bucket: int = 10_000,
 ) -> DataFrame:
     """Incremental near-dup candidates: (new_id, old_id) pairs whose
     band signature collides with the stored corpus index, plus
@@ -458,9 +477,13 @@ def lsh_probe_index(
 
     The probe joins the batch's band rows — tiny — against the index on
     (band, sig): with the index bucketed on those keys this reads only
-    the touched buckets, never the corpus. Verification (exact Jaccard
-    on the candidate ids' texts) stays a separate composable step, as
-    in ``lsh_candidate_pairs``.
+    the touched buckets, never the corpus. In-batch collisions reuse
+    the same in-bucket array expansion (and ``max_bucket`` hot-bucket
+    cap) as ``lsh_candidate_pairs``, so an ingest batch flooded with a
+    degenerate signature inherits the quadratic-blowup guard instead of
+    self-joining. Verification (exact Jaccard on the candidate ids'
+    texts) stays a separate composable step, as in
+    ``lsh_candidate_pairs``.
     """
     probe = lsh_band_index(
         new_docs, id_col, text_col, num_hashes, bands, rows_per_band, shingle_n
@@ -473,10 +496,11 @@ def lsh_probe_index(
         .distinct()
     )
     vs_batch = (
-        probe.alias("x")
-        .join(probe.alias("y"), ["band", "sig"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("old_id"))
+        probe.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.id_a").alias("new_id"), F.col("p.id_b").alias("old_id"))
         .distinct()
     )
     return vs_corpus.unionByName(vs_batch).distinct()

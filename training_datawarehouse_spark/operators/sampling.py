@@ -2,9 +2,10 @@
 
 A training corpus is assembled from source domains under target mixture
 weights (so much web, so much code, ...). Both selection paths here are
-content-hash driven — selection is reproducible across runs, cluster
-sizes, partitionings, and engines (unlike ``df.sample``, whose output
-depends on partition layout), and NESTED: the selection at fraction f1
+id-hash driven (md5 of the stable document id) — selection is
+reproducible across runs, cluster sizes, partitionings, and engines
+(unlike ``df.sample``, whose output depends on partition layout), and
+NESTED: the selection at fraction f1
 is a subset of the selection at f2 ≥ f1 for the same domain, so mixture
 weights can be re-tuned without churning previously selected documents.
 

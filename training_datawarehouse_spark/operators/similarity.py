@@ -137,10 +137,19 @@ def cosine_neardup_pairs(
     )
 
 
+def _vec_dim(corpus: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality: pass ``dim`` to keep the builder fully
+    plan-side; the ``first()`` fallback is a driver round-trip kept only
+    for ad-hoc use on unknown tables (round-2 ADVICE)."""
+    if dim is not None:
+        return dim
+    return len(corpus.select(vec_col).first()[0])
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     k: int = 5, n_lists: int = 8, n_probe: int = 2, seed: int = 13,
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[float]] | None = None, dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to its nearest centroid
     (inverted list), probe each query's ``n_probe`` closest lists, exact
@@ -154,12 +163,10 @@ def ivf_topk(
     all-pairs product shrinks by ~n_probe/n_lists. Recall < 1 by
     construction → rows-only check.
     """
-    dim = len(corpus.select(vec_col).first()[0])
     if centroids is not None:
         cents = centroids
     else:
-        rng = np.random.RandomState(seed)
-        cents = rng.standard_normal((n_lists, dim)).round(6).tolist()
+        cents = ivf_default_centroids(n_lists, _vec_dim(corpus, vec_col, dim), seed)
 
     def nearest_lists(vec: Column, n: int) -> Column:
         scored = F.array(*[
@@ -265,6 +272,16 @@ def kmeans_fit(
     return cents, inertia_hist
 
 
+def ivf_default_centroids(
+    n_lists: int, dim: int, seed: int = 13
+) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (seeded numpy,
+    rounded) — shared by the Spark builder and the DuckDB oracle
+    generator so both engines quantize identically."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_lists, dim)).round(6).tolist()
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)
@@ -282,13 +299,12 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def signlsh_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-    k: int = 5, n_planes: int = 8, seed: int = 7,
+    k: int = 5, n_planes: int = 8, seed: int = 7, dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket-join on the sign-LSH key, exact cosine
     re-score within bucket. Recall < 1 by construction; the bucket join
     replaces the all-pairs product with |bucket| co-location."""
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    planes = hyperplanes(_vec_dim(corpus, vec_col, dim), n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", signlsh_bucket(F.col("cv"), planes))

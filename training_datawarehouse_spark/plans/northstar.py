@@ -16,6 +16,11 @@ from ..operators import text as tx
 from ..sources.tables import load_table
 from .base import Query
 
+# The driver's embeddings tables carry dim-64 vectors at every sf
+# (TESTDATA.md); passing the dim keeps the ANN builders free of
+# driver-side probes before the distributed plan.
+EMBEDDING_DIM = 64
+
 # one hex byte of md5(doc_id) → bucket 0..255; test = [0,13), val = [13,26)
 # (the SQL twin of text.train_val_test_split — shared by the split and
 # decontamination oracles)
@@ -249,7 +254,8 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (scale path) — approximate, rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return sim.signlsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=6)
+    return sim.signlsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=6,
+                            dim=EMBEDDING_DIM)
 
 
 # ------------------------------------------------------ near-dedup
@@ -264,7 +270,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       propagation; label = smallest doc_id in the component).
     - 'survivor': duplicate-cluster resolution — one canonical doc per
       cluster (longest text, then smallest id) with member count.
-    - 'contam': benchmark decontamination — train docs (content-hash
+    - 'contam': benchmark decontamination — train docs (id-hash
       split) sharing word-5-grams with the val/test docs, the
       train/eval-overlap guard every corpus release runs. id_a = train
       doc, id_b = eval doc, jaccard = shared fraction of the train
@@ -532,7 +538,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate, rows-only check."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return sim.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_lists=8, n_probe=2)
+    return sim.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_lists=8,
+                        n_probe=2, dim=EMBEDDING_DIM)
 
 
 # ------------------------------------------------ multimodal columns
@@ -591,8 +598,8 @@ MIXTURE_FRACTIONS = {f"src{i}": ((i % 4) + 1) / 8 for i in range(20)}
 def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-composition surface in one entry, tagged by stage:
 
-    - 'split': stable 90/5/5 train/val/test membership by content hash
-      of doc_id — reproducible across engines/runs/cluster sizes
+    - 'split': stable 90/5/5 train/val/test membership by md5 of
+      doc_id — reproducible across engines/runs/cluster sizes
       (unlike ``df.sample``), which is what makes re-processed corpora
       keep their split.
     - 'mixture_exact': per-domain exact-quota selection under
@@ -630,8 +637,14 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.unionByName(ex).unionByName(th)
 
 
-# srcN → ((N % 4) + 1)/8 — the SQL twin of MIXTURE_FRACTIONS.
-_FRAC_SQL = "((CAST(substr(source, 4) AS INT) % 4) + 1) / 8.0"
+# The oracle's per-domain fractions come from the SAME dict the Spark
+# side uses (injected as a VALUES list), so adding/renaming a domain in
+# MIXTURE_FRACTIONS can never silently diverge the two engines; domains
+# absent from the dict get default_fraction=0 on the Spark side and
+# drop out of the inner join here — the same empty selection.
+_FRAC_VALUES = ",\n         ".join(
+    f"('{d}', {f!r})" for d, f in MIXTURE_FRACTIONS.items()
+)
 
 SPLIT_ORACLE = f"""
 WITH hx AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
@@ -642,15 +655,19 @@ lbl AS (
               ELSE 'train' END AS label
   FROM hx
 ),
+mf(source, frac) AS (
+  VALUES {_FRAC_VALUES}
+),
 ranked AS (
-  SELECT source, doc_id,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
-         count(*) OVER (PARTITION BY source) AS n_d
-  FROM documents
+  SELECT d.source, d.doc_id, mf.frac,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rk,
+         count(*) OVER (PARTITION BY d.source) AS n_d
+  FROM documents d JOIN mf USING (source)
 ),
 bkt AS (
-  SELECT source, doc_id, md5(doc_id::VARCHAR) AS h FROM documents
+  SELECT d.source, d.doc_id, mf.frac, md5(d.doc_id::VARCHAR) AS h
+  FROM documents d JOIN mf USING (source)
 )
 SELECT 'split' AS stage, label, count(*) AS n_docs,
        min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -659,13 +676,13 @@ UNION ALL
 SELECT 'mixture_exact' AS stage, source AS label, count(*) AS n_docs,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM ranked
-WHERE rk <= floor({_FRAC_SQL} * n_d + 0.5)
+WHERE rk <= floor(frac * n_d + 0.5)
 GROUP BY source
 UNION ALL
 SELECT 'mixture_threshold' AS stage, source AS label, count(*) AS n_docs,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM bkt
-WHERE {_B0_DOC} % 256 < floor({_FRAC_SQL} * 256 + 0.5)
+WHERE {_B0_DOC} % 256 < floor(frac * 256 + 0.5)
 GROUP BY source
 """
 

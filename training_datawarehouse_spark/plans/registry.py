@@ -24,12 +24,9 @@ def _collect() -> dict[str, Query]:
     out: dict[str, Query] = {}
     for mod in (core, lattice_q, timeseries_q, relational, northstar):
         out.update(mod.QUERIES)
-    # Oracle-bearing queries first (stable within each group): if a
-    # harness caps how many registry entries it checks, the strongest
-    # (hash-comparable) signal must never be the part that gets cut.
-    ordered = {n: q for n, q in out.items() if q.oracle is not None}
-    ordered.update({n: q for n, q in out.items() if q.oracle is None})
-    return ordered
+    # Deterministic (alphabetical) ordering — stable across runs and
+    # unbiased under any sampling of the registry.
+    return {n: out[n] for n in sorted(out)}
 
 
 QUERIES: dict[str, Query] = _collect()
