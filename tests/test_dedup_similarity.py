@@ -45,6 +45,35 @@ def test_minhash_lsh_finds_planted_pairs(docs):
     assert (11, 51) in got and got[(11, 51)] > 0.8
 
 
+def test_minhash_lsh_portable_matches_planted_pairs(docs):
+    """The engine-portable md5 family must find the same planted
+    near-dups as the xxhash64 family (families differ, exact-Jaccard
+    verification makes the output hash-family-independent)."""
+    pairs = dd.lsh_candidate_pairs_portable(docs, "doc_id", "text", num_hashes=32,
+                                            bands=8, rows_per_band=4,
+                                            jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((10, 50)) == pytest.approx(1.0)
+    assert (11, 51) in got and got[(11, 51)] > 0.8
+
+
+def test_portable_signatures_identity_and_locality(docs, spark):
+    """simhash_hex_portable: identical docs get identical signatures;
+    near-dups differ in few hex positions. winnowing portable: identical
+    docs share all fingerprints."""
+    sh = {r["id"]: r["simhash_hex"]
+          for r in dd.simhash_hex_portable(docs, "doc_id", "text").collect()}
+    assert sh[10] == sh[50]
+    diff_positions = sum(a != b for a, b in zip(sh[11], sh[51]))
+    assert diff_positions <= 8  # near-dup: most hex digits agree
+
+    fps = dd.winnowing_fingerprints_portable(docs, "doc_id", "text")
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[10] == by_doc[50]
+
+
 def test_ngram_jaccard_exact_pairs(docs):
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}

@@ -86,6 +86,137 @@ def hashed_shingles(
     )
 
 
+# ------------------------------------------------------------------
+# Engine-portable hash family (differential-oracle support).
+#
+# xxhash64/murmur3 are Spark-native and fast but exist in no other
+# engine, so queries built on them can only ever get a rows-only check.
+# The portable family below uses ONE md5 per shingle (md5 exists in
+# every engine) split into two 60-bit integers, then k universal
+# hashes h_i(g) = (a_i·x + b_i·y + i) mod P over those integers —
+# pure 64-bit-safe integer arithmetic any SQL engine reproduces
+# bit-for-bit. Cost vs the native family is one md5 instead of one
+# xxhash64 per shingle; the plan shape (and every scale property) is
+# identical, so the portable family is the registry default and the
+# xxhash64 family remains for hot paths that don't need an oracle.
+
+_LSH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def lsh_hash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficient pairs for the portable
+    minhash family — a pure integer formula, reproducible in any
+    engine/language (the DuckDB oracle generator embeds the same
+    values as literals)."""
+    out = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % _LSH_P
+        b = (22695477 * (i + 7) + 54321) % _LSH_P
+        out.append((a or 1, b or 1))
+    return out
+
+
+def hashed_shingles_portable(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, g1, g2) — one row per word-shingle occurrence as two 60-bit
+    md5-prefix integers (hex chars 1-15 and 17-31 of md5(gram)).
+
+    Same whole-stage-codegen kernel as ``hashed_shingles`` (posexplode →
+    window lead → concat_ws gram → one md5); ``conv(hex,16,10)`` turns
+    the prefixes into longs identically to DuckDB's
+    ``('0x' || substr(md5(g),1,15))::BIGINT``."""
+    if shingle_n < 1 or shingle_n > 8:
+        raise ValueError("shingle_n must be in [1, 8]")
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for j in range(1, shingle_n):
+        toks = toks.withColumn(f"t{j}", F.lead("t0", j).over(w))
+    last = f"t{shingle_n - 1}"
+    m = F.md5(F.concat_ws(" ", *[f"t{j}" for j in range(shingle_n)]))
+    grams = toks.filter(F.col(last).isNotNull()).select(
+        F.col(id_col), m.alias("__m")
+    )
+    return grams.select(
+        id_col,
+        F.conv(F.substring("__m", 1, 15), 16, 10).cast("long").alias("g1"),
+        F.conv(F.substring("__m", 17, 15), 16, 10).cast("long").alias("g2"),
+    )
+
+
+def _portable_min_exprs(num_hashes: int) -> list[Column]:
+    """k portable minhash aggregates over (g1, g2) shingle rows."""
+    x = F.col("g1") % _LSH_P
+    y = F.col("g2") % _LSH_P
+    return [
+        F.min(((F.lit(a) * x) % _LSH_P + (F.lit(b) * y) % _LSH_P + i) % _LSH_P)
+        .alias(f"h{i}")
+        for i, (a, b) in enumerate(lsh_hash_coeffs(num_hashes))
+    ]
+
+
+def lsh_candidate_pairs_portable(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5, shingle_n: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` on the engine-portable hash family —
+    identical plan shape (one groupBy(id) for signature AND shingle
+    set, banded bucket expansion with hot-bucket cap, broadcast
+    candidates into exact-Jaccard verification), but every hash is
+    md5-derived so a DuckDB oracle reproduces the full pipeline
+    bit-for-bit (see plans/northstar.py). Jaccard is computed over the
+    60-bit g1 shingle ids in BOTH engines, so even a prefix collision
+    cannot diverge them."""
+    sh = hashed_shingles_portable(df, id_col, text_col, shingle_n)
+    per_doc = sh.groupBy(id_col).agg(
+        *_portable_min_exprs(num_hashes), F.collect_set("g1").alias("sh")
+    )
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[
+                F.col(f"h{b * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ]).alias("sig"),
+        )
+        for b in range(bands)
+    ])
+    banded = per_doc.select(
+        F.col(id_col).alias("bid"), F.explode(band_structs).alias("bs")
+    ).select("bid", F.col("bs.band"), F.col("bs.sig"))
+
+    cand = (
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("bid")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+    sets = per_doc.select(F.col(id_col).alias("id"), "sh")
+    verified = (
+        sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+        .join(F.broadcast(cand), "id_a")
+        .join(
+            sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
@@ -335,6 +466,71 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim.bitwiseOR(term)
     return votes.select("id", sim.alias("simhash"))
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_hex_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as a 16-hex-char string, md5 token hashes only —
+    the engine-portable twin of ``simhash64`` (same per-bit weighted
+    majority; bit j of a token is bit (3 − j%4) of md5 hex digit j/4).
+    Output is a hex STRING because recombining bit 63 into a signed
+    BIGINT overflows in ANSI engines; Hamming distance works the same.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).select("id", F.md5("t").alias("__m"))
+    digs = toks.select(
+        "id",
+        *[
+            F.conv(F.substring("__m", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+            for d in range(16)
+        ],
+    )
+    votes = digs.groupBy("id").agg(*[
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ])
+    hex_chars = []
+    alphabet = F.array(*[F.lit(c) for c in _HEX])
+    for d in range(16):
+        val = None
+        for j4 in range(4):
+            j = 4 * d + j4
+            bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+            term = bit * (2 ** (3 - j4))
+            val = term if val is None else val + term
+        hex_chars.append(F.element_at(alphabet, val + 1))
+    return votes.select("id", F.concat(*hex_chars).alias("simhash_hex"))
+
+
+def winnowing_fingerprints_portable(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, window: int = 5
+) -> DataFrame:
+    """``winnowing_fingerprints`` on 60-bit md5-prefix k-gram hashes —
+    same kernel and guarantees, but reproducible in any engine with
+    md5 (DuckDB oracle in plans/northstar.py)."""
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    for j in range(1, k):
+        sh = sh.withColumn(f"t{j}", F.lead("t0", j).over(w))
+    g = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", *[f"t{j}" for j in range(k)])), 1, 15),
+        16, 10,
+    ).cast("long")
+    sh = sh.filter(F.col(f"t{k-1}").isNotNull()).select(id_col, "pos", g.alias("g"))
+    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return sh.select(id_col, F.min("g").over(wmin).alias("fp")).distinct()
 
 
 def connected_components(

@@ -390,30 +390,6 @@ FROM contam JOIN g5sizes s ON s.doc_id = train_id
 """
 
 
-def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates (murmur3 signatures are
-    Spark-native — rows-only check; the exact-Jaccard verification step
-    is itself oracle-checked via ns_ngram_jaccard)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
-                                  bands=8, rows_per_band=4,
-                                  jaccard_threshold=0.5)
-
-
-def winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (MOSS scheme): per-doc count
-    of selected fingerprints plus the corpus-wide shared-fingerprint
-    count (xxhash64 not in DuckDB — rows-only; selection properties
-    asserted in tests)."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = dd.winnowing_fingerprints(docs, "doc_id", "text", k=4, window=5)
-    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
-    shared = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
-        F.col("n_docs") > 1
-    )
-    return per_doc.join(
-        F.broadcast(shared.agg(F.count(F.lit(1)).alias("n_shared_fps"))), how="cross"
-    )
 
 
 def cross_modal_dedup(
@@ -446,12 +422,6 @@ def cross_modal_dedup(
     return out.withColumn(
         "agree", (F.col("cosine") >= 0.2).cast("int")
     )
-
-
-def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64 is Spark-native — rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash64(docs, "doc_id", "text")
 
 
 # ------------------------------------------------ regex tokenization
@@ -812,13 +782,94 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document signature surface in one entry: 64-bit SimHash
-    joined to winnowing/MOSS fingerprint counts on doc_id. Both rest on
-    xxhash64 (not in DuckDB) → rows-only; selection/Hamming properties
-    are asserted in tests."""
-    sh = simhash_q(spark, sf_dir).withColumnRenamed("id", "doc_id")
-    wn = winnowing_q(spark, sf_dir)
-    return sh.join(wn, "doc_id")
+    """Per-document signature surface in one entry: 64-bit SimHash (as
+    a hex string) joined to winnowing/MOSS fingerprint counts plus the
+    corpus-wide shared-fingerprint count. Round 2 this was rows-only
+    (xxhash64 has no DuckDB twin); both signatures now ride the
+    engine-portable md5 family (``simhash_hex_portable`` /
+    ``winnowing_fingerprints_portable``), so every value hash-checks
+    against the SQL oracle. The xxhash64 variants remain for hot paths
+    that don't need an oracle (property tests keep covering them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.simhash_hex_portable(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+    fps = dd.winnowing_fingerprints_portable(docs, "doc_id", "text", k=4, window=5)
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    shared = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") > 1
+    )
+    n_shared = shared.agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    return sh.join(per_doc, "doc_id").join(F.broadcast(n_shared), how="cross")
+
+
+def _doc_signatures_oracle(k: int = 4, window: int = 5) -> str:
+    """SQL twin of ``doc_signatures``: per-bit SimHash majority votes
+    over md5 hex digits, winnowing window minima over 60-bit md5-prefix
+    k-gram hashes — generated, so the bit/digit formulas are written
+    once per engine."""
+    hexval = "(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+    digs = ",\n         ".join(
+        f"{hexval.format(p=d + 1)} AS d{d}" for d in range(16)
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (d{j // 4} // {2 ** (3 - j % 4)}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    hex_chars = " || ".join(
+        "substr('0123456789abcdef', "
+        + " + ".join(
+            f"CASE WHEN b{4 * d + j4} > 0 THEN {2 ** (3 - j4)} ELSE 0 END"
+            for j4 in range(4)
+        )
+        + " + 1, 1)"
+        for d in range(16)
+    )
+    gram = " || ' ' || ".join(f"toks[pos + {j}]" if j else "toks[pos]"
+                              for j in range(k))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+hv AS (
+  SELECT doc_id,
+         {digs}
+  FROM (SELECT doc_id, md5(tk) AS m FROM tok)
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hv GROUP BY doc_id
+),
+sim AS (SELECT doc_id, {hex_chars} AS simhash_hex FROM votes),
+kgp AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {k} + 1, 0) + 1)) AS pos
+  FROM t
+),
+kg AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS g
+  FROM kgp
+),
+wm AS (
+  SELECT doc_id,
+         min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+  FROM kg
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+per_doc AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT count(*) AS n_shared_fps
+  FROM (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1)
+)
+SELECT sim.doc_id, sim.simhash_hex, per_doc.n_fps, shared.n_shared_fps
+FROM sim JOIN per_doc USING (doc_id) CROSS JOIN shared
+"""
+
+
+DOC_SIGNATURES_ORACLE = _doc_signatures_oracle()
 
 
 def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,11 +881,17 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE candidate pass at τ=0.3 feeds both stages (τ=0.5 is a filter of
     it); the union's branches then share a canonical-identical subplan
     and Spark's exchange reuse turns the second branch's shuffles into
-    ReusedExchange nodes instead of a full recompute."""
+    ReusedExchange nodes instead of a full recompute.
+
+    Round 3: runs on the engine-portable md5 minhash family
+    (``lsh_candidate_pairs_portable``) so the ENTIRE pipeline —
+    signatures, banding, bucket expansion, exact-Jaccard verification,
+    cosine scoring — hash-checks against the DuckDB oracle below
+    (round 2 it was rows-only; the plan shape is unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
-                                   bands=8, rows_per_band=4,
-                                   jaccard_threshold=0.3)
+    pairs = dd.lsh_candidate_pairs_portable(docs, "doc_id", "text", num_hashes=32,
+                                            bands=8, rows_per_band=4,
+                                            jaccard_threshold=0.3)
     cand = pairs.filter(F.col("jaccard") >= 0.5).select(
         F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
         F.lit(None).cast("double").alias("cosine"),
@@ -845,6 +902,102 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine", "agree",
     )
     return cand.unionByName(cm)
+
+
+def _lsh_cross_modal_oracle(
+    num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
+    tau_all: float = 0.3, tau_cand: float = 0.5, max_bucket: int = 10_000,
+    shingle_n: int = 3,
+) -> str:
+    """SQL twin of ``lsh_cross_modal``: the same md5-prefix shingle
+    integers, the same (a_i·x + b_i·y + i) mod P minhash family
+    (coefficients injected from ``dedup.lsh_hash_coeffs`` — one source
+    of truth), the same banded buckets with the hot-bucket cap, exact
+    Jaccard over distinct g1 ids, and cosine over the embeddings."""
+    p = dd._LSH_P
+    mins = ",\n         ".join(
+        f"min((({a} * (g1 % {p})) % {p} + ({b} * (g2 % {p})) % {p} + {i}) % {p})"
+        f" AS h{i}"
+        for i, (a, b) in enumerate(dd.lsh_hash_coeffs(num_hashes))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band))
+        + ") AS sig FROM mh"
+        for b in range(bands)
+    )
+    gram = " || ' ' || ".join(f"toks[i + {j}]" if j else "toks[i]"
+                              for j in range(shingle_n))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - {shingle_n - 2}),
+             i -> {gram}))) AS gram
+  FROM t WHERE len(toks) >= {shingle_n}
+),
+gh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT AS g2
+  FROM g
+),
+mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM gh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+bc AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+  JOIN bc ON bc.band = x.band AND bc.sig = x.sig
+  WHERE bc.n <= {max_bucket}
+),
+sizes AS (SELECT doc_id, count(DISTINCT g1) AS n_sh FROM gh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(DISTINCT a.g1) AS n_common
+  FROM cand c
+  JOIN gh a ON a.doc_id = c.id_a
+  JOIN gh b ON b.doc_id = c.id_b AND b.g1 = a.g1
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(coalesce(n_common, 0)::DOUBLE
+               / (sa.n_sh + sb.n_sh - coalesce(n_common, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN common USING (id_a, id_b)
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cm AS (
+  SELECT v2.id_a, v2.id_b, v2.jaccard,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM verified v2
+  JOIN e ea ON ea.vec_id = v2.id_a
+  JOIN e eb ON eb.vec_id = v2.id_b
+  WHERE v2.jaccard >= {tau_all}
+)
+SELECT 'candidates' AS stage, id_a, id_b, jaccard,
+       NULL::DOUBLE AS cosine, NULL::INT AS agree
+FROM verified WHERE jaccard >= {tau_cand}
+UNION ALL
+SELECT 'cross_modal', id_a, id_b, jaccard, cosine,
+       (cosine >= 0.2)::INT
+FROM cm
+"""
+
+
+LSH_CROSS_MODAL_ORACLE = _lsh_cross_modal_oracle()
 
 
 QUERIES = {
@@ -863,8 +1016,6 @@ QUERIES = {
     "ns_chunk_pack": Query(chunk_pack, CHUNK_PACK_ORACLE),
     "ns_similarity_ann": Query(similarity_ann, None,
                                note="approximate ANN (sign-LSH + IVF) — rows-only"),
-    "ns_doc_signatures": Query(doc_signatures, None,
-                               note="xxhash64 signatures — rows-only"),
-    "ns_dedup_lsh_cross_modal": Query(lsh_cross_modal, None,
-                                      note="murmur3 MinHash ∘ cosine — rows-only"),
+    "ns_doc_signatures": Query(doc_signatures, DOC_SIGNATURES_ORACLE),
+    "ns_dedup_lsh_cross_modal": Query(lsh_cross_modal, LSH_CROSS_MODAL_ORACLE),
 }
