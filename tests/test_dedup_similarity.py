@@ -135,6 +135,24 @@ def test_ivf_topk_finds_planted_neighbor(vectors):
     assert rows and rows[0]["neighbor_id"] == 100
 
 
+def test_ann_recall_targets(spark):
+    """The quantified recall@5 the registry entry now emits must meet
+    the engineered targets on the driver's synthetic embeddings:
+    trained-quantizer IVF (2 of 8 lists probed ≈ 25% scanned) ≥ 0.8
+    mean recall; 8×4 multi-table sign-LSH ≥ 0.5."""
+    from training_datawarehouse_spark.plans.northstar import similarity_ann
+
+    rows = similarity_ann(spark, "/root/testdata/sf0.001").collect()
+    rec = {}
+    for r in rows:
+        if r["stage"] == "recall":
+            rec.setdefault(r["method"], []).append(r["recall"])
+    assert set(rec) == {"ivf", "signlsh"}
+    assert all(len(v) == 8 for v in rec.values())
+    assert sum(rec["ivf"]) / 8 >= 0.8
+    assert sum(rec["signlsh"]) / 8 >= 0.5
+
+
 def test_approx_aggs_error_bounds(spark):
     rng = random.Random(11)
     rows = [(rng.randint(0, 5000), float(rng.gauss(50, 10))) for _ in range(20000)]

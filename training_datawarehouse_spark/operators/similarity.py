@@ -208,6 +208,8 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 5,
     seed: int = 13,
+    init_vectors: list[list[float]] | None = None,
+    round_dp: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's k-means over an embedding column with DataFrame ops —
     the iterative-algorithm shape: per iteration ONE distributed pass
@@ -219,11 +221,23 @@ def kmeans_fit(
     Returns (centroids, inertia_per_iteration). Deterministic: seeded
     init, fixed iteration count (empty clusters keep their previous
     centroid).
+
+    ``init_vectors`` bypasses the seeded-sample init with explicit
+    starting centroids, and ``round_dp`` rounds each iteration's new
+    centroids — together they make the fit reproducible in ANOTHER
+    engine (the DuckDB oracle re-runs Lloyd's from the same literals;
+    rounding absorbs the last-ulp float-sum ordering differences that
+    would otherwise let assignments drift between engines).
     """
-    rng = np.random.RandomState(seed)
-    sample = df.select(vec_col).head(max(k * 20, 100))
-    pool = np.array([r[0] for r in sample], dtype="float64")
-    cents = pool[rng.choice(len(pool), size=k, replace=False)].tolist()
+    if init_vectors is not None:
+        if len(init_vectors) != k:
+            raise ValueError(f"init_vectors must have k={k} rows")
+        cents = [[float(x) for x in v] for v in init_vectors]
+    else:
+        rng = np.random.RandomState(seed)
+        sample = df.select(vec_col).head(max(k * 20, 100))
+        pool = np.array([r[0] for r in sample], dtype="float64")
+        cents = pool[rng.choice(len(pool), size=k, replace=False)].tolist()
 
     v = _as_double(F.col(vec_col))
     inertia_hist: list[float] = []
@@ -268,6 +282,8 @@ def kmeans_fit(
             new_cents[cid] = [
                 comps[p][0] / comps[p][1] for p in sorted(comps)
             ]
+            if round_dp is not None:
+                new_cents[cid] = [round(x, round_dp) for x in new_cents[cid]]
         cents = new_cents
     return cents, inertia_hist
 
@@ -300,20 +316,49 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def signlsh_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     k: int = 5, n_planes: int = 8, seed: int = 7, dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: bucket-join on the sign-LSH key, exact cosine
-    re-score within bucket. Recall < 1 by construction; the bucket join
-    replaces the all-pairs product with |bucket| co-location."""
-    planes = hyperplanes(_vec_dim(corpus, vec_col, dim), n_planes, seed)
+    """Approximate top-k: bucket-join on sign-LSH keys, exact cosine
+    re-score on the union of candidates. ``n_tables`` independent hash
+    tables (each with its own ``n_planes`` hyperplanes) trade scanned
+    fraction for recall — the standard multi-table LSH knob: one
+    6-plane table scans ~2% of an isotropic corpus at near-zero recall;
+    8 tables × 4 planes scan ~40% at recall ≈ 0.8. Candidates are the
+    DISTINCT union of the per-table equi-joins (each a broadcast of the
+    tiny query side), and only candidates ever reach the cosine —
+    at scale the candidate set is far smaller than the corpus, so the
+    re-score join stays slim."""
+    planes_all = hyperplanes(
+        _vec_dim(corpus, vec_col, dim), n_tables * n_planes, seed
+    )
+    tables = [
+        planes_all[t * n_planes:(t + 1) * n_planes] for t in range(n_tables)
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", signlsh_bucket(F.col("cv"), planes))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", signlsh_bucket(F.col("qv"), planes))
+    )
+    for t, planes in enumerate(tables):
+        c = c.withColumn(f"b{t}", signlsh_bucket(F.col("cv"), planes))
+        q = q.withColumn(f"b{t}", signlsh_bucket(F.col("qv"), planes))
+    cand = None
+    for t in range(n_tables):
+        hits = (
+            c.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
+            .join(
+                F.broadcast(q.select("query_id", F.col(f"b{t}").alias("bucket"))),
+                "bucket",
+            )
+            .select("query_id", "neighbor_id")
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        c.select("neighbor_id", "cv")
+        .join(cand, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
