@@ -621,28 +621,66 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ multimodal columns
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing end-to-end: attach a deterministic binary
-    payload, decode metadata via Arrow-batched ``mapInPandas`` (stub
-    kernel — real decoder would be PIL/libav), aggregate per format.
-    The fake decode is pure arithmetic on the payload bytes, so the
-    whole pipeline has an exact SQL oracle."""
+    """Binary-column pipeline end-to-end, tagged by stage:
+
+    - 'stub': deterministic fake decode of an opaque payload — the
+      plumbing check for formats whose codecs need external libraries.
+    - 'png': REAL image decode — a valid PNG is synthesized per doc
+      (md5-derived dims, per-row scanline filter) and decoded for real
+      (chunk CRCs, zlib inflate, un-filtering); ``total_bytes`` is the
+      DECODED raster size, so only a correct decoder matches.
+    - 'wav': REAL audio decode via the stdlib ``wave`` PCM codec;
+      width carries the framerate, n_bytes the PCM byte count.
+
+    Dims/rates derive from the same md5 bytes in every stage, so the
+    whole three-codec pipeline shares one exact SQL oracle."""
     from ..operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = mm.attach_binary_payload(docs, "doc_id", "text")
-    meta = mm.decode_metadata(with_payload)
-    return meta.groupBy("format").agg(
+    agg = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("width"), 4).alias("avg_width"),
         F.round(F.avg("height"), 4).alias("avg_height"),
+    ]
+    stub = (
+        mm.decode_metadata(mm.attach_binary_payload(docs, "doc_id", "text"))
+        .groupBy("format").agg(*agg)
+        .select(F.lit("stub").alias("stage"), "*")
     )
+    # The codec stages are Python-bound, so their wall-clock is the
+    # scan's task count — and the small-sf parquet is a one-row-group
+    # file (1 task). Spread the slim (id, text) rows across the cores
+    # before entering Arrow; at warehouse scale the source is already
+    # many-partitioned and this repartition drops out.
+    spread = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    png = (
+        mm.decode_metadata(
+            mm.synthesize_png_payload(spread, "doc_id", "text"),
+            decode_fn=mm.png_decode_meta,
+        )
+        .groupBy("format").agg(*agg)
+        .select(F.lit("png").alias("stage"), "*")
+    )
+    wav = (
+        mm.decode_metadata(
+            mm.synthesize_wav_payload(spread, "doc_id", "text"),
+            decode_fn=mm.wav_decode_meta,
+        )
+        .groupBy("format").agg(*agg)
+        .select(F.lit("wav").alias("stage"), "*")
+    )
+    return stub.unionByName(png).unionByName(wav)
 
 
 # payload = unhex(md5(text)); byte k = hex pair 2k+1..2k+2 of the md5.
 _HEXVAL = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
 _B0 = f"({_HEXVAL.format(p=1)} * 16 + {_HEXVAL.format(p=2)})"
 _B1 = f"({_HEXVAL.format(p=3)} * 16 + {_HEXVAL.format(p=4)})"
+_B2 = f"({_HEXVAL.format(p=5)} * 16 + {_HEXVAL.format(p=6)})"
+_B3 = f"({_HEXVAL.format(p=7)} * 16 + {_HEXVAL.format(p=8)})"
 
 MULTIMODAL_ORACLE = f"""
 WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
@@ -651,15 +689,27 @@ meta AS (
          16::BIGINT AS n_bytes,
          CASE {_B0} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
          64 + {_B0} % 64 AS width,
-         64 + {_B1} % 64 AS height
+         64 + {_B1} % 64 AS height,
+         8000 + ({_B2} % 8) * 1000 AS framerate,
+         256 + {_B3} AS n_frames
   FROM hx
 )
-SELECT format,
+SELECT 'stub' AS stage, format,
        count(*) AS n_docs,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(width), 4) AS avg_width,
        round(avg(height), 4) AS avg_height
 FROM meta GROUP BY format
+UNION ALL
+SELECT 'png', 'png', count(*),
+       CAST(sum((16 + {_B0} % 16) * (16 + {_B1} % 16)) AS BIGINT),
+       round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
+FROM hx
+UNION ALL
+SELECT 'wav', 'wav', count(*),
+       CAST(sum(n_frames * 2) AS BIGINT),
+       round(avg(framerate), 4), round(avg(1), 4)
+FROM meta
 """
 
 
