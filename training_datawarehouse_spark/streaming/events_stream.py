@@ -4,10 +4,12 @@ The reference has no streaming story — its "incremental" mode is a full
 batch re-run (SURVEY §2.2). Here the events table doubles as a stream:
 ``readStream`` over a parquet directory, event-time watermark, tumbling
 window aggregation — the standard late-data-tolerant shape. The batch
-query ``op_stream_tumbling_batch`` in plans/relational.py computes the
-identical result with the same ``F.window`` expression, which is how the
-streaming semantics get an oracle (stream/batch parity is a Structured
-Streaming guarantee for append-mode windowed aggregation).
+query ``tumbling_window`` in plans/relational.py computes the identical
+result with the same ``F.window`` expression, which is how the streaming
+semantics get an oracle (stream/batch parity is a Structured Streaming
+guarantee for append-mode windowed aggregation) — and the registry's
+``op_stream_e2e`` entry runs the REAL availableNow micro-batch drain
+under the driver's differential gate.
 
 At scale: the watermark bounds state (old windows are evicted once the
 watermark passes), and the pre-shuffle partial aggregation keeps the
