@@ -23,13 +23,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def event_schema() -> T.StructType:
-    """Explicit schema — streaming sources never infer. ``ts`` arrives
-    as nanosecond int64 in the driver's parquet (same as the batch
-    loader's nanosAsLong path)."""
+def event_schema(ts_type: T.DataType | None = None) -> T.StructType:
+    """Explicit schema — streaming sources never infer. ``ts`` may be
+    INT64 TIMESTAMP(NANOS) (read as long via the nanosAsLong legacy
+    flag) or a plain micro-precision timestamp, depending on how the
+    upstream writer encoded it; callers pass the detected type."""
     return T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("ts", ts_type or T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,13 +39,23 @@ def event_schema() -> T.StructType:
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the events directory with the same ts-unit tolerance as
+    the batch loader (sources/tables.py): probe ONE parquet footer on
+    the driver to learn whether ``ts`` is nanos-as-int64 or a native
+    micro timestamp, then fix the streaming schema accordingly. The
+    probe is a footer read at stream start, not a data scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(event_schema())
+        spark.readStream.schema(event_schema(probed))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    if isinstance(probed, T.LongType):  # ns since epoch
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
