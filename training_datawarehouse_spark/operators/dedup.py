@@ -5,9 +5,9 @@ All variants are compositions of built-in expressions — no Python UDFs:
 
 - ``exact_dedup``: min_by hash aggregate keyed on the content hash.
   One shuffle; at 100 TB the md5 key distributes uniformly so no skew.
-- ``hashed_shingles``: the shared shingling kernel — posexplode +
-  window lead + one xxhash64, fully whole-stage-codegen, shingles as
-  8-byte longs.
+- ``hashed_shingles``: the shared shingling kernel — row-local
+  split → transform(sequence) → explode → one xxhash64; no shuffle,
+  shingles ride downstream exchanges as 8-byte longs.
 - ``minhash_signatures`` + ``lsh_candidate_pairs``: k seeded murmur3
   minima per doc; banded LSH buckets expanded in-bucket (no self-join),
   hot buckets capped, candidates broadcast into exact-Jaccard
@@ -57,32 +57,48 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+def _gram_stream(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, g) — one row per word-shingle occurrence, as a 64-bit hash.
+    """(id, __gram) — one row per word-shingle occurrence, built
+    entirely row-locally: split → ``transform(sequence(...))`` over the
+    token array → explode. No window, no shuffle — shingling is
+    embarrassingly row-parallel and the first exchange downstream ships
+    slim hashed longs, not token strings. (An earlier kernel used
+    posexplode + window ``lead``, which shuffles and sorts every token
+    row by id before the first hash — measured equal at sf0.1 and
+    strictly worse at scale.) The explode's Generate node is also an
+    optimizer barrier: CollapseProject cannot inline the gram
+    construction into each downstream hash expression (the hazard the
+    ``minhash_signatures`` docstring describes).
 
-    posexplode tokens → window ``lead`` to form the n-gram → one
-    ``xxhash64`` over the n token columns. Everything stays inside
-    whole-stage codegen: higher-order array functions (transform/
-    element_at chains) are interpreted expression-eval in Spark and
-    measured ~6× slower here. The window's hash-partitioning on ``id``
-    is reused by downstream groupBy(id) aggregations (no extra
-    shuffle), and shingles ride shuffles as 8-byte longs, not strings.
     Duplicate shingles are NOT removed: ``min``/``collect_set``
     consumers are multiset-insensitive, so dedup would buy nothing.
     """
     if shingle_n < 1 or shingle_n > 8:
         raise ValueError("shingle_n must be in [1, 8]")
     toks = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__tk")
+    ).filter(F.size("__tk") >= shingle_n)
+    parts = ", ".join(
+        "__tk[i]" if j == 0 else f"__tk[i + {j}]" for j in range(shingle_n)
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for j in range(1, shingle_n):
-        toks = toks.withColumn(f"t{j}", F.lead("t0", j).over(w))
-    last = f"t{shingle_n - 1}"
-    return toks.filter(F.col(last).isNotNull()).select(
-        id_col, F.xxhash64(*[f"t{j}" for j in range(shingle_n)]).alias("g")
+    grams = (
+        f"transform(sequence(0, size(__tk) - {shingle_n}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+    return toks.select(F.col(id_col), F.explode(F.expr(grams)).alias("__gram"))
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, g) — one row per word-shingle occurrence, as a 64-bit
+    ``xxhash64`` of the gram string (tokens cannot contain the space
+    delimiter, so the join is unambiguous). Fully row-local — see
+    ``_gram_stream``."""
+    return _gram_stream(df, id_col, text_col, shingle_n).select(
+        id_col, F.xxhash64("__gram").alias("g")
     )
 
 
@@ -122,22 +138,12 @@ def hashed_shingles_portable(
     """(id, g1, g2) — one row per word-shingle occurrence as two 60-bit
     md5-prefix integers (hex chars 1-15 and 17-31 of md5(gram)).
 
-    Same whole-stage-codegen kernel as ``hashed_shingles`` (posexplode →
-    window lead → concat_ws gram → one md5); ``conv(hex,16,10)`` turns
+    Same row-local kernel as ``hashed_shingles`` (``_gram_stream``:
+    split → transform → explode, no shuffle); ``conv(hex,16,10)`` turns
     the prefixes into longs identically to DuckDB's
     ``('0x' || substr(md5(g),1,15))::BIGINT``."""
-    if shingle_n < 1 or shingle_n > 8:
-        raise ValueError("shingle_n must be in [1, 8]")
-    toks = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for j in range(1, shingle_n):
-        toks = toks.withColumn(f"t{j}", F.lead("t0", j).over(w))
-    last = f"t{shingle_n - 1}"
-    m = F.md5(F.concat_ws(" ", *[f"t{j}" for j in range(shingle_n)]))
-    grams = toks.filter(F.col(last).isNotNull()).select(
-        F.col(id_col), m.alias("__m")
+    grams = _gram_stream(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.md5("__gram").alias("__m")
     )
     return grams.select(
         id_col,
@@ -340,27 +346,42 @@ def winnowing_fingerprints(
     size/recall knob for plagiarism-style containment detection
     (complementary to MinHash, which measures whole-set resemblance).
 
-    Pure built-ins: token rolling hashes ride the same codegen path as
-    ``hashed_shingles``; the window minimum is one more frame over the
-    per-doc ordering the shingle window already established.
+    Fully row-local: gram hashes, the rolling window minima, and the
+    per-document fingerprint dedup are all array expressions over the
+    token array — the ONLY shuffle in the whole operator is the final
+    (id, fp) distinct, and it ships two longs per fingerprint. (The
+    per-position ``array_min(slice(...))`` is O(n·window) per doc, the
+    same work the frame-based window minimum does, without the
+    shuffle+sort of every token row that a window would need.)
     """
-    sh = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0"),
+    return _winnow(df, id_col, text_col, k, window, "xxhash64(g)")
+
+
+def _winnow(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int,
+    hash_sql: str,
+) -> DataFrame:
+    """Shared winnowing kernel: ``hash_sql`` maps a gram string ``g``
+    to a BIGINT inside a SQL lambda."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__tk")
+    ).filter(F.size("__tk") >= k)
+    parts = ", ".join(
+        "__tk[i]" if j == 0 else f"__tk[i + {j}]" for j in range(k)
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for j in range(1, k):
-        sh = sh.withColumn(f"t{j}", F.lead("t0", j).over(w))
-    sh = sh.filter(F.col(f"t{k-1}").isNotNull()).select(
-        id_col, "pos", F.xxhash64(*[f"t{j}" for j in range(k)]).alias("g")
+    gh = (
+        f"transform(sequence(0, size(__tk) - {k}), "
+        f"i -> concat_ws(' ', {parts}))"
     )
-    wmin = (
-        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    gh = f"transform({gh}, g -> {hash_sql})"
+    staged = toks.select(F.col(id_col), F.expr(gh).alias("__gh"))
+    fps = (
+        "array_distinct(transform(sequence(1, size(__gh)), "
+        f"p -> array_min(slice(__gh, p, {window}))))"
     )
-    return (
-        sh.select(id_col, F.min("g").over(wmin).alias("fp"))
-        .distinct()
-    )
+    return staged.select(
+        F.col(id_col), F.explode(F.expr(fps)).alias("fp")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -517,20 +538,10 @@ def winnowing_fingerprints_portable(
     """``winnowing_fingerprints`` on 60-bit md5-prefix k-gram hashes —
     same kernel and guarantees, but reproducible in any engine with
     md5 (DuckDB oracle in plans/northstar.py)."""
-    sh = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t0"),
+    return _winnow(
+        df, id_col, text_col, k, window,
+        "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)",
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    for j in range(1, k):
-        sh = sh.withColumn(f"t{j}", F.lead("t0", j).over(w))
-    g = F.conv(
-        F.substring(F.md5(F.concat_ws(" ", *[f"t{j}" for j in range(k)])), 1, 15),
-        16, 10,
-    ).cast("long")
-    sh = sh.filter(F.col(f"t{k-1}").isNotNull()).select(id_col, "pos", g.alias("g"))
-    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    return sh.select(id_col, F.min("g").over(wmin).alias("fp")).distinct()
 
 
 def connected_components(
