@@ -17,12 +17,12 @@ identical inputs.
 from __future__ import annotations
 
 from .base import Query  # noqa: F401
-from . import core, lattice_q, timeseries_q, relational, northstar
+from . import core, lattice_q, timeseries_q, relational, tpch_deep, northstar
 
 
 def _collect() -> dict[str, Query]:
     out: dict[str, Query] = {}
-    for mod in (core, lattice_q, timeseries_q, relational, northstar):
+    for mod in (core, lattice_q, timeseries_q, relational, tpch_deep, northstar):
         out.update(mod.QUERIES)
     # Deterministic (alphabetical) ordering — stable across runs and
     # unbiased under any sampling of the registry.

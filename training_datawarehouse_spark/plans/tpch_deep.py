@@ -1,0 +1,412 @@
+"""Deep TPC-H-shape coverage over the synthetic star schema.
+
+The reference has no query language at all (SURVEY §3: imperative
+SQLite programs), so the relational breadth the charter requires is
+defined by the classic TPC-H plan shapes. plans/relational.py carries
+q1/q3/q4/q5/q6/q10; this module adds the remaining distinct *plan
+machineries*:
+
+- q2   correlated scalar subquery → Catalyst decorrelation into an
+       aggregate + join (the min-cost-supplier shape)
+- q7   nation-pair volume join with a disjunctive pair predicate
+- q8   market-share ratio of conditional aggregates
+- q9   profit expression over a 5-way join with a LIKE filter
+- q14  conditional-aggregate ratio over a date slice (promo revenue)
+- q16  COUNT(DISTINCT) with a NOT IN null-aware anti join
+- q18  HAVING-filtered aggregate driving a semi-join back to facts
+- q19  disjunction-of-conjunctions predicate (OR-block pushdown)
+- q22  NOT EXISTS anti join + global scalar subquery per row
+
+The schema is TPC-H-lite (no partsupp, no shipmode/commitdate — see
+FIXTURES.md §B.1), so q2/q9/q12-style queries are re-anchored on the
+columns that exist; the PLAN SHAPE is what each entry exercises, and
+every entry is exact-oracle-checked against DuckDB.
+
+q2/q16/q22 run through ``spark.sql`` on registered temp views — the
+subquery surfaces (correlated scalar, NOT IN, NOT EXISTS) are SQL-only
+constructs, and running the *same text* on both engines makes the
+oracle a true differential test of Catalyst's decorrelation.
+
+100 TB posture: dimension joins broadcast (part/supplier/nation/
+region); fact-side aggregates are partial (map-side combine) before
+their one shuffle; q18's HAVING subquery aggregates lineitem to
+order grain BEFORE joining orders (the join ships only qualifying
+keys); q19's OR-blocks reference only scan columns, so the whole
+disjunction pushes into the parquet reader as a row-group filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_tables
+from .base import Query
+
+
+# ------------------------------------------------------------- q2
+
+_Q2_SQL = """
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+       round(s.s_acctbal, 2) AS acctbal,
+       round(l.l_extendedprice / l.l_quantity, 4) AS unit_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_size <= 10
+  AND l.l_extendedprice / l.l_quantity = (
+    SELECT min(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the supplier(s) achieving the minimum unit price
+    per small European part — a correlated scalar subquery Catalyst
+    decorrelates into (aggregate per part) ⋈ (outer query). The min is
+    computed over the identical IEEE-double division in both engines,
+    so the equality predicate is bit-stable; no partsupp table exists,
+    lineitem is the part↔supplier link (FIXTURES.md §B.1)."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+# ------------------------------------------------------------- q7
+
+_Q7_PAIRS = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between a nation pair (both
+    directions), by ship year. Two broadcast copies of nation resolve
+    supplier and customer sides independently; the pair disjunction is
+    evaluated post-join on broadcast-joined labels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    pair_pred = None
+    for a, b in _Q7_PAIRS:
+        p = (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+        pair_pred = p if pair_pred is None else (pair_pred | p)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair_pred)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------- q8
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of revenue in a regional
+    market per order year — a ratio of a conditional SUM to the total,
+    computed in the same aggregate (one pass, no second scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = (cust.join(F.broadcast(nation),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+          .filter(F.col("r_name") == "ASIA")
+          .select("c_custkey"))
+    sn = supp.join(F.broadcast(nation),
+                   F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q8_ORACLE = """
+SELECT year(o.o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_custkey IN (
+  SELECT c.c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA')
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- q9
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year.
+    No partsupp/supplycost in the schema — cost is modeled as 10% of
+    retail price × quantity (same formula in the oracle); part filter
+    is a LIKE on p_name, evaluated before the broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = supp.join(F.broadcast(nation),
+                   F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "n_name")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- q14
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of revenue in one shipping
+    quarter — conditional-aggregate ratio, date-range scan filter
+    pushed to parquet, part broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.expr("timestamp'1996-01-01 00:00:00'")
+    hi = F.expr("timestamp'1996-04-01 00:00:00'")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+             .alias("promo_revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+# ------------------------------------------------------------- q16
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 5, 9, 14, 20, 25, 30, 35, 40, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s.s_suppkey FROM supplier s
+    WHERE s.s_acctbal < (SELECT 0.5 * avg(s2.s_acctbal) FROM supplier s2)
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class,
+    excluding below-par suppliers via NOT IN — a null-aware anti join
+    feeding a COUNT(DISTINCT) Expand rewrite. Same SQL text runs on
+    both engines."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+# ------------------------------------------------------------- q18
+
+_Q18_QTY = 140.0
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
+    joined back to customers. Lineitem aggregates to order grain FIRST
+    (partial-agg before its one shuffle), so the orders/customer joins
+    ship only qualifying keys — the plan that survives a fact table
+    1000× the dimension side. Quantities are integer-valued doubles,
+    so the HAVING comparison is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .filter(F.col("sum_qty") > _Q18_QTY))
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.to_date("o_orderdate").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate::DATE AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, big.sum_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > {_Q18_QTY}) big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ------------------------------------------------------------- q19
+
+_Q19_BLOCKS = (
+    ("Brand#11", 1, 5, 1.0, 11.0),
+    ("Brand#22", 1, 10, 10.0, 20.0),
+    ("Brand#33", 1, 15, 20.0, 30.0),
+)
+
+
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunctions over (brand, size,
+    quantity) bands. Every OR-block references only scan columns, so
+    Catalyst pushes the whole disjunction into the parquet row-group
+    filter; part is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pred = None
+    for brand, s_lo, s_hi, q_lo, q_hi in _Q19_BLOCKS:
+        p = ((F.col("p_brand") == brand)
+             & F.col("p_size").between(s_lo, s_hi)
+             & F.col("l_quantity").between(q_lo, q_hi))
+        pred = p if pred is None else (pred | p)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+# ------------------------------------------------------------- q22
+
+_Q22_SQL = """
+SELECT c.c_nationkey % 5 AS bucket,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT orders —
+    global scalar subquery (one broadcast scalar) + NOT EXISTS anti
+    join, grouped by a derived bucket (no phone prefix in the schema;
+    nationkey mod 5 plays the cntrycode role; at this order density
+    every customer has SOME order, so the dormancy window is what
+    makes the anti join selective). Same SQL text runs on both
+    engines."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+QUERIES = {
+    "tpch_q2_min_cost_supplier": Query(q2_min_cost_supplier, _Q2_SQL),
+    "tpch_q7_volume_shipping": Query(q7_volume_shipping, Q7_ORACLE),
+    "tpch_q8_market_share": Query(q8_market_share, Q8_ORACLE),
+    "tpch_q9_product_profit": Query(q9_product_profit, Q9_ORACLE),
+    "tpch_q14_promo_revenue": Query(q14_promo_revenue, Q14_ORACLE),
+    "tpch_q16_supplier_diversity": Query(q16_supplier_diversity, _Q16_SQL),
+    "tpch_q18_large_orders": Query(q18_large_orders, Q18_ORACLE),
+    "tpch_q19_discount_revenue": Query(q19_discount_revenue, Q19_ORACLE),
+    "tpch_q22_idle_accounts": Query(q22_idle_accounts, _Q22_SQL),
+}
