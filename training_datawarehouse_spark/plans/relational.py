@@ -309,6 +309,81 @@ def stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming stream-stream join: both sides of the
+    watermarked interval join derive from the events ``readStream``,
+    drained with ``trigger(availableNow)`` into a memory sink, then
+    aggregated to the ``op_jn_range`` result shape — so the batch
+    interval-join SQL oracle applies verbatim and the stream-stream
+    state machinery (two buffered sides, watermark-bounded eviction)
+    runs under the driver's differential gate, not only in pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events_stream import stream_events
+    from ..streaming.joins import clicks_purchases_stream_join
+
+    name = f"op_stream_join_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_join_e2e_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        q = (
+            clicks_purchases_stream_join(stream_events(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(name).groupBy(F.col("click_id")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("purchase_value"),
+    )
+
+
+def skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation (operators/skew.py) over per-user
+    event stats: stage 1 aggregates at (user, salt) grain so a hot key
+    spreads over 16 reducers via map-side combine, stage 2 merges the
+    partials. The result is salt-invariant (count/sum are algebraic),
+    so a plain GROUP BY is the exact oracle — what the entry checks is
+    that the skew-safe plan computes the same answer."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev.select("user_id", "value"),
+        keys=["user_id"],
+        partials=[
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum("value").alias("v_p"),
+        ],
+        finals=[
+            F.sum("n_p").alias("n_events"),
+            F.round(F.sum("v_p"), 4).alias("total_value"),
+        ],
+        n_salts=16,
+    )
+
+
+SKEW_SALTED_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer in
     a quarter — fact⋈fact shuffle join + broadcast dims + grouped agg +
@@ -947,4 +1022,8 @@ QUERIES = {
     # op_stream_windows_batch): the tumbling result is now produced by
     # REAL micro-batch execution and checked by the same oracle.
     "op_stream_e2e": Query(stream_e2e, TUMBLING_ORACLE),
+    # real micro-batch stream-stream join, oracled by the batch
+    # interval-join SQL (same condition text, aggregated shape)
+    "op_stream_join_e2e": Query(stream_join_e2e, RANGE_JOIN_ORACLE),
+    "op_skew_salted_agg": Query(skew_salted_user_stats, SKEW_SALTED_ORACLE),
 }
