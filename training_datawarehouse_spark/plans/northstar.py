@@ -5,7 +5,7 @@ reference implementation — SURVEY §2.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -83,24 +83,35 @@ FROM t
 # --------------------------------------------- language id + quality
 
 def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID + [0,1] quality score + word-
-    bigram repetition fraction (the cheap boilerplate signal used in
-    corpus quality filtering) + ``drop_reason`` — the first failing
-    filter rule per document ('kept' if none), so the cleaning funnel
-    is a groupBy away. Reasons are computed from the ROUNDED scores the
-    row itself reports, keeping Spark and the oracle bit-identical at
-    the thresholds."""
+    """BOTH language-ID families plus quality filtering in ONE
+    projection over one scan: stopword-heuristic lang ID, [0,1] quality
+    score, word-bigram repetition fraction (the cheap boilerplate
+    signal), ``drop_reason`` — the first failing filter rule per
+    document ('kept' if none, so the cleaning funnel is a groupBy
+    away) — and the char-trigram lang ID with its per-language overlap
+    counts (``lang_pred_ngram``, ``n_en``/``n_fr``/``n_de``). Reasons
+    are computed from the ROUNDED scores the row itself reports,
+    keeping Spark and the oracle bit-identical at the thresholds.
+    Formerly two registry entries; merged so both ride one scan."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     lp = tx.lang_id(t)
     q = F.round(tx.quality_score(t), 6)
     r = F.round(tx.repetition_score(t, 2), 6)
+    grams = tx.char_trigrams(t)
+    ngram_cols = [
+        F.size(F.array_intersect(grams, F.array(*[F.lit(g) for g in prof])))
+        .alias(f"n_{lang}")
+        for lang, prof in tx.CHAR_TRIGRAM_PROFILES.items()
+    ]
     return docs.select(
         "doc_id",
         lp.alias("lang_pred"),
         q.alias("quality"),
         r.alias("repetition"),
         tx.drop_reason(lp, q, r, tx.token_count(t)).alias("drop_reason"),
+        tx.lang_id_char_ngram(t).alias("lang_pred_ngram"),
+        *ngram_cols,
     )
 
 
@@ -132,6 +143,7 @@ SELECT doc_id, len(toks) AS n_tokens,
                              / (len(toks) - 1)::DOUBLE END, 6) AS repetition
 FROM cnt
 )
+, sw AS (
 SELECT doc_id, lang_pred, quality, repetition,
        CASE WHEN n_tokens < 5 THEN 'too_short'
             WHEN repetition > 0.5 THEN 'repetitive'
@@ -139,6 +151,9 @@ SELECT doc_id, lang_pred, quality, repetition,
             WHEN lang_pred = 'und' THEN 'unknown_lang'
             ELSE 'kept' END AS drop_reason
 FROM m
+)
+SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de
+FROM sw JOIN ({{CHAR_NGRAM}}) cg USING (doc_id)
 """
 
 
@@ -189,6 +204,11 @@ SELECT doc_id,
        n_en::INT AS n_en, n_fr::INT AS n_fr, n_de::INT AS n_de
 FROM c
 """
+
+# the merged lang entry joins the char-ngram block in as a subquery
+LANG_QUALITY_ORACLE = LANG_QUALITY_ORACLE.format(
+    CHAR_NGRAM=LANG_CHAR_NGRAM_ORACLE
+)
 
 
 # ------------------------------------------------------- fingerprint
@@ -815,13 +835,16 @@ GROUP BY source
 
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
-    counts, TTR, stopwords) and BPE-pretokenizer regex token counts —
-    ONE projection over one scan (a self-join on doc_id would read the
-    corpus twice and shuffle it once for nothing); all JVM-side
-    expressions, all values hash-checked."""
+    counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
+    the canonical md5 fingerprint with its dupe-group size — ONE
+    projection over one scan (a self-join on doc_id would read the
+    corpus twice and shuffle it once for nothing; the group size is a
+    window count over the fingerprint, not an aggregate-and-join-back);
+    all JVM-side expressions, all values hash-checked. Formerly two
+    registry entries (profile + fingerprint); merged onto one scan."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
         tx.distinct_token_count(t).alias("n_distinct"),
@@ -831,14 +854,25 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count(t).alias("n_ws_tokens"),
         tx.regex_token_count(t).alias("n_bpe_tokens"),
         F.size(F.array_distinct(tx.regex_tokens(t))).cast("long").alias("n_bpe_distinct"),
+        tx.fingerprint(t).alias("fp"),
+    )
+    return base.withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(Window.partitionBy("fp")),
     )
 
 
 TEXT_PROFILE_ORACLE = f"""
 WITH ts AS ({TEXT_STATS_ORACLE}),
-tr AS ({TOKEN_REGEX_ORACLE})
-SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct
-FROM ts JOIN tr USING (doc_id)
+tr AS ({TOKEN_REGEX_ORACLE}),
+fp AS (
+  SELECT doc_id,
+         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+  FROM documents
+)
+SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct,
+       fp.fp, count(*) OVER (PARTITION BY fp.fp) AS group_size
+FROM ts JOIN tr USING (doc_id) JOIN fp USING (doc_id)
 """
 
 
@@ -1355,10 +1389,12 @@ QUERIES = {
     "ns_dedup_embedding_cosine": Query(embedding_neardup, EMBEDDING_NEARDUP_ORACLE),
     "ns_kmeans_clusters": Query(kmeans_clusters, KMEANS_ORACLE),
     "ns_multimodal_meta": Query(multimodal_meta, MULTIMODAL_ORACLE),
+    # ns_text_profile absorbs the former ns_fingerprint entry (same
+    # scan, window count for the group size); ns_lang_quality absorbs
+    # ns_lang_char_ngram (both lang-ID families in one projection) —
+    # the builders fingerprint_q / lang_char_ngram remain for direct use
     "ns_text_profile": Query(text_profile, TEXT_PROFILE_ORACLE),
     "ns_lang_quality": Query(lang_quality, LANG_QUALITY_ORACLE),
-    "ns_lang_char_ngram": Query(lang_char_ngram, LANG_CHAR_NGRAM_ORACLE),
-    "ns_fingerprint": Query(fingerprint_q, FINGERPRINT_ORACLE),
     "ns_similarity_topk": Query(similarity_topk, SIMILARITY_ORACLE),
     "ns_ngram_jaccard": Query(ngram_jaccard, NGRAM_JACCARD_ORACLE),
     "ns_chunk_pack": Query(chunk_pack, CHUNK_PACK_ORACLE),

@@ -352,6 +352,29 @@ def stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both REAL micro-batch executions under one tagged entry: the
+    tumbling-window aggregation ('windows' stage) and the watermarked
+    stream-stream interval join ('ssjoin' stage), each drained with
+    ``trigger(availableNow)`` and aligned onto (stage, k1, k2, n, v) so
+    the batch SQL oracles apply verbatim per stage."""
+    win = stream_e2e(spark, sf_dir).select(
+        F.lit("windows").alias("stage"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").alias("v"),
+    )
+    join = stream_join_e2e(spark, sf_dir).select(
+        F.lit("ssjoin").alias("stage"),
+        F.col("click_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_purchases").cast("long").alias("n"),
+        F.col("purchase_value").alias("v"),
+    )
+    return win.unionByName(join)
+
+
 def skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level salted aggregation (operators/skew.py) over per-user
     event stats: stage 1 aggregates at (user, salt) grain so a hot key
@@ -381,6 +404,22 @@ SKEW_SALTED_ORACLE = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events
 GROUP BY user_id
+"""
+
+
+def _stream_e2e_dual_oracle() -> str:
+    """Aligned union of the two per-stage batch oracles."""
+    return f"""
+WITH win AS ({TUMBLING_ORACLE}),
+ssj AS ({RANGE_JOIN_ORACLE})
+SELECT 'windows' AS stage,
+       strftime(window_start, '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type AS k2, n, total_value AS v
+FROM win
+UNION ALL
+SELECT 'ssjoin', CAST(click_id AS VARCHAR), CAST(NULL AS VARCHAR),
+       n_purchases, purchase_value
+FROM ssj
 """
 
 
@@ -995,6 +1034,9 @@ FROM md JOIN p USING (event_type) JOIN j USING (event_type)
 """
 
 
+STREAM_E2E_DUAL_ORACLE = _stream_e2e_dual_oracle()
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": Query(q3_shipping_priority, Q3_ORACLE),
     # op_subqueries folded in as the sq branch (scalar + IN subqueries)
@@ -1021,9 +1063,8 @@ QUERIES = {
     # same aggregation still runs in batch form inside
     # op_stream_windows_batch): the tumbling result is now produced by
     # REAL micro-batch execution and checked by the same oracle.
-    "op_stream_e2e": Query(stream_e2e, TUMBLING_ORACLE),
-    # real micro-batch stream-stream join, oracled by the batch
-    # interval-join SQL (same condition text, aggregated shape)
-    "op_stream_join_e2e": Query(stream_join_e2e, RANGE_JOIN_ORACLE),
+    # BOTH real micro-batch executions (tumbling windows + the
+    # stream-stream interval join), each stage oracled by its batch SQL
+    "op_stream_e2e": Query(stream_e2e_dual, STREAM_E2E_DUAL_ORACLE),
     "op_skew_salted_agg": Query(skew_salted_user_stats, SKEW_SALTED_ORACLE),
 }

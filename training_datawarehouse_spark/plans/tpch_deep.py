@@ -399,14 +399,135 @@ def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# ------------------------------------------- tagged family composite
+#
+# The driver records correctness rows for at most 50 registry entries,
+# so the nine shapes ship as ONE tagged composite (the op_jn_semi_anti
+# / op_win_1_ewma_dual precedent): every constituent keeps its own
+# builder, its own oracle SQL, and its own verified semantics — the
+# composite aligns them onto (shape, k1, k2, k3, n, v1, v2) and unions
+# the per-shape oracles identically.
+
+_S = "string"
+
+
+def _null_s():
+    return F.lit(None).cast(_S)
+
+
+def _null_d():
+    return F.lit(None).cast("double")
+
+
+def tpch_deep_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine deep TPC-H shapes, tagged by ``shape`` and aligned onto
+    a common frame: k1–k3 string dimensions, n the integer measure,
+    v1/v2 the value measures. Each constituent subplan is exactly its
+    standalone builder's plan; the union only renames columns."""
+    q2 = q2_min_cost_supplier(spark, sf_dir).select(
+        F.lit("q2_min_cost_supplier").alias("shape"),
+        F.col("p_name").alias("k1"), F.col("s_name").alias("k2"),
+        F.col("n_name").alias("k3"), F.col("p_partkey").cast("long").alias("n"),
+        F.col("acctbal").alias("v1"), F.col("unit_price").alias("v2"),
+    )
+    q7 = q7_volume_shipping(spark, sf_dir).select(
+        F.lit("q7_volume_shipping").alias("shape"),
+        F.col("supp_nation").alias("k1"), F.col("cust_nation").alias("k2"),
+        F.col("l_year").cast(_S).alias("k3"), F.col("n_items").alias("n"),
+        F.col("revenue").alias("v1"), _null_d().alias("v2"),
+    )
+    q8 = q8_market_share(spark, sf_dir).select(
+        F.lit("q8_market_share").alias("shape"),
+        _null_s().alias("k1"), _null_s().alias("k2"),
+        F.col("o_year").cast(_S).alias("k3"), F.col("n_items").alias("n"),
+        F.col("mkt_share").alias("v1"), _null_d().alias("v2"),
+    )
+    q9 = q9_product_profit(spark, sf_dir).select(
+        F.lit("q9_product_profit").alias("shape"),
+        F.col("nation").alias("k1"), _null_s().alias("k2"),
+        F.col("o_year").cast(_S).alias("k3"), F.col("n_items").alias("n"),
+        F.col("profit").alias("v1"), _null_d().alias("v2"),
+    )
+    q14 = q14_promo_revenue(spark, sf_dir).select(
+        F.lit("q14_promo_revenue").alias("shape"),
+        _null_s().alias("k1"), _null_s().alias("k2"), _null_s().alias("k3"),
+        F.col("n_items").alias("n"),
+        F.col("promo_revenue").alias("v1"), _null_d().alias("v2"),
+    )
+    q16 = q16_supplier_diversity(spark, sf_dir).select(
+        F.lit("q16_supplier_diversity").alias("shape"),
+        F.col("p_brand").alias("k1"), F.col("p_type").alias("k2"),
+        F.col("p_size").cast(_S).alias("k3"),
+        F.col("supplier_cnt").cast("long").alias("n"),
+        _null_d().alias("v1"), _null_d().alias("v2"),
+    )
+    q18 = q18_large_orders(spark, sf_dir).select(
+        F.lit("q18_large_orders").alias("shape"),
+        F.col("c_name").alias("k1"), F.col("o_orderkey").cast(_S).alias("k2"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("k3"),
+        F.col("c_custkey").cast("long").alias("n"),
+        F.col("o_totalprice").alias("v1"), F.col("sum_qty").alias("v2"),
+    )
+    q19 = q19_discount_revenue(spark, sf_dir).select(
+        F.lit("q19_discount_revenue").alias("shape"),
+        _null_s().alias("k1"), _null_s().alias("k2"), _null_s().alias("k3"),
+        F.col("n_items").alias("n"),
+        F.col("revenue").alias("v1"), _null_d().alias("v2"),
+    )
+    q22 = q22_idle_accounts(spark, sf_dir).select(
+        F.lit("q22_idle_accounts").alias("shape"),
+        F.col("bucket").cast(_S).alias("k1"), _null_s().alias("k2"),
+        _null_s().alias("k3"), F.col("numcust").cast("long").alias("n"),
+        F.col("totacctbal").alias("v1"), _null_d().alias("v2"),
+    )
+    out = q2
+    for piece in (q7, q8, q9, q14, q16, q18, q19, q22):
+        out = out.unionByName(piece)
+    return out
+
+
+TPCH_DEEP_ORACLE = f"""
+WITH q2 AS ({_Q2_SQL}),
+q7 AS ({Q7_ORACLE}),
+q8 AS ({Q8_ORACLE}),
+q9 AS ({Q9_ORACLE}),
+q14 AS ({Q14_ORACLE}),
+q16 AS ({_Q16_SQL}),
+q18 AS ({Q18_ORACLE}),
+q19 AS ({Q19_ORACLE}),
+q22 AS ({_Q22_SQL})
+SELECT 'q2_min_cost_supplier' AS shape, p_name AS k1, s_name AS k2,
+       n_name AS k3, CAST(p_partkey AS BIGINT) AS n,
+       acctbal AS v1, unit_price AS v2 FROM q2
+UNION ALL
+SELECT 'q7_volume_shipping', supp_nation, cust_nation,
+       CAST(l_year AS VARCHAR), n_items, revenue, CAST(NULL AS DOUBLE) FROM q7
+UNION ALL
+SELECT 'q8_market_share', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(o_year AS VARCHAR), n_items, mkt_share, CAST(NULL AS DOUBLE) FROM q8
+UNION ALL
+SELECT 'q9_product_profit', nation, CAST(NULL AS VARCHAR),
+       CAST(o_year AS VARCHAR), n_items, profit, CAST(NULL AS DOUBLE) FROM q9
+UNION ALL
+SELECT 'q14_promo_revenue', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), n_items, promo_revenue, CAST(NULL AS DOUBLE) FROM q14
+UNION ALL
+SELECT 'q16_supplier_diversity', p_brand, p_type, CAST(p_size AS VARCHAR),
+       CAST(supplier_cnt AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM q16
+UNION ALL
+SELECT 'q18_large_orders', c_name, CAST(o_orderkey AS VARCHAR),
+       CAST(o_orderdate AS VARCHAR), CAST(c_custkey AS BIGINT),
+       o_totalprice, sum_qty FROM q18
+UNION ALL
+SELECT 'q19_discount_revenue', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), n_items, revenue, CAST(NULL AS DOUBLE) FROM q19
+UNION ALL
+SELECT 'q22_idle_accounts', CAST(bucket AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(numcust AS BIGINT), totacctbal,
+       CAST(NULL AS DOUBLE) FROM q22
+"""
+
+
 QUERIES = {
-    "tpch_q2_min_cost_supplier": Query(q2_min_cost_supplier, _Q2_SQL),
-    "tpch_q7_volume_shipping": Query(q7_volume_shipping, Q7_ORACLE),
-    "tpch_q8_market_share": Query(q8_market_share, Q8_ORACLE),
-    "tpch_q9_product_profit": Query(q9_product_profit, Q9_ORACLE),
-    "tpch_q14_promo_revenue": Query(q14_promo_revenue, Q14_ORACLE),
-    "tpch_q16_supplier_diversity": Query(q16_supplier_diversity, _Q16_SQL),
-    "tpch_q18_large_orders": Query(q18_large_orders, Q18_ORACLE),
-    "tpch_q19_discount_revenue": Query(q19_discount_revenue, Q19_ORACLE),
-    "tpch_q22_idle_accounts": Query(q22_idle_accounts, _Q22_SQL),
+    "tpch_deep_shapes": Query(tpch_deep_shapes, TPCH_DEEP_ORACLE),
 }
