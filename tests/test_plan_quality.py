@@ -60,6 +60,35 @@ def test_scans_prune_columns(plans):
     assert "l_partkey" not in scan_line and "l_comment" not in scan_line
 
 
+def test_q19_or_blocks_push_into_both_scans(spark):
+    """The disjunction-of-conjunctions must reach the parquet readers:
+    quantity bands on the lineitem scan, brand/size bands on the part
+    scan — not sit in a post-join Filter only."""
+    from training_datawarehouse_spark.plans.tpch_deep import q19_discount_revenue
+
+    p = q19_discount_revenue(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+
+
+def test_salted_agg_is_two_level(plans):
+    """op_skew_salted_agg must aggregate twice ((keys, salt) then keys),
+    each with a partial/final split — and never join."""
+    p = plans["op_skew_salted_agg"]
+    assert p.count("HashAggregate") == 4, p.count("HashAggregate")
+    assert "Join" not in p
+
+
+def test_tpch_deep_dims_broadcast(plans):
+    """Across the nine deep TPC-H subplans every dimension join must be
+    broadcast; sort-merge is reserved for fact-fact and decorrelated
+    subquery joins (q2/q16/q18/q22 machinery)."""
+    p = plans["tpch_deep_shapes"]
+    assert p.count("BroadcastHashJoin") >= 10
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """orders ⋈ lineitem both bucketed on the order key: the sort-merge
     join must consume the bucketed layout with NO exchange on either
