@@ -542,22 +542,56 @@ GROUP BY o_orderpriority
 
 def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
-    distinct counts and quantile sketches per event_type. Sketch
-    internals differ across engines → rows-only driver check; error
-    bounds are asserted in tests/test_dedup_similarity.py against exact
-    recomputation."""
+    distinct counts and quantile sketches per event_type.
+
+    Raw sketch values can never hash-match another engine (internals
+    differ), but their GUARANTEES can: the entry emits the exact
+    distinct count and row count (hash-checked values) plus one boolean
+    per sketch stating the sketch landed inside its documented error
+    bound — HLL++ rsd 0.02 checked at ±5 %, quantile sketches
+    (accuracy 10000, rank error n/10000) checked against the exact
+    ±0.05-rank band. The DuckDB oracle pins the booleans to TRUE, so a
+    sketch regression FAILS the differential gate instead of hiding in
+    a rows-only row. Raw sketch values stay asserted against exact
+    recomputation in tests/test_dedup_similarity.py."""
     ev = load_table(spark, sf_dir, "events")
-    # Project the quantile sketch into scalar columns — array-valued
-    # output is hostile to downstream tabular consumers (and the
-    # driver's pandas canonicalizer).
     q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        q[0].alias("q50"),
-        q[1].alias("q95"),
-        q[2].alias("q99"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__au"),
+        F.countDistinct("user_id").alias("n_users"),
+        q[0].alias("__q50"), q[1].alias("__q95"), q[2].alias("__q99"),
+        F.percentile("value", F.lit(0.45)).alias("__p45"),
+        F.percentile("value", F.lit(0.55)).alias("__p55"),
+        F.percentile("value", F.lit(0.90)).alias("__p90"),
+        F.percentile("value", F.lit(0.97)).alias("__p97"),
+        F.percentile("value", F.lit(1.0)).alias("__p100"),
         F.count(F.lit(1)).alias("n"),
     )
+
+    def band(v, lo, hi):
+        return (F.col(v) >= F.col(lo)) & (F.col(v) <= F.col(hi))
+
+    return agg.select(
+        "event_type", "n_users", "n",
+        (F.abs(F.col("__au") - F.col("n_users"))
+         <= 0.05 * F.col("n_users")).alias("hll_within_5pct"),
+        band("__q50", "__p45", "__p55").alias("q50_in_rank_band"),
+        band("__q95", "__p90", "__p100").alias("q95_in_rank_band"),
+        band("__q99", "__p97", "__p100").alias("q99_in_rank_band"),
+    )
+
+
+APPROX_AGGS_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n,
+       TRUE AS hll_within_5pct,
+       TRUE AS q50_in_rank_band,
+       TRUE AS q95_in_rank_band,
+       TRUE AS q99_in_rank_band
+FROM events
+GROUP BY event_type
+"""
 
 
 def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,8 +1086,10 @@ QUERIES = {
     "tpch_q6_forecast_revenue": Query(q6_forecast_revenue, Q6_ORACLE),
     "tpch_q10_returned_items": Query(q10_returned_items, Q10_ORACLE),
     "tpch_q4_order_priority": Query(q4_order_priority, Q4_ORACLE),
-    "op_approx_aggs": Query(approx_aggs, None,
-                            note="sketch internals engine-specific — rows-only"),
+    # sketch VALUES are engine-specific, but their error GUARANTEES are
+    # oracle-checkable: exact counts hash-checked, bound booleans pinned
+    # to TRUE by the oracle (a sketch regression fails the gate)
+    "op_approx_aggs": Query(approx_aggs, APPROX_AGGS_ORACLE),
     "tpch_q5_nation_revenue": Query(q5_nation_revenue, Q5_ORACLE),
     "op_jn_semi_anti": Query(semi_anti_join, SEMI_ANTI_ORACLE),
     "op_set_ops": Query(set_ops, SET_OPS_ORACLE),
