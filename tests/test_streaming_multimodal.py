@@ -288,3 +288,40 @@ def test_stream_to_warehouse_replay_idempotent(spark, tmp_path):
     q2 = stream_to_warehouse(spark, str(src), wh, str(tmp_path / "ck2"))
     q2.awaitTermination(300)
     assert spark.read.parquet(wh).count() == n1
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    """Real PNG payloads resize through decode → nearest-neighbor →
+    re-encode: every output is a VALID PNG whose decoded raster has the
+    target dims, and resampling is deterministic."""
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(12)
+    pngs = mm.synthesize_png_payload(docs, "doc_id", "text")
+    out = mm.resize_images(pngs, width=8, height=4).collect()
+    assert len(out) == 12
+    for r in out:
+        img = mm.decode_png(bytes(r["payload"]))
+        assert (img["width"], img["height"]) == (8, 4)
+    again = {r["id"]: bytes(r["payload"])
+             for r in mm.resize_images(pngs, width=8, height=4).collect()}
+    assert all(bytes(r["payload"]) == again[r["id"]] for r in out)
+
+
+def test_multimodal_real_features_content_sensitive(spark):
+    """PNG/WAV payloads featurize from decoded content: vectors have
+    the requested dim, live in [0,1], and differ between a flat and a
+    gradient image (content sensitivity, not byte hashing)."""
+    flat = mm.encode_png(16, 16, bytes([128] * 256))
+    grad = mm.encode_png(16, 16, bytes(range(256)))
+    wav = mm.encode_wav(list(range(-500, 500)), framerate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(grad)), (3, bytearray(wav))],
+        "id long, payload binary",
+    )
+    feats = {r["id"]: r["features"] for r in mm.extract_features(df, dim=12).collect()}
+    assert all(len(v) == 12 for v in feats.values())
+    assert all(0.0 <= x <= 1.0 for v in feats.values() for x in v)
+    assert feats[1] != feats[2]
+    # flat image: std 0, one histogram bin holds all mass
+    assert abs(feats[1][1]) < 1e-6 and max(feats[1][4:]) > 0.99

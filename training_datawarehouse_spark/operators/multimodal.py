@@ -356,18 +356,36 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
+def resize_png(data: bytes, width: int, height: int) -> bytes:
+    """REAL image resize, stdlib + numpy only: decode the PNG (CRCs,
+    inflate, un-filter), nearest-neighbor resample the raster with
+    index arithmetic, re-encode a valid PNG. Nearest-neighbor is the
+    deterministic choice (no float kernels → bit-identical everywhere);
+    a production pipeline would swap a PIL/libvips kernel in here
+    without touching the Spark plumbing."""
+    img = decode_png(data)
+    src = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+        img["height"], img["width"]
+    )
+    ys = (np.arange(height) * img["height"]) // height
+    xs = (np.arange(width) * img["width"]) // width
+    out = src[np.ix_(ys, xs)]
+    return encode_png(width, height, out.tobytes())
+
+
 def resize_images(
     df: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
-    """Resize plumbing: (id, payload) → (id, resized payload, w, h).
+    """Resize: (id, payload) → (id, resized payload, w, h).
 
-    STUB kernel — a real implementation calls PIL's ``Image.resize``
-    here; the deterministic fake tiles/truncates the bytes to the
-    target size so output payload length is exactly ``width·height``
-    and the pipeline shape (binary in → binary out through Arrow) is
-    testable. Unlike metadata extraction, the binary column legitimately
-    survives this operator — downstream writers should partition before
-    shuffling payloads.
+    Payloads carrying a real PNG go through ``resize_png`` (decode →
+    nearest-neighbor resample → re-encode — a valid PNG comes out).
+    Opaque payloads (formats whose codecs need external libraries) fall
+    back to the documented deterministic STUB: tile/truncate to exactly
+    ``width·height`` bytes, keeping the pipeline shape (binary in →
+    binary out through Arrow) testable. Unlike metadata extraction, the
+    binary column legitimately survives this operator — downstream
+    writers should partition before shuffling payloads.
     """
     target = width * height
 
@@ -377,8 +395,11 @@ def resize_images(
             for pid, payload in zip(pdf["id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     raise NotImplementedError("empty payload: real resizer not available")
-                reps = -(-target // len(payload))  # ceil
-                outs.append((payload * reps)[:target])
+                if bytes(payload[:8]) == _PNG_SIG:
+                    outs.append(resize_png(bytes(payload), width, height))
+                else:
+                    reps = -(-target // len(payload))  # ceil
+                    outs.append((payload * reps)[:target])
             yield pd.DataFrame({
                 "id": pdf["id"].to_numpy(),
                 "payload": outs,
@@ -389,14 +410,29 @@ def resize_images(
     return df.select("id", "payload").mapInPandas(resize_batches, RESIZED_SCHEMA)
 
 
-def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
-    """Feature-extraction plumbing: (id, payload) → (id, float vector).
+def _stat_features(arr: np.ndarray, dim: int) -> list[float]:
+    """Real content features from normalized samples in [0, 1]: four
+    moments (mean/std/min/max) + a (dim−4)-bin density histogram —
+    deterministic, library-free, and content-sensitive (a flat image
+    and a gradient produce different vectors)."""
+    moments = [float(arr.mean()), float(arr.std()),
+               float(arr.min()), float(arr.max())]
+    bins = max(dim - 4, 1)
+    hist, _ = np.histogram(arr, bins=bins, range=(0.0, 1.0))
+    vec = moments + (hist / max(arr.size, 1)).tolist()
+    return (vec + [0.0] * dim)[:dim]
 
-    STUB kernel — a real implementation runs an image/audio encoder;
-    the deterministic fake hashes byte windows into ``dim`` floats in
-    [0, 1). Output is a dense ``array<float>`` column, i.e. the same
-    shape the similarity operators consume — the multimodal and
-    embedding halves of the engine compose end-to-end (tested).
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction: (id, payload) → (id, float vector).
+
+    Real PNG payloads are decoded and featurized from the raster
+    (pixels/255); real WAV payloads from their PCM samples; opaque
+    payloads fall back to the deterministic hash-window STUB (the slot
+    a learned encoder would fill). Output is a dense ``array<float>``
+    column — the same shape the similarity operators consume, so the
+    multimodal and embedding halves of the engine compose end-to-end
+    (tested).
     """
     import hashlib
 
@@ -405,17 +441,27 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         T.StructField("features", T.ArrayType(T.FloatType())),
     ])
 
+    def one(payload) -> list[float]:
+        if payload is None or len(payload) == 0:
+            raise NotImplementedError("empty payload: real encoder not available")
+        raw = bytes(payload)
+        if raw[:8] == _PNG_SIG:
+            img = decode_png(raw)
+            arr = np.frombuffer(img["pixels"], dtype=np.uint8) / 255.0
+            return _stat_features(arr, dim)
+        if raw[:4] == b"RIFF":
+            meta = decode_wav(raw)
+            pcm = np.frombuffer(meta["pcm"], dtype="<i2")
+            return _stat_features((pcm.astype("float64") / 32768.0 + 1.0) / 2.0, dim)
+        vec = []
+        for i in range(dim):
+            h = hashlib.sha256(raw + bytes([i])).digest()
+            vec.append(int.from_bytes(h[:4], "big") / 2**32)
+        return vec
+
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                if payload is None or len(payload) == 0:
-                    raise NotImplementedError("empty payload: real encoder not available")
-                vec = []
-                for i in range(dim):
-                    h = hashlib.sha256(payload + bytes([i])).digest()
-                    vec.append(int.from_bytes(h[:4], "big") / 2**32)
-                feats.append(vec)
+            feats = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame({"id": pdf["id"].to_numpy(), "features": feats})
 
     return df.select("id", "payload").mapInPandas(feat_batches, schema)
