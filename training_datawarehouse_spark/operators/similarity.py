@@ -239,7 +239,13 @@ def kmeans_fit(
         pool = np.array([r[0] for r in sample], dtype="float64")
         cents = pool[rng.choice(len(pool), size=k, replace=False)].tolist()
 
-    v = _as_double(F.col(vec_col))
+    # Iterative surface: persist the PRUNED vector projection once so
+    # the per-iteration jobs rescan a columnar cache, not the source
+    # (on a cluster this is the standard Lloyd's shape — cache the
+    # feature column, never the full rows). Local alias, so a caller's
+    # own persistence level is never touched.
+    work = df.select(_as_double(F.col(vec_col)).alias("__v0")).persist()
+    v = F.col("__v0")
     inertia_hist: list[float] = []
     for _ in range(iters):
         # nearest centroid by squared L2 — array_sort on (dist, id) structs
@@ -255,7 +261,7 @@ def kmeans_fit(
             for i, c in enumerate(cents)
         ])
         best = F.array_sort(scored)[0]
-        assigned = df.select(
+        assigned = work.select(
             v.alias("__v"), best["cid"].alias("__c"), best["d2"].alias("__d2")
         )
         # ONE action per iteration: the per-(cluster, position) partial
@@ -285,6 +291,7 @@ def kmeans_fit(
             if round_dp is not None:
                 new_cents[cid] = [round(x, round_dp) for x in new_cents[cid]]
         cents = new_cents
+    work.unpersist()
     return cents, inertia_hist
 
 
