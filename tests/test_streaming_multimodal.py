@@ -325,3 +325,55 @@ def test_multimodal_real_features_content_sensitive(spark):
     assert feats[1] != feats[2]
     # flat image: std 0, one histogram bin holds all mass
     assert abs(feats[1][1]) < 1e-6 and max(feats[1][4:]) > 0.99
+
+
+def test_events_ts_unit_tolerance(spark, tmp_path):
+    """The events loader and streaming source must read BOTH ts
+    encodings the driver has shipped: native micro timestamps and
+    INT64 TIMESTAMP(NANOS) (regression: a hard-coded nanos schema
+    shifted every window to 1970 when the data switched to micros)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.sources.tables import load_table
+    from training_datawarehouse_spark.streaming.events_stream import (
+        stream_events, windowed_counts,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    n = 24
+    us = [base_us + i * 3_600_000_000 for i in range(n)]  # hourly
+    cols = {
+        "event_id": list(range(n)),
+        "user_id": [i % 3 for i in range(n)],
+        "event_type": ["click"] * n,
+        "value": [float(i) for i in range(n)],
+        "props": ["{}"] * n,
+    }
+    for unit, vals in (("us", us), ("ns", [u * 1000 for u in us])):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table({
+            "event_id": pa.array(cols["event_id"], pa.int64()),
+            "ts": pa.array(vals, pa.timestamp(unit)),
+            "user_id": pa.array(cols["user_id"], pa.int64()),
+            "event_type": pa.array(cols["event_type"]),
+            "value": pa.array(cols["value"], pa.float64()),
+            "props": pa.array(cols["props"]),
+        })
+        pq.write_table(table, d / "events.parquet",
+                       coerce_timestamps=None, version="2.6")
+        batch = load_table(spark, str(d), "events").select("ts").collect()
+        years = {r["ts"].year for r in batch}
+        assert years == {2024}, (unit, years)
+        agg = (
+            windowed_counts(stream_events(spark, str(d)))
+            .writeStream.format("memory").queryName(f"tsunit_{unit}")
+            .outputMode("complete")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        agg.awaitTermination(120)
+        rows = spark.sql(f"select * from tsunit_{unit}").collect()
+        assert sum(r["n"] for r in rows) == n
+        assert {r["window_start"].year for r in rows} == {2024}, unit
