@@ -72,8 +72,12 @@ def _gram_stream(
     construction into each downstream hash expression (the hazard the
     ``minhash_signatures`` docstring describes).
 
-    Duplicate shingles are NOT removed: ``min``/``collect_set``
-    consumers are multiset-insensitive, so dedup would buy nothing.
+    Duplicate shingles are removed PER DOCUMENT before the explode
+    (``array_distinct`` — row-local, so it costs no shuffle): every
+    consumer is set-semantics (``min`` aggregates, ``collect_set``,
+    distinct-counted Jaccard), and repeated-phrase documents otherwise
+    pay one hash + one shuffled row per repetition. The DuckDB oracles
+    apply ``list_distinct`` at the same point.
     """
     if shingle_n < 1 or shingle_n > 8:
         raise ValueError("shingle_n must be in [1, 8]")
@@ -84,8 +88,8 @@ def _gram_stream(
         "__tk[i]" if j == 0 else f"__tk[i + {j}]" for j in range(shingle_n)
     )
     grams = (
-        f"transform(sequence(0, size(__tk) - {shingle_n}), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"array_distinct(transform(sequence(0, size(__tk) - {shingle_n}), "
+        f"i -> concat_ws(' ', {parts})))"
     )
     return toks.select(F.col(id_col), F.explode(F.expr(grams)).alias("__gram"))
 
