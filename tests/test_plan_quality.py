@@ -114,3 +114,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_every_registry_entry_has_an_oracle():
+    """r03 milestone, pinned: all 50 entries carry DuckDB oracle SQL —
+    no rows-only rows left (even the approximate-aggregate entry is
+    bounds-checked). A new entry without an oracle fails here first."""
+    assert len(QUERIES) == 50
+    missing = [n for n, q in QUERIES.items() if not q.oracle]
+    assert missing == []
+
+
+def test_tpch_deep_every_shape_nonempty(spark):
+    """Each of the nine shapes inside the composite must contribute
+    rows at the correctness scale factor — guards against a data
+    regeneration silently emptying a constituent (q9/q22 shipped empty
+    once: a LIKE pattern and a NOT EXISTS window that matched nothing)."""
+    from training_datawarehouse_spark.plans.tpch_deep import tpch_deep_shapes
+
+    counts = {
+        r["shape"]: r["count"]
+        for r in tpch_deep_shapes(spark, "/root/testdata/sf0.01")
+        .groupBy("shape").count().collect()
+    }
+    expected = {
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q14_promo_revenue", "q16_supplier_diversity",
+        "q18_large_orders", "q19_discount_revenue", "q22_idle_accounts",
+    }
+    assert set(counts) == expected
+    assert all(v > 0 for v in counts.values()), counts
