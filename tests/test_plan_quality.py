@@ -18,7 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # (FlatMapGroupsInPandas / MapInPandas / FlatMapGroupsInPandasWithState).
 ARROW_ALLOWED = {
     "op_win_1_ewma_dual",       # sequential EWMA recurrence (pandas path)
-    "ns_multimodal_meta",       # stub media decode
+    "ns_multimodal_meta",       # media decode (stub + real PNG/WAV codecs)
 }
 
 
