@@ -576,8 +576,9 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (v >= lo) & (v <= hi)
 
     qa_, qe_ = F.col("__qa"), F.col("__qe")
-    return counts.join(F.broadcast(pct), "event_type").select(
-        "event_type", "n_users", "n",
+    per_type = counts.join(F.broadcast(pct), "event_type").select(
+        F.lit("per_type").alias("stage"),
+        F.col("event_type").alias("k"), "n_users", "n",
         (F.abs(F.col("__au") - F.col("n_users"))
          <= 0.05 * F.col("n_users")).alias("hll_within_5pct"),
         band(qa_[0], qe_[0], qe_[1]).alias("q50_in_rank_band"),
@@ -585,9 +586,38 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(qa_[2], qe_[3], qe_[4]).alias("q99_in_rank_band"),
     )
 
+    # Mergeable-sketch rollup — the pattern that makes approximate
+    # distincts work at 100 TB: daily HLL sketches (map-side partial)
+    # merged to weekly with hll_union_agg, so the re-aggregation never
+    # touches raw rows. Checked the same way: exact weekly distincts
+    # hash-compared, the merged estimate bounded at ±5 %.
+    wk = F.date_trunc("week", "ts").cast("date")
+    daily_sk = ev.groupBy(wk.alias("wk"), F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily_sk.groupBy("wk").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    weekly_exact = ev.groupBy(wk.alias("wk")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nb = F.lit(None).cast("boolean")
+    weekly = weekly_exact.join(F.broadcast(weekly_est), "wk").select(
+        F.lit("weekly_merge").alias("stage"),
+        F.col("wk").cast("string").alias("k"), "n_users", "n",
+        (F.abs(F.col("__est") - F.col("n_users"))
+         <= 0.05 * F.col("n_users")).alias("hll_within_5pct"),
+        nb.alias("q50_in_rank_band"),
+        nb.alias("q95_in_rank_band"),
+        nb.alias("q99_in_rank_band"),
+    )
+    return per_type.unionByName(weekly)
+
 
 APPROX_AGGS_ORACLE = """
-SELECT event_type,
+SELECT 'per_type' AS stage,
+       event_type AS k,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n,
        TRUE AS hll_within_5pct,
@@ -596,6 +626,15 @@ SELECT event_type,
        TRUE AS q99_in_rank_band
 FROM events
 GROUP BY event_type
+UNION ALL
+SELECT 'weekly_merge',
+       CAST(date_trunc('week', ts)::DATE AS VARCHAR),
+       count(DISTINCT user_id),
+       count(*),
+       TRUE,
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+FROM events
+GROUP BY 2
 """
 
 
