@@ -287,3 +287,95 @@ def test_cli_main_end_to_end(diary_path, tmp_path):
     assert glob.glob(f"{out}/facts/activity=*/activity_type=*/equipment=*/*.parquet")
     assert glob.glob(f"{out}/weekly/*.parquet")
     assert glob.glob(f"{out}/monthly/*.parquet")
+
+
+def test_scd2_merge_two_batches_vs_duckdb(spark):
+    """SCD2 emulation (close + version + passthrough) across two update
+    batches, differentially checked against a DuckDB reimplementation
+    of the same semantics, plus the point-in-time snapshot view."""
+    import duckdb
+
+    from training_datawarehouse_spark.operators.scd import (
+        scd2_merge, scd2_snapshot_at,
+    )
+
+    dim0 = spark.createDataFrame(
+        [(1, "Shoes A", "Run", "2020-01-01", None, True),
+         (2, "Bike One", "Bike", "2020-01-01", None, True),
+         (3, "Old Fins", "Swim", "2019-06-01", "2020-01-01", False),
+         (3, "New Fins", "Swim", "2020-01-01", None, True)],
+        "eq_id long, name string, sport string, effective_from string, "
+        "effective_to string, is_current boolean",
+    ).selectExpr(
+        "eq_id", "name", "sport",
+        "CAST(effective_from AS TIMESTAMP) AS effective_from",
+        "CAST(effective_to AS TIMESTAMP) AS effective_to", "is_current",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "Shoes A v2", "Run"),   # changed -> close + version
+         (2, "Bike One", "Bike"),    # no-op -> ignored
+         (4, "Trainer", "Bike")],    # new key
+        "eq_id long, name string, sport string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "Shoes A v3", "Run"),   # changes again
+         (4, "Trainer", "Ride")],    # tracked attr changes
+        "eq_id long, name string, sport string",
+    )
+    t1, t2 = "2021-03-01 00:00:00", "2022-07-15 00:00:00"
+    after1 = scd2_merge(dim0, b1, ["eq_id"], ["name", "sport"], t1)
+    after2 = scd2_merge(after1, b2, ["eq_id"], ["name", "sport"], t2)
+    got = sorted(
+        (r["eq_id"], r["name"], r["sport"], str(r["effective_from"]),
+         str(r["effective_to"]), r["is_current"])
+        for r in after2.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE dim(eq_id BIGINT, name VARCHAR, sport VARCHAR,
+                         effective_from TIMESTAMP, effective_to TIMESTAMP,
+                         is_current BOOLEAN);
+        INSERT INTO dim VALUES
+          (1,'Shoes A','Run','2020-01-01',NULL,true),
+          (2,'Bike One','Bike','2020-01-01',NULL,true),
+          (3,'Old Fins','Swim','2019-06-01','2020-01-01',false),
+          (3,'New Fins','Swim','2020-01-01',NULL,true);
+    """)
+    for ts, batch in [
+        (t1, [(1, "Shoes A v2", "Run"), (2, "Bike One", "Bike"),
+              (4, "Trainer", "Bike")]),
+        (t2, [(1, "Shoes A v3", "Run"), (4, "Trainer", "Ride")]),
+    ]:
+        con.execute("CREATE OR REPLACE TABLE upd(eq_id BIGINT, name VARCHAR, sport VARCHAR)")
+        con.executemany("INSERT INTO upd VALUES (?,?,?)", batch)
+        con.execute(f"""
+            CREATE OR REPLACE TABLE dim AS
+            SELECT * FROM dim WHERE NOT is_current
+            UNION ALL
+            SELECT d.eq_id, d.name, d.sport, d.effective_from,
+                   CASE WHEN u.eq_id IS NOT NULL AND
+                        (d.name IS DISTINCT FROM u.name OR d.sport IS DISTINCT FROM u.sport)
+                        THEN TIMESTAMP '{ts}' ELSE d.effective_to END,
+                   NOT (u.eq_id IS NOT NULL AND
+                        (d.name IS DISTINCT FROM u.name OR d.sport IS DISTINCT FROM u.sport))
+            FROM dim d LEFT JOIN upd u USING (eq_id) WHERE d.is_current
+            UNION ALL
+            SELECT u.eq_id, u.name, u.sport, TIMESTAMP '{ts}', NULL, true
+            FROM upd u LEFT JOIN (SELECT * FROM dim WHERE is_current) d USING (eq_id)
+            WHERE d.eq_id IS NULL
+               OR d.name IS DISTINCT FROM u.name OR d.sport IS DISTINCT FROM u.sport
+        """)
+    want = sorted(
+        (r[0], r[1], r[2], str(r[3]), str(r[4]), r[5])
+        for r in con.execute("SELECT * FROM dim").fetchall()
+    )
+    assert got == want
+
+    # point-in-time: between the two batches, key 1 shows v2
+    snap = {r["eq_id"]: r["name"]
+            for r in scd2_snapshot_at(after2, "2021-06-01 00:00:00").collect()}
+    assert snap[1] == "Shoes A v2" and snap[4] == "Trainer"
+    # exactly one open row per live key, no overlapping intervals
+    cur = after2.filter("is_current").groupBy("eq_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
