@@ -379,3 +379,33 @@ def test_scd2_merge_two_batches_vs_duckdb(spark):
     # exactly one open row per live key, no overlapping intervals
     cur = after2.filter("is_current").groupBy("eq_id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_load_any_csv_jsonl_match_parquet(spark, tmp_path):
+    """The format-dispatching loader reads CSV and JSONL copies of a
+    table back byte-identical to the parquet original (explicit schema
+    path — the production one)."""
+    from training_datawarehouse_spark.sources.tables import load_any, load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    rows = sorted(map(tuple, nation.collect()))
+
+    csv_dir = str(tmp_path / "nation_csv")
+    nation.coalesce(1).write.option("header", "true").csv(csv_dir)
+    import glob
+    import os
+    csv_file = next(p for p in glob.glob(csv_dir + "/*") if p.endswith(".csv"))
+    got_csv = sorted(map(tuple, load_any(spark, csv_file, nation.schema).collect()))
+    assert got_csv == rows
+
+    jl_dir = str(tmp_path / "nation_jsonl")
+    nation.coalesce(1).write.json(jl_dir)
+    jl_file = next(p for p in glob.glob(jl_dir + "/*") if p.endswith(".json"))
+    os.rename(jl_file, jl_file + "l")  # .jsonl extension path
+    got_jl = sorted(map(tuple, load_any(spark, jl_file + "l", nation.schema).collect()))
+    assert got_jl == rows
+
+    orc_dir = str(tmp_path / "nation_orc")
+    nation.write.orc(orc_dir)
+    got_orc = sorted(map(tuple, load_any(spark, orc_dir).collect()))
+    assert got_orc == rows

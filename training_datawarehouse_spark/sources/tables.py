@@ -45,6 +45,44 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
 
+def load_any(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Format-dispatching loader for the non-parquet sources a
+    warehouse ingests: .parquet / .orc (columnar, self-describing),
+    .csv (header row; pass ``schema`` — runtime inference costs an
+    extra full scan and guesses types), .json / .jsonl (one document
+    per line; pass ``schema`` for the same reason — and a schema makes
+    the scan column-prunable). Directories dispatch on their first
+    file's extension, matching how Spark reads partitioned layouts."""
+    import glob
+
+    probe = path
+    if os.path.isdir(path):
+        inner = sorted(
+            p for p in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith(("_", "."))
+        )
+        if inner:
+            probe = inner[0]
+    ext = os.path.splitext(probe)[1].lower()
+    if ext == ".parquet":
+        return spark.read.parquet(path)
+    if ext == ".orc":
+        return spark.read.orc(path)
+    if ext == ".csv":
+        r = spark.read.option("header", "true")
+        r = r.schema(schema) if schema is not None else r.option(
+            "inferSchema", "true"
+        )
+        return r.csv(path)
+    if ext in (".json", ".jsonl", ".ndjson"):
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.json(path)
+    raise ValueError(f"unsupported source format: {ext or path}")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
