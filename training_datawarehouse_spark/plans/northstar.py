@@ -670,11 +670,14 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The codec stages are Python-bound, so their wall-clock is the
     # scan's task count — and the small-sf parquet is a one-row-group
-    # file (1 task). Spread the slim (id, text) rows across the cores
-    # before entering Arrow; at warehouse scale the source is already
-    # many-partitioned and this repartition drops out.
+    # file (1 task). Spread the slim (id, text) rows before entering
+    # Arrow, but at HALF the cores: each task must carry enough rows to
+    # amortize its Python-worker roundtrip (measured at sf0.1: 16
+    # partitions 0.71 s vs 32 partitions 1.23 s for the PNG stage). At
+    # warehouse scale the source is already many-partitioned and this
+    # repartition drops out.
     spread = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
+        max(spark.sparkContext.defaultParallelism // 2, 4)
     )
     png = (
         mm.decode_metadata(
