@@ -409,3 +409,24 @@ def test_load_any_csv_jsonl_match_parquet(spark, tmp_path):
     nation.write.orc(orc_dir)
     got_orc = sorted(map(tuple, load_any(spark, orc_dir).collect()))
     assert got_orc == rows
+
+
+def test_scd2_merge_rejects_bad_batches(spark):
+    """Empty tracked_cols fails fast; a batch with two rows for one key
+    fails at action time naming the key (a silent merge would open two
+    current versions at once) — round-3 advice."""
+    from training_datawarehouse_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None, True)],
+        "k long, v string, effective_from string, effective_to string, "
+        "is_current boolean",
+    ).selectExpr(
+        "k", "v", "CAST(effective_from AS TIMESTAMP) effective_from",
+        "CAST(effective_to AS TIMESTAMP) effective_to", "is_current",
+    )
+    with pytest.raises(ValueError, match="tracked_cols"):
+        scd2_merge(dim, dim.select("k", "v"), ["k"], [], "2021-01-01")
+    dup = spark.createDataFrame([(1, "b"), (1, "c")], "k long, v string")
+    with pytest.raises(Exception, match="duplicate key"):
+        scd2_merge(dim, dup, ["k"], ["v"], "2021-01-01").collect()

@@ -377,3 +377,23 @@ def test_events_ts_unit_tolerance(spark, tmp_path):
         rows = spark.sql(f"select * from tsunit_{unit}").collect()
         assert sum(r["n"] for r in rows) == n
         assert {r["window_start"].year for r in rows} == {2024}, unit
+
+
+def test_codec_sniff_falls_back_to_stub_on_unsupported(spark):
+    """Signature-only sniffing must not fail the job: a payload that
+    STARTS like a PNG but isn't a supported one (e.g. RGB color type),
+    and a RIFF container that isn't a WAV (WebP also starts 'RIFF'),
+    both degrade to the deterministic stub paths instead of raising
+    inside the executor (round-3 advice)."""
+    bogus_png = mm._PNG_SIG + b"\x00" * 32          # signature, garbage body
+    fake_webp = b"RIFF" + b"\x20\x00\x00\x00" + b"WEBPVP8 " + b"\x07" * 16
+    df = spark.createDataFrame(
+        [(1, bytearray(bogus_png)), (2, bytearray(fake_webp))],
+        "id long, payload binary",
+    )
+    resized = {r["id"]: r for r in mm.resize_images(df, 4, 4).collect()}
+    assert len(resized[1]["payload"]) == 16          # stub tile path
+    assert len(resized[2]["payload"]) == 16
+    feats = {r["id"]: r["features"] for r in mm.extract_features(df, dim=8).collect()}
+    assert len(feats[1]) == 8 and len(feats[2]) == 8
+    assert all(0.0 <= x <= 1.0 for x in feats[1] + feats[2])

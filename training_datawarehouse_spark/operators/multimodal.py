@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import wave
 import zlib
 from typing import Callable, Iterator
 
@@ -34,6 +35,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Format sniffing is signature-only, so a payload that *starts* like a
+# PNG/RIFF container but isn't one this codec supports (palette PNG,
+# WebP/AVI — RIFF too) must degrade to the opaque-payload stub path
+# instead of failing the whole job from inside an executor.
+_CODEC_ERRORS = (
+    NotImplementedError, ValueError, EOFError,
+    struct.error, zlib.error, wave.Error,
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -395,11 +405,16 @@ def resize_images(
             for pid, payload in zip(pdf["id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     raise NotImplementedError("empty payload: real resizer not available")
+                resized = None
                 if bytes(payload[:8]) == _PNG_SIG:
-                    outs.append(resize_png(bytes(payload), width, height))
-                else:
+                    try:
+                        resized = resize_png(bytes(payload), width, height)
+                    except _CODEC_ERRORS:
+                        resized = None  # unsupported PNG variant → stub
+                if resized is None:
                     reps = -(-target // len(payload))  # ceil
-                    outs.append((payload * reps)[:target])
+                    resized = (payload * reps)[:target]
+                outs.append(resized)
             yield pd.DataFrame({
                 "id": pdf["id"].to_numpy(),
                 "payload": outs,
@@ -446,13 +461,20 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             raise NotImplementedError("empty payload: real encoder not available")
         raw = bytes(payload)
         if raw[:8] == _PNG_SIG:
-            img = decode_png(raw)
-            arr = np.frombuffer(img["pixels"], dtype=np.uint8) / 255.0
-            return _stat_features(arr, dim)
+            try:
+                img = decode_png(raw)
+                arr = np.frombuffer(img["pixels"], dtype=np.uint8) / 255.0
+                return _stat_features(arr, dim)
+            except _CODEC_ERRORS:
+                pass  # unsupported PNG variant → hash-window stub
         if raw[:4] == b"RIFF":
-            meta = decode_wav(raw)
-            pcm = np.frombuffer(meta["pcm"], dtype="<i2")
-            return _stat_features((pcm.astype("float64") / 32768.0 + 1.0) / 2.0, dim)
+            try:
+                meta = decode_wav(raw)
+                pcm = np.frombuffer(meta["pcm"], dtype="<i2")
+                return _stat_features(
+                    (pcm.astype("float64") / 32768.0 + 1.0) / 2.0, dim)
+            except _CODEC_ERRORS:
+                pass  # non-WAV RIFF container (WebP/AVI) → stub
         vec = []
         for i in range(dim):
             h = hashlib.sha256(raw + bytes([i])).digest()

@@ -43,16 +43,50 @@ def scd2_merge(
 
     ``dim`` carries (key_cols, tracked_cols, eff_col, end_col,
     curr_col); ``updates`` carries (key_cols, tracked_cols) — one row
-    per key (pre-deduplicate upstream if a batch can contain several).
-    ``batch_ts`` is the ISO timestamp stamped on closures and new
-    versions, passed explicitly so replays are deterministic.
+    per key. A batch holding several rows for a key would silently open
+    multiple current versions, so duplicates are rejected here (dedupe
+    upstream with an explicit precedence rule instead — this operator
+    cannot guess which row wins). ``batch_ts`` is the ISO timestamp
+    stamped on closures and new versions, passed explicitly so replays
+    are deterministic.
     """
+    if not tracked_cols:
+        raise ValueError("tracked_cols must be non-empty")
     keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
     out_cols = [*keys, *tracked_cols, eff_col, end_col, curr_col]
     ts = F.lit(batch_ts).cast("timestamp")
 
     open_slice = dim.filter(F.col(curr_col))
     closed_slice = dim.filter(~F.col(curr_col))
+
+    # One-row-per-key enforcement, kept lazy: aggregate the (small)
+    # update batch by key and plant a raise_error that fires at action
+    # time naming the offending key. A duplicate key would otherwise
+    # fan out through the full-outer join and open several current
+    # versions at once.
+    dup_msg = F.concat(
+        F.lit("scd2_merge: duplicate key in update batch: ("),
+        F.concat_ws(", ", *[F.col(c).cast("string") for c in keys]),
+        F.lit(")"),
+    )
+    updates = (
+        updates.groupBy(*keys)
+        .agg(
+            *[F.first(c).alias(c) for c in tracked_cols],
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            *keys,
+            *[
+                F.when(F.col("__n") == 1, F.col(c))
+                .otherwise(F.raise_error(dup_msg))
+                .alias(c)
+                for c in tracked_cols
+            ],
+        )
+    )
 
     # full outer on the key-name list unifies key columns; presence
     # markers classify each key's fate (name-list join coalesces keys,

@@ -245,6 +245,20 @@ def kmeans_fit(
     # feature column, never the full rows). Local alias, so a caller's
     # own persistence level is never touched.
     work = df.select(_as_double(F.col(vec_col)).alias("__v0")).persist()
+    try:
+        return _kmeans_iterate(work, cents, iters, round_dp)
+    finally:
+        # always release the session-cache slot, even when an
+        # iteration's job fails — a leaked persist outlives the call
+        work.unpersist()
+
+
+def _kmeans_iterate(
+    work: DataFrame,
+    cents: list[list[float]],
+    iters: int,
+    round_dp: int | None,
+) -> tuple[list[list[float]], list[float]]:
     v = F.col("__v0")
     inertia_hist: list[float] = []
     for _ in range(iters):
@@ -291,7 +305,6 @@ def kmeans_fit(
             if round_dp is not None:
                 new_cents[cid] = [round(x, round_dp) for x in new_cents[cid]]
         cents = new_cents
-    work.unpersist()
     return cents, inertia_hist
 
 

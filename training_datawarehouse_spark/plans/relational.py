@@ -302,7 +302,12 @@ def stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
         q.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -342,7 +347,12 @@ def stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
         q.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -548,7 +558,11 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ), but their GUARANTEES can: the entry emits the exact
     distinct count and row count (hash-checked values) plus one boolean
     per sketch stating the sketch landed inside its documented error
-    bound — HLL++ rsd 0.02 checked at ±5 %, quantile sketches
+    bound — HLL++ rsd 0.02 checked at ±8 % (4× rsd: the error is
+    deterministic per dataset but the driver regenerates testdata each
+    round, so a 2.5-sigma band could trip on an unlucky regeneration
+    with no code change; 4-sigma makes that a <1e-4 event), quantile
+    sketches
     (accuracy 10000, rank error n/10000) checked against the exact
     ±0.05-rank band. The DuckDB oracle pins the booleans to TRUE, so a
     sketch regression FAILS the differential gate instead of hiding in
@@ -580,7 +594,7 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("per_type").alias("stage"),
         F.col("event_type").alias("k"), "n_users", "n",
         (F.abs(F.col("__au") - F.col("n_users"))
-         <= 0.05 * F.col("n_users")).alias("hll_within_5pct"),
+         <= 0.08 * F.col("n_users")).alias("hll_in_band"),
         band(qa_[0], qe_[0], qe_[1]).alias("q50_in_rank_band"),
         band(qa_[1], qe_[2], qe_[4]).alias("q95_in_rank_band"),
         band(qa_[2], qe_[3], qe_[4]).alias("q99_in_rank_band"),
@@ -590,7 +604,7 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distincts work at 100 TB: daily HLL sketches (map-side partial)
     # merged to weekly with hll_union_agg, so the re-aggregation never
     # touches raw rows. Checked the same way: exact weekly distincts
-    # hash-compared, the merged estimate bounded at ±5 %.
+    # hash-compared, the merged estimate bounded at 4× its rsd.
     wk = F.date_trunc("week", "ts").cast("date")
     daily_sk = ev.groupBy(wk.alias("wk"), F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -607,7 +621,7 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("weekly_merge").alias("stage"),
         F.col("wk").cast("string").alias("k"), "n_users", "n",
         (F.abs(F.col("__est") - F.col("n_users"))
-         <= 0.05 * F.col("n_users")).alias("hll_within_5pct"),
+         <= 0.08 * F.col("n_users")).alias("hll_in_band"),
         nb.alias("q50_in_rank_band"),
         nb.alias("q95_in_rank_band"),
         nb.alias("q99_in_rank_band"),
@@ -620,7 +634,7 @@ SELECT 'per_type' AS stage,
        event_type AS k,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n,
-       TRUE AS hll_within_5pct,
+       TRUE AS hll_in_band,
        TRUE AS q50_in_rank_band,
        TRUE AS q95_in_rank_band,
        TRUE AS q99_in_rank_band

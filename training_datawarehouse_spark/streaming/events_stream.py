@@ -87,7 +87,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming drain did not finish within 300 s "
+            "(query 'events_windowed'); memory sink would be partial"
+        )
     return spark.sql("select * from events_windowed").collect()
 
 
