@@ -1290,6 +1290,31 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.unionByName(cm)
 
 
+def lsh_cross_modal_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of ``lsh_cross_modal`` on the PRODUCTION hash
+    family (xxhash64 shingles + murmur3 minhash permutations,
+    ``lsh_candidate_pairs``) instead of the md5-portable family the
+    oracle-checked registry entry runs. Identical plan shape and
+    parameters; only the per-shingle hash cost differs, so timing both
+    separates "cost of the algorithm" from "cost of oracle
+    portability". Not registered: md5 can't be beaten for
+    DuckDB-checkability, xxhash64 can't be reproduced there."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
+                                   bands=8, rows_per_band=4,
+                                   jaccard_threshold=0.3)
+    cand = pairs.filter(F.col("jaccard") >= 0.5).select(
+        F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit(None).cast("int").alias("agree"),
+    )
+    cm = cross_modal_dedup(spark, sf_dir, pairs=pairs).select(
+        F.lit("cross_modal").alias("stage"), "id_a", "id_b", "jaccard",
+        "cosine", "agree",
+    )
+    return cand.unionByName(cm)
+
+
 def _lsh_cross_modal_oracle(
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
     tau_all: float = 0.3, tau_cand: float = 0.5, max_bucket: int = 10_000,
