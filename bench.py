@@ -73,8 +73,9 @@ MANIFEST = [
      "desc": "TPC-H q6 filter-agg"},
     {"name": "op_stream_session_batch", "semver": 1,
      "desc": "sessionization, batch shape"},
-    {"name": "ns_multimodal_meta", "semver": 2,
-     "desc": "r3: real PNG/WAV codecs replaced the stub decode"},
+    {"name": "ns_multimodal_meta", "semver": 3,
+     "desc": "r3: real PNG/WAV codecs replaced the stub decode; "
+             "r4: + real baseline JPEG stage (grayscale + YCbCr 4:2:0)"},
     {"name": "op_approx_aggs", "semver": 2,
      "desc": "r3: added mergeable HLL sketch rollup stage "
              "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin)"},
@@ -97,19 +98,47 @@ HEADLINE = [m["name"] for m in MANIFEST]
 
 def _extras() -> list[dict]:
     """Bench-only twins: timed and reported under "extras", NOT in the
-    headline total (they duplicate a headline entry's work under a
-    different implementation knob)."""
-    from training_datawarehouse_spark.plans.northstar import (
-        lsh_cross_modal_xxhash,
-    )
+    headline total. Two kinds: (a) the production-hash LSH twin of the
+    md5-portable headline entry, and (b) round-2-EQUIVALENT sub-plans
+    of every semver-2 headline entry, so a like-for-like lineage number
+    exists next to each entry whose semantics grew. Import-guarded so
+    this harness also runs unchanged against older code states (the
+    attribution tool drops it into a round-2 worktree)."""
+    extras: list[dict] = []
+    try:
+        from training_datawarehouse_spark.plans.northstar import (
+            lsh_cross_modal_xxhash, multimodal_meta, text_profile,
+        )
+        from training_datawarehouse_spark.plans.relational import approx_aggs
 
-    return [
-        {"name": "ns_dedup_lsh_xxhash64", "semver": 1,
-         "desc": "production xxhash64/murmur3 LSH family — same plan as "
-                 "ns_dedup_lsh_cross_modal (semver 2) minus md5 "
-                 "oracle-portability cost",
-         "builder": lsh_cross_modal_xxhash},
-    ]
+        extras += [
+            {"name": "ns_dedup_lsh_xxhash64", "semver": 1,
+             "desc": "production xxhash64/murmur3 LSH family — same plan as "
+                     "ns_dedup_lsh_cross_modal (semver 2) minus md5 "
+                     "oracle-portability cost",
+             "builder": lsh_cross_modal_xxhash},
+            {"name": "op_approx_aggs__r2equiv", "semver": 1,
+             "desc": "op_approx_aggs semver-1 sub-plan (per-type stage only, "
+                     "no sketch rollup)",
+             "builder": lambda s, d: approx_aggs(s, d, include_weekly=False)},
+            {"name": "ns_multimodal_meta__r2equiv", "semver": 1,
+             "desc": "ns_multimodal_meta semver-1 sub-plan (stub decode only, "
+                     "no real codecs)",
+             "builder": lambda s, d: multimodal_meta(s, d, stages=("stub",))},
+            {"name": "ns_multimodal_meta__r3equiv", "semver": 2,
+             "desc": "ns_multimodal_meta semver-2 sub-plan (stub+png+wav, "
+                     "no jpeg stage)",
+             "builder": lambda s, d: multimodal_meta(
+                 s, d, stages=("stub", "png", "wav"))},
+            {"name": "ns_text_profile__r2equiv", "semver": 1,
+             "desc": "ns_text_profile semver-1 sub-plan (no fingerprint / "
+                     "dupe-group columns)",
+             "builder": lambda s, d: text_profile(
+                 s, d, include_fingerprint=False)},
+        ]
+    except (ImportError, TypeError):
+        pass  # older code state: no twins to time
+    return extras
 
 
 def _time_entry(spark, builder, sf_dir: str, n_runs: int) -> dict:

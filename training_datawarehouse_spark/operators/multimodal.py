@@ -5,9 +5,11 @@ columns with typed metadata structs. The Spark-side machinery — schema,
 partition-preserving ``mapInPandas``, Arrow batch shapes — is real and
 tested, and so are two decode kernels that need only the standard
 library: a PNG codec (``encode_png`` / ``decode_png``: chunk + CRC
-validation, zlib inflate, all five scanline filters) and a WAV codec
-(``encode_wav`` / ``decode_wav`` via the ``wave`` module). Formats
-needing external libraries (JPEG/WebP/video) stay behind the
+validation, zlib inflate, all five scanline filters), a WAV codec
+(``encode_wav`` / ``decode_wav`` via the ``wave`` module), and a
+baseline JPEG codec (``operators/jpeg.py``: Annex-K Huffman, FDCT/IDCT,
+4:2:0 MCU interleave). Formats still needing external libraries
+(WebP/video, progressive JPEG) stay behind the
 ``deterministic_fake_decode`` stub, which produces stable fake metadata
 so the plumbing remains testable without them.
 
@@ -35,11 +37,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xFF\xD8\xFF"
 
 # Format sniffing is signature-only, so a payload that *starts* like a
-# PNG/RIFF container but isn't one this codec supports (palette PNG,
-# WebP/AVI — RIFF too) must degrade to the opaque-payload stub path
-# instead of failing the whole job from inside an executor.
+# PNG/JPEG/RIFF container but isn't one these codecs support (palette
+# PNG, progressive JPEG, WebP/AVI — RIFF too) must degrade to the
+# opaque-payload stub path instead of failing the whole job from
+# inside an executor.
 _CODEC_ERRORS = (
     NotImplementedError, ValueError, EOFError,
     struct.error, zlib.error, wave.Error,
@@ -221,10 +225,11 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 def deterministic_fake_decode(payload: bytes) -> dict:
     """STUB decode for formats whose codecs need external libraries
-    (JPEG/WebP/video — PIL/libav class work). PNG and WAV have REAL
-    stdlib decoders in this module (``png_decode_meta`` /
-    ``wav_decode_meta``); this stub derives stable pseudo-metadata from
-    the bytes so the plumbing stays testable for the rest.
+    (WebP/video/progressive-JPEG — PIL/libav class work). PNG, WAV and
+    baseline JPEG have REAL decoders (``png_decode_meta`` /
+    ``wav_decode_meta`` / ``jpeg_decode_meta``); this stub derives
+    stable pseudo-metadata from the bytes so the plumbing stays
+    testable for the rest.
     """
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: real decoder not available")
@@ -321,6 +326,56 @@ def synthesize_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFra
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
+def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Source stand-in producing REAL JPEG bytes: a valid baseline JFIF
+    per row (dims md5-derived exactly like the PNG twin, pixels the
+    tiled digest, alternating grayscale / YCbCr-4:2:0 layout per row so
+    both MCU paths run)."""
+    from . import jpeg
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                w, h, digest = _md5_dims(text)
+                n = w * h
+                pixels = (digest * (n // len(digest) + 1))[:n]
+                payloads.append(jpeg.encode_jpeg(
+                    w, h, pixels, quality=85,
+                    subsample=bool(digest[3] % 2),
+                ))
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(), "payload": payloads,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def jpeg_decode_meta(payload: bytes) -> dict:
+    """REAL decode adapter for JPEG payloads: full baseline decode
+    (Huffman, dequantize, IDCT), ``n_bytes`` is the reconstructed LUMA
+    raster size and ``checksum`` its hash — values only a correct
+    decoder produces; width/height are the true frame dims (the SQL
+    oracle checks them against the synthesis md5 rule)."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    from . import jpeg
+
+    img = jpeg.decode_jpeg(payload)
+    return {
+        "n_bytes": len(img["pixels"]),
+        "format": "jpeg",
+        "width": img["width"],
+        "height": img["height"],
+        "checksum": hashlib.sha256(img["pixels"]).hexdigest()[:16],
+    }
+
+
 def wav_decode_meta(payload: bytes) -> dict:
     """REAL decode adapter for WAV payloads: ``width`` carries the
     framerate and ``height`` the channel count (the generic int
@@ -366,6 +421,23 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
+def resize_jpeg(data: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: full baseline decode (``jpeg.decode_jpeg``),
+    nearest-neighbor resample of the luma raster, re-encode as a
+    grayscale baseline JPEG. Lossy by format, deterministic by
+    construction (fixed quality, integer index arithmetic)."""
+    from . import jpeg
+
+    img = jpeg.decode_jpeg(data)
+    src = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+        img["height"], img["width"]
+    )
+    ys = (np.arange(height) * img["height"]) // height
+    xs = (np.arange(width) * img["width"]) // width
+    out = src[np.ix_(ys, xs)]
+    return jpeg.encode_jpeg(width, height, out.tobytes(), quality=85)
+
+
 def resize_png(data: bytes, width: int, height: int) -> bytes:
     """REAL image resize, stdlib + numpy only: decode the PNG (CRCs,
     inflate, un-filter), nearest-neighbor resample the raster with
@@ -406,11 +478,17 @@ def resize_images(
                 if payload is None or len(payload) == 0:
                     raise NotImplementedError("empty payload: real resizer not available")
                 resized = None
-                if bytes(payload[:8]) == _PNG_SIG:
+                raw0 = bytes(payload[:8])
+                if raw0 == _PNG_SIG:
                     try:
                         resized = resize_png(bytes(payload), width, height)
                     except _CODEC_ERRORS:
                         resized = None  # unsupported PNG variant → stub
+                elif raw0[:3] == _JPEG_SIG:
+                    try:
+                        resized = resize_jpeg(bytes(payload), width, height)
+                    except _CODEC_ERRORS:
+                        resized = None  # progressive/exotic JPEG → stub
                 if resized is None:
                     reps = -(-target // len(payload))  # ceil
                     resized = (payload * reps)[:target]
@@ -467,6 +545,15 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
                 return _stat_features(arr, dim)
             except _CODEC_ERRORS:
                 pass  # unsupported PNG variant → hash-window stub
+        if raw[:3] == _JPEG_SIG:
+            try:
+                from . import jpeg as _j
+
+                img = _j.decode_jpeg(raw)
+                arr = np.frombuffer(img["pixels"], dtype=np.uint8) / 255.0
+                return _stat_features(arr, dim)
+            except _CODEC_ERRORS:
+                pass  # progressive/exotic JPEG → stub
         if raw[:4] == b"RIFF":
             try:
                 meta = decode_wav(raw)

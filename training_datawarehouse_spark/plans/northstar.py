@@ -640,7 +640,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ multimodal columns
 
-def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_meta(spark: SparkSession, sf_dir: str,
+                    stages: tuple = ("stub", "png", "wav", "jpeg")) -> DataFrame:
     """Binary-column pipeline end-to-end, tagged by stage:
 
     - 'stub': deterministic fake decode of an opaque payload — the
@@ -651,9 +652,18 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       DECODED raster size, so only a correct decoder matches.
     - 'wav': REAL audio decode via the stdlib ``wave`` PCM codec;
       width carries the framerate, n_bytes the PCM byte count.
+    - 'jpeg' (round 4): REAL baseline JPEG decode (``operators/
+      jpeg.py``: canonical Huffman from DHT, dequantize, exact IDCT,
+      grayscale AND interleaved YCbCr-4:2:0 MCUs — the layout
+      alternates per row); ``n_bytes`` is the reconstructed luma
+      raster size, dims are the parsed SOF0 frame dims.
 
     Dims/rates derive from the same md5 bytes in every stage, so the
-    whole three-codec pipeline shares one exact SQL oracle."""
+    whole four-codec pipeline shares one exact SQL oracle.
+
+    ``stages=("stub",)`` is the round-2-equivalent sub-plan (the real
+    codecs landed in round 3), timed under the bench "extras" section
+    so cross-round numbers stay like-for-like."""
     from ..operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents")
@@ -695,7 +705,19 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("format").agg(*agg)
         .select(F.lit("wav").alias("stage"), "*")
     )
-    return stub.unionByName(png).unionByName(wav)
+    jpg = (
+        mm.decode_metadata(
+            mm.synthesize_jpeg_payload(spread, "doc_id", "text"),
+            decode_fn=mm.jpeg_decode_meta,
+        )
+        .groupBy("format").agg(*agg)
+        .select(F.lit("jpeg").alias("stage"), "*")
+    )
+    parts = {"stub": stub, "png": png, "wav": wav, "jpeg": jpg}
+    out = None
+    for st in stages:
+        out = parts[st] if out is None else out.unionByName(parts[st])
+    return out
 
 
 # payload = unhex(md5(text)); byte k = hex pair 2k+1..2k+2 of the md5.
@@ -733,6 +755,11 @@ SELECT 'wav', 'wav', count(*),
        CAST(sum(n_frames * 2) AS BIGINT),
        round(avg(framerate), 4), round(avg(1), 4)
 FROM meta
+UNION ALL
+SELECT 'jpeg', 'jpeg', count(*),
+       CAST(sum((16 + {_B0} % 16) * (16 + {_B1} % 16)) AS BIGINT),
+       round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
+FROM hx
 """
 
 
@@ -836,7 +863,8 @@ GROUP BY source
 """
 
 
-def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_profile(spark: SparkSession, sf_dir: str,
+                 include_fingerprint: bool = True) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
     counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
     the canonical md5 fingerprint with its dupe-group size — ONE
@@ -844,7 +872,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus twice and shuffle it once for nothing; the group size is a
     window count over the fingerprint, not an aggregate-and-join-back);
     all JVM-side expressions, all values hash-checked. Formerly two
-    registry entries (profile + fingerprint); merged onto one scan."""
+    registry entries (profile + fingerprint); merged onto one scan.
+    ``include_fingerprint=False`` is the round-2-equivalent sub-plan
+    (pre-merge), timed under the bench "extras" section."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     base = docs.select(
@@ -859,6 +889,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(tx.regex_tokens(t))).cast("long").alias("n_bpe_distinct"),
         tx.fingerprint(t).alias("fp"),
     )
+    if not include_fingerprint:
+        return base.drop("fp")
     return base.withColumn(
         "group_size",
         F.count(F.lit(1)).over(Window.partitionBy("fp")),

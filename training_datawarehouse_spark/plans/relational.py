@@ -550,7 +550,8 @@ GROUP BY o_orderpriority
 """
 
 
-def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_aggs(spark: SparkSession, sf_dir: str,
+                include_weekly: bool = True) -> DataFrame:
     """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
     distinct counts and quantile sketches per event_type.
 
@@ -567,7 +568,11 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±0.05-rank band. The DuckDB oracle pins the booleans to TRUE, so a
     sketch regression FAILS the differential gate instead of hiding in
     a rows-only row. Raw sketch values stay asserted against exact
-    recomputation in tests/test_dedup_similarity.py."""
+    recomputation in tests/test_dedup_similarity.py.
+
+    ``include_weekly=False`` drops the round-3 sketch-rollup stage —
+    the round-2-equivalent sub-plan, timed under the bench "extras"
+    section so cross-round numbers stay like-for-like."""
     ev = load_table(spark, sf_dir, "events")
     # Distinct counts and percentiles in SEPARATE aggregations (the
     # event_profile lesson, measured again here: fused, the
@@ -617,6 +622,8 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     nb = F.lit(None).cast("boolean")
+    if not include_weekly:
+        return per_type
     weekly = weekly_exact.join(F.broadcast(weekly_est), "wk").select(
         F.lit("weekly_merge").alias("stage"),
         F.col("wk").cast("string").alias("k"), "n_users", "n",
