@@ -116,6 +116,98 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+# SCALE.md's shuffle budget, EXECUTED: exact `Exchange hashpartitioning`
+# node counts in the static physical plan at sf0.001, per operator-family
+# representative. A rewrite that adds (or removes) a shuffle changes the
+# count and fails here — updating this table is the conscious act that
+# replaces "a judge's eye" as the regression catch. Two caveats baked
+# into the numbers: (a) union-of-branches plans count each branch's
+# exchanges statically even when AQE collapses them to ReusedExchange at
+# runtime (lsh_cross_modal's 10 is 2 semantic shuffles × branches), and
+# (b) broadcast exchanges are budgeted separately (dims must broadcast —
+# asserted by the join-strategy tests above, not here).
+SHUFFLE_BUDGET = {
+    # family: scan-agg — 1 (partial agg → exchange → final agg)
+    "tpch_q1_pricing_summary": 1,
+    "tpch_q6_forecast_revenue": 0,      # single-row agg: SinglePartition only
+    # family: multi-join — dims broadcast; 1 exchange for the final agg
+    "tpch_q3_shipping_priority": 1,
+    "tpch_q5_nation_revenue": 1,
+    # family: cube — two-level lattice (cells, then Expand over cells)
+    "op_agg_1_cube_lattice": 2,
+    # family: rollup — day → week/month re-aggregations
+    "op_agg_6_rollup_periodic": 4,
+    # family: windows — 1 shuffle to the window key
+    "op_win_2_monotony_strain": 1,
+    "op_ts_2_interpolation": 1,
+    # family: exact dedup — 1 shuffle on the content hash
+    "ns_dedup_exact": 1,
+    "op_dd_1_dedup_first": 2,           # + group-size profile branch
+    # family: LSH near-dedup — 2 semantic (sig groupBy, band groupBy),
+    # counted across the candidates ∪ cross-modal branches statically
+    "ns_dedup_lsh_cross_modal": 10,
+    # family: similarity — corpus never shuffles; 1 for the top-k window
+    "ns_similarity_topk": 1,
+    # family: text analysis — profile is 1 (fp dupe-group window); pure
+    # per-row scoring is 0
+    "ns_text_profile": 1,
+    "ns_lang_quality": 0,
+    # family: chunk/pack — two-level prefix scan, no global window
+    "ns_chunk_pack": 5,
+    # family: splits/sampling — threshold path scan-only; quota branch 3
+    "ns_split_train_val": 3,
+    # family: multimodal — one metadata agg per codec stage
+    # (stub/png/wav + jpeg since r4)
+    "ns_multimodal_meta": 4,
+    # family: approx aggs — separate agg branches + sketch rollup
+    "op_approx_aggs": 7,
+    # family: event profile — Expand kept out of the percentile sorts
+    "op_agg_event_profile": 6,
+    # family: fingerprints/signatures
+    "ns_doc_signatures": 5,
+}
+
+
+def test_shuffle_counts_match_budget(plans):
+    """Exact hash-exchange counts per family representative (SCALE.md
+    budget): an accidental extra shuffle — or a silently dropped one —
+    fails CI instead of waiting for a plan audit."""
+    got = {
+        name: plans[name].count("Exchange hashpartitioning")
+        for name in SHUFFLE_BUDGET
+    }
+    assert got == SHUFFLE_BUDGET, {
+        n: (got[n], SHUFFLE_BUDGET[n])
+        for n in got if got[n] != SHUFFLE_BUDGET[n]
+    }
+
+
+def test_no_cartesian_and_nested_loops_only_where_bounded(plans):
+    """CartesianProduct (both sides large, no broadcast — the all-pairs
+    trap the banded/bucketed designs exist to avoid) is banned in every
+    plan. BroadcastNestedLoopJoin is the DESIGNED shape for non-equi
+    joins against a provably tiny build side, so it is allowlisted
+    per entry; an accidental BNL anywhere else — which at 100 TB means
+    a full corpus re-scan per build row — fails here."""
+    assert [n for n, p in plans.items() if "CartesianProduct" in p] == []
+    bnl_allowed = {
+        "ns_similarity_topk",        # corpus ⋈ broadcast(queries), non-equi
+        "ns_similarity_ann",         # same + recall join on tiny result
+        "ns_dedup_embedding_cosine",  # subset-bounded exact oracle anchor
+        "ns_doc_signatures",         # cross with 1-row winnowing params
+        "op_jn_1_densify",           # date spine × 1-row min/max bounds
+        "op_win_1_ewma_dual",        # block-summary range join (|blocks|)
+        "op_jn_range",               # interval containment, non-equi
+        "tpch_deep_shapes",          # q22 global-scalar 1-row broadcast
+        "op_fn_scalar_breadth",      # scalar-literal cross, 1 row
+    }
+    offenders = [
+        n for n, p in plans.items()
+        if n not in bnl_allowed and "BroadcastNestedLoopJoin" in p
+    ]
+    assert offenders == []
+
+
 def test_every_registry_entry_has_an_oracle():
     """r03 milestone, pinned: all 50 entries carry DuckDB oracle SQL —
     no rows-only rows left (even the approximate-aggregate entry is
