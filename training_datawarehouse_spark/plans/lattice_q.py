@@ -243,6 +243,163 @@ FROM src WHERE equipment NOT IN ('Not Set', '')
 """
 
 
+# SCD2 stage constants — shared verbatim by builder and oracle.
+_SCD_T0, _SCD_T1, _SCD_T2 = (
+    "2020-01-01 00:00:00", "2021-06-01 00:00:00", "2022-01-01 00:00:00",
+)
+
+
+def dim_source_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension & source surface, one tagged composite (registry
+    budget: rides the OP-SRC-2 slot — COVERAGE.md):
+
+    - 'catalog': the original OP-SRC-2 catalog scan.
+    - 'scd2': TWO real ``scd2_merge`` batches over the customer
+      dimension (batch 1: every 7th key changes segment, every
+      7th+1 key arrives UNCHANGED — the no-op path; batch 2: every
+      14th key changes again) — the full version history then
+      hash-checks against a closed-form SQL oracle of the expected
+      close/version/passthrough outcomes. This is the generic merge
+      operator differentially verified at the driver, not just in
+      pytest.
+    - 'fmt_csv/jsonl/orc': ``load_any`` round-trip parity — the
+      supplier table is written to each format and read back through
+      the dispatching loader; exact aggregates (counts, key sums,
+      name lengths, balances — the double column exercises float
+      text round-trips) must equal the parquet truth the oracle
+      computes. Eagerly collected (tiny) so the temp files don't
+      outlive the builder.
+
+    Unified string schema (stage, key, val, detail, flag).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.scd import scd2_merge
+    from ..sources.tables import load_any
+
+    cat = catalog_query(spark, sf_dir).select(
+        F.lit("catalog").alias("stage"),
+        F.col("activity").alias("key"),
+        F.col("activity_type").alias("val"),
+        F.col("equipment").alias("detail"),
+        F.col("table_name").alias("flag"),
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim0 = cust.select(
+        k.alias("k"), F.col("c_mktsegment").alias("seg"),
+        F.lit(_SCD_T0).cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    b1 = cust.filter(k % 7 == 0).select(
+        k.alias("k"),
+        F.concat(F.lit("SEG_"), (k % 3).cast("string")).alias("seg"),
+    ).unionByName(
+        cust.filter(k % 7 == 1).select(
+            k.alias("k"), F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    after1 = scd2_merge(dim0, b1, ["k"], ["seg"], _SCD_T1)
+    b2 = cust.filter(k % 14 == 0).select(
+        k.alias("k"), F.lit("SEG2").alias("seg"),
+    )
+    after2 = scd2_merge(after1, b2, ["k"], ["seg"], _SCD_T2)
+    scd = after2.select(
+        F.lit("scd2").alias("stage"),
+        F.col("k").cast("string").alias("key"),
+        F.col("seg").alias("val"),
+        F.concat(
+            F.col("effective_from").cast("string"), F.lit("|"),
+            F.coalesce(F.col("effective_to").cast("string"), F.lit("open")),
+        ).alias("detail"),
+        F.col("is_current").cast("string").alias("flag"),
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    work = tempfile.mkdtemp(prefix="fmt_parity_")
+    rows = []
+    try:
+        for fmt in ("csv", "jsonl", "orc"):
+            path = f"{work}/supplier.{fmt}"
+            w = supp.coalesce(1).write.mode("overwrite")
+            if fmt == "csv":
+                w.option("header", "true").csv(path)
+                back = load_any(spark, path, schema=supp.schema)
+            elif fmt == "jsonl":
+                w.json(path)
+                # .json part files: rename-free dispatch via dir probe
+                back = load_any(spark, path, schema=supp.schema)
+            else:
+                w.orc(path)
+                back = load_any(spark, path)
+            r = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("s_suppkey").alias("s"),
+                F.sum(F.length("s_name")).alias("lc"),
+                F.round(F.sum("s_acctbal"), 2).alias("bal"),
+                F.min("s_name").alias("mn"),
+                F.max("s_name").alias("mx"),
+            ).collect()[0]
+            rows.append((
+                f"fmt_{fmt}", fmt, str(r["n"]),
+                f"{r['s']}/{r['lc']}/{r['bal']}", f"{r['mn']}|{r['mx']}",
+            ))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    fmt_df = spark.createDataFrame(
+        rows, "stage string, key string, val string, detail string, flag string"
+    )
+
+    return cat.unionByName(scd).unionByName(fmt_df)
+
+
+DIM_SOURCE_ORACLE = f"""
+WITH src AS (
+  SELECT l_returnflag AS activity,
+         l_linestatus AS activity_type,
+         {_EQUIP_SQL} AS equipment
+  FROM lineitem
+),
+c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+SELECT DISTINCT 'catalog' AS stage, activity AS key, activity_type AS val,
+       replace(equipment, ' ', '') AS detail,
+       'Day' || '_' || activity || '_' || activity_type || '_'
+             || replace(equipment, ' ', '') AS flag
+FROM src WHERE equipment NOT IN ('Not Set', '')
+UNION ALL
+-- scd2: version 1 (original segment) — closed at t1 iff batch 1
+-- changed the key (every 7th; the 7th+1 no-op arrivals do nothing)
+SELECT 'scd2', CAST(k AS VARCHAR), seg,
+       '{_SCD_T0}|' || CASE WHEN k % 7 = 0 THEN '{_SCD_T1}' ELSE 'open' END,
+       CASE WHEN k % 7 = 0 THEN 'false' ELSE 'true' END
+FROM c
+UNION ALL
+-- scd2: version 2 (batch-1 segment) — closed at t2 iff batch 2 hit it
+SELECT 'scd2', CAST(k AS VARCHAR), 'SEG_' || CAST(k % 3 AS VARCHAR),
+       '{_SCD_T1}|' || CASE WHEN k % 14 = 0 THEN '{_SCD_T2}' ELSE 'open' END,
+       CASE WHEN k % 14 = 0 THEN 'false' ELSE 'true' END
+FROM c WHERE k % 7 = 0
+UNION ALL
+-- scd2: version 3 (batch-2 segment) — always open
+SELECT 'scd2', CAST(k AS VARCHAR), 'SEG2', '{_SCD_T2}|open', 'true'
+FROM c WHERE k % 14 = 0
+UNION ALL
+-- format parity: every format must reproduce the parquet truth
+SELECT 'fmt_' || f, f, CAST(count(*) AS VARCHAR),
+       CAST(sum(s_suppkey) AS VARCHAR) || '/' ||
+       CAST(sum(length(s_name)) AS VARCHAR) || '/' ||
+       CAST(round(sum(s_acctbal), 2) AS VARCHAR),
+       min(s_name) || '|' || max(s_name)
+FROM supplier CROSS JOIN (
+  SELECT 'csv' AS f UNION ALL SELECT 'jsonl' UNION ALL SELECT 'orc'
+) fmts
+GROUP BY f
+"""
+
+
 def rollup_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-AGG-6 both grains in one entry: the week AND month rollups,
     tagged by grain — each still hash-checked against its own oracle."""
@@ -260,6 +417,6 @@ SELECT *, 'month' AS grain FROM ({_rollup_oracle("month")})
 
 QUERIES = {
     "op_agg_1_cube_lattice": Query(cube_lattice_query, CUBE_LATTICE_ORACLE),
-    "op_src_2_catalog": Query(catalog_query, CATALOG_ORACLE),
+    "op_src_2_catalog": Query(dim_source_surface, DIM_SOURCE_ORACLE),
     "op_agg_6_rollup_periodic": Query(rollup_periodic, ROLLUP_PERIODIC_ORACLE),
 }
