@@ -267,16 +267,21 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
         sos_comps = bytes([1, 0x00])
     out += _seg(0xFFDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
 
+    def grid_coefs(plane: np.ndarray, qt8: np.ndarray) -> np.ndarray:
+        """Batched FDCT+quantize of an 8-aligned plane: one broadcast
+        matmul over all blocks (identical per-block arithmetic)."""
+        gy, gx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
+                  .reshape(gy * gx, 8, 8))
+        return np.round((_A @ (blocks - 128.0) @ _A.T) / qt8).astype(np.int32)
+
     w = _BitWriter()
     if not subsample:
         padded, by, bx = blocks_of(img)
-        qt = ql.astype(np.float64).reshape(8, 8)
+        coefs = grid_coefs(padded, ql.astype(np.float64).reshape(8, 8))
         pred = 0
-        for my in range(by):
-            for mx in range(bx):
-                blk = padded[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
-                coef = np.round(fdct2(blk - 128.0) / qt).astype(np.int32)
-                pred = _encode_block(w, coef, pred, dc_l, ac_l)
+        for i in range(by * bx):
+            pred = _encode_block(w, coefs[i], pred, dc_l, ac_l)
     else:
         # YCbCr 4:2:0: luma = img; chroma planes synthesized from the
         # 2×2-mean of the luma (deterministic, content-derived) so the
@@ -298,19 +303,20 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
                      mode="edge")
         crp = np.pad(cr, ((0, mby * 8 - cr.shape[0]), (0, mbx * 8 - cr.shape[1])),
                      mode="edge")
+        ycoefs = grid_coefs(ypad, ql8)          # (2·mby × 2·mbx) grid
+        ccoefs = [grid_coefs(cbp, qc8), grid_coefs(crp, qc8)]
         preds = [0, 0, 0]
         for my in range(mby):
             for mx in range(mbx):
                 for sy in range(2):
                     for sx in range(2):
-                        y0, x0 = my * 16 + sy * 8, mx * 16 + sx * 8
-                        blk = ypad[y0:y0 + 8, x0:x0 + 8]
-                        coef = np.round(fdct2(blk - 128.0) / ql8).astype(np.int32)
-                        preds[0] = _encode_block(w, coef, preds[0], dc_l, ac_l)
-                for ci, plane in ((1, cbp), (2, crp)):
-                    blk = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
-                    coef = np.round(fdct2(blk - 128.0) / qc8).astype(np.int32)
-                    preds[ci] = _encode_block(w, coef, preds[ci], dc_c, ac_c)
+                        i = (my * 2 + sy) * (mbx * 2) + (mx * 2 + sx)
+                        preds[0] = _encode_block(w, ycoefs[i], preds[0],
+                                                 dc_l, ac_l)
+                for ci in (1, 2):
+                    i = my * mbx + mx
+                    preds[ci] = _encode_block(w, ccoefs[ci - 1][i],
+                                              preds[ci], dc_c, ac_c)
     w.flush()
     out += w.out
     out += b"\xFF\xD9"                                 # EOI
@@ -370,10 +376,23 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        """Bulk extraction: one fill + one shift-mask, not n read_bit
+        calls (entropy decode is the codec's hot loop)."""
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (Huffman fast path)."""
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def resync_to_marker(self) -> int | None:
         """Drop to the next marker (for RST handling); returns it."""
@@ -407,10 +426,13 @@ class _HuffTable:
         self.vals = vals
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
+        """Peek-16 canonical decode: compare the code prefix per length
+        against max_code without a Python call per bit."""
+        peeked = br.peek16()
         for ln in range(1, 17):
-            code = (code << 1) | br.read_bit()
+            code = peeked >> (16 - ln)
             if self.max_code[ln] >= 0 and code <= self.max_code[ln]:
+                br.skip(ln)
                 return self.vals[self.val_ptr[ln] + code - self.min_code[ln]]
         raise ValueError("invalid Huffman code in entropy stream")
 
@@ -526,6 +548,14 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
     br = _BitReader(data[pos:])
     preds = {c["id"]: 0 for c in scan}
     n_mcus = mcux * mcuy
+    # Entropy decode is necessarily sequential; the IDCT is not — so
+    # coefficients accumulate per component and one batched matmul
+    # (identical per-block arithmetic, numpy broadcast) transforms all
+    # blocks at the end instead of paying small-matrix overhead per
+    # block inside the bit loop.
+    pending: dict[int, tuple[list, list]] = {
+        c["id"]: ([], []) for c in scan
+    }
     for m in range(n_mcus):
         if dri and m and m % dri == 0:
             marker = br.resync_to_marker()
@@ -562,10 +592,18 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
                         k += 1
                     coef = np.zeros(64, dtype=np.float64)
                     coef[ZIGZAG] = zz
-                    block = idct2(coef.reshape(8, 8) * qt) + 128.0
                     y0 = (my * c["v"] + sy) * 8
                     x0 = (mx * c["h"] + sx) * 8
-                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+                    pending[c["id"]][0].append(coef.reshape(8, 8) * qt)
+                    pending[c["id"]][1].append((y0, x0))
+    for c in scan:
+        coefs, positions = pending[c["id"]]
+        if not coefs:
+            continue
+        blocks = (_A.T @ np.stack(coefs) @ _A) + 128.0
+        plane = planes[c["id"]]
+        for blk, (y0, x0) in zip(blocks, positions):
+            plane[y0:y0 + 8, x0:x0 + 8] = blk
 
     luma = scan[0]
     lp = planes[luma["id"]]
