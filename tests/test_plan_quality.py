@@ -231,8 +231,11 @@ def test_tpch_deep_every_shape_nonempty(spark):
     }
     expected = {
         "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q14_promo_revenue", "q16_supplier_diversity",
-        "q18_large_orders", "q19_discount_revenue", "q22_idle_accounts",
+        "q9_product_profit", "q13_order_count_hist", "q14_promo_revenue",
+        "q16_supplier_diversity", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_discount_revenue",
+        "q20_excess_share_suppliers", "q21_sole_late_supplier",
+        "q22_idle_accounts",
     }
     assert set(counts) == expected
     assert all(v > 0 for v in counts.values()), counts

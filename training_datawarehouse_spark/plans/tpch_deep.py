@@ -11,10 +11,17 @@ machineries*:
 - q7   nation-pair volume join with a disjunctive pair predicate
 - q8   market-share ratio of conditional aggregates
 - q9   profit expression over a 5-way join with a LIKE filter
+- q13  LEFT OUTER join with an ON-clause filter + histogram-of-counts
+       double aggregation (r4)
 - q14  conditional-aggregate ratio over a date slice (promo revenue)
 - q16  COUNT(DISTINCT) with a NOT IN null-aware anti join
+- q17  correlated scalar AVG inside a range predicate (r4)
 - q18  HAVING-filtered aggregate driving a semi-join back to facts
 - q19  disjunction-of-conjunctions predicate (OR-block pushdown)
+- q20  IN-subquery with a correlated scalar aggregate in its HAVING,
+       nested above a second IN — three decorrelation levels (r4)
+- q21  EXISTS + NOT EXISTS self-joins whose anti predicate correlates
+       to two outer relations at once (r4)
 - q22  NOT EXISTS anti join + global scalar subquery per row
 
 The schema is TPC-H-lite (no partsupp, no shipmode/commitdate — see
@@ -399,6 +406,128 @@ def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# ------------------------------------------------------------- q13
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q13_order_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count distribution — LEFT OUTER join
+    with a join-side filter (the filter must stay in the ON clause:
+    a WHERE would turn the outer join inner and drop zero-order
+    customers), then a histogram-of-counts double aggregation.
+    No o_comment in the schema; the priority filter plays its role."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+# ------------------------------------------------------------- q17
+
+_Q17_SQL = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_weekly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity line items
+    — a correlated scalar AVG per part inside a range predicate, which
+    Catalyst decorrelates into (per-part aggregate) ⋈ fact. The
+    threshold is 0.2·avg of INTEGER-valued quantities, so both engines
+    compute the identical double and the strict < cannot straddle an
+    engine-specific ulp."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# ------------------------------------------------------------- q20
+
+_Q20_SQL = """
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+  )
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 0.02 * (
+    SELECT sum(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+)
+"""
+
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a named
+    part family — an IN-subquery whose HAVING clause contains a
+    correlated scalar aggregate (supplier's quantity vs the part's
+    total), itself filtered by a nested IN. Three levels of
+    decorrelation in one predicate chain. No partsupp/availqty in the
+    schema, so shipped-quantity share stands in for excess
+    availability; integer-valued sums keep the 0.02·total comparison
+    bit-identical across engines."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+# ------------------------------------------------------------- q21
+
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier who ALONE was late on a
+    multi-supplier order — EXISTS and NOT EXISTS self-joins on the
+    fact table where the anti-join predicate correlates to TWO outer
+    relations at once (l1's keys and o's date). The classic worst case
+    for decorrelation; no commit/receipt dates in the schema, so
+    late = shipped >60 days after order date (the q4 convention). No
+    LIMIT: ties would make top-k nondeterministic, the full grouped
+    result is the stable object."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
 # ------------------------------------------- tagged family composite
 #
 # The driver records correctness rows for at most 50 registry entries,
@@ -480,8 +609,32 @@ def tpch_deep_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null_s().alias("k3"), F.col("numcust").cast("long").alias("n"),
         F.col("totacctbal").alias("v1"), _null_d().alias("v2"),
     )
+    q13 = q13_order_count_hist(spark, sf_dir).select(
+        F.lit("q13_order_count_hist").alias("shape"),
+        F.col("c_count").cast(_S).alias("k1"), _null_s().alias("k2"),
+        _null_s().alias("k3"), F.col("custdist").cast("long").alias("n"),
+        _null_d().alias("v1"), _null_d().alias("v2"),
+    )
+    q17 = q17_small_quantity_revenue(spark, sf_dir).select(
+        F.lit("q17_small_quantity_revenue").alias("shape"),
+        _null_s().alias("k1"), _null_s().alias("k2"), _null_s().alias("k3"),
+        F.col("n_items").cast("long").alias("n"),
+        F.col("avg_weekly").alias("v1"), _null_d().alias("v2"),
+    )
+    q20 = q20_excess_share_suppliers(spark, sf_dir).select(
+        F.lit("q20_excess_share_suppliers").alias("shape"),
+        F.col("s_name").alias("k1"), F.col("n_name").alias("k2"),
+        _null_s().alias("k3"), F.lit(None).cast("long").alias("n"),
+        _null_d().alias("v1"), _null_d().alias("v2"),
+    )
+    q21 = q21_sole_late_supplier(spark, sf_dir).select(
+        F.lit("q21_sole_late_supplier").alias("shape"),
+        F.col("s_name").alias("k1"), _null_s().alias("k2"),
+        _null_s().alias("k3"), F.col("numwait").cast("long").alias("n"),
+        _null_d().alias("v1"), _null_d().alias("v2"),
+    )
     out = q2
-    for piece in (q7, q8, q9, q14, q16, q18, q19, q22):
+    for piece in (q7, q8, q9, q13, q14, q16, q17, q18, q19, q20, q21, q22):
         out = out.unionByName(piece)
     return out
 
@@ -491,10 +644,14 @@ WITH q2 AS ({_Q2_SQL}),
 q7 AS ({Q7_ORACLE}),
 q8 AS ({Q8_ORACLE}),
 q9 AS ({Q9_ORACLE}),
+q13 AS ({_Q13_SQL}),
 q14 AS ({Q14_ORACLE}),
 q16 AS ({_Q16_SQL}),
+q17 AS ({_Q17_SQL}),
 q18 AS ({Q18_ORACLE}),
 q19 AS ({Q19_ORACLE}),
+q20 AS ({_Q20_SQL}),
+q21 AS ({_Q21_SQL}),
 q22 AS ({_Q22_SQL})
 SELECT 'q2_min_cost_supplier' AS shape, p_name AS k1, s_name AS k2,
        n_name AS k3, CAST(p_partkey AS BIGINT) AS n,
@@ -525,6 +682,22 @@ UNION ALL
 SELECT 'q22_idle_accounts', CAST(bucket AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(numcust AS BIGINT), totacctbal,
        CAST(NULL AS DOUBLE) FROM q22
+UNION ALL
+SELECT 'q13_order_count_hist', CAST(c_count AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(custdist AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM q13
+UNION ALL
+SELECT 'q17_small_quantity_revenue', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(n_items AS BIGINT),
+       avg_weekly, CAST(NULL AS DOUBLE) FROM q17
+UNION ALL
+SELECT 'q20_excess_share_suppliers', s_name, n_name,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM q20
+UNION ALL
+SELECT 'q21_sole_late_supplier', s_name, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(numwait AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM q21
 """
 
 
