@@ -217,6 +217,24 @@ def test_every_registry_entry_has_an_oracle():
     assert missing == []
 
 
+def test_new_deep_shapes_decorrelate_cleanly(spark):
+    """The r4 subquery shapes (q13/q17/q20/q21) must decorrelate into
+    broadcast-hash joins — never a cartesian product or nested loop
+    (the composite's BNL allowance is for q22's scalar broadcast and
+    must not hide a pathological new plan)."""
+    from training_datawarehouse_spark.plans.tpch_deep import (
+        q13_order_count_hist, q17_small_quantity_revenue,
+        q20_excess_share_suppliers, q21_sole_late_supplier,
+    )
+
+    for fn in (q13_order_count_hist, q17_small_quantity_revenue,
+               q20_excess_share_suppliers, q21_sole_late_supplier):
+        p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert "BroadcastHashJoin" in p, fn.__name__
+
+
 def test_tpch_deep_every_shape_nonempty(spark):
     """Each of the nine shapes inside the composite must contribute
     rows at the correctness scale factor — guards against a data
