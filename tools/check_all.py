@@ -35,6 +35,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def _cell(v) -> str:
     # DuckDB hands DATE back as datetime64[ns]; Spark as datetime.date.
     # The driver's canon treats midnight timestamps and dates alike.
+    # NULLs: the pandas path turns DuckDB NULL booleans/numbers into
+    # NaN/NaT while Spark rows carry None — one marker for all three
+    # (the driver compares null-safely; r3's op_approx_aggs proved it).
+    if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
+        return "None"
     s = str(v)
     return s[:-9] if s.endswith(" 00:00:00") else s
 
