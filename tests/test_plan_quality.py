@@ -82,7 +82,7 @@ def test_salted_agg_is_two_level(plans):
 
 
 def test_tpch_deep_dims_broadcast(plans):
-    """Across the nine deep TPC-H subplans every dimension join must be
+    """Across the thirteen deep TPC-H subplans every dimension join must be
     broadcast; sort-merge is reserved for fact-fact and decorrelated
     subquery joins (q2/q16/q18/q22 machinery)."""
     p = plans["tpch_deep_shapes"]
@@ -236,7 +236,7 @@ def test_new_deep_shapes_decorrelate_cleanly(spark):
 
 
 def test_tpch_deep_every_shape_nonempty(spark):
-    """Each of the nine shapes inside the composite must contribute
+    """Each of the thirteen shapes inside the composite must contribute
     rows at the correctness scale factor — guards against a data
     regeneration silently emptying a constituent (q9/q22 shipped empty
     once: a LIKE pattern and a NOT EXISTS window that matched nothing)."""

@@ -531,7 +531,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- tagged family composite
 #
 # The driver records correctness rows for at most 50 registry entries,
-# so the nine shapes ship as ONE tagged composite (the op_jn_semi_anti
+# so the thirteen shapes ship as ONE tagged composite (the op_jn_semi_anti
 # / op_win_1_ewma_dual precedent): every constituent keeps its own
 # builder, its own oracle SQL, and its own verified semantics — the
 # composite aligns them onto (shape, k1, k2, k3, n, v1, v2) and unions
@@ -549,7 +549,7 @@ def _null_d():
 
 
 def tpch_deep_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All nine deep TPC-H shapes, tagged by ``shape`` and aligned onto
+    """All thirteen deep TPC-H shapes, tagged by ``shape`` and aligned onto
     a common frame: k1–k3 string dimensions, n the integer measure,
     v1/v2 the value measures. Each constituent subplan is exactly its
     standalone builder's plan; the union only renames columns."""
