@@ -82,7 +82,7 @@ def test_salted_agg_is_two_level(plans):
 
 
 def test_tpch_deep_dims_broadcast(plans):
-    """Across the thirteen deep TPC-H subplans every dimension join must be
+    """Across the sixteen deep TPC-H subplans every dimension join must be
     broadcast; sort-merge is reserved for fact-fact and decorrelated
     subquery joins (q2/q16/q18/q22 machinery)."""
     p = plans["tpch_deep_shapes"]
@@ -227,16 +227,27 @@ def test_new_deep_shapes_decorrelate_cleanly(spark):
         q20_excess_share_suppliers, q21_sole_late_supplier,
     )
 
-    for fn in (q13_order_count_hist, q17_small_quantity_revenue,
-               q20_excess_share_suppliers, q21_sole_late_supplier):
+    from training_datawarehouse_spark.plans.tpch_deep import (
+        q11_important_stock, q12_late_shipping_priority, q15_top_supplier,
+    )
+
+    # q11 is join-free by design (aggregate + global scalar filter), so
+    # it only owes the no-pathology half of the gate
+    for fn, needs_bhj in (
+        (q11_important_stock, False), (q12_late_shipping_priority, True),
+        (q13_order_count_hist, True), (q15_top_supplier, True),
+        (q17_small_quantity_revenue, True),
+        (q20_excess_share_suppliers, True), (q21_sole_late_supplier, True),
+    ):
         p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, fn.__name__
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
-        assert "BroadcastHashJoin" in p, fn.__name__
+        if needs_bhj:
+            assert "BroadcastHashJoin" in p, fn.__name__
 
 
 def test_tpch_deep_every_shape_nonempty(spark):
-    """Each of the thirteen shapes inside the composite must contribute
+    """Each of the sixteen shapes inside the composite must contribute
     rows at the correctness scale factor — guards against a data
     regeneration silently emptying a constituent (q9/q22 shipped empty
     once: a LIKE pattern and a NOT EXISTS window that matched nothing)."""
@@ -249,7 +260,9 @@ def test_tpch_deep_every_shape_nonempty(spark):
     }
     expected = {
         "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q13_order_count_hist", "q14_promo_revenue",
+        "q9_product_profit", "q11_important_stock",
+        "q12_late_shipping_priority", "q13_order_count_hist",
+        "q14_promo_revenue", "q15_top_supplier",
         "q16_supplier_diversity", "q17_small_quantity_revenue",
         "q18_large_orders", "q19_discount_revenue",
         "q20_excess_share_suppliers", "q21_sole_late_supplier",

@@ -11,9 +11,16 @@ machineries*:
 - q7   nation-pair volume join with a disjunctive pair predicate
 - q8   market-share ratio of conditional aggregates
 - q9   profit expression over a 5-way join with a LIKE filter
+- q11  aggregated value vs a threshold derived from the global
+       statistics of the same aggregation — one CTE consumed as rows
+       AND as a scalar (r4)
+- q12  dual complementary conditional counts over a cross-table date
+       predicate (r4)
 - q13  LEFT OUTER join with an ON-clause filter + histogram-of-counts
        double aggregation (r4)
 - q14  conditional-aggregate ratio over a date slice (promo revenue)
+- q15  argmax over a derived aggregation: aggregate → global scalar
+       max → equality join back (r4)
 - q16  COUNT(DISTINCT) with a NOT IN null-aware anti join
 - q17  correlated scalar AVG inside a range predicate (r4)
 - q18  HAVING-filtered aggregate driving a semi-join back to facts
@@ -406,6 +413,89 @@ def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# ------------------------------------------------------------- q11
+
+_Q11_SQL = """
+WITH partval AS (
+  SELECT l_partkey, sum(l_quantity) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS BIGINT) AS val
+FROM partval
+WHERE val > (SELECT 1.5 * avg(val) FROM partval)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: rows whose aggregated value exceeds a global
+    threshold derived from the same aggregation (1.5× the mean — the
+    original's fixed fraction of the total yields nothing at this
+    corpus's flat part distribution, and a data-relative threshold is
+    scale-free across regenerations). The derived CTE is consumed
+    twice (group rows + global scalar). Quantities are integer-valued
+    doubles, so the sums and their mean are bit-identical in both
+    engines and the comparison cannot straddle an engine-specific ulp
+    (l_extendedprice sums would). No partsupp: shipped quantity per
+    part plays the stock-value role."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+# ------------------------------------------------------------- q12
+
+_Q12_SQL = """
+SELECT l.l_returnflag AS ship_class,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_returnflag
+"""
+
+
+def q12_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two complementary conditional counts in one
+    aggregate over a cross-table date predicate (ship vs order date) —
+    the dual-CASE-SUM machinery. No shipmode column; returnflag plays
+    the ship-class role and priority the urgency split."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+# ------------------------------------------------------------- q15
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_quantity) AS total_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT s.s_name, r.supplier_no, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_qty = (SELECT max(total_qty) FROM revenue)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the row(s) achieving the maximum of a derived
+    aggregation — aggregate → global scalar max → equality join back,
+    the view-plus-argmax machinery (q2's correlated min is per-group;
+    this max is global). The argmax measure is the INTEGER-valued
+    quantity sum: the optimizer instantiates the CTE twice (rows +
+    scalar), and a float-sum measure proved bitwise-unstable between
+    the two instances under the composite's partitioning — an exact
+    sum is identical in every evaluation and every engine. The revenue
+    column stays a rounded output, never a compared value."""
+    register_tables(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
 # ------------------------------------------------------------- q13
 
 _Q13_SQL = """
@@ -531,7 +621,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- tagged family composite
 #
 # The driver records correctness rows for at most 50 registry entries,
-# so the thirteen shapes ship as ONE tagged composite (the op_jn_semi_anti
+# so the sixteen shapes ship as ONE tagged composite (the op_jn_semi_anti
 # / op_win_1_ewma_dual precedent): every constituent keeps its own
 # builder, its own oracle SQL, and its own verified semantics — the
 # composite aligns them onto (shape, k1, k2, k3, n, v1, v2) and unions
@@ -549,7 +639,7 @@ def _null_d():
 
 
 def tpch_deep_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All thirteen deep TPC-H shapes, tagged by ``shape`` and aligned onto
+    """All sixteen deep TPC-H shapes, tagged by ``shape`` and aligned onto
     a common frame: k1–k3 string dimensions, n the integer measure,
     v1/v2 the value measures. Each constituent subplan is exactly its
     standalone builder's plan; the union only renames columns."""
@@ -609,6 +699,25 @@ def tpch_deep_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null_s().alias("k3"), F.col("numcust").cast("long").alias("n"),
         F.col("totacctbal").alias("v1"), _null_d().alias("v2"),
     )
+    q11 = q11_important_stock(spark, sf_dir).select(
+        F.lit("q11_important_stock").alias("shape"),
+        F.col("l_partkey").cast(_S).alias("k1"), _null_s().alias("k2"),
+        _null_s().alias("k3"), F.col("val").alias("n"),
+        _null_d().alias("v1"), _null_d().alias("v2"),
+    )
+    q12 = q12_late_shipping_priority(spark, sf_dir).select(
+        F.lit("q12_late_shipping_priority").alias("shape"),
+        F.col("ship_class").alias("k1"), _null_s().alias("k2"),
+        _null_s().alias("k3"), F.col("high_line_count").cast("long").alias("n"),
+        F.col("low_line_count").cast("double").alias("v1"),
+        _null_d().alias("v2"),
+    )
+    q15 = q15_top_supplier(spark, sf_dir).select(
+        F.lit("q15_top_supplier").alias("shape"),
+        F.col("s_name").alias("k1"), _null_s().alias("k2"),
+        _null_s().alias("k3"), F.col("supplier_no").cast("long").alias("n"),
+        F.col("total_revenue").alias("v1"), _null_d().alias("v2"),
+    )
     q13 = q13_order_count_hist(spark, sf_dir).select(
         F.lit("q13_order_count_hist").alias("shape"),
         F.col("c_count").cast(_S).alias("k1"), _null_s().alias("k2"),
@@ -634,7 +743,8 @@ def tpch_deep_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null_d().alias("v1"), _null_d().alias("v2"),
     )
     out = q2
-    for piece in (q7, q8, q9, q13, q14, q16, q17, q18, q19, q20, q21, q22):
+    for piece in (q7, q8, q9, q11, q12, q13, q14, q15, q16, q17, q18,
+                  q19, q20, q21, q22):
         out = out.unionByName(piece)
     return out
 
@@ -644,7 +754,10 @@ WITH q2 AS ({_Q2_SQL}),
 q7 AS ({Q7_ORACLE}),
 q8 AS ({Q8_ORACLE}),
 q9 AS ({Q9_ORACLE}),
+q11 AS ({_Q11_SQL}),
+q12 AS ({_Q12_SQL}),
 q13 AS ({_Q13_SQL}),
+q15 AS ({_Q15_SQL}),
 q14 AS ({Q14_ORACLE}),
 q16 AS ({_Q16_SQL}),
 q17 AS ({_Q17_SQL}),
@@ -682,6 +795,18 @@ UNION ALL
 SELECT 'q22_idle_accounts', CAST(bucket AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(numcust AS BIGINT), totacctbal,
        CAST(NULL AS DOUBLE) FROM q22
+UNION ALL
+SELECT 'q11_important_stock', CAST(l_partkey AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), val,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM q11
+UNION ALL
+SELECT 'q12_late_shipping_priority', ship_class, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(high_line_count AS BIGINT),
+       CAST(low_line_count AS DOUBLE), CAST(NULL AS DOUBLE) FROM q12
+UNION ALL
+SELECT 'q15_top_supplier', s_name, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(supplier_no AS BIGINT),
+       total_revenue, CAST(NULL AS DOUBLE) FROM q15
 UNION ALL
 SELECT 'q13_order_count_hist', CAST(c_count AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(NULL AS VARCHAR), CAST(custdist AS BIGINT),
