@@ -92,7 +92,20 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (``lang_pred_ngram``, ``n_en``/``n_fr``/``n_de``). Reasons
     are computed from the ROUNDED scores the row itself reports,
     keeping Spark and the oracle bit-identical at the thresholds.
-    Formerly two registry entries; merged so both ride one scan."""
+    Formerly two registry entries; merged so both ride one scan.
+
+    r4 adds the PII-scrubbing stage (``operators/text.py:redact_pii``)
+    on the same scan: the synthetic corpus carries no PII (zero digit
+    runs corpus-wide), so the stage INJECTS deterministic PII derived
+    from ``doc_id`` — an email, a phone, a URL, each on its own residue
+    class so docs carry 0–3 kinds — then counts and redacts it, and the
+    oracle re-derives the identical dirty text and regex semantics in
+    DuckDB (Java regex vs RE2 agree on the explicit-class patterns;
+    redaction order URL→email→phone is part of the contract). Reported:
+    ``n_emails``/``n_urls``/``n_phones`` on the dirty text and
+    ``clean_fp`` — md5-16 of the redacted text, so a single character
+    of redaction drift hash-mismatches. Everything is codegen'd
+    string/regex work on the one scan: no extra shuffle, no Python."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     lp = tx.lang_id(t)
@@ -104,6 +117,27 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"n_{lang}")
         for lang, prof in tx.CHAR_TRIGRAM_PROFILES.items()
     ]
+    did = F.col("doc_id")
+    dirty = F.concat(
+        t,
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" reach user"), did.cast("string"),
+                     F.lit("@mail-example.org for details")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit(" or call +1-555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"),
+                     F.lit("-0199")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 2,
+            F.concat(F.lit(" see https://corpus.example.org/doc/"),
+                     did.cast("string"), F.lit(" first")),
+        ).otherwise(F.lit("")),
+    )
+    pii = tx.pii_counts(dirty)
     return docs.select(
         "doc_id",
         lp.alias("lang_pred"),
@@ -112,6 +146,10 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.drop_reason(lp, q, r, tx.token_count(t)).alias("drop_reason"),
         tx.lang_id_char_ngram(t).alias("lang_pred_ngram"),
         *ngram_cols,
+        pii["n_emails"].alias("n_emails"),
+        pii["n_urls"].alias("n_urls"),
+        pii["n_phones"].alias("n_phones"),
+        F.substring(F.md5(tx.redact_pii(dirty)), 1, 16).alias("clean_fp"),
     )
 
 
@@ -152,9 +190,49 @@ SELECT doc_id, lang_pred, quality, repetition,
             ELSE 'kept' END AS drop_reason
 FROM m
 )
-SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de
+SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de,
+       p.n_emails, p.n_urls, p.n_phones, p.clean_fp
 FROM sw JOIN ({{CHAR_NGRAM}}) cg USING (doc_id)
+JOIN (@@PII@@) p USING (doc_id)
 """
+
+# PII stage oracle: identical dirty-text derivation + the same three
+# explicit-character-class regexes (Java regex on Spark, RE2 here —
+# the patterns avoid every dialect divergence: no \d, no lookaround,
+# no backrefs). Kept OUT of the f-string/.format pipeline (regex
+# quantifier braces would need quadruple-escaping) and spliced via the
+# @@PII@@ marker + .replace below.
+_PII_ORACLE = """
+WITH dirty AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || doc_id || '@mail-example.org for details'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 1
+            THEN ' or call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 || '-0199'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 2
+            THEN ' see https://corpus.example.org/doc/' || doc_id || ' first'
+            ELSE '' END
+    AS d
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(d, '__EMAIL__'))::BIGINT AS n_emails,
+  len(regexp_extract_all(d, '__URL__'))::BIGINT AS n_urls,
+  len(regexp_extract_all(d, '__PHONE__'))::BIGINT AS n_phones,
+  substr(md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(d, '__URL__', '<URL>', 'g'),
+        '__EMAIL__', '<EMAIL>', 'g'),
+      '__PHONE__', '<PHONE>', 'g')
+  ), 1, 16) AS clean_fp
+FROM dirty
+""".replace("__EMAIL__", tx.EMAIL_PATTERN).replace(
+    "__URL__", tx.URL_PATTERN).replace("__PHONE__", tx.PHONE_PATTERN)
 
 
 def lang_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,10 +283,12 @@ SELECT doc_id,
 FROM c
 """
 
-# the merged lang entry joins the char-ngram block in as a subquery
+# the merged lang entry joins the char-ngram block in as a subquery;
+# the PII block splices in AFTER .format so its regex braces never
+# meet the format machinery
 LANG_QUALITY_ORACLE = LANG_QUALITY_ORACLE.format(
     CHAR_NGRAM=LANG_CHAR_NGRAM_ORACLE
-)
+).replace("@@PII@@", _PII_ORACLE)
 
 
 # ------------------------------------------------------- fingerprint
