@@ -397,3 +397,73 @@ def test_codec_sniff_falls_back_to_stub_on_unsupported(spark):
     feats = {r["id"]: r["features"] for r in mm.extract_features(df, dim=8).collect()}
     assert len(feats[1]) == 8 and len(feats[2]) == 8
     assert all(0.0 <= x <= 1.0 for x in feats[1] + feats[2])
+
+
+def test_pil_fast_path_routing_and_parity(monkeypatch):
+    """The optional PIL accelerator seam (round-3 verdict task 4): this
+    sandbox has no Pillow, so the seam is exercised with a fake PIL
+    Image module that decodes via an independent raster source. Checks:
+    (a) with no PIL, decode_png_auto IS the stdlib decoder; (b) with a
+    (fake) PIL present, decode_png_auto routes through it and honors
+    the return contract; (c) a fake-PIL failure (wrong mode, or a
+    decode error) falls back to stdlib with identical pixels — so an
+    accelerator can never change answers, only speed."""
+    w, h = 9, 5
+    pixels = bytes((3 * x + 7 * y) % 256 for y in range(h) for x in range(w))
+    png = mm.encode_png(w, h, pixels, filter_type=4)
+
+    # (a) no PIL in this environment: stdlib path, exact pixels
+    assert mm._PILImage is None
+    base = mm.decode_png_auto(png)
+    assert base["pixels"] == pixels and base["width"] == w
+
+    calls = []
+
+    class _FakeImg:
+        format, mode, size = "PNG", "L", (w, h)
+
+        def load(self):
+            pass
+
+        def tobytes(self):
+            return pixels
+
+    class _FakePIL:
+        @staticmethod
+        def open(buf):
+            calls.append(len(buf.getvalue()))
+            return _FakeImg()
+
+    # (b) PIL present: the seam routes through it, same contract
+    monkeypatch.setattr(mm, "_PILImage", _FakePIL)
+    out = mm.decode_png_auto(png)
+    assert calls == [len(png)]
+    assert out == base  # bit-identical contract: accelerator ≡ stdlib
+
+    # (c) PIL rejects (RGB mode) → silent stdlib fallback, same pixels
+    _FakeImg.mode = "RGB"
+    out2 = mm.decode_png_auto(png)
+    assert out2["pixels"] == pixels
+
+    # (c') PIL raises OSError (undecodable stream) → stdlib fallback
+    class _BrokenPIL:
+        @staticmethod
+        def open(buf):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(mm, "_PILImage", _BrokenPIL)
+    assert mm.decode_png_auto(png)["pixels"] == pixels
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="Pillow not installed: stdlib codec is the active path",
+)
+def test_pil_real_pixel_parity():
+    """Auto-activates when Pillow exists: real-PIL decode must produce
+    bit-identical pixels to the stdlib codec on all five filter types."""
+    w, h = 17, 11
+    pixels = bytes((x * 13 + y * 29) % 256 for y in range(h) for x in range(w))
+    for ftype in range(5):
+        png = mm.encode_png(w, h, pixels, filter_type=ftype)
+        assert mm._pil_decode_png(png) == mm.decode_png(png)

@@ -49,6 +49,60 @@ _CODEC_ERRORS = (
     struct.error, zlib.error, wave.Error,
 )
 
+# Optional PIL/Pillow accelerator (round-3 verdict task 4). The probe
+# runs once per Python worker at import; this sandbox ships no PIL, so
+# the stdlib codecs carry — but when PIL IS present, PNG *decode*
+# (the one content-scaling per-pixel Python cost: the Average/Paeth
+# un-filter loops) routes through its C un-filtering instead. The fast
+# path is decode-only and PNG-only BY DESIGN: PNG decode is lossless,
+# so PIL's pixels are bit-identical to the stdlib decoder's and every
+# downstream checksum/oracle hash is unchanged; re-encode always uses
+# this module's deterministic ``encode_png`` (PIL's zlib settings
+# would change output bytes), and JPEG stays on ``jpeg.decode_jpeg``
+# because libjpeg's approximate integer IDCT is NOT bit-identical to
+# that codec's exact orthonormal IDCT — an accelerator must never
+# change answers. Parity is asserted in
+# tests/test_streaming_multimodal.py (fake-PIL routing test always;
+# real-PIL pixel parity auto-activates when Pillow is installed).
+try:  # pragma: no cover - depends on the environment
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+
+def _pil_decode_png(data: bytes) -> dict:
+    """PIL-backed decode with ``decode_png``'s exact return contract
+    ({width, height, bit_depth, color_type, pixels}). Only the 8-bit
+    grayscale subset the stdlib codec supports is accepted — anything
+    else raises into ``_CODEC_ERRORS`` so both paths degrade to the
+    same documented stub behavior."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(data))
+    img.load()
+    if getattr(img, "format", None) != "PNG" or img.mode != "L":
+        raise NotImplementedError(
+            "PIL fast path covers 8-bit grayscale PNG only"
+        )
+    w, h = img.size
+    return {
+        "width": w, "height": h, "bit_depth": 8, "color_type": 0,
+        "pixels": img.tobytes(),
+    }
+
+
+def decode_png_auto(data: bytes) -> dict:
+    """PNG decode via PIL when available, stdlib codec otherwise.
+    OSError joins the caught set because PIL signals undecodable
+    streams with it; the stdlib codec then gets its say (and raises
+    the canonical ``_CODEC_ERRORS`` member if it also rejects)."""
+    if _PILImage is not None:
+        try:
+            return _pil_decode_png(data)
+        except _CODEC_ERRORS + (OSError,):
+            pass
+    return decode_png(data)
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (spec §9.4)."""
@@ -290,7 +344,7 @@ def png_decode_meta(payload: bytes) -> dict:
     that only a correct decoder can produce."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
-    img = decode_png(payload)
+    img = decode_png_auto(payload)
     return {
         "n_bytes": len(img["pixels"]),
         "format": "png",
@@ -445,7 +499,7 @@ def resize_png(data: bytes, width: int, height: int) -> bytes:
     deterministic choice (no float kernels → bit-identical everywhere);
     a production pipeline would swap a PIL/libvips kernel in here
     without touching the Spark plumbing."""
-    img = decode_png(data)
+    img = decode_png_auto(data)
     src = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
         img["height"], img["width"]
     )
@@ -540,7 +594,7 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
         raw = bytes(payload)
         if raw[:8] == _PNG_SIG:
             try:
-                img = decode_png(raw)
+                img = decode_png_auto(raw)
                 arr = np.frombuffer(img["pixels"], dtype=np.uint8) / 255.0
                 return _stat_features(arr, dim)
             except _CODEC_ERRORS:
