@@ -293,11 +293,23 @@ GROUP BY 1, 2, 3
 
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string breadth: case, pad, reverse, substring, and
-    levenshtein edit distance (small-string near-dup primitive)."""
+    levenshtein edit distance (small-string near-dup primitive).
+
+    r4 adds the bit-function surface on the same scan: the Z-order
+    Morton interleave of (doc_id, length(text)) from
+    ``operators/layout.py`` — 10 bits per dimension, unrolled to 20
+    codegen'd shift/and/add terms — plus its top-4-bit range bucket.
+    The oracle runs the IDENTICAL unrolled expression emitted by
+    ``zvalue_sql`` (one loop generates both sides), so the interleave
+    is differentially checked bit-for-bit; the layout operator built
+    on it (cluster → write → measured footer-stats file skipping) is
+    exercised in tests/test_layout.py and measured in SCALE.md."""
+    from ..operators.layout import zvalue
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     head = F.substring("text", 1, 20)
+    z = zvalue([F.col("doc_id"), F.length("text")], bits=10)
     return docs.select(
         "doc_id",
         F.upper(F.col("lang")).alias("lang_uc"),
@@ -305,6 +317,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.col("lang")).alias("lang_rev"),
         F.length(F.trim(head)).alias("head_len"),
         F.levenshtein(head, F.lit("the quick brown fox ")).alias("edit_dist"),
+        z.alias("zval"),
+        F.shiftright(z, 16).cast("long").alias("zbucket"),
     )
 
 
@@ -314,9 +328,22 @@ SELECT doc_id,
        lpad(source, 12, '_') AS src_pad,
        reverse(lang) AS lang_rev,
        length(trim(substr(text, 1, 20))) AS head_len,
-       levenshtein(substr(text, 1, 20), 'the quick brown fox ') AS edit_dist
+       levenshtein(substr(text, 1, 20), 'the quick brown fox ') AS edit_dist,
+       __Z__ AS zval,
+       (__Z__ >> 16) AS zbucket
 FROM documents
 """
+
+
+def _splice_zorder_oracle() -> str:
+    from ..operators.layout import zvalue_sql
+
+    return STRING_FUNCTIONS_ORACLE.replace(
+        "__Z__", zvalue_sql(["doc_id", "length(text)"], bits=10)
+    )
+
+
+STRING_FUNCTIONS_ORACLE = _splice_zorder_oracle()
 
 
 def scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
