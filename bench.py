@@ -85,8 +85,9 @@ MANIFEST = [
      "desc": "range join"},
     {"name": "op_agg_event_profile", "semver": 1,
      "desc": "percentiles + distincts, Expand kept off the sorts"},
-    {"name": "op_fn_scalar_breadth", "semver": 1,
-     "desc": "scalar function breadth"},
+    {"name": "op_fn_scalar_breadth", "semver": 2,
+     "desc": "scalar function breadth (v2: + Z-order Morton interleave "
+             "bit-function columns, oracle-checked)"},
     {"name": "ns_chunk_pack", "semver": 1,
      "desc": "chunking + training-window packing"},
     {"name": "ns_split_train_val", "semver": 1,
