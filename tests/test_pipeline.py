@@ -430,3 +430,48 @@ def test_scd2_merge_rejects_bad_batches(spark):
     dup = spark.createDataFrame([(1, "b"), (1, "c")], "k long, v string")
     with pytest.raises(Exception, match="duplicate key"):
         scd2_merge(dim, dup, ["k"], ["v"], "2021-01-01").collect()
+
+
+def test_load_quarantined_routes_bad_rows(spark, tmp_path):
+    """Malformed-row quarantine (PERMISSIVE + corrupt column): broken
+    lines in a json/csv source neither kill the job (FAILFAST) nor
+    vanish (DROPMALFORMED) — they land in the bad frame with the raw
+    line preserved for replay, while every parseable row flows through
+    the good frame. Also covers Spark's corrupt-column-only-scan
+    rejection: the bad frame must carry parsed columns alongside
+    raw_record (which a quarantine sink wants anyway)."""
+    from pyspark.sql import types as T
+
+    from training_datawarehouse_spark.sources.tables import load_quarantined
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": oops not json\n'
+        '{"id": 3}\n'
+        "garbage line\n"
+    )
+    good, bad = load_quarantined(spark, str(p), schema, fmt="json")
+    assert sorted((r["id"], r["name"]) for r in good.collect()) == [
+        (1, "ok"), (2, "also ok"), (3, None),
+    ]
+    assert sorted(r["raw_record"] for r in bad.collect()) == [
+        "garbage line", '{"id": oops not json',
+    ]
+    assert bad.columns == ["raw_record", "id", "name"]
+
+    pc = tmp_path / "in.csv"
+    pc.write_text("id,name\n1,ok\nnotanumber,bad\n3,fine\n")
+    goodc, badc = load_quarantined(spark, str(pc), schema, fmt="csv")
+    assert sorted((r["id"], r["name"]) for r in goodc.collect()) == [
+        (1, "ok"), (3, "fine"),
+    ]
+    assert [r["raw_record"] for r in badc.collect()] == ["notanumber,bad"]
+
+    with pytest.raises(ValueError, match="json/csv"):
+        load_quarantined(spark, str(p), schema, fmt="orc")

@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -81,6 +83,55 @@ def load_any(spark: SparkSession, path: str, schema=None) -> DataFrame:
             r = r.schema(schema)
         return r.json(path)
     raise ValueError(f"unsupported source format: {ext or path}")
+
+
+def load_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-row quarantine for semi-structured ingest: returns
+    ``(good, bad)``. At 100 TB a handful of broken lines in a billion
+    must not kill the job (FAILFAST) or silently vanish (DROPMALFORMED)
+    — PERMISSIVE mode parses what it can and routes each unparseable
+    raw line into ``corrupt_col``; ``good`` carries the parsed rows
+    (corrupt column dropped), ``bad`` carries (raw_record) for a
+    quarantine sink + replay after the producer is fixed.
+
+    Spark caveats handled here: the corrupt column is only populated
+    if it is PRESENT IN THE SCHEMA, and a query whose scan references
+    ONLY the corrupt column is rejected outright
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — Spark
+    cannot know a row is unparseable without parsing it). So ``bad``
+    carries the partially-parsed columns alongside ``raw_record`` —
+    which a quarantine sink wants anyway (they show WHAT half-parsed).
+    ``good``/``bad`` are two reads of the same files, each
+    column-pruned; at scale prefer one materialized pass
+    (read → persist → split) if the source is remote.
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError("quarantine loader supports json/csv sources")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    r = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if fmt == "csv":
+        r = r.option("header", "true")
+        df = r.csv(path)
+    else:
+        df = r.json(path)
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record"),
+        *[F.col(f.name) for f in schema.fields],
+    )
+    return good, bad
 
 
 def write_bucketed(
