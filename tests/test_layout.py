@@ -135,7 +135,7 @@ def test_cluster_by_zorder_plan_shape(spark):
     df = spark.range(1000).select(
         (F.col("id") % 50).alias("a"), (F.col("id") % 77).alias("b")
     )
-    plan = cluster_plan = lo.cluster_by_zorder(df, ["a", "b"], 8, bits=8) \
+    plan = lo.cluster_by_zorder(df, ["a", "b"], 8, bits=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" in plan.lower()

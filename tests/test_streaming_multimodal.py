@@ -455,6 +455,46 @@ def test_pil_fast_path_routing_and_parity(monkeypatch):
     assert mm.decode_png_auto(png)["pixels"] == pixels
 
 
+def test_pil_gate_parses_ihdr_not_mode(monkeypatch):
+    """Sub-8-bit and Adam7-interlaced grayscale PNGs: PIL normalizes
+    both to mode 'L', but the stdlib decoder rejects them — so the
+    seam must reject them from the RAW IHDR bytes, BEFORE consulting
+    PIL, or answers become environment-dependent (decode under
+    Pillow, stub without)."""
+    import zlib as _zlib
+
+    w, h = 9, 5
+    pixels = bytes((x + y) % 256 for y in range(h) for x in range(w))
+    png = bytearray(mm.encode_png(w, h, pixels))
+
+    class _EagerPIL:
+        @staticmethod
+        def open(buf):  # pragma: no cover - must never run
+            raise AssertionError("gate must reject before PIL is consulted")
+
+    monkeypatch.setattr(mm, "_PILImage", _EagerPIL)
+    for offset, val in ((24, 4), (28, 1)):  # bit_depth=4; interlace=Adam7
+        bad = bytearray(png)
+        bad[offset] = val
+        # re-seal the IHDR CRC (type+13-byte body = bytes 12..29) so the
+        # mutation reaches the field gates, not the CRC check
+        bad[29:33] = _zlib.crc32(bytes(bad[12:29])).to_bytes(4, "big")
+        with pytest.raises(mm._CODEC_ERRORS):
+            mm.decode_png_auto(bytes(bad))  # AssertionError would escape
+
+
+def test_cluster_by_zorder_zcol_collision(spark):
+    """cluster_by_zorder must refuse to overwrite an existing column
+    with the transient Morton key (ADVICE r4)."""
+    from training_datawarehouse_spark.operators import layout as lo
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.col("id").alias("__zval")
+    )
+    with pytest.raises(ValueError, match="__zval"):
+        lo.cluster_by_zorder(df, ["a", "__zval"], 2, bits=8)
+
+
 @pytest.mark.skipif(
     __import__("importlib").util.find_spec("PIL") is None,
     reason="Pillow not installed: stdlib codec is the active path",

@@ -75,9 +75,26 @@ def _pil_decode_png(data: bytes) -> dict:
     ({width, height, bit_depth, color_type, pixels}). Only the 8-bit
     grayscale subset the stdlib codec supports is accepted — anything
     else raises into ``_CODEC_ERRORS`` so both paths degrade to the
-    same documented stub behavior."""
+    same documented stub behavior.
+
+    The gate parses the IHDR from the RAW BYTES, not PIL's normalized
+    ``mode``: PIL reports mode 'L' for 2-/4-bit and Adam7-interlaced
+    grayscale PNGs too — inputs ``decode_png`` rejects — so trusting
+    the mode would make answers environment-dependent (decode under
+    Pillow, stub without), violating the accelerator-never-changes-
+    answers invariant. IHDR is the first chunk by spec: after the
+    8-byte signature come length+type (8 bytes) and the 13-byte body,
+    whose bit_depth / color_type / compression / filter / interlace
+    bytes sit at offsets 24..28. All five must match the stdlib gate
+    exactly: (8, 0, 0, 0, 0)."""
     import io
 
+    if len(data) < 29 or data[12:16] != b"IHDR" or tuple(data[24:29]) != (
+        8, 0, 0, 0, 0
+    ):
+        raise NotImplementedError(
+            "PIL fast path covers 8-bit non-interlaced grayscale PNG only"
+        )
     img = _PILImage.open(io.BytesIO(data))
     img.load()
     if getattr(img, "format", None) != "PNG" or img.mode != "L":
