@@ -197,8 +197,11 @@ def main() -> None:
     # round 4 taught us the driver tail-captures stdout with a bounded
     # buffer, so the FINAL stdout line must stay compact or the headline
     # number is lost ("parsed": null in BENCH_r04.json).
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json")
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        # name-filtered iteration runs must not clobber the full-run sidecar
+        "BENCH_DETAIL.json" if not only else "BENCH_DETAIL.partial.json",
+    )
     with open(sidecar, "w") as f:
         json.dump({
             "manifest": MANIFEST,
