@@ -475,3 +475,48 @@ def test_load_quarantined_routes_bad_rows(spark, tmp_path):
 
     with pytest.raises(ValueError, match="json/csv"):
         load_quarantined(spark, str(p), schema, fmt="orc")
+
+
+def test_load_quarantined_single_pass_one_scan(spark, tmp_path):
+    """The remote-source variant must produce IDENTICAL splits to the
+    two-pass loader while scanning the source once: after the persist
+    is materialized, both splits' executed plans read the cache
+    (InMemoryTableScan), not the files (no FileScan/Scan json)."""
+    from pyspark.sql import types as T
+
+    from training_datawarehouse_spark.sources.tables import (
+        load_quarantined, load_quarantined_single_pass,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": oops not json\n'
+        '{"id": 3, "name": "fine"}\n'
+        "garbage line\n"
+    )
+    g2, b2 = load_quarantined(spark, str(p), schema, fmt="json")
+    g1, b1, release = load_quarantined_single_pass(
+        spark, str(p), schema, fmt="json"
+    )
+    try:
+        assert sorted(map(tuple, g1.collect())) == sorted(
+            map(tuple, g2.collect())
+        )
+        assert sorted(map(tuple, b1.collect())) == sorted(
+            map(tuple, b2.collect())
+        )
+        for split in (g1, b1):
+            plan = split._jdf.queryExecution().executedPlan().toString()
+            # the executing part of the plan reads the cache; a FileScan
+            # may appear BELOW InMemoryRelation (that's the cache's
+            # build recipe, already materialized), never above it
+            executing = plan.split("InMemoryRelation")[0]
+            assert "InMemoryTableScan" in executing
+            assert "FileScan" not in executing
+    finally:
+        release()

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.lattice import cube_lattice_two_level
 from ..operators.rollup import periodic_rollup
@@ -269,6 +270,15 @@ def dim_source_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
       text round-trips) must equal the parquet truth the oracle
       computes. Eagerly collected (tiny) so the temp files don't
       outlive the builder.
+    - 'quarantine' (r5): malformed-row quarantine, driver-visible.
+      The supplier table is rendered to JSONL with every 5th key's
+      line DELIBERATELY truncated mid-object, then read back through
+      ``load_quarantined_single_pass`` (one materialized scan, both
+      splits from the cache). Good-split aggregates must equal the
+      parquet truth over ``s_suppkey % 5 != 0``; the bad split's
+      count and the key sum RECOVERED FROM THE RAW QUARANTINED LINES
+      (regexp over ``raw_record``) must equal the planted complement
+      — so both routing AND raw-line preservation are hash-checked.
 
     Unified string schema (stage, key, val, detail, flag).
     """
@@ -276,7 +286,7 @@ def dim_source_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.scd import scd2_merge
-    from ..sources.tables import load_any
+    from ..sources.tables import load_any, load_quarantined_single_pass
 
     cat = catalog_query(spark, sf_dir).select(
         F.lit("catalog").alias("stage"),
@@ -349,6 +359,56 @@ def dim_source_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+    qwork = tempfile.mkdtemp(prefix="quarantine_")
+    try:
+        qpath = f"{qwork}/supplier.jsonl"
+        supp.select(
+            F.when(
+                F.col("s_suppkey") % 5 == 0,
+                F.concat(
+                    F.lit('{"s_suppkey": '),
+                    F.col("s_suppkey").cast("string"),
+                    F.lit(', "s_name": TRUNCATED'),
+                ),
+            ).otherwise(
+                F.to_json(F.struct("s_suppkey", "s_name", "s_acctbal"))
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(qpath)
+        qschema = T.StructType([
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ])
+        qgood, qbad, release = load_quarantined_single_pass(
+            spark, qpath, qschema, fmt="json"
+        )
+        try:
+            g = qgood.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("s_suppkey").alias("s"),
+                F.round(F.sum("s_acctbal"), 2).alias("bal"),
+                F.min("s_name").alias("mn"),
+                F.max("s_name").alias("mx"),
+            ).collect()[0]
+            b = qbad.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.regexp_extract(
+                        "raw_record", r'"s_suppkey": (\d+)', 1
+                    ).cast("long")
+                ).alias("s"),
+            ).collect()[0]
+        finally:
+            release()
+        rows.append((
+            "quarantine", "good", str(g["n"]),
+            f"{g['s']}/{g['bal']}", f"{g['mn']}|{g['mx']}",
+        ))
+        rows.append(("quarantine", "bad", str(b["n"]), str(b["s"]), ""))
+    finally:
+        shutil.rmtree(qwork, ignore_errors=True)
+
     fmt_df = spark.createDataFrame(
         rows, "stage string, key string, val string, detail string, flag string"
     )
@@ -397,6 +457,20 @@ FROM supplier CROSS JOIN (
   SELECT 'csv' AS f UNION ALL SELECT 'jsonl' UNION ALL SELECT 'orc'
 ) fmts
 GROUP BY f
+UNION ALL
+-- quarantine: the good split must equal the parquet truth over the
+-- non-planted keys (s_suppkey % 5 != 0) ...
+SELECT 'quarantine', 'good', CAST(count(*) AS VARCHAR),
+       CAST(sum(s_suppkey) AS VARCHAR) || '/' ||
+       CAST(round(sum(s_acctbal), 2) AS VARCHAR),
+       min(s_name) || '|' || max(s_name)
+FROM supplier WHERE s_suppkey % 5 <> 0
+UNION ALL
+-- ... and the bad split's raw-line key recovery must cover exactly
+-- the planted complement
+SELECT 'quarantine', 'bad', CAST(count(*) AS VARCHAR),
+       CAST(sum(s_suppkey) AS VARCHAR), ''
+FROM supplier WHERE s_suppkey % 5 = 0
 """
 
 

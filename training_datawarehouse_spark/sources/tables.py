@@ -108,9 +108,56 @@ def load_quarantined(
     carries the partially-parsed columns alongside ``raw_record`` —
     which a quarantine sink wants anyway (they show WHAT half-parsed).
     ``good``/``bad`` are two reads of the same files, each
-    column-pruned; at scale prefer one materialized pass
-    (read → persist → split) if the source is remote.
+    column-pruned — fine for local/cheap storage. When the source is
+    remote (S3/GCS, where a second scan is a second egress bill), use
+    ``load_quarantined_single_pass`` instead: one materialized read,
+    both splits served from the cache.
     """
+    df = _read_permissive(spark, path, schema, fmt, corrupt_col)
+    return _split_quarantine(df, schema, corrupt_col)
+
+
+def load_quarantined_single_pass(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    corrupt_col: str = "_corrupt_record",
+):
+    """``load_quarantined`` with exactly ONE scan of the source files:
+    the PERMISSIVE read is persisted (memory, disk spill) and
+    materialized, then both splits are predicates over the cache
+    (``InMemoryTableScan`` in their plans — asserted in
+    tests/test_pipeline.py). This is the remote-source variant: the
+    files are fetched once, not once per split.
+
+    Returns ``(good, bad, release)``; call ``release()`` after both
+    splits are consumed to drop the cached pass. The cache holds the
+    full parsed width + the corrupt column — the price of not
+    re-fetching; at 100 TB you would bound it by quarantining
+    partition-by-partition or landing the permissive pass to a
+    scratch table instead of executor memory.
+    """
+    from pyspark import StorageLevel
+
+    df = _read_permissive(spark, path, schema, fmt, corrupt_col)
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()  # materialize now: THE one scan of the source
+    good, bad = _split_quarantine(cached, schema, corrupt_col)
+
+    def release() -> None:
+        cached.unpersist()
+
+    return good, bad, release
+
+
+def _read_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str,
+    corrupt_col: str,
+) -> DataFrame:
     if fmt not in ("json", "csv"):
         raise ValueError("quarantine loader supports json/csv sources")
     full = T.StructType(
@@ -122,10 +169,13 @@ def load_quarantined(
         .option("columnNameOfCorruptRecord", corrupt_col)
     )
     if fmt == "csv":
-        r = r.option("header", "true")
-        df = r.csv(path)
-    else:
-        df = r.json(path)
+        return r.option("header", "true").csv(path)
+    return r.json(path)
+
+
+def _split_quarantine(
+    df: DataFrame, schema: T.StructType, corrupt_col: str
+) -> tuple[DataFrame, DataFrame]:
     good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_record"),
