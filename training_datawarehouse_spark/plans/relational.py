@@ -362,12 +362,87 @@ def stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stateful_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE ``applyInPandasWithState`` execution under the driver's
+    differential gate: per-user running totals whose state genuinely
+    crosses micro-batches — the events file is split into TWO parquet
+    files and streamed with maxFilesPerTrigger=1, so every user seen in
+    both halves exercises a state read-merge-write.
+
+    Oracle portability: values stream as exact integer CENTS
+    (``round(value*100)`` — the testdata carries 2-decimal doubles),
+    so the pandas accumulation is integer-exact in float64 and
+    order-independent; DuckDB recomputes the same cents total in
+    BIGINT. Update mode re-emits a user's row each batch it appears
+    in; the final state is the emission with the max ``n_events``
+    (strictly increasing per appearance), selected with ``max_by`` —
+    so the result is independent of the micro-batch layout."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.events_stream import stream_events
+    from ..streaming.stateful import running_user_totals
+
+    name = f"op_stream_stateful_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_stateful_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), os.path.join(src, "part0.parquet"))
+        pq.write_table(t.slice(half), os.path.join(src, "part1.parquet"))
+        cents = stream_events(spark, src).withColumn(
+            "value", F.round(F.col("value") * 100)
+        )
+        q = (
+            running_user_totals(cents)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stateful streaming drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        # the sink outlives `work`; final state per user = last emission
+        return spark.table(name).groupBy("user_id").agg(
+            F.max_by(
+                F.struct("n_events", "total_value"), "n_events"
+            ).alias("s")
+        ).select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_cents"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both REAL micro-batch executions under one tagged entry: the
-    tumbling-window aggregation ('windows' stage) and the watermarked
-    stream-stream interval join ('ssjoin' stage), each drained with
-    ``trigger(availableNow)`` and aligned onto (stage, k1, k2, n, v) so
-    the batch SQL oracles apply verbatim per stage."""
+    """The REAL micro-batch executions under one tagged entry: the
+    tumbling-window aggregation ('windows' stage), the watermarked
+    stream-stream interval join ('ssjoin' stage), and the
+    ``applyInPandasWithState`` running totals ('stateful' stage, r5),
+    each drained with ``trigger(availableNow)`` and aligned onto
+    (stage, k1, k2, n, v) so the batch SQL oracles apply verbatim per
+    stage."""
+    st = stream_stateful_e2e(spark, sf_dir).select(
+        F.lit("stateful").alias("stage"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("total_cents").alias("v"),
+    )
     win = stream_e2e(spark, sf_dir).select(
         F.lit("windows").alias("stage"),
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
@@ -382,7 +457,7 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").cast("long").alias("n"),
         F.col("purchase_value").alias("v"),
     )
-    return win.unionByName(join)
+    return win.unionByName(join).unionByName(st)
 
 
 def skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +505,13 @@ UNION ALL
 SELECT 'ssjoin', CAST(click_id AS VARCHAR), CAST(NULL AS VARCHAR),
        n_purchases, purchase_value
 FROM ssj
+UNION ALL
+-- stateful: running totals' final state per user, in exact cents
+SELECT 'stateful', CAST(user_id AS VARCHAR), CAST(NULL AS VARCHAR),
+       count(*),
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+FROM events
+GROUP BY user_id
 """
 
 
