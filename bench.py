@@ -44,8 +44,9 @@ from training_datawarehouse_spark.plans import QUERIES  # noqa: E402
 # NAMES ARE STABLE ACROSS ROUNDS (the judge compares entry-for-entry);
 # semver is bumped instead of renaming when an entry's work grows.
 MANIFEST = [
-    {"name": "tpch_q1_pricing_summary", "semver": 1,
-     "desc": "TPC-H q1 scan-agg"},
+    {"name": "tpch_q1_pricing_summary", "semver": 2,
+     "desc": "TPC-H q1 scan-agg (r5: + exact DECIMAL(15,2) money twin "
+             "sums, oracle string-compared at pinned scales)"},
     {"name": "op_agg_1_cube_lattice", "semver": 1,
      "desc": "8-set cube lattice, two-level"},
     {"name": "op_agg_6_rollup_periodic", "semver": 1,
@@ -87,9 +88,10 @@ MANIFEST = [
      "desc": "range join"},
     {"name": "op_agg_event_profile", "semver": 1,
      "desc": "percentiles + distincts, Expand kept off the sorts"},
-    {"name": "op_fn_scalar_breadth", "semver": 2,
+    {"name": "op_fn_scalar_breadth", "semver": 3,
      "desc": "scalar function breadth (v2: + Z-order Morton interleave "
-             "bit-function columns, oracle-checked)"},
+             "bit-function columns; v3/r5: + decimal cast/arith/"
+             "HALF_UP/HALF_EVEN columns with planted midpoints)"},
     {"name": "ns_chunk_pack", "semver": 1,
      "desc": "chunking + training-window packing"},
     {"name": "ns_split_train_val", "semver": 1,
@@ -109,12 +111,23 @@ def _extras() -> list[dict]:
     attribution tool drops it into a round-2 worktree)."""
     extras: list[dict] = []
     try:
+        from training_datawarehouse_spark.plans.core import (
+            q1_pricing_summary, scalar_breadth,
+        )
         from training_datawarehouse_spark.plans.northstar import (
             lsh_cross_modal_xxhash, multimodal_meta, text_profile,
         )
         from training_datawarehouse_spark.plans.relational import approx_aggs
 
         extras += [
+            {"name": "tpch_q1_pricing_summary__r4equiv", "semver": 1,
+             "desc": "q1 semver-1 sub-plan (no decimal twin columns)",
+             "builder": lambda s, d: q1_pricing_summary(
+                 s, d, include_decimal=False)},
+            {"name": "op_fn_scalar_breadth__r4equiv", "semver": 2,
+             "desc": "scalar breadth semver-2 sub-plan (no decimal columns)",
+             "builder": lambda s, d: scalar_breadth(
+                 s, d, include_decimal=False)},
             {"name": "ns_dedup_lsh_xxhash64", "semver": 1,
              "desc": "production xxhash64/murmur3 LSH family — same plan as "
                      "ns_dedup_lsh_cross_modal (semver 2) minus md5 "

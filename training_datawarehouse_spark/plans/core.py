@@ -16,25 +16,50 @@ from ..functions.scalars import key_concat, time_dims
 from ..sources.tables import load_table
 
 
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: pricing summary report (OP-AGG-2, plain AVG)."""
+def q1_pricing_summary(spark: SparkSession, sf_dir: str,
+                       include_decimal: bool = True) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report (OP-AGG-2, plain AVG).
+
+    r5 adds the DECIMAL(15,2) money twin of the three price sums —
+    TPC-H's canonical money type. The testdata carries 2-decimal
+    doubles; cast to DECIMAL(15,2) every product and sum is EXACT
+    (scales 2/4/6 — multiplication adds scales, addition keeps them),
+    so unlike the double columns no rounding is involved anywhere and
+    the result is bit-for-bit order-independent: what the twin checks
+    is decimal cast / arithmetic / aggregation parity against DuckDB's
+    independent decimal engine, string-compared at explicitly-cast
+    scales."""
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.expr("timestamp'1998-09-02 00:00:00'")
+    one = F.lit(1).cast("decimal(15,2)")
+    p = F.col("l_extendedprice").cast("decimal(15,2)")
+    dd = F.col("l_discount").cast("decimal(15,2)")
+    t = F.col("l_tax").cast("decimal(15,2)")
+    aggs = [
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ]
+    if include_decimal:
+        aggs += [
+            F.sum(p).cast("decimal(38,2)").cast("string")
+            .alias("dec_sum_base_price"),
+            F.sum(p * (one - dd)).cast("decimal(38,4)").cast("string")
+            .alias("dec_sum_disc_price"),
+            F.sum(p * (one - dd) * (one + t)).cast("decimal(38,6)")
+            .cast("string").alias("dec_sum_charge"),
+        ]
     return (
         li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+        .agg(*aggs)
     )
 
 
@@ -47,7 +72,19 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_quantity), 6)                                           AS avg_qty,
        round(avg(l_extendedprice), 6)                                      AS avg_price,
        round(avg(l_discount), 6)                                           AS avg_disc,
-       count(*)                                                            AS count_order
+       count(*)                                                            AS count_order,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+            AS DECIMAL(38,2)) AS VARCHAR)                                  AS dec_sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                     * (CAST(1 AS DECIMAL(15,2))
+                        - CAST(l_discount AS DECIMAL(15,2))))
+            AS DECIMAL(38,4)) AS VARCHAR)                                  AS dec_sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                     * (CAST(1 AS DECIMAL(15,2))
+                        - CAST(l_discount AS DECIMAL(15,2)))
+                     * (CAST(1 AS DECIMAL(15,2))
+                        + CAST(l_tax AS DECIMAL(15,2))))
+            AS DECIMAL(38,6)) AS VARCHAR)                                  AS dec_sum_charge
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -291,7 +328,8 @@ GROUP BY 1, 2, 3
 """
 
 
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def string_functions(spark: SparkSession, sf_dir: str,
+                     include_decimal: bool = True) -> DataFrame:
     """Scalar string breadth: case, pad, reverse, substring, and
     levenshtein edit distance (small-string near-dup primitive).
 
@@ -303,15 +341,29 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zvalue_sql`` (one loop generates both sides), so the interleave
     is differentially checked bit-for-bit; the layout operator built
     on it (cluster → write → measured footer-stats file skipping) is
-    exercised in tests/test_layout.py and measured in SCALE.md."""
+    exercised in tests/test_layout.py and measured in SCALE.md.
+
+    r5 adds the DECIMAL surface on the same scan — the classic
+    cross-engine divergence spots, each pinned: exact cast/multiply/
+    divide at explicit result scales (``dec_q4``: doc_id·25/10000 at
+    DECIMAL(17,4) — exact, divisor divides 10^4), HALF_UP rounding
+    (``dec_round_up``), and banker's HALF_EVEN (``dec_round_even``) —
+    doc_id ≡ 2 (mod 4) rows land EXACTLY on the .x25 midpoint, so the
+    two modes differ on a quarter of the rows and a tie-mode
+    regression in either engine fails the hash. Results compare as
+    strings at explicitly-cast scales (decimal print width is itself
+    engine-sensitive — pinned by the cast)."""
     from ..operators.layout import zvalue
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     head = F.substring("text", 1, 20)
     z = zvalue([F.col("doc_id"), F.length("text")], bits=10)
-    return docs.select(
-        "doc_id",
+    q4 = (
+        F.col("doc_id").cast("decimal(15,2)") * F.lit(25) / F.lit(10000)
+    ).cast("decimal(17,4)")
+    cols = [
+        F.col("doc_id"),
         F.upper(F.col("lang")).alias("lang_uc"),
         F.lpad(F.col("source"), 12, "_").alias("src_pad"),
         F.reverse(F.col("lang")).alias("lang_rev"),
@@ -319,7 +371,16 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(head, F.lit("the quick brown fox ")).alias("edit_dist"),
         z.alias("zval"),
         F.shiftright(z, 16).cast("long").alias("zbucket"),
-    )
+    ]
+    if include_decimal:
+        cols += [
+            q4.cast("string").alias("dec_q4"),
+            F.round(q4, 1).cast("decimal(17,1)").cast("string")
+            .alias("dec_round_up"),
+            F.bround(q4, 1).cast("decimal(17,1)").cast("string")
+            .alias("dec_round_even"),
+        ]
+    return docs.select(*cols)
 
 
 STRING_FUNCTIONS_ORACLE = """
@@ -330,8 +391,17 @@ SELECT doc_id,
        length(trim(substr(text, 1, 20))) AS head_len,
        levenshtein(substr(text, 1, 20), 'the quick brown fox ') AS edit_dist,
        __Z__ AS zval,
-       (__Z__ >> 16) AS zbucket
-FROM documents
+       (__Z__ >> 16) AS zbucket,
+       CAST(q4 AS VARCHAR) AS dec_q4,
+       CAST(CAST(round(q4, 1) AS DECIMAL(17,1)) AS VARCHAR) AS dec_round_up,
+       CAST(CAST(round_even(q4, 1) AS DECIMAL(17,1)) AS VARCHAR)
+         AS dec_round_even
+FROM (
+  SELECT *,
+         CAST(CAST(doc_id AS DECIMAL(15,2)) * 25 / 10000 AS DECIMAL(17,4))
+           AS q4
+  FROM documents
+) documents
 """
 
 
@@ -346,12 +416,14 @@ def _splice_zorder_oracle() -> str:
 STRING_FUNCTIONS_ORACLE = _splice_zorder_oracle()
 
 
-def scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_breadth(spark: SparkSession, sf_dir: str,
+                   include_decimal: bool = True) -> DataFrame:
     """String + array scalar-function breadth in one entry: the
-    documents string surface (case/pad/reverse/levenshtein) joined to
-    the embeddings array surface (higher-order transform/filter/
+    documents string surface (case/pad/reverse/levenshtein, and from
+    r5 the decimal cast/arithmetic/rounding columns) joined to the
+    embeddings array surface (higher-order transform/filter/
     aggregate) on the shared id domain (doc_id ≡ vec_id)."""
-    s = string_functions(spark, sf_dir)
+    s = string_functions(spark, sf_dir, include_decimal=include_decimal)
     a = array_ops(spark, sf_dir)
     return s.join(a, s.doc_id == a.vec_id).drop("vec_id")
 
