@@ -4,11 +4,12 @@ Extends tools/scale10x.py's replica method by another decade for the
 three cheapest-to-replicate operator families — scan-agg (tpch_q1),
 exact dedup (ns_dedup_exact), as-of join (op_jn_asof) — and, new
 here, SPLITS COMPUTE FROM DRIVER TRANSFER: each query is timed both
-as ``collect()`` (what bench.py reports — includes Arrow transfer of
-the full result to the driver) and as ``count()`` (the same plan
-executed to completion with only a scalar returned). At 10× the as-of
-row's 4.3× growth was suspected to be mostly result transfer (its
-OUTPUT grows linearly with input); the count() column decides that.
+as ``collect()`` (what bench.py reports — includes transfer + Python
+Row materialization of the full result on the driver) and as a
+``noop``-format write (full executor-side materialization of every
+output column, zero driver transfer). At 10× the as-of row's 4.3×
+growth was suspected to be mostly result transfer (its OUTPUT grows
+linearly with input); the noop column decides that.
 
 Replica: one crossJoin with a 100-row copy index (a single codegen'd
 plan, not a 100-way union), identity keys shifted per copy exactly as
@@ -78,8 +79,14 @@ def build_replica(spark) -> None:
 
 
 def time_both(q, spark, sf_dir: str) -> tuple[float, float, int]:
-    """(collect_sec, count_sec, n_rows) — best of 2 each, collect first."""
-    coll = cnt = float("inf")
+    """(collect_sec, noop_sec, n_rows) — best of 2 each, collect first.
+
+    The compute-only probe is a ``noop``-format write, NOT ``count()``:
+    count lets Catalyst prune every unused output expression (a
+    grouped count keeps only the grouping keys), so it under-measures
+    compute; a noop write must materialize every output column on the
+    executors while transferring nothing to the driver."""
+    coll = noop = float("inf")
     n_rows = 0
     for _ in range(2):
         t0 = time.time()
@@ -88,9 +95,9 @@ def time_both(q, spark, sf_dir: str) -> tuple[float, float, int]:
         n_rows = len(rows)
         del rows
         t0 = time.time()
-        q.builder(spark, sf_dir).count()
-        cnt = min(cnt, time.time() - t0)
-    return round(coll, 2), round(cnt, 2), n_rows
+        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        noop = min(noop, time.time() - t0)
+    return round(coll, 2), round(noop, 2), n_rows
 
 
 def main() -> None:
@@ -109,9 +116,9 @@ def main() -> None:
         lambda p: p, schema="id long"
     ).collect()
 
-    hdr = (f"{'query':28s} {'0.1 coll':>9s} {'0.1 cnt':>8s} "
-           f"{'100x coll':>10s} {'100x cnt':>9s} {'coll x':>7s} "
-           f"{'cnt x':>6s} {'rows@100x':>10s}")
+    hdr = (f"{'query':28s} {'0.1 coll':>9s} {'0.1 noop':>8s} "
+           f"{'100x coll':>10s} {'100x noop':>9s} {'coll x':>7s} "
+           f"{'noop x':>6s} {'rows@100x':>10s}")
     print(hdr)
     for name in QUERIES_UNDER_TEST:
         q = QUERIES[name]
