@@ -76,9 +76,10 @@ MANIFEST = [
      "desc": "TPC-H q6 filter-agg"},
     {"name": "op_stream_session_batch", "semver": 1,
      "desc": "sessionization, batch shape"},
-    {"name": "ns_multimodal_meta", "semver": 3,
+    {"name": "ns_multimodal_meta", "semver": 4,
      "desc": "r3: real PNG/WAV codecs replaced the stub decode; "
-             "r4: + real baseline JPEG stage (grayscale + YCbCr 4:2:0)"},
+             "r4: + real baseline JPEG stage (grayscale + YCbCr 4:2:0); "
+             "r5: + real WebP-lossless (VP8L) stage"},
     {"name": "op_approx_aggs", "semver": 2,
      "desc": "r3: added mergeable HLL sketch rollup stage "
              "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin)"},
@@ -146,6 +147,10 @@ def _extras() -> list[dict]:
                      "no jpeg stage)",
              "builder": lambda s, d: multimodal_meta(
                  s, d, stages=("stub", "png", "wav"))},
+            {"name": "ns_multimodal_meta__r4equiv", "semver": 3,
+             "desc": "ns_multimodal_meta semver-3 sub-plan (no webp stage)",
+             "builder": lambda s, d: multimodal_meta(
+                 s, d, stages=("stub", "png", "wav", "jpeg"))},
             {"name": "ns_text_profile__r2equiv", "semver": 1,
              "desc": "ns_text_profile semver-1 sub-plan (no fingerprint / "
                      "dupe-group columns)",

@@ -296,9 +296,10 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 def deterministic_fake_decode(payload: bytes) -> dict:
     """STUB decode for formats whose codecs need external libraries
-    (WebP/video/progressive-JPEG — PIL/libav class work). PNG, WAV and
-    baseline JPEG have REAL decoders (``png_decode_meta`` /
-    ``wav_decode_meta`` / ``jpeg_decode_meta``); this stub derives
+    (lossy/extended WebP, video, progressive-JPEG — PIL/libav class
+    work). PNG, WAV, baseline JPEG and WebP-LOSSLESS have REAL
+    decoders (``png_decode_meta`` / ``wav_decode_meta`` /
+    ``jpeg_decode_meta`` / ``webp_decode_meta``); this stub derives
     stable pseudo-metadata from the bytes so the plumbing stays
     testable for the rest.
     """
@@ -425,6 +426,60 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
             })
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def synthesize_webp_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Source stand-in producing REAL WebP-lossless bytes: a valid
+    RIFF/VP8L file per row (dims md5-derived exactly like the PNG/JPEG
+    twins, RGBA pixels the tiled digest), with the encoder's option mix
+    — subtract-green transform, predictor transform mode, color cache —
+    chosen per row from digest bytes so every decoder path (canonical
+    prefix codes, both transforms, cache hits) runs across a corpus."""
+    from . import vp8l
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                w, h, digest = _md5_dims(text)
+                n = w * h * 4
+                rgba = (digest * (n // len(digest) + 1))[:n]
+                payloads.append(vp8l.encode_vp8l(
+                    w, h, rgba,
+                    subtract_green=bool(digest[4] % 2),
+                    predictor_mode=[None, 1, 2, 7][digest[5] % 4],
+                    cache_bits=[0, 6][digest[6] % 2],
+                ))
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(), "payload": payloads,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def webp_decode_meta(payload: bytes) -> dict:
+    """REAL decode adapter for WebP-lossless payloads: full VP8L
+    decode (canonical prefix codes, color cache, inverse subtract-green
+    / predictor transforms); ``n_bytes`` is the reconstructed RGBA
+    raster size (4·w·h — only a correct decoder knows it) and
+    ``checksum`` its hash."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    from . import vp8l
+
+    img = vp8l.decode_vp8l(payload)
+    return {
+        "n_bytes": len(img["pixels"]),
+        "format": "webp",
+        "width": img["width"],
+        "height": img["height"],
+        "checksum": hashlib.sha256(img["pixels"]).hexdigest()[:16],
+    }
 
 
 def jpeg_decode_meta(payload: bytes) -> dict:

@@ -721,7 +721,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ multimodal columns
 
 def multimodal_meta(spark: SparkSession, sf_dir: str,
-                    stages: tuple = ("stub", "png", "wav", "jpeg")) -> DataFrame:
+                    stages: tuple = ("stub", "png", "wav", "jpeg",
+                                     "webp")) -> DataFrame:
     """Binary-column pipeline end-to-end, tagged by stage:
 
     - 'stub': deterministic fake decode of an opaque payload — the
@@ -737,9 +738,14 @@ def multimodal_meta(spark: SparkSession, sf_dir: str,
       grayscale AND interleaved YCbCr-4:2:0 MCUs — the layout
       alternates per row); ``n_bytes`` is the reconstructed luma
       raster size, dims are the parsed SOF0 frame dims.
+    - 'webp' (round 5): REAL WebP-lossless decode (``operators/
+      vp8l.py``: RIFF/VP8L framing, canonical prefix codes incl. the
+      code-length code, color cache, inverse subtract-green and
+      predictor transforms — the per-row option mix exercises each);
+      ``n_bytes`` is the reconstructed RGBA raster size (4·w·h).
 
     Dims/rates derive from the same md5 bytes in every stage, so the
-    whole four-codec pipeline shares one exact SQL oracle.
+    whole five-codec pipeline shares one exact SQL oracle.
 
     ``stages=("stub",)`` is the round-2-equivalent sub-plan (the real
     codecs landed in round 3), timed under the bench "extras" section
@@ -793,7 +799,16 @@ def multimodal_meta(spark: SparkSession, sf_dir: str,
         .groupBy("format").agg(*agg)
         .select(F.lit("jpeg").alias("stage"), "*")
     )
-    parts = {"stub": stub, "png": png, "wav": wav, "jpeg": jpg}
+    webp = (
+        mm.decode_metadata(
+            mm.synthesize_webp_payload(spread, "doc_id", "text"),
+            decode_fn=mm.webp_decode_meta,
+        )
+        .groupBy("format").agg(*agg)
+        .select(F.lit("webp").alias("stage"), "*")
+    )
+    parts = {"stub": stub, "png": png, "wav": wav, "jpeg": jpg,
+             "webp": webp}
     out = None
     for st in stages:
         out = parts[st] if out is None else out.unionByName(parts[st])
@@ -838,6 +853,12 @@ FROM meta
 UNION ALL
 SELECT 'jpeg', 'jpeg', count(*),
        CAST(sum((16 + {_B0} % 16) * (16 + {_B1} % 16)) AS BIGINT),
+       round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
+FROM hx
+UNION ALL
+-- webp: n_bytes is the RGBA raster, 4 bytes a pixel
+SELECT 'webp', 'webp', count(*),
+       CAST(sum((16 + {_B0} % 16) * (16 + {_B1} % 16) * 4) AS BIGINT),
        round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
 FROM hx
 """
