@@ -158,7 +158,7 @@ SHUFFLE_BUDGET = {
     "ns_split_train_val": 3,
     # family: multimodal — one metadata agg per codec stage
     # (stub/png/wav + jpeg since r4)
-    "ns_multimodal_meta": 4,
+    "ns_multimodal_meta": 5,  # one groupBy(format) per codec stage (r5: +webp)
     # family: approx aggs — separate agg branches + sketch rollup
     "op_approx_aggs": 7,
     # family: event profile — Expand kept out of the percentile sorts
