@@ -45,20 +45,39 @@ import struct
 
 
 class _BitReader:
-    """LSB-first bit reader (VP8L convention, like DEFLATE)."""
+    """LSB-first bit reader (VP8L convention, like DEFLATE), with a
+    small-int refill buffer so every read is O(1) bit arithmetic —
+    the codec runs per row inside Arrow batches, so reader overhead
+    multiplies by the corpus."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0  # bit position
+        self.bytepos = 0
+        self.buf = 0
+        self.nbits = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
+        while self.nbits < n:
+            if self.bytepos >= len(self.data):
                 raise EOFError("VP8L bitstream truncated")
-            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
+            self.buf |= self.data[self.bytepos] << self.nbits
+            self.bytepos += 1
+            self.nbits += 8
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.nbits -= n
+        return v
+
+    def read1(self) -> int:
+        if self.nbits == 0:
+            if self.bytepos >= len(self.data):
+                raise EOFError("VP8L bitstream truncated")
+            self.buf = self.data[self.bytepos]
+            self.bytepos += 1
+            self.nbits = 8
+        v = self.buf & 1
+        self.buf >>= 1
+        self.nbits -= 1
         return v
 
 
@@ -67,20 +86,20 @@ class _BitWriter:
         self.bits: list[int] = []
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            self.bits.append((value >> i) & 1)
+        self.bits.extend((value >> i) & 1 for i in range(n))
 
     def write_code(self, code: int, length: int) -> None:
         """Prefix codes are written MSB-of-code first (DEFLATE rule)."""
-        for i in range(length - 1, -1, -1):
-            self.bits.append((code >> i) & 1)
+        self.bits.extend(
+            (code >> i) & 1 for i in range(length - 1, -1, -1)
+        )
 
     def tobytes(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            if b:
-                out[i >> 3] |= 1 << (i & 7)
-        return bytes(out)
+        import numpy as np
+
+        return np.packbits(
+            np.asarray(self.bits, dtype=np.uint8), bitorder="little"
+        ).tobytes()
 
 
 # ------------------------------------------------------ canonical codes
@@ -142,9 +161,10 @@ class _PrefixCode:
         if self.single is not None:
             return self.single
         code = 0
+        table = self.table
         for ln in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((ln, code))
+            code = (code << 1) | br.read1()
+            sym = table.get((ln, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid VP8L prefix code")
@@ -337,14 +357,15 @@ def _decode_pixels(
     pixels: list[int] = [0] * (w * h)
     pos = 0
     n = w * h
+    # hot-loop locals: the single-group case (the common one) binds its
+    # decoders once instead of per pixel
+    g_code, r_code, b_code, a_code, d_code = groups[0]
     while pos < n:
         if meta_img is not None:
             x, y = pos % w, pos // w
             mp = meta_img[(y >> meta_bits) * ((w + (1 << meta_bits) - 1) >> meta_bits)
                           + (x >> meta_bits)]
             g_code, r_code, b_code, a_code, d_code = groups[(mp >> 8) & 0xFFFF]
-        else:
-            g_code, r_code, b_code, a_code, d_code = groups[0]
         s = g_code.decode(br)
         if s < _GREEN_BASE:  # literal
             red = r_code.decode(br)
@@ -427,44 +448,92 @@ def decode_vp8l(data: bytes) -> dict:
 
     pixels = _decode_pixels(br, w, h, allow_meta=True)
 
-    for ttype, meta in reversed(transforms):
-        if ttype == 2:  # add green back to red/blue
-            for i, px in enumerate(pixels):
-                g = (px >> 8) & 0xFF
-                r = (((px >> 16) & 0xFF) + g) & 0xFF
-                b = ((px & 0xFF) + g) & 0xFF
-                pixels[i] = (px & 0xFF00FF00) | (r << 16) | b
-        else:  # predictor: residual + prediction, spec edge rules
-            bits, img, bw = meta["bits"], meta["img"], meta["bw"]
-            for y in range(h):
-                for x in range(w):
-                    i = y * w + x
-                    if x == 0 and y == 0:
-                        pred = 0xFF000000
-                    elif y == 0:
-                        pred = pixels[i - 1]        # first row: L
-                    elif x == 0:
-                        pred = pixels[i - w]        # first col: T
-                    else:
-                        mode = (img[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
-                        left, top, tl = pixels[i - 1], pixels[i - w], pixels[i - w - 1]
-                        tr = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
-                        pred = _predict(mode, left, top, tl, tr)
-                    pixels[i] = _add_pixels(pixels[i], pred)
+    import numpy as np
 
-    out = bytearray(w * h * 4)
-    for i, px in enumerate(pixels):
-        out[4 * i] = (px >> 16) & 0xFF
-        out[4 * i + 1] = (px >> 8) & 0xFF
-        out[4 * i + 2] = px & 0xFF
-        out[4 * i + 3] = (px >> 24) & 0xFF
+    # (h, w, 4) uint8 channel array in ARGB order — transforms are
+    # byte-wise mod-256 per channel, which numpy uint8 gives natively
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    ch = np.empty((h, w, 4), dtype=np.uint8)
+    for ci, sh in enumerate((24, 16, 8, 0)):
+        ch[..., ci] = (arr >> sh).astype(np.uint8)
+
+    for ttype, meta in reversed(transforms):
+        if ttype == 2:  # add green back to red/blue (vectorized)
+            ch[..., 1] += ch[..., 2]
+            ch[..., 3] += ch[..., 2]
+            continue
+        bits, img, bw = meta["bits"], meta["img"], meta["bw"]
+        modes = {(p >> 8) & 0xFF for p in img}
+        if len(modes) == 1 and next(iter(modes)) in (1, 2):
+            # uniform L/T predictor: the inverse is a mod-256 prefix
+            # sum — vectorized accumulate instead of a Python loop.
+            # Spec edge rules fold in: (0,0) += opaque black, first
+            # row always L, first column always T.
+            ch[0, 0, 0] += 255  # alpha of 0xff000000
+            if next(iter(modes)) == 1:  # L: cols seed from T chain
+                np.add.accumulate(ch[:, 0], axis=0, out=ch[:, 0])
+                np.add.accumulate(ch, axis=1, out=ch)
+            else:  # T: rows seed from L chain on row 0
+                np.add.accumulate(ch[0], axis=0, out=ch[0])
+                np.add.accumulate(ch, axis=0, out=ch)
+            continue
+        # general modes: scalar loop (spec edge rules)
+        px_ints = (
+            (ch[..., 0].astype(np.uint32) << 24)
+            | (ch[..., 1].astype(np.uint32) << 16)
+            | (ch[..., 2].astype(np.uint32) << 8)
+            | ch[..., 3].astype(np.uint32)
+        ).ravel().tolist()
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = px_ints[i - 1]        # first row: L
+                elif x == 0:
+                    pred = px_ints[i - w]        # first col: T
+                else:
+                    mode = (img[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
+                    left, top, tl = px_ints[i - 1], px_ints[i - w], px_ints[i - w - 1]
+                    tr = px_ints[i - w + 1] if x + 1 < w else px_ints[i - w]
+                    pred = _predict(mode, left, top, tl, tr)
+                px_ints[i] = _add_pixels(px_ints[i], pred)
+        arr2 = np.array(px_ints, dtype=np.uint32).reshape(h, w)
+        for ci, sh in enumerate((24, 16, 8, 0)):
+            ch[..., ci] = (arr2 >> sh).astype(np.uint8)
+
+    out = ch[..., [1, 2, 3, 0]].tobytes()  # ARGB planes -> RGBA bytes
     return {
         "width": w, "height": h, "has_alpha": has_alpha,
-        "pixels": bytes(out),
+        "pixels": out,
     }
 
 
 # -------------------------------------------------------------- encode
+
+
+def _to_ints(ch) -> list[int]:
+    """(h, w, 4) ARGB channel array -> flat list of ARGB ints."""
+    import numpy as np
+
+    return (
+        (ch[..., 0].astype(np.uint32) << 24)
+        | (ch[..., 1].astype(np.uint32) << 16)
+        | (ch[..., 2].astype(np.uint32) << 8)
+        | ch[..., 3].astype(np.uint32)
+    ).ravel().tolist()
+
+
+def _from_ints(pixels: list[int], h: int, w: int):
+    """Flat ARGB ints -> (h, w, 4) ARGB channel array."""
+    import numpy as np
+
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    ch = np.empty((h, w, 4), dtype=np.uint8)
+    for ci, sh in enumerate((24, 16, 8, 0)):
+        ch[..., ci] = (arr >> sh).astype(np.uint8)
+    return ch
 
 
 def _huffman_lengths(freqs: dict[int, int], max_depth: int) -> dict[int, int]:
@@ -565,45 +634,59 @@ def encode_vp8l(
     + canonical prefix codes, optional subtract-green, optional
     single-mode predictor transform (one block covering the image),
     optional color cache. No LZ77, no meta partition."""
+    import numpy as np
+
     if len(rgba) != width * height * 4:
         raise ValueError("rgba must be width*height*4 bytes")
     if not 0 <= cache_bits <= 11:
         raise ValueError("cache_bits must be 0..11")
-    pixels = [
-        (rgba[4 * i + 3] << 24) | (rgba[4 * i] << 16)
-        | (rgba[4 * i + 1] << 8) | rgba[4 * i + 2]
-        for i in range(width * height)
-    ]
+    # (h, w, 4) uint8 in ARGB channel order; byte math wraps mod 256
+    rg = np.frombuffer(rgba, dtype=np.uint8).reshape(height, width, 4)
+    ch = rg[..., [3, 0, 1, 2]].copy()
 
     bw = _BitWriter()
     bw.write(width - 1, 14)
     bw.write(height - 1, 14)
-    bw.write(int(any(p >> 24 != 0xFF for p in pixels)), 1)
+    bw.write(int(bool((ch[..., 0] != 0xFF).any())), 1)
     bw.write(0, 3)  # version
 
     if predictor_mode is not None:
-        # forward predictor: residual = pixel - prediction (edge rules)
-        res = list(pixels)
-        for y in range(height - 1, -1, -1):
-            for x in range(width - 1, -1, -1):
-                i = y * width + x
-                if x == 0 and y == 0:
-                    pred = 0xFF000000
-                elif y == 0:
-                    pred = pixels[i - 1]
-                elif x == 0:
-                    pred = pixels[i - width]
-                else:
-                    left, top, tl = (
-                        pixels[i - 1], pixels[i - width], pixels[i - width - 1]
-                    )
-                    tr = (
-                        pixels[i - width + 1] if x + 1 < width
-                        else pixels[i - width]
-                    )
-                    pred = _predict(predictor_mode, left, top, tl, tr)
-                res[i] = _sub_pixels(pixels[i], pred)
-        pixels = res
+        if predictor_mode in (1, 2):
+            # uniform L/T: forward residual is a mod-256 diff —
+            # vectorized inverse of the decoder's accumulate path
+            res = ch.copy()
+            if predictor_mode == 1:
+                res[:, 1:] = ch[:, 1:] - ch[:, :-1]
+                res[1:, 0] = ch[1:, 0] - ch[:-1, 0]
+            else:
+                res[1:, :] = ch[1:, :] - ch[:-1, :]
+                res[0, 1:] = ch[0, 1:] - ch[0, :-1]
+            res[0, 0, 0] -= 255  # alpha of the 0xff000000 seed
+            ch = res
+        else:
+            pixels = _to_ints(ch)
+            res = list(pixels)
+            for y in range(height - 1, -1, -1):
+                for x in range(width - 1, -1, -1):
+                    i = y * width + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = pixels[i - 1]
+                    elif x == 0:
+                        pred = pixels[i - width]
+                    else:
+                        left, top, tl = (
+                            pixels[i - 1], pixels[i - width],
+                            pixels[i - width - 1],
+                        )
+                        tr = (
+                            pixels[i - width + 1] if x + 1 < width
+                            else pixels[i - width]
+                        )
+                        pred = _predict(predictor_mode, left, top, tl, tr)
+                    res[i] = _sub_pixels(pixels[i], pred)
+            ch = _from_ints(res, height, width)
         bw.write(1, 1)   # transform present
         bw.write(0, 2)   # predictor
         size_bits = max(2, max(width, height).bit_length())
@@ -615,14 +698,11 @@ def encode_vp8l(
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)
-        for i, px in enumerate(pixels):
-            g = (px >> 8) & 0xFF
-            r = (((px >> 16) & 0xFF) - g) & 0xFF
-            b = ((px & 0xFF) - g) & 0xFF
-            pixels[i] = (px & 0xFF00FF00) | (r << 16) | b
+        ch[..., 1] -= ch[..., 2]
+        ch[..., 3] -= ch[..., 2]
     bw.write(0, 1)  # no more transforms
 
-    _encode_pixels(bw, pixels, cache_bits)
+    _encode_pixels(bw, _to_ints(ch), cache_bits)
 
     payload = b"\x2f" + bw.tobytes()
     if len(payload) & 1:
@@ -684,13 +764,22 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
     d_codes = _write_prefix_code(bw, {0: 0}, 40)  # unused distance code
     assert d_codes[0] == (0, 0)
 
+    # precomputed per-symbol bit tuples: one list.extend per symbol in
+    # the data pass instead of per-bit arithmetic
+    def seq(codes: dict) -> dict:
+        return {
+            s: tuple((c >> i) & 1 for i in range(ln - 1, -1, -1))
+            for s, (c, ln) in codes.items()
+        }
+
+    gs, rs, bs, as_ = seq(g_codes), seq(r_codes), seq(b_codes), seq(a_codes)
+    bits = bw.bits
     for s in syms:
         if len(s) == 1:
-            code, ln = g_codes[s[0]]
-            bw.write_code(code, ln)
+            bits.extend(gs[s[0]])
         else:
             g, r, b, a = s
-            for val, codes in ((g, g_codes), (r, r_codes),
-                               (b, b_codes), (a, a_codes)):
-                code, ln = codes[val]
-                bw.write_code(code, ln)
+            bits.extend(gs[g])
+            bits.extend(rs[r])
+            bits.extend(bs[b])
+            bits.extend(as_[a])
