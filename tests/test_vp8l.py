@@ -122,6 +122,35 @@ def test_full_prefix_code_form_used():
     assert len(enc) < len(raw)
 
 
+def test_fuzz_decoder_raises_cleanly():
+    """Garbage bytes — including garbage wrapped in a valid-looking
+    container — must raise a codec-set error promptly (never hang,
+    never allocate a giant raster from a lying header)."""
+    import random
+
+    rng = random.Random(20260814)
+    good = vp8l.encode_vp8l(4, 4, _rgba(4, 4, b"fz"))
+    for trial in range(300):
+        n = rng.randrange(0, 80)
+        junk = bytes(rng.randrange(256) for _ in range(n))
+        data = junk if trial % 2 else good[:20] + junk
+        try:
+            vp8l.decode_vp8l(data)
+        except mm._CODEC_ERRORS:
+            pass  # the contract: degrade, don't crash differently
+
+    # header claiming a 16384x16384 raster: refused before allocation
+    bw = vp8l._BitWriter()
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 4)
+    payload = b"\x2f" + bw.tobytes() + b"\x00" * 8
+    data = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(ValueError, match="cap"):
+        vp8l.decode_vp8l(data)
+
+
 def test_predictor_edge_rules():
     """Spec edge rules: (0,0) predicts opaque black, row 0 uses L,
     column 0 uses T — a gradient raster hits all three."""

@@ -427,6 +427,12 @@ def decode_vp8l(data: bytes) -> dict:
     version = br.read(3)
     if version != 0:
         raise ValueError(f"bad VP8L version {version}")
+    if w * h > (1 << 22):
+        # defensive cap: a garbage header can claim up to 16384^2
+        # pixels (the 14-bit fields) and this decoder materializes the
+        # raster — refuse early instead of allocating gigabytes inside
+        # an executor. Real payloads in this pipeline are tiny.
+        raise ValueError(f"VP8L raster {w}x{h} exceeds the decoder cap")
 
     # transforms (reverse-apply after pixel decode)
     transforms: list[tuple[int, dict]] = []
