@@ -122,6 +122,38 @@ def test_full_prefix_code_form_used():
     assert len(enc) < len(raw)
 
 
+def test_simple_code_cannot_carry_wide_symbols():
+    """Regression (r5 review): a uniform-color raster with a color
+    cache makes the green alphabet exactly {literal, cache symbol >
+    255}; the spec's simple form carries symbols in 8 bits, so the
+    encoder must fall through to the full form — the old 8-bit write
+    silently truncated the cache symbol and decoded the WRONG pixels
+    (no exception)."""
+    raw = b"\x10\x20\x30\xff" * 9
+    for cb in (1, 4, 11):
+        enc = vp8l.encode_vp8l(3, 3, raw, cache_bits=cb)
+        assert vp8l.decode_vp8l(enc)["pixels"] == raw
+
+
+def test_mode13_divides_toward_zero():
+    """Spec's ClampAddSubtractHalf divides C-style (toward zero):
+    ave=10, tl=13 → 10 + trunc(-3/2) = 9, not floor's 8."""
+    ave_src = (0xFF << 24) | (10 << 16) | (10 << 8) | 10
+    tl = (0xFF << 24) | (13 << 16) | (13 << 8) | 13
+    # left == top == ave_src so Average2(L, T) == ave_src exactly
+    out = vp8l._predict(13, ave_src, ave_src, tl, 0)
+    assert (out >> 16) & 0xFF == 9
+
+
+def test_encoder_validates_dims():
+    raw4 = _rgba(2, 2, b"v")
+    with pytest.raises(ValueError, match="14-bit"):
+        vp8l.encode_vp8l(0, 2, b"")
+    with pytest.raises(ValueError, match="512"):
+        vp8l.encode_vp8l(600, 1, bytes(600 * 4), predictor_mode=7)
+    assert vp8l.decode_vp8l(vp8l.encode_vp8l(2, 2, raw4))["pixels"] == raw4
+
+
 def test_fuzz_decoder_raises_cleanly():
     """Garbage bytes — including garbage wrapped in a valid-looking
     container — must raise a codec-set error promptly (never hang,

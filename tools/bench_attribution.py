@@ -51,7 +51,21 @@ def run_bench(cwd: str, sf_dir: str, n: int) -> dict:
     if out.returncode != 0:
         raise RuntimeError(f"bench failed in {cwd}:\n{out.stderr[-3000:]}")
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    if "samples" not in res:
+        # r5+ bench contract: the stdout line is compact; per-run
+        # samples live in the BENCH_DETAIL.json sidecar next to the
+        # harness that was run
+        detail_path = os.path.join(cwd, "BENCH_DETAIL.json")
+        try:
+            with open(detail_path) as f:
+                res["samples"] = json.load(f).get("samples", {})
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"bench stdout carried no samples and {detail_path} is "
+                "missing — cannot pool attribution data"
+            )
+    return res
 
 
 def main() -> None:

@@ -283,7 +283,10 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         out = 0
         for sh in (24, 16, 8, 0):
             a = (ave >> sh) & 0xFF
-            out |= _clamp(a + (a - ((tl >> sh) & 0xFF)) // 2) << sh
+            d = a - ((tl >> sh) & 0xFF)
+            # spec divides C-style: truncation toward zero, not floor
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out |= _clamp(a + half) << sh
         return out
     raise ValueError(f"bad predictor mode {mode}")
 
@@ -360,11 +363,11 @@ def _decode_pixels(
     # hot-loop locals: the single-group case (the common one) binds its
     # decoders once instead of per pixel
     g_code, r_code, b_code, a_code, d_code = groups[0]
+    mw = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta_img else 0
     while pos < n:
         if meta_img is not None:
             x, y = pos % w, pos // w
-            mp = meta_img[(y >> meta_bits) * ((w + (1 << meta_bits) - 1) >> meta_bits)
-                          + (x >> meta_bits)]
+            mp = meta_img[(y >> meta_bits) * mw + (x >> meta_bits)]
             g_code, r_code, b_code, a_code, d_code = groups[(mp >> 8) & 0xFFFF]
         s = g_code.decode(br)
         if s < _GREEN_BASE:  # literal
@@ -454,14 +457,11 @@ def decode_vp8l(data: bytes) -> dict:
 
     pixels = _decode_pixels(br, w, h, allow_meta=True)
 
-    import numpy as np
+    import numpy as np  # noqa: F401 - accumulate paths below
 
     # (h, w, 4) uint8 channel array in ARGB order — transforms are
     # byte-wise mod-256 per channel, which numpy uint8 gives natively
-    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
-    ch = np.empty((h, w, 4), dtype=np.uint8)
-    for ci, sh in enumerate((24, 16, 8, 0)):
-        ch[..., ci] = (arr >> sh).astype(np.uint8)
+    ch = _from_ints(pixels, h, w)
 
     for ttype, meta in reversed(transforms):
         if ttype == 2:  # add green back to red/blue (vectorized)
@@ -484,12 +484,7 @@ def decode_vp8l(data: bytes) -> dict:
                 np.add.accumulate(ch, axis=0, out=ch)
             continue
         # general modes: scalar loop (spec edge rules)
-        px_ints = (
-            (ch[..., 0].astype(np.uint32) << 24)
-            | (ch[..., 1].astype(np.uint32) << 16)
-            | (ch[..., 2].astype(np.uint32) << 8)
-            | ch[..., 3].astype(np.uint32)
-        ).ravel().tolist()
+        px_ints = _to_ints(ch)
         for y in range(h):
             for x in range(w):
                 i = y * w + x
@@ -502,12 +497,13 @@ def decode_vp8l(data: bytes) -> dict:
                 else:
                     mode = (img[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
                     left, top, tl = px_ints[i - 1], px_ints[i - w], px_ints[i - w - 1]
-                    tr = px_ints[i - w + 1] if x + 1 < w else px_ints[i - w]
+                    # spec: TR of the last column is the CURRENT row's
+                    # first pixel — which is i-w+1 unconditionally
+                    # (already reconstructed: scan order)
+                    tr = px_ints[i - w + 1]
                     pred = _predict(mode, left, top, tl, tr)
                 px_ints[i] = _add_pixels(px_ints[i], pred)
-        arr2 = np.array(px_ints, dtype=np.uint32).reshape(h, w)
-        for ci, sh in enumerate((24, 16, 8, 0)):
-            ch[..., ci] = (arr2 >> sh).astype(np.uint8)
+        ch = _from_ints(px_ints, h, w)
 
     out = ch[..., [1, 2, 3, 0]].tobytes()  # ARGB planes -> RGBA bytes
     return {
@@ -584,8 +580,11 @@ def _write_prefix_code(
     """Emit a prefix code (simple or full form); return the canonical
     (code, length) map for the data pass."""
     nz = sorted(s for s, ln in lengths_by_sym.items() if ln or len(lengths_by_sym) == 1)
-    if len(lengths_by_sym) == 1:
-        sym = next(iter(lengths_by_sym))
+    # the spec's simple form carries symbols in at most 8 bits — a
+    # green-channel cache/length symbol >= 256 MUST use the full form
+    # (writing it 8-bit would silently truncate: corruption, not error)
+    if len(lengths_by_sym) == 1 and nz[0] <= 0xFF:
+        sym = nz[0]
         bw.write(1, 1)  # simple
         bw.write(0, 1)  # one symbol
         if sym < 2:
@@ -595,13 +594,17 @@ def _write_prefix_code(
             bw.write(1, 1)
             bw.write(sym, 8)
         return {sym: (0, 0)}
-    if len(nz) == 2 and all(lengths_by_sym[s] == 1 for s in nz):
+    if (len(nz) == 2 and max(nz) <= 0xFF
+            and all(lengths_by_sym[s] == 1 for s in nz)):
         bw.write(1, 1)  # simple
         bw.write(1, 1)  # two symbols
         bw.write(1, 1)  # 8-bit first symbol (always valid)
         bw.write(nz[0], 8)
         bw.write(nz[1], 8)
         return {nz[0]: (0, 1), nz[1]: (1, 1)}
+    if len(lengths_by_sym) == 1:
+        # single symbol > 255: full form, one nonzero length
+        lengths_by_sym = {nz[0]: 1}
     # full form: literal code-length symbols only (no 16/17/18 RLE)
     bw.write(0, 1)
     lengths = [lengths_by_sym.get(s, 0) for s in range(alphabet_size)]
@@ -625,6 +628,10 @@ def _write_prefix_code(
         if not single_clc:  # single-symbol CLC decodes with 0 bits
             code, cl = clc_codes[ln]
             bw.write_code(code, cl)
+    if sum(1 for ln in lengths if ln) == 1:
+        # degenerate full-form code: the reader decodes it with 0 bits,
+        # so the data pass must emit none
+        return {nz[0]: (0, 0)}
     return _canonical_codes(lengths)
 
 
@@ -642,10 +649,19 @@ def encode_vp8l(
     optional color cache. No LZ77, no meta partition."""
     import numpy as np
 
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError("VP8L dims are 14-bit: 1..16384 a side")
     if len(rgba) != width * height * 4:
         raise ValueError("rgba must be width*height*4 bytes")
     if not 0 <= cache_bits <= 11:
         raise ValueError("cache_bits must be 0..11")
+    if predictor_mode is not None and max(width, height) > 512:
+        # the single-block trick needs block size >= max dim, and the
+        # wire field caps size_bits at 9 (block 512); larger images
+        # would silently truncate the field — refuse instead
+        raise ValueError(
+            "single-block predictor transform supports dims <= 512"
+        )
     # (h, w, 4) uint8 in ARGB channel order; byte math wraps mod 256
     rg = np.frombuffer(rgba, dtype=np.uint8).reshape(height, width, 4)
     ch = rg[..., [3, 0, 1, 2]].copy()
@@ -686,10 +702,9 @@ def encode_vp8l(
                             pixels[i - 1], pixels[i - width],
                             pixels[i - width - 1],
                         )
-                        tr = (
-                            pixels[i - width + 1] if x + 1 < width
-                            else pixels[i - width]
-                        )
+                        # TR of the last column = current row's first
+                        # pixel (spec rule; i-w+1 lands there exactly)
+                        tr = pixels[i - width + 1]
                         pred = _predict(predictor_mode, left, top, tl, tr)
                     res[i] = _sub_pixels(pixels[i], pred)
             ch = _from_ints(res, height, width)

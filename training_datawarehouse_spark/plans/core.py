@@ -348,10 +348,11 @@ def string_functions(spark: SparkSession, sf_dir: str,
     divide at explicit result scales (``dec_q4``: doc_id·25/10000 at
     DECIMAL(17,4) — exact, divisor divides 10^4), HALF_UP rounding
     (``dec_round_up``), and banker's HALF_EVEN (``dec_round_even``) —
-    doc_id ≡ 2 (mod 4) rows land EXACTLY on the .x25 midpoint, so the
-    two modes differ on a quarter of the rows and a tie-mode
-    regression in either engine fails the hash. Results compare as
-    strings at explicitly-cast scales (decimal print width is itself
+    rounded at scale 2, where doc_id ≡ 2 (mod 4) rows land EXACTLY on
+    the .xx50 midpoint (q4 = doc_id·25/10⁴ = doc_id/400), so the two
+    modes differ on a quarter of the rows and a tie-mode regression in
+    either engine fails the hash. Results compare as strings at
+    explicitly-cast scales (decimal print width is itself
     engine-sensitive — pinned by the cast)."""
     from ..operators.layout import zvalue
     from ..sources.tables import load_table
@@ -375,9 +376,9 @@ def string_functions(spark: SparkSession, sf_dir: str,
     if include_decimal:
         cols += [
             q4.cast("string").alias("dec_q4"),
-            F.round(q4, 1).cast("decimal(17,1)").cast("string")
+            F.round(q4, 2).cast("decimal(17,2)").cast("string")
             .alias("dec_round_up"),
-            F.bround(q4, 1).cast("decimal(17,1)").cast("string")
+            F.bround(q4, 2).cast("decimal(17,2)").cast("string")
             .alias("dec_round_even"),
         ]
     return docs.select(*cols)
@@ -393,13 +394,27 @@ SELECT doc_id,
        __Z__ AS zval,
        (__Z__ >> 16) AS zbucket,
        CAST(q4 AS VARCHAR) AS dec_q4,
-       CAST(CAST(round(q4, 1) AS DECIMAL(17,1)) AS VARCHAR) AS dec_round_up,
-       CAST(CAST(round_even(q4, 1) AS DECIMAL(17,1)) AS VARCHAR)
+       -- HALF_UP and HALF_EVEN re-derived in closed-form integer
+       -- arithmetic on the exact scale-4 value: DuckDB 1.0's own
+       -- round_even() on DECIMAL inputs is inconsistent at exact
+       -- midpoints (probed: 0.0050->0.00 but 1.0050->1.01), so the
+       -- oracle must not delegate tie-breaking to it
+       CAST(CAST(CAST((n10k // 100)
+              + (CASE WHEN n10k % 100 >= 50 THEN 1 ELSE 0 END)
+            AS DECIMAL(17,0)) / 100 AS DECIMAL(17,2)) AS VARCHAR)
+         AS dec_round_up,
+       CAST(CAST(CAST((n10k // 100)
+              + (CASE WHEN n10k % 100 > 50 THEN 1
+                      WHEN n10k % 100 < 50 THEN 0
+                      ELSE (n10k // 100) % 2 END)
+            AS DECIMAL(17,0)) / 100 AS DECIMAL(17,2)) AS VARCHAR)
          AS dec_round_even
 FROM (
   SELECT *,
          CAST(CAST(doc_id AS DECIMAL(15,2)) * 25 / 10000 AS DECIMAL(17,4))
-           AS q4
+           AS q4,
+         CAST(CAST(CAST(doc_id AS DECIMAL(15,2)) * 25 / 10000
+              AS DECIMAL(17,4)) * 10000 AS BIGINT) AS n10k
   FROM documents
 ) documents
 """
