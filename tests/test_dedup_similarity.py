@@ -586,3 +586,37 @@ def test_contamination_broadcast_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_normalization_dedup(spark):
+    """URL hygiene operators (r5): case-folding, fragment drop,
+    tracking-param strip, canonical param order — four raw variants of
+    one logical URL must normalize to ONE string; a different path must
+    not. Also pins host/domain/depth/tracking-count semantics."""
+    from training_datawarehouse_spark.operators import text as tx
+
+    raws = [
+        "HTTPS://WWW.News.Example.COM:443/A/b?z=2&a=1&utm_source=x#top",
+        "https://www.news.example.com/A/b?a=1&z=2",
+        "https://WWW.NEWS.example.com/A/b?a=1&utm_campaign=c&z=2#frag",
+        "https://www.news.example.com/A/b?gclid=g&ref=r&z=2&a=1",
+        "https://www.news.example.com/A/B?a=1&z=2",  # path case differs
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(raws)],
+                               "i long, url string")
+    u = F.col("url")
+    rows = {r["i"]: r for r in df.select(
+        "i",
+        tx.normalize_url(u).alias("norm"),
+        tx.url_host(u).alias("host"),
+        tx.registrable_domain(u).alias("dom"),
+        tx.url_path_depth(u).alias("depth"),
+        tx.n_tracking_params(u).alias("ntrk"),
+    ).collect()}
+    want = "https://www.news.example.com/A/b?a=1&z=2"
+    assert {rows[i]["norm"] for i in range(4)} == {want}
+    assert rows[4]["norm"] == "https://www.news.example.com/A/B?a=1&z=2"
+    assert rows[0]["host"] == "www.news.example.com"
+    assert rows[0]["dom"] == "example.com"
+    assert rows[0]["depth"] == 2
+    assert [rows[i]["ntrk"] for i in range(5)] == [1, 0, 1, 2, 0]

@@ -148,10 +148,10 @@ SHUFFLE_BUDGET = {
     "ns_dedup_lsh_cross_modal": 10,
     # family: similarity — corpus never shuffles; 1 for the top-k window
     "ns_similarity_topk": 1,
-    # family: text analysis — profile is 1 (fp dupe-group window); pure
-    # per-row scoring is 0
+    # family: text analysis — profile is 1 (fp dupe-group window);
+    # lang_quality gained the url_norm dedup window in r5
     "ns_text_profile": 1,
-    "ns_lang_quality": 0,
+    "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,
     # family: splits/sampling — threshold path scan-only; quota branch 3

@@ -244,3 +244,78 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, URL_PATTERN, "<URL>")
     out = F.regexp_replace(out, EMAIL_PATTERN, "<EMAIL>")
     return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+
+
+# ------------------------------------------------------ URL operators
+
+# The web-corpus hygiene surface (C4/RefinedWeb-style pipelines dedup
+# and aggregate BY URL before ever touching text): parse → normalize →
+# canonical identity. Built on Spark's own parse_url (Hive semantics,
+# JVM-side) + higher-order array expressions — no UDF, no shuffle for
+# the scalar columns. Scope notes (documented, not silent): tracking
+# params are prefix-matched against the standard four families;
+# ``registrable_domain`` is the last two dot-labels (a real deployment
+# swaps in the public-suffix list via the same function seam);
+# non-default ports are out of scope of this normalizer.
+
+TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=")
+
+
+def _is_tracking(x: Column) -> Column:
+    out = F.lit(False)
+    for p in TRACKING_PREFIXES:
+        out = out | (x.substr(1, len(p)) == p)
+    return out
+
+
+def url_query_params(url: Column) -> Column:
+    """Query params as an array ('a=1', ...); empty array when none."""
+    q = F.parse_url(url, F.lit("QUERY"))
+    return F.when(
+        q.isNull() | (q == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(q, "&"))
+
+
+def url_kept_params(url: Column) -> Column:
+    """Non-tracking query params, sorted (canonical order)."""
+    return F.array_sort(
+        F.filter(url_query_params(url), lambda x: ~_is_tracking(x))
+    )
+
+
+def n_tracking_params(url: Column) -> Column:
+    return (
+        F.size(url_query_params(url)) - F.size(url_kept_params(url))
+    ).cast("long")
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host, port excluded (parse_url HOST semantics)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def registrable_domain(url: Column) -> Column:
+    """Last two dot-labels of the host — the grain web pipelines
+    aggregate quality/robots/rate stats at."""
+    return F.regexp_extract(url_host(url), "([^.]+\\.[^.]+)$", 1)
+
+
+def url_path_depth(url: Column) -> Column:
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    return F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("long")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL identity: lower-cased scheme + host, path kept
+    case-sensitive (spec: paths ARE case-sensitive), fragment dropped,
+    tracking params removed, surviving params sorted. Two raw URLs
+    that differ only in case/fragment/tracking/param-order normalize
+    to the same string — the dedup key."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    kept = url_kept_params(url)
+    base = F.concat(scheme, F.lit("://"), url_host(url), path)
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)

@@ -138,7 +138,29 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     pii = tx.pii_counts(dirty)
-    return docs.select(
+
+    # r5 URL-hygiene stage, same scan: a deliberately MESSY raw URL per
+    # doc (upper-case scheme/host, default port, tracking params,
+    # fragment; the id param only on odd docs so even docs COLLIDE
+    # after normalization) is parsed with Spark's parse_url machinery,
+    # normalized (lowercase scheme/host, port/fragment/tracking
+    # dropped, kept params sorted), and deduped by a window count over
+    # the canonical form. The oracle re-derives every value in closed
+    # form from (source, doc_id) — a genuine differential check of the
+    # whole parse→filter→sort→rebuild chain.
+    url_raw = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Articles/"),
+        (did % 7).cast("string"), F.lit("/item"),
+        F.when(
+            did % 2 == 1,
+            F.concat(F.lit("?id="), (did % 10).cast("string"),
+                     F.lit("&utm_source=feed&b=2")),
+        ).otherwise(F.lit("?utm_campaign=x&gclid=g")),
+        F.when(did % 4 == 0, F.lit("&ref=r")).otherwise(F.lit("")),
+        F.lit("#sec"), (did % 5).cast("string"),
+    )
+    out = docs.select(
         "doc_id",
         lp.alias("lang_pred"),
         q.alias("quality"),
@@ -150,6 +172,15 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii["n_urls"].alias("n_urls"),
         pii["n_phones"].alias("n_phones"),
         F.substring(F.md5(tx.redact_pii(dirty)), 1, 16).alias("clean_fp"),
+        tx.url_host(url_raw).alias("url_host"),
+        tx.registrable_domain(url_raw).alias("url_domain"),
+        tx.url_path_depth(url_raw).alias("url_path_depth"),
+        tx.n_tracking_params(url_raw).alias("n_tracking"),
+        tx.normalize_url(url_raw).alias("url_norm"),
+    )
+    return out.withColumn(
+        "url_dups",
+        F.count(F.lit(1)).over(Window.partitionBy("url_norm")),
     )
 
 
@@ -190,10 +221,34 @@ SELECT doc_id, lang_pred, quality, repetition,
             ELSE 'kept' END AS drop_reason
 FROM m
 )
+, u AS (
+  -- url-hygiene stage: every value re-derived in closed form from
+  -- (source, doc_id) — the synthesis rule the Spark side parses back
+  -- out of the messy raw URL
+  SELECT doc_id,
+         'www.' || source || '.example.com' AS url_host,
+         'example.com' AS url_domain,
+         CAST(3 AS BIGINT) AS url_path_depth,
+         CAST(CASE WHEN doc_id % 2 = 1 THEN 1
+                   WHEN doc_id % 4 = 0 THEN 3
+                   ELSE 2 END AS BIGINT) AS n_tracking,
+         'https://www.' || source || '.example.com/Articles/'
+           || CAST(doc_id % 7 AS VARCHAR) || '/item'
+           || CASE WHEN doc_id % 2 = 1
+                   THEN '?b=2&id=' || CAST(doc_id % 10 AS VARCHAR)
+                   ELSE '' END AS url_norm
+  FROM documents
+)
+, ud AS (
+  SELECT u.*, count(*) OVER (PARTITION BY url_norm) AS url_dups FROM u
+)
 SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de,
-       p.n_emails, p.n_urls, p.n_phones, p.clean_fp
+       p.n_emails, p.n_urls, p.n_phones, p.clean_fp,
+       ud.url_host, ud.url_domain, ud.url_path_depth, ud.n_tracking,
+       ud.url_norm, ud.url_dups
 FROM sw JOIN ({{CHAR_NGRAM}}) cg USING (doc_id)
 JOIN (@@PII@@) p USING (doc_id)
+JOIN ud USING (doc_id)
 """
 
 # PII stage oracle: identical dirty-text derivation + the same three
