@@ -65,8 +65,10 @@ MANIFEST = [
      "desc": "first-writer-wins dedup"},
     {"name": "ns_dedup_exact", "semver": 1,
      "desc": "exact hash dedup, min_by agg"},
-    {"name": "ns_text_profile", "semver": 2,
-     "desc": "r3: absorbed fingerprint + dupe-group entries onto one scan"},
+    {"name": "ns_text_profile", "semver": 3,
+     "desc": "r3: absorbed fingerprint + dupe-group entries onto one scan; "
+             "r5: + corpus-trained bigram-LM quality score (train + "
+             "score, oracle-retrained)"},
     {"name": "ns_similarity_topk", "semver": 1,
      "desc": "brute-force cosine top-k"},
     {"name": "ns_dedup_lsh_cross_modal", "semver": 2,
@@ -111,6 +113,20 @@ def _extras() -> list[dict]:
     this harness also runs unchanged against older code states (the
     attribution tool drops it into a round-2 worktree)."""
     extras: list[dict] = []
+
+    def _compat(fn, *args, **kwargs):
+        """Call dropping kwargs an older code state doesn't accept —
+        the attribution tool runs this harness inside old worktrees,
+        where a missing equivalence flag means the old plan already IS
+        the equivalent."""
+        while True:
+            try:
+                return fn(*args, **kwargs)
+            except TypeError:
+                if not kwargs:
+                    raise
+                kwargs = dict(list(kwargs.items())[:-1])
+
     try:
         from training_datawarehouse_spark.plans.core import (
             q1_pricing_summary, scalar_breadth,
@@ -123,11 +139,11 @@ def _extras() -> list[dict]:
         extras += [
             {"name": "tpch_q1_pricing_summary__r4equiv", "semver": 1,
              "desc": "q1 semver-1 sub-plan (no decimal twin columns)",
-             "builder": lambda s, d: q1_pricing_summary(
+             "builder": lambda s, d: _compat(q1_pricing_summary,
                  s, d, include_decimal=False)},
             {"name": "op_fn_scalar_breadth__r4equiv", "semver": 2,
              "desc": "scalar breadth semver-2 sub-plan (no decimal columns)",
-             "builder": lambda s, d: scalar_breadth(
+             "builder": lambda s, d: _compat(scalar_breadth,
                  s, d, include_decimal=False)},
             {"name": "ns_dedup_lsh_xxhash64", "semver": 1,
              "desc": "production xxhash64/murmur3 LSH family — same plan as "
@@ -149,13 +165,17 @@ def _extras() -> list[dict]:
                  s, d, stages=("stub", "png", "wav"))},
             {"name": "ns_multimodal_meta__r4equiv", "semver": 3,
              "desc": "ns_multimodal_meta semver-3 sub-plan (no webp stage)",
-             "builder": lambda s, d: multimodal_meta(
+             "builder": lambda s, d: _compat(multimodal_meta,
                  s, d, stages=("stub", "png", "wav", "jpeg"))},
             {"name": "ns_text_profile__r2equiv", "semver": 1,
              "desc": "ns_text_profile semver-1 sub-plan (no fingerprint / "
                      "dupe-group columns)",
-             "builder": lambda s, d: text_profile(
+             "builder": lambda s, d: _compat(text_profile,
                  s, d, include_fingerprint=False)},
+            {"name": "ns_text_profile__r4equiv", "semver": 2,
+             "desc": "ns_text_profile semver-2 sub-plan (no bigram-LM stage)",
+             "builder": lambda s, d: _compat(text_profile,
+                 s, d, include_lm=False)},
         ]
     except (ImportError, TypeError):
         pass  # older code state: no twins to time

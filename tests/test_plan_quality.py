@@ -148,9 +148,11 @@ SHUFFLE_BUDGET = {
     "ns_dedup_lsh_cross_modal": 10,
     # family: similarity — corpus never shuffles; 1 for the top-k window
     "ns_similarity_topk": 1,
-    # family: text analysis — profile is 1 (fp dupe-group window);
-    # lang_quality gained the url_norm dedup window in r5
-    "ns_text_profile": 1,
+    # family: text analysis — profile: fp dupe-group window + the r5
+    # bigram-LM stage (bigram groupBy, unigram groupBy, per-doc score
+    # groupBy; the model itself broadcasts, top-K select is
+    # TakeOrdered); lang_quality gained the url_norm dedup window in r5
+    "ns_text_profile": 4,
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,

@@ -319,3 +319,62 @@ def normalize_url(url: Column) -> Column:
         F.size(kept) > 0,
         F.concat(base, F.lit("?"), F.array_join(kept, "&")),
     ).otherwise(base)
+
+
+# -------------------------------------- corpus-trained bigram LM score
+
+def bigram_lm_scores(
+    docs, id_col: str, text_col: str, top_k: int = 200,
+):
+    """KenLM-filter-shaped quality scoring: train a bigram language
+    model ON THE CORPUS ITSELF, then score each document by its mean
+    add-one-smoothed bigram log-probability — the classic
+    "perplexity-vs-the-corpus" web-filtering signal, re-expressed as
+    two aggregations and two broadcast joins (no external model, no
+    UDF, no driver-side scoring loop).
+
+    100 TB shape: bigram counting is a map-side-combinable groupBy;
+    the model broadcast to the scorers is PRUNED to the ``top_k`` most
+    frequent bigrams (deterministic tie-break: count desc, bigram asc)
+    — unpruned web-scale bigram tables don't broadcast, and the
+    smoothing floor makes pruned-away bigrams behave as unseen, which
+    is exactly the filter's semantics (rare sequence → low score).
+    The unigram table broadcasts unpruned here (synthetic vocabulary);
+    a web deployment prunes it the same way. The vocabulary size V
+    enters as a collected scalar — a model hyperparameter, same
+    pattern as the k-means centroid collect.
+
+    Returns (id_col, lm_score, n_bigrams, n_oov_bigrams); documents
+    with fewer than two tokens are absent (LEFT-join from the caller).
+    score = avg(ln((c(w1 w2) + 1) / (c(w1) + V))), rounded 1e-6.
+    """
+    from pyspark.sql import functions as F
+
+    bg = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    bg_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    top = bg_counts.orderBy(F.col("cb").desc(), "bg").limit(top_k)
+    uni_counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab_size = uni_counts.count()
+    logp = F.ln(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("cu") + F.lit(vocab_size)).cast("double")
+    )
+    return (
+        bg.join(F.broadcast(top), "bg", "left")
+        .join(F.broadcast(uni_counts), bg.w1 == uni_counts.w)
+        .groupBy("__id")
+        .agg(
+            F.round(F.avg(logp), 6).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cb").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov_bigrams"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

@@ -1020,7 +1020,8 @@ GROUP BY source
 
 
 def text_profile(spark: SparkSession, sf_dir: str,
-                 include_fingerprint: bool = True) -> DataFrame:
+                 include_fingerprint: bool = True,
+                 include_lm: bool = True) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
     counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
     the canonical md5 fingerprint with its dupe-group size — ONE
@@ -1030,7 +1031,16 @@ def text_profile(spark: SparkSession, sf_dir: str,
     all JVM-side expressions, all values hash-checked. Formerly two
     registry entries (profile + fingerprint); merged onto one scan.
     ``include_fingerprint=False`` is the round-2-equivalent sub-plan
-    (pre-merge), timed under the bench "extras" section."""
+    (pre-merge), timed under the bench "extras" section.
+
+    r5 adds the corpus-trained bigram-LM quality score
+    (``operators/text.py:bigram_lm_scores`` — the KenLM-filter shape:
+    count bigrams, prune to top-200 with a deterministic tie-break,
+    broadcast, score each doc's mean smoothed log-probability). The
+    DuckDB oracle retrains the identical model and must reproduce the
+    score to 1e-6 — model training AND scoring are differentially
+    checked, not just the plumbing. ``include_lm=False`` is the
+    round-4-equivalent sub-plan for the bench extras."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     base = docs.select(
@@ -1047,10 +1057,14 @@ def text_profile(spark: SparkSession, sf_dir: str,
     )
     if not include_fingerprint:
         return base.drop("fp")
-    return base.withColumn(
+    prof = base.withColumn(
         "group_size",
         F.count(F.lit(1)).over(Window.partitionBy("fp")),
     )
+    if include_lm:
+        lm = tx.bigram_lm_scores(docs, "doc_id", "text", top_k=200)
+        prof = prof.join(lm, "doc_id", "left")
+    return prof
 
 
 TEXT_PROFILE_ORACLE = f"""
@@ -1060,10 +1074,44 @@ fp AS (
   SELECT doc_id,
          substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
   FROM documents
+),
+-- bigram-LM stage: retrain the identical model (top-200 bigrams,
+-- ties broken count desc then bigram asc; add-one smoothing over the
+-- full unigram table + vocab size) and re-score every document
+lmtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+lmbg AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+  FROM (SELECT doc_id,
+               unnest([tk[i] || ' ' || tk[i + 1]
+                       for i in range(1, len(tk))]) AS bg
+        FROM lmtoks)
+),
+lmtop AS (
+  SELECT bg, count(*) AS cb FROM lmbg GROUP BY bg
+  ORDER BY cb DESC, bg LIMIT 200
+),
+lmuni AS (
+  SELECT w, count(*) AS cu
+  FROM (SELECT unnest(tk) AS w FROM lmtoks) GROUP BY w
+),
+lmv AS (SELECT count(*) AS v FROM lmuni),
+lmsc AS (
+  SELECT doc_id,
+         round(avg(ln((COALESCE(t.cb, 0) + 1)::DOUBLE
+                      / (u.cu + lmv.v)::DOUBLE)), 6) AS lm_score,
+         count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov_bigrams
+  FROM lmbg LEFT JOIN lmtop t USING (bg)
+  JOIN lmuni u ON lmbg.w1 = u.w
+  CROSS JOIN lmv
+  GROUP BY doc_id
 )
 SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct,
-       fp.fp, count(*) OVER (PARTITION BY fp.fp) AS group_size
+       fp.fp, count(*) OVER (PARTITION BY fp.fp) AS group_size,
+       lmsc.lm_score, lmsc.n_bigrams, lmsc.n_oov_bigrams
 FROM ts JOIN tr USING (doc_id) JOIN fp USING (doc_id)
+LEFT JOIN lmsc USING (doc_id)
 """
 
 
