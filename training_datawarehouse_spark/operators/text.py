@@ -189,20 +189,27 @@ def fingerprint(text: Column) -> Column:
 # ------------------------------------------------------ repetition
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
-    """Word n-grams as joined strings, JVM-side: slide over the token
-    array via an index sequence (no explode — stays one row). Texts
-    shorter than n tokens yield an empty array — guarded explicitly
-    because ``sequence(1, 0)`` counts DOWN in Spark."""
+    """Word n-grams as joined strings, JVM-side (no explode — stays
+    one row): ``zip_with`` over n shifted SLICES of the token array.
+    The slices sit at the TOP level of the expression, so the split
+    runs O(n) times per row — the previous index-sequence transform
+    referenced the token array INSIDE the lambda, and higher-order
+    lambdas get no CSE, so the split re-ran per element: O(tokens²)
+    per document (measured 5× the whole text-profile entry at sf0.1).
+    Texts shorter than n tokens yield an empty array."""
+    import functools
+
     t = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+    cnt = F.size(t) - (n - 1)
+    parts = [F.slice(t, k + 1, cnt) for k in range(n)]
+    grams = functools.reduce(
+        lambda acc, p: F.zip_with(
+            acc, p, lambda a, b: F.concat(a, F.lit(" "), b)
         ),
+        parts[1:], parts[0],
     )
     empty = F.array().cast("array<string>")
-    return F.when(F.size(t) < n, empty).otherwise(grams)
+    return F.when(cnt < 1, empty).otherwise(grams)
 
 
 def repetition_score(text: Column, n: int = 2) -> Column:
@@ -350,10 +357,30 @@ def bigram_lm_scores(
     """
     from pyspark.sql import functions as F
 
-    bg = docs.select(
+    # Materialize the token ARRAY as a column first, then build the
+    # bigram pairs with zip_with over two slices of it: inside a
+    # higher-order lambda, an expression like element_at(split(text),
+    # i) re-runs the split PER ELEMENT (no CSE across lambda calls —
+    # O(tokens²) per document, measured 5x the whole profile entry);
+    # slicing a materialized array column is linear.
+    tk = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
-    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+        F.split(F.col(text_col), " ").alias("tk"),
+    )
+    n1 = F.size("tk") - 1
+    pairs = F.when(
+        n1 < 1, F.array().cast("array<struct<w1:string,bg:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice("tk", 1, n1), F.slice("tk", 2, n1),
+            lambda a, b: F.struct(
+                a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")
+            ),
+        )
+    )
+    bg = tk.select("__id", F.explode(pairs).alias("p")).select(
+        "__id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1")
+    )
     bg_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     top = bg_counts.orderBy(F.col("cb").desc(), "bg").limit(top_k)
     uni_counts = (
