@@ -175,3 +175,31 @@ def test_two_level_lattice_equals_single_pass(spark, rows):
     a = {key(r): (round(r["km"], 6), round(r["wm"], 6), r["n"]) for r in single.collect()}
     b = {key(r): (round(r["km"], 6), round(r["wm"], 6), r["n"]) for r in two.collect()}
     assert a == b
+
+
+_word = st.text(alphabet="abcx ", min_size=0, max_size=6)
+
+
+@given(texts=st.lists(_word, min_size=1, max_size=6),
+       n=st.integers(min_value=2, max_value=4))
+@_settings
+def test_word_ngrams_matches_python_reference(spark, texts, n):
+    """The r5 zip_with-over-slices rewrite of word_ngrams must keep
+    the exact split-on-single-space semantics of the old form —
+    including empty tokens from consecutive/leading/trailing spaces
+    and texts shorter than n tokens (empty array)."""
+    from training_datawarehouse_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", word_ngrams(F.col("text"), n).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # Python str.split(' ') == Spark split-on-' '
+        want = [
+            " ".join(toks[k:k + n]) for k in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        assert got[i] == want, (t, n)
