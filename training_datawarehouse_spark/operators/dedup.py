@@ -45,16 +45,15 @@ def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-tokenized, 0-based sequence index)."""
-    toks = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
-    )
-    # sequence(0, negative) would count downward — short docs get no grams.
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-grams (space-tokenized). Delegates to
+    ``text.word_ngrams`` — the r5 zip_with-over-top-level-slices form:
+    the old index-sequence transform re-ran ``split(text)`` per lambda
+    element (higher-order lambdas get no CSE → O(tokens²) per doc;
+    see SCALE.md "Expression-level scale trap"). ``_gram_stream``
+    below was never affected: it materializes ``__tk`` first."""
+    from .text import word_ngrams
+
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def _gram_stream(
