@@ -42,10 +42,17 @@ def chunk_text_tokens(
     ``stride < chunk_tokens`` gives overlapping chunks."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    t = token_array(F.col(text_col))
+    # materialize the token array as a column BEFORE the higher-order
+    # transform: a slice over an inline token_array(text) expression
+    # would re-split the text once per chunk start (no CSE inside
+    # lambdas — SCALE.md "Expression-level scale trap")
+    t = F.col("__t")
+    arr = df.select(
+        F.col(id_col), token_array(F.col(text_col)).alias("__t")
+    )
     starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(t, s, chunk_tokens))
-    out = df.select(
+    out = arr.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )

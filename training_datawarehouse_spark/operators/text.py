@@ -153,12 +153,27 @@ CHAR_TRIGRAM_PROFILES = {
 
 def char_trigrams(text: Column) -> Column:
     """Distinct character trigrams of the lower-cased text (leading/
-    trailing space added so word boundaries produce boundary grams)."""
+    trailing space added so word boundaries produce boundary grams).
+
+    Built from zip_with over three shifted slices of the char array —
+    the former ``transform(idx, i -> padded.substr(i, 3))`` form
+    re-evaluated the padded/lowered STRING per index (no CSE inside
+    higher-order lambdas: O(chars²) per doc — SCALE.md "Expression-
+    level scale trap"). Texts shorter than one trigram yield an empty
+    array (exactly the oracle's range semantics; the old down-counting
+    ``sequence(1, 0)`` emitted two junk grams on that edge)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: padded.substr(i, F.lit(3)))
+    ch = F.split(padded, "")
+    cnt = F.greatest(F.length(padded) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(ch, 1, cnt), F.slice(ch, 2, cnt),
+            lambda a, b: F.concat(a, b),
+        ),
+        F.slice(ch, 3, cnt),
+        lambda ab, c: F.concat(ab, c),
     )
+    return F.array_distinct(tri)
 
 
 def lang_id_char_ngram(text: Column) -> Column:
