@@ -97,8 +97,10 @@ MANIFEST = [
              "HALF_UP/HALF_EVEN columns with planted midpoints)"},
     {"name": "ns_chunk_pack", "semver": 1,
      "desc": "chunking + training-window packing"},
-    {"name": "ns_split_train_val", "semver": 1,
-     "desc": "deterministic splits + mixture sampling"},
+    {"name": "ns_split_train_val", "semver": 2,
+     "desc": "deterministic splits + mixture sampling (r5: + leakage-"
+             "safe group-representative split with measured naive-vs-"
+             "safe cross-split counts)"},
 ]
 
 HEADLINE = [m["name"] for m in MANIFEST]
@@ -132,7 +134,8 @@ def _extras() -> list[dict]:
             q1_pricing_summary, scalar_breadth,
         )
         from training_datawarehouse_spark.plans.northstar import (
-            lsh_cross_modal_xxhash, multimodal_meta, text_profile,
+            lsh_cross_modal_xxhash, multimodal_meta, split_train_val,
+            text_profile,
         )
         from training_datawarehouse_spark.plans.relational import approx_aggs
 
@@ -172,6 +175,10 @@ def _extras() -> list[dict]:
                      "dupe-group columns)",
              "builder": lambda s, d: _compat(text_profile,
                  s, d, include_fingerprint=False)},
+            {"name": "ns_split_train_val__r4equiv", "semver": 1,
+             "desc": "split composite semver-1 sub-plan (no leakage stage)",
+             "builder": lambda s, d: _compat(split_train_val,
+                 s, d, include_leakage=False)},
             {"name": "ns_text_profile__r4equiv", "semver": 2,
              "desc": "ns_text_profile semver-2 sub-plan (no bigram-LM stage)",
              "builder": lambda s, d: _compat(text_profile,

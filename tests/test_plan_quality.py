@@ -156,8 +156,10 @@ SHUFFLE_BUDGET = {
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,
-    # family: splits/sampling — threshold path scan-only; quota branch 3
-    "ns_split_train_val": 3,
+    # family: splits/sampling — threshold path scan-only; quota branch
+    # 3; the r5 leakage stage adds the url-group window + the
+    # per-group distinct-label aggs and per-split counts
+    "ns_split_train_val": 8,
     # family: multimodal — one metadata agg per codec stage
     # (stub/png/wav + jpeg since r4)
     "ns_multimodal_meta": 5,  # one groupBy(format) per codec stage (r5: +webp)

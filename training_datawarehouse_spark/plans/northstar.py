@@ -30,6 +30,37 @@ _B0_DOC = (
 )
 
 
+def _messy_url(did, source):
+    """The shared messy-raw-URL synthesis rule (upper-case scheme/host,
+    default port, tracking params, fragment; the id param only on odd
+    docs so EVEN docs collide after normalization). Used by the
+    lang_quality url stage AND the split composite's leakage stage;
+    the oracles re-derive the normalized form in closed form."""
+    return F.concat(
+        F.lit("HTTPS://WWW."), F.upper(source),
+        F.lit(".Example.COM:443/Articles/"),
+        (did % 7).cast("string"), F.lit("/item"),
+        F.when(
+            did % 2 == 1,
+            F.concat(F.lit("?id="), (did % 10).cast("string"),
+                     F.lit("&utm_source=feed&b=2")),
+        ).otherwise(F.lit("?utm_campaign=x&gclid=g")),
+        F.when(did % 4 == 0, F.lit("&ref=r")).otherwise(F.lit("")),
+        F.lit("#sec"), (did % 5).cast("string"),
+    )
+
+
+# the oracle's closed form of normalize_url(_messy_url(...)) — shared
+# by the lang_quality and split-leakage oracles
+_URL_NORM_SQL = (
+    "'https://www.' || source || '.example.com/Articles/'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '/item'"
+    " || CASE WHEN doc_id % 2 = 1"
+    "         THEN '?b=2&id=' || CAST(doc_id % 10 AS VARCHAR)"
+    "         ELSE '' END"
+)
+
+
 # ------------------------------------------------------- exact dedup
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,18 +179,7 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the canonical form. The oracle re-derives every value in closed
     # form from (source, doc_id) — a genuine differential check of the
     # whole parse→filter→sort→rebuild chain.
-    url_raw = F.concat(
-        F.lit("HTTPS://WWW."), F.upper(F.col("source")),
-        F.lit(".Example.COM:443/Articles/"),
-        (did % 7).cast("string"), F.lit("/item"),
-        F.when(
-            did % 2 == 1,
-            F.concat(F.lit("?id="), (did % 10).cast("string"),
-                     F.lit("&utm_source=feed&b=2")),
-        ).otherwise(F.lit("?utm_campaign=x&gclid=g")),
-        F.when(did % 4 == 0, F.lit("&ref=r")).otherwise(F.lit("")),
-        F.lit("#sec"), (did % 5).cast("string"),
-    )
+    url_raw = _messy_url(did, F.col("source"))
     out = docs.select(
         "doc_id",
         lp.alias("lang_pred"),
@@ -232,11 +252,7 @@ FROM m
          CAST(CASE WHEN doc_id % 2 = 1 THEN 1
                    WHEN doc_id % 4 = 0 THEN 3
                    ELSE 2 END AS BIGINT) AS n_tracking,
-         'https://www.' || source || '.example.com/Articles/'
-           || CAST(doc_id % 7 AS VARCHAR) || '/item'
-           || CASE WHEN doc_id % 2 = 1
-                   THEN '?b=2&id=' || CAST(doc_id % 10 AS VARCHAR)
-                   ELSE '' END AS url_norm
+         {_URL_NORM_SQL} AS url_norm
   FROM documents
 )
 , ud AS (
@@ -927,7 +943,8 @@ FROM hx
 MIXTURE_FRACTIONS = {f"src{i}": ((i % 4) + 1) / 8 for i in range(20)}
 
 
-def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_train_val(spark: SparkSession, sf_dir: str,
+                    include_leakage: bool = True) -> DataFrame:
     """Dataset-composition surface in one entry, tagged by stage:
 
     - 'split': stable 90/5/5 train/val/test membership by md5 of
@@ -938,8 +955,19 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
       MIXTURE_FRACTIONS (hash-ranked within domain; one window pass).
     - 'mixture_threshold': the scan-only approximate-quota path (hash
       bucket under per-domain cutoff; no shuffle).
+    - 'leakage' + 'split_safe' (r5): LEAKAGE-SAFE splitting — the
+      train/eval-contamination rule real corpora need: near/exact
+      duplicates of a training page must not land in the eval split,
+      so membership is decided by the duplicate GROUP's representative
+      (min doc_id of the normalized-URL group — the synthesis plants
+      real collisions), not by each doc. The 'leakage' row measures
+      the problem and the fix on the same data: n_docs = multi-doc
+      groups, min_id = groups a NAIVE per-doc split scatters across
+      splits (> 0), max_id = groups the safe split scatters (0 BY
+      CONSTRUCTION — and the oracle recomputes rather than assumes
+      it). 'split_safe' rows are the resulting per-split doc counts.
 
-    All three hash-checked against the DuckDB oracle."""
+    All stages hash-checked against the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     agg = lambda g: [  # noqa: E731 — shared 3-metric summary
         F.count(F.lit(1)).alias("n_docs"),
@@ -966,7 +994,44 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("mixture_threshold").alias("stage"), "label",
                 "n_docs", "min_id", "max_id")
     )
-    return split.unionByName(ex).unionByName(th)
+
+    base = split.unionByName(ex).unionByName(th)
+    if not include_leakage:
+        return base  # round-4-equivalent sub-plan (bench extras)
+
+    grp_w = Window.partitionBy("grp")
+    lab = docs.select(
+        "doc_id",
+        tx.normalize_url(_messy_url(F.col("doc_id"), F.col("source")))
+        .alias("grp"),
+    ).select(
+        "doc_id", "grp",
+        tx.train_val_test_split(F.col("doc_id")).alias("naive"),
+        tx.train_val_test_split(
+            F.min("doc_id").over(grp_w)
+        ).alias("safe"),
+    )
+    per_group = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("naive").alias("nn"),
+        F.countDistinct("safe").alias("ns"),
+    )
+    leak = per_group.filter(F.col("sz") > 1).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("nn") > 1).cast("long")).alias("min_id"),
+        F.sum((F.col("ns") > 1).cast("long")).alias("max_id"),
+    ).select(
+        F.lit("leakage").alias("stage"),
+        F.lit("url_groups").alias("label"),
+        "n_docs", "min_id", "max_id",
+    )
+    safe_counts = (
+        lab.groupBy(F.col("safe").alias("label"))
+        .agg(*agg("safe"))
+        .select(F.lit("split_safe").alias("stage"), "label",
+                "n_docs", "min_id", "max_id")
+    )
+    return base.unionByName(leak).unionByName(safe_counts)
 
 
 # The oracle's per-domain fractions come from the SAME dict the Spark
@@ -1016,7 +1081,46 @@ SELECT 'mixture_threshold' AS stage, source AS label, count(*) AS n_docs,
 FROM bkt
 WHERE {_B0_DOC} % 256 < floor(frac * 256 + 0.5)
 GROUP BY source
+UNION ALL
+-- leakage-safe split: naive vs group-representative membership over
+-- the planted URL-collision groups
+SELECT 'leakage', 'url_groups', count(*),
+       CAST(sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM (
+  SELECT grp, count(*) AS sz,
+         count(DISTINCT naive) AS nn, count(DISTINCT safe) AS ns
+  FROM ({{LEAK_LABELS}}) GROUP BY grp
+) WHERE sz > 1
+UNION ALL
+SELECT 'split_safe', safe, count(*), min(doc_id), max(doc_id)
+FROM ({{LEAK_LABELS}}) GROUP BY safe
 """
+
+# per-doc naive/safe labels over the URL-collision groups: the hash
+# rule is the SAME first-md5-hex-byte bucket as the 'split' stage,
+# applied to doc_id (naive) and to the group's min doc_id (safe)
+_LEAK_LABELS_SQL = f"""
+WITH ug AS (SELECT doc_id, {{URL_NORM}} AS grp FROM documents),
+ur AS (SELECT doc_id, grp,
+              min(doc_id) OVER (PARTITION BY grp) AS rep
+       FROM ug),
+uh AS (SELECT doc_id, grp,
+              md5(doc_id::VARCHAR) AS h, md5(rep::VARCHAR) AS hr
+       FROM ur)
+SELECT doc_id, grp,
+       CASE WHEN {_B0_DOC} % 256 < 13 THEN 'test'
+            WHEN {_B0_DOC} % 256 < 26 THEN 'val'
+            ELSE 'train' END AS naive,
+       CASE WHEN {_B0_DOC.replace("h,", "hr,")} % 256 < 13 THEN 'test'
+            WHEN {_B0_DOC.replace("h,", "hr,")} % 256 < 26 THEN 'val'
+            ELSE 'train' END AS safe
+FROM uh
+"""
+
+SPLIT_ORACLE = SPLIT_ORACLE.replace(
+    "{LEAK_LABELS}", _LEAK_LABELS_SQL.replace("{URL_NORM}", _URL_NORM_SQL)
+)
 
 
 def text_profile(spark: SparkSession, sf_dir: str,
