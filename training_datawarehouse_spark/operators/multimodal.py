@@ -581,6 +581,23 @@ def resize_png(data: bytes, width: int, height: int) -> bytes:
     return encode_png(width, height, out.tobytes())
 
 
+def resize_webp(data: bytes, width: int, height: int) -> bytes:
+    """REAL WebP-lossless resize: full VP8L decode, nearest-neighbor
+    resample of the RGBA raster (per-channel index arithmetic —
+    deterministic, no float kernels), re-encode as a plain literal
+    VP8L stream."""
+    from . import vp8l
+
+    img = vp8l.decode_vp8l(data)
+    src = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+        img["height"], img["width"], 4
+    )
+    ys = (np.arange(height) * img["height"]) // height
+    xs = (np.arange(width) * img["width"]) // width
+    out = src[np.ix_(ys, xs)]
+    return vp8l.encode_vp8l(width, height, out.tobytes())
+
+
 def resize_images(
     df: DataFrame, width: int = 32, height: int = 32
 ) -> DataFrame:
@@ -615,6 +632,11 @@ def resize_images(
                         resized = resize_jpeg(bytes(payload), width, height)
                     except _CODEC_ERRORS:
                         resized = None  # progressive/exotic JPEG → stub
+                elif raw0[:4] == b"RIFF":
+                    try:
+                        resized = resize_webp(bytes(payload), width, height)
+                    except _CODEC_ERRORS:
+                        resized = None  # lossy/extended WebP, AVI → stub
                 if resized is None:
                     reps = -(-target // len(payload))  # ceil
                     resized = (payload * reps)[:target]
@@ -645,10 +667,10 @@ def _stat_features(arr: np.ndarray, dim: int) -> list[float]:
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Feature extraction: (id, payload) → (id, float vector).
 
-    Real PNG payloads are decoded and featurized from the raster
-    (pixels/255); real WAV payloads from their PCM samples; opaque
-    payloads fall back to the deterministic hash-window STUB (the slot
-    a learned encoder would fill). Output is a dense ``array<float>``
+    Real PNG / baseline-JPEG / WebP-lossless payloads are decoded and
+    featurized from the raster (pixels/255); real WAV payloads from
+    their PCM samples; opaque payloads fall back to the deterministic
+    hash-window STUB (the slot a learned encoder would fill). Output is a dense ``array<float>``
     column — the same shape the similarity operators consume, so the
     multimodal and embedding halves of the engine compose end-to-end
     (tested).
@@ -681,13 +703,23 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             except _CODEC_ERRORS:
                 pass  # progressive/exotic JPEG → stub
         if raw[:4] == b"RIFF":
-            try:
-                meta = decode_wav(raw)
-                pcm = np.frombuffer(meta["pcm"], dtype="<i2")
-                return _stat_features(
-                    (pcm.astype("float64") / 32768.0 + 1.0) / 2.0, dim)
-            except _CODEC_ERRORS:
-                pass  # non-WAV RIFF container (WebP/AVI) → stub
+            if raw[8:12] == b"WEBP":
+                try:
+                    from . import vp8l as _v
+
+                    img = _v.decode_vp8l(raw)
+                    arr = np.frombuffer(img["pixels"], dtype=np.uint8) / 255.0
+                    return _stat_features(arr, dim)
+                except _CODEC_ERRORS:
+                    pass  # lossy/extended WebP → stub
+            else:
+                try:
+                    meta = decode_wav(raw)
+                    pcm = np.frombuffer(meta["pcm"], dtype="<i2")
+                    return _stat_features(
+                        (pcm.astype("float64") / 32768.0 + 1.0) / 2.0, dim)
+                except _CODEC_ERRORS:
+                    pass  # non-WAV/WebP RIFF container (AVI) → stub
         vec = []
         for i in range(dim):
             h = hashlib.sha256(raw + bytes([i])).digest()
