@@ -620,3 +620,44 @@ def test_url_normalization_dedup(spark):
     assert rows[0]["dom"] == "example.com"
     assert rows[0]["depth"] == 2
     assert [rows[i]["ntrk"] for i in range(5)] == [1, 0, 1, 2, 0]
+
+
+def test_url_normalize_no_query_and_root(spark):
+    """Edges: a URL with no query at all, and a bare-root URL."""
+    from training_datawarehouse_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(0, "HTTP://Host.Example.ORG/Just/Path"),
+         (1, "https://example.org")],
+        "i long, url string",
+    )
+    rows = {r["i"]: r for r in df.select(
+        "i",
+        tx.normalize_url(F.col("url")).alias("norm"),
+        tx.url_path_depth(F.col("url")).alias("d"),
+        tx.n_tracking_params(F.col("url")).alias("t"),
+    ).collect()}
+    assert rows[0]["norm"] == "http://host.example.org/Just/Path"
+    assert rows[0]["d"] == 2 and rows[0]["t"] == 0
+    assert rows[1]["norm"] == "https://example.org"
+    assert rows[1]["d"] == 0 and rows[1]["t"] == 0
+
+
+def test_bigram_lm_topk_tiebreak_deterministic(spark):
+    """The pruned model's top-K selection must break count ties by
+    bigram string ascending — re-running yields identical scores, and
+    a 2-bigram corpus with K=1 keeps exactly the lexicographically
+    first of the tied pair (the other scores as OOV)."""
+    from training_datawarehouse_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "b c"), (2, "a c")], "doc_id long, text string"
+    )
+    # bigrams 'b c' and 'a c' both have count 1 -> tie; K=1 keeps 'a c'
+    out = {r["doc_id"]: r for r in
+           bigram_lm_scores(df, "doc_id", "text", top_k=1).collect()}
+    assert out[2]["n_oov_bigrams"] == 0   # 'a c' kept
+    assert out[1]["n_oov_bigrams"] == 1   # 'b c' pruned -> OOV
+    again = {r["doc_id"]: r["lm_score"] for r in
+             bigram_lm_scores(df, "doc_id", "text", top_k=1).collect()}
+    assert {k: v["lm_score"] for k, v in out.items()} == again
