@@ -398,10 +398,17 @@ def bigram_lm_scores(
     )
     bg_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     top = bg_counts.orderBy(F.col("cb").desc(), "bg").limit(top_k)
+    # Persist the (small, vocab-sized) unigram-count table BEFORE
+    # collecting V: without it the vocab_size count() runs the
+    # explode+groupBy once and the broadcast join below re-runs the
+    # SAME corpus scan a second time — an entire avoidable corpus
+    # pass at 100 TB. With the persist, the count() materializes the
+    # counts and the join reads them back as an InMemoryTableScan
+    # (plan-gate-asserted in tests/test_dedup_similarity.py).
     uni_counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    )
+    ).persist()
     vocab_size = uni_counts.count()
     logp = F.ln(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
