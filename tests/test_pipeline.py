@@ -520,3 +520,36 @@ def test_load_quarantined_single_pass_one_scan(spark, tmp_path):
             assert "FileScan" not in executing
     finally:
         release()
+
+
+def test_load_quarantined_remote_path_delegates(monkeypatch):
+    """A remote-shaped path (object store / HDFS / HTTP scheme) must
+    route through the single-pass loader — on remote storage the
+    two-pass variant's second scan is a second egress bill. Local and
+    ``file:`` paths keep the two-scan path (OS page cache makes it
+    cheap). Routing only — no I/O, so no Spark session needed."""
+    from training_datawarehouse_spark.sources import tables as tb
+
+    calls = []
+    monkeypatch.setattr(
+        tb, "load_quarantined_single_pass",
+        lambda spark, path, schema, fmt, corrupt_col: (
+            calls.append(path) or ("GOOD", "BAD", lambda: None)
+        ),
+    )
+    two_pass = []
+    monkeypatch.setattr(
+        tb, "_read_permissive",
+        lambda *a: two_pass.append(a[1]) or None,
+    )
+    monkeypatch.setattr(tb, "_split_quarantine", lambda df, s, c: ("g", "b"))
+
+    for remote in ("s3a://bucket/in.jsonl", "gs://b/x.json",
+                   "hdfs://nn/path", "HTTPS://host/x.json"):
+        assert tb.load_quarantined(None, remote, None) == ("GOOD", "BAD")
+    assert calls == ["s3a://bucket/in.jsonl", "gs://b/x.json",
+                     "hdfs://nn/path", "HTTPS://host/x.json"]
+    for local in ("/data/in.jsonl", "file:///data/in.jsonl", "rel/p.json"):
+        assert tb.load_quarantined(None, local, None) == ("g", "b")
+    assert two_pass == ["/data/in.jsonl", "file:///data/in.jsonl",
+                       "rel/p.json"]

@@ -108,13 +108,38 @@ def load_quarantined(
     carries the partially-parsed columns alongside ``raw_record`` —
     which a quarantine sink wants anyway (they show WHAT half-parsed).
     ``good``/``bad`` are two reads of the same files, each
-    column-pruned — fine for local/cheap storage. When the source is
-    remote (S3/GCS, where a second scan is a second egress bill), use
-    ``load_quarantined_single_pass`` instead: one materialized read,
-    both splits served from the cache.
+    column-pruned — fine for LOCAL/cheap storage only. When the source
+    is remote (S3/GCS/HDFS, where a second scan is a second egress
+    bill), use ``load_quarantined_single_pass`` instead: one
+    materialized read, both splits served from the cache. A
+    remote-shaped ``path`` (scheme in ``_REMOTE_SCHEMES``) DELEGATES
+    to the single-pass loader automatically (tested in
+    tests/test_pipeline.py); the delegated cache stays pinned until
+    the session ends — call the single-pass API directly when you
+    want the explicit ``release()`` lifecycle.
     """
+    if _is_remote_path(path):
+        good, bad, _release = load_quarantined_single_pass(
+            spark, path, schema, fmt, corrupt_col
+        )
+        return good, bad
     df = _read_permissive(spark, path, schema, fmt, corrupt_col)
     return _split_quarantine(df, schema, corrupt_col)
+
+
+#: URI schemes where a second scan of the source re-fetches the bytes
+#: over the network: object stores, HDFS, and plain HTTP. ``file:``
+#: and scheme-less paths are local — the OS page cache makes the
+#: second column-pruned scan cheap there.
+_REMOTE_SCHEMES = frozenset(
+    ("s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss", "wasb", "wasbs",
+     "hdfs", "oss", "cos", "http", "https")
+)
+
+
+def _is_remote_path(path: str) -> bool:
+    scheme, sep, _rest = path.partition("://")
+    return bool(sep) and scheme.lower() in _REMOTE_SCHEMES
 
 
 def load_quarantined_single_pass(
