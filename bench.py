@@ -65,10 +65,11 @@ MANIFEST = [
      "desc": "first-writer-wins dedup"},
     {"name": "ns_dedup_exact", "semver": 1,
      "desc": "exact hash dedup, min_by agg"},
-    {"name": "ns_text_profile", "semver": 3,
+    {"name": "ns_text_profile", "semver": 4,
      "desc": "r3: absorbed fingerprint + dupe-group entries onto one scan; "
              "r5: + corpus-trained bigram-LM quality score (train + "
-             "score, oracle-retrained)"},
+             "score, oracle-retrained); r6: + distributed BPE tokenizer "
+             "training (8 merges, oracle-retrained) + re-encoding"},
     {"name": "ns_similarity_topk", "semver": 1,
      "desc": "brute-force cosine top-k"},
     {"name": "ns_dedup_lsh_cross_modal", "semver": 2,
@@ -180,9 +181,14 @@ def _extras() -> list[dict]:
              "builder": lambda s, d: _compat(split_train_val,
                  s, d, include_leakage=False)},
             {"name": "ns_text_profile__r4equiv", "semver": 2,
-             "desc": "ns_text_profile semver-2 sub-plan (no bigram-LM stage)",
+             "desc": "ns_text_profile semver-2 sub-plan (no bigram-LM / "
+                     "BPE stages)",
              "builder": lambda s, d: _compat(text_profile,
-                 s, d, include_lm=False)},
+                 s, d, include_lm=False, include_bpe=False)},
+            {"name": "ns_text_profile__r5equiv", "semver": 3,
+             "desc": "ns_text_profile semver-3 sub-plan (no BPE stage)",
+             "builder": lambda s, d: _compat(text_profile,
+                 s, d, include_bpe=False)},
         ]
     except (ImportError, TypeError):
         pass  # older code state: no twins to time

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import bpe
 from ..operators import dedup as dd
 from ..operators import sampling
 from ..operators import sharding
@@ -1125,7 +1126,8 @@ SPLIT_ORACLE = SPLIT_ORACLE.replace(
 
 def text_profile(spark: SparkSession, sf_dir: str,
                  include_fingerprint: bool = True,
-                 include_lm: bool = True) -> DataFrame:
+                 include_lm: bool = True,
+                 include_bpe: bool = True) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
     counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
     the canonical md5 fingerprint with its dupe-group size — ONE
@@ -1144,7 +1146,18 @@ def text_profile(spark: SparkSession, sf_dir: str,
     DuckDB oracle retrains the identical model and must reproduce the
     score to 1e-6 — model training AND scoring are differentially
     checked, not just the plumbing. ``include_lm=False`` is the
-    round-4-equivalent sub-plan for the bench extras."""
+    round-4-equivalent sub-plan for the bench extras.
+
+    r6 adds the distributed BPE subword-tokenizer training stage
+    (``operators/bpe.py``): k=8 merges trained on the corpus's
+    word-frequency table (one corpus scan, then vocabulary-sized
+    jobs with scalar-only driver traffic), documents re-encoded via a
+    broadcast join against the trained word->symbols table. The
+    DuckDB oracle RETRAINS the identical merges (k unrolled
+    recursive-CTE stages) — the learned merge sequence is stamped as
+    the constant ``bpe_merges`` column so training is checked
+    symbol-for-symbol, and ``bpe_n_tokens`` checks the encoding.
+    ``include_bpe=False`` is the round-5-equivalent sub-plan."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     base = docs.select(
@@ -1168,11 +1181,18 @@ def text_profile(spark: SparkSession, sf_dir: str,
     if include_lm:
         lm = tx.bigram_lm_scores(docs, "doc_id", "text", top_k=200)
         prof = prof.join(lm, "doc_id", "left")
+    if include_bpe:
+        vocab, merges = bpe.train_bpe(docs, "text", num_merges=8)
+        enc = bpe.encode_token_counts(docs, vocab, "doc_id", "text")
+        prof = prof.join(enc, "doc_id", "left").withColumn(
+            "bpe_merges", F.lit(bpe.merges_tag(merges))
+        )
     return prof
 
 
 TEXT_PROFILE_ORACLE = f"""
-WITH ts AS ({TEXT_STATS_ORACLE}),
+WITH RECURSIVE ts AS ({TEXT_STATS_ORACLE}),
+{bpe.bpe_oracle_ctes(num_merges=8)},
 tr AS ({TOKEN_REGEX_ORACLE}),
 fp AS (
   SELECT doc_id,
@@ -1213,9 +1233,12 @@ lmsc AS (
 )
 SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct,
        fp.fp, count(*) OVER (PARTITION BY fp.fp) AS group_size,
-       lmsc.lm_score, lmsc.n_bigrams, lmsc.n_oov_bigrams
+       lmsc.lm_score, lmsc.n_bigrams, lmsc.n_oov_bigrams,
+       bpe_enc.bpe_n_tokens,
+       (SELECT tag FROM bpe_merge_tag) AS bpe_merges
 FROM ts JOIN tr USING (doc_id) JOIN fp USING (doc_id)
 LEFT JOIN lmsc USING (doc_id)
+LEFT JOIN bpe_enc USING (doc_id)
 """
 
 
