@@ -507,3 +507,103 @@ def test_pil_real_pixel_parity():
     for ftype in range(5):
         png = mm.encode_png(w, h, pixels, filter_type=ftype)
         assert mm._pil_decode_png(png) == mm.decode_png(png)
+
+
+def test_append_mode_boundary(spark, tmp_path):
+    """PINS Spark's append-mode finalization boundary: a window whose
+    END equals the watermark exactly IS emitted (window_end <= wm),
+    and an incoming row strictly older than the watermark is dropped
+    with numRowsDroppedByWatermark counting it. The 'late' stage's
+    oracle SQL encodes exactly this rule — if a Spark upgrade ever
+    flips the boundary, this test fails before the driver gate does."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.streaming.events_stream import (
+        stream_events, windowed_counts,
+    )
+
+    def ev(eid, ts, typ="click", val=1.0):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": typ, "value": val, "props": ""}
+
+    from datetime import datetime
+    d = datetime
+    # watermark after batch a = max(ts) - 1 day = Jan 1 06:00:00 ==
+    # the exact end of e1's [00:00, 06:00) window
+    batch_a = [ev(1, d(2024, 1, 1, 0, 30)), ev(2, d(2024, 1, 2, 6, 0))]
+    # batch b: one row INSIDE the already-finalized window -> dropped
+    batch_b = [ev(3, d(2024, 1, 1, 0, 45))]
+    schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ])
+    src = tmp_path / "boundary_src"
+    src.mkdir()
+    import os
+    pa_a = pa.Table.from_pylist(batch_a, schema=schema)
+    pa_b = pa.Table.from_pylist(batch_b, schema=schema)
+    pq.write_table(pa_a, src / "a.parquet")
+    pq.write_table(pa_b, src / "b.parquet")
+    now = os.path.getmtime(src / "a.parquet")
+    os.utime(src / "a.parquet", (now - 20, now - 20))
+    os.utime(src / "b.parquet", (now - 10, now - 10))
+
+    q = (
+        windowed_counts(stream_events(spark, str(src)))
+        .writeStream.format("memory")
+        .queryName("boundary_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in json.loads(p.json)["stateOperators"]
+    )
+    rows = {(str(r["window_start"]), r["event_type"]): r["n"]
+            for r in spark.table("boundary_sink").collect()}
+    # e1's window (end == watermark) emitted, with ONLY the on-time row
+    assert rows == {("2024-01-01 00:00:00", "click"): 1}
+    assert dropped == 1
+
+
+def test_stream_late_stage_drops_planted_rows(spark):
+    """The 'late' stage builder at sf0.001: planted rows never reach
+    any window, the summary row carries exactly N_PLANTED_LATE, and
+    emitted windows equal the batch recompute restricted to
+    window_end <= max(ts) - 1 day."""
+    from training_datawarehouse_spark.plans.relational import (
+        N_PLANTED_LATE, stream_late_e2e, tumbling_window,
+    )
+
+    out = stream_late_e2e(spark, SF_DIR)
+    rows = out.collect()
+    summary = [r for r in rows if r["k1"] == "__late_dropped"]
+    assert len(summary) == 1 and summary[0]["n"] == N_PLANTED_LATE
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = {
+        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]):
+            (r["n"], r["total_value"])
+        for r in tumbling_window(spark, SF_DIR).collect()
+        if r["window_start"].timestamp() + 6 * 3600 <= wm.timestamp()
+    }
+    streamed = {
+        (r["k1"], r["k2"]): (r["n"], r["v"])
+        for r in rows if r["k1"] != "__late_dropped"
+    }
+    assert streamed == batch

@@ -160,7 +160,12 @@ def main() -> None:
     pooled: dict[str, dict[str, list[float]]] = {"base": {}, "head": {}}
     try:
         for k in range(args.pairs):
-            for side, cwd in (("base", WORKTREE), ("head", REPO)):
+            # alternate within-pair order: with a fixed order, load that
+            # ramps monotonically during the study penalizes whichever
+            # side always runs second (observed in the r6 study as a
+            # spurious ~1.1x head-side factor on code-identical entries)
+            order = (("base", WORKTREE), ("head", REPO))
+            for side, cwd in (order if k % 2 == 0 else order[::-1]):
                 res = run_bench(cwd, args.sf_dir, args.n, args.only)
                 for name, samples in res.get("samples", {}).items():
                     pooled[side].setdefault(name, []).extend(samples)

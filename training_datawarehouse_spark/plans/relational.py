@@ -428,12 +428,133 @@ def stream_stateful_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: planted-late-row count for the 'late' streaming stage — a constant
+#: so the eviction metric itself is oracle-checked, not just logged
+N_PLANTED_LATE = 500
+
+
+def stream_late_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop + watermark state eviction, PROVEN under the
+    driver's differential gate (r5 VERDICT task 5): batch 0 streams
+    the full events file; batch 1 streams ``N_PLANTED_LATE`` planted
+    rows whose event time equals the corpus MINIMUM — far older than
+    the post-batch-0 watermark (max ts − 1 day) — into windows that
+    batch 0 already finalized. In append mode those rows must be
+    dropped by the watermark (their state was evicted), so:
+
+    - the emitted window rows must equal the batch aggregation over
+      the ORIGINAL events only, restricted to finalized windows
+      (window_end <= final watermark — boundary rule pinned by
+      tests/test_streaming_multimodal.py::test_append_mode_boundary);
+      if a planted row leaked into an old window, n and v there would
+      differ and the hash gate fails;
+    - the state store's ``numRowsDroppedByWatermark`` metric, summed
+      over micro-batches, must equal exactly ``N_PLANTED_LATE`` — it
+      is emitted as the '__late_dropped' summary row, so the eviction
+      METRIC is hash-checked too, not asserted in pytest alone.
+
+    100 TB shape: watermark-bounded state is THE thing that makes
+    streaming aggregation viable at scale — without eviction the
+    (window, type) state grows without bound; this stage is the
+    executable proof the eviction actually happens.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.events_stream import stream_events, windowed_counts
+
+    name = f"op_stream_late_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        p0 = os.path.join(src, "a_ontime.parquet")
+        pq.write_table(t, p0)
+
+        tmin = pa.compute.min(t.column("ts")).as_py()
+        tmax = pa.compute.max(t.column("ts")).as_py()
+        span = (tmax - tmin) if not isinstance(tmin, int) else (
+            (tmax - tmin) / 1e9  # nanos-as-int64 layout
+        )
+        day_s = 86400.0
+        span_s = span.total_seconds() if hasattr(span, "total_seconds") else span
+        if span_s <= day_s + 6 * 3600:
+            raise ValueError(
+                "events span must exceed watermark delay + one window "
+                "for the planted rows to be provably late"
+            )
+        late = pa.Table.from_pydict(
+            {
+                "event_id": [10_000_000_000 + i for i in range(N_PLANTED_LATE)],
+                "ts": [tmin] * N_PLANTED_LATE,
+                "user_id": [1] * N_PLANTED_LATE,
+                "event_type": ["click"] * N_PLANTED_LATE,
+                "value": [123.45] * N_PLANTED_LATE,
+                "props": ["planted-late"] * N_PLANTED_LATE,
+            },
+            schema=t.schema,
+        )
+        p1 = os.path.join(src, "b_late.parquet")
+        pq.write_table(late, p1)
+        # FileStreamSource orders new files by modification time; make
+        # the on-time file strictly older so batch 0 sets the watermark
+        now = os.path.getmtime(p0)
+        os.utime(p0, (now - 20, now - 20))
+        os.utime(p1, (now - 10, now - 10))
+
+        q = (
+            windowed_counts(stream_events(spark, src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "late-data streaming drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in json.loads(p.json)["stateOperators"]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    emitted = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").alias("v"),
+    )
+    summary = spark.range(1).select(
+        F.lit("__late_dropped").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(int(dropped)).cast("long").alias("n"),
+        F.lit(0.0).alias("v"),
+    )
+    return emitted.unionByName(summary)
+
+
 def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL micro-batch executions under one tagged entry: the
     tumbling-window aggregation ('windows' stage), the watermarked
-    stream-stream interval join ('ssjoin' stage), and the
+    stream-stream interval join ('ssjoin' stage), the
     ``applyInPandasWithState`` running totals ('stateful' stage, r5),
-    each drained with ``trigger(availableNow)`` and aligned onto
+    and the planted-late-rows watermark-eviction proof ('late' stage,
+    r6 — append mode, dropped-row metric oracle-checked), each
+    drained with ``trigger(availableNow)`` and aligned onto
     (stage, k1, k2, n, v) so the batch SQL oracles apply verbatim per
     stage."""
     st = stream_stateful_e2e(spark, sf_dir).select(
@@ -457,7 +578,10 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").cast("long").alias("n"),
         F.col("purchase_value").alias("v"),
     )
-    return win.unionByName(join).unionByName(st)
+    late = stream_late_e2e(spark, sf_dir).select(
+        F.lit("late").alias("stage"), "k1", "k2", "n", "v",
+    )
+    return win.unionByName(join).unionByName(st).unionByName(late)
 
 
 def skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +636,20 @@ SELECT 'stateful', CAST(user_id AS VARCHAR), CAST(NULL AS VARCHAR),
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
 FROM events
 GROUP BY user_id
+UNION ALL
+-- late: append-mode drain with {N_PLANTED_LATE} planted rows older than the
+-- watermark. Emitted = original-events windows finalized by the final
+-- watermark (max ts - 1 day; boundary rule window_end <= wm pinned by
+-- test_append_mode_boundary); planted rows must NOT appear anywhere,
+-- and the dropped-row metric surfaces as the '__late_dropped' row.
+SELECT 'late', strftime(window_start, '%Y-%m-%d %H:%M:%S'),
+       event_type, n, total_value
+FROM win
+WHERE window_start + INTERVAL '6 hours'
+      <= (SELECT max(ts) - INTERVAL '1 day' FROM events)
+UNION ALL
+SELECT 'late', '__late_dropped', CAST(NULL AS VARCHAR),
+       {N_PLANTED_LATE}, 0.0
 """
 
 
