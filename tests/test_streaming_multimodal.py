@@ -509,33 +509,36 @@ def test_pil_real_pixel_parity():
         assert mm._pil_decode_png(png) == mm.decode_png(png)
 
 
-def test_append_mode_boundary(spark, tmp_path):
-    """PINS Spark's append-mode finalization boundary: a window whose
-    END equals the watermark exactly IS emitted (window_end <= wm),
-    and an incoming row strictly older than the watermark is dropped
-    with numRowsDroppedByWatermark counting it. The 'late' stage's
-    oracle SQL encodes exactly this rule — if a Spark upgrade ever
-    flips the boundary, this test fails before the driver gate does."""
+def test_watermark_filter_lag(spark, tmp_path):
+    """PINS three empirically-observed Spark append-mode rules the
+    'late' stage and its oracle depend on:
+
+    1. The late-row FILTER uses the watermark committed one batch
+       earlier than the progress-reported value: a late row arriving
+       in the batch immediately after the watermark-setting data is
+       NOT dropped (it re-creates state and its window is emitted) —
+       which is why the production stage inserts a fresh-row batch
+       before the planted-late batch.
+    2. A late row arriving TWO batches after the watermark-setting
+       data IS dropped, and numRowsDroppedByWatermark counts it.
+    3. Emission boundary: a window whose end EQUALS the final
+       watermark is emitted (window_end <= wm, non-strict) — the
+       oracle SQL encodes exactly this.
+
+    If a Spark upgrade changes any of these, this test fails before
+    the driver gate does."""
     import json
+    import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from datetime import datetime as d
 
     from training_datawarehouse_spark.streaming.events_stream import (
         stream_events, windowed_counts,
     )
 
-    def ev(eid, ts, typ="click", val=1.0):
-        return {"event_id": eid, "ts": ts, "user_id": 1,
-                "event_type": typ, "value": val, "props": ""}
-
-    from datetime import datetime
-    d = datetime
-    # watermark after batch a = max(ts) - 1 day = Jan 1 06:00:00 ==
-    # the exact end of e1's [00:00, 06:00) window
-    batch_a = [ev(1, d(2024, 1, 1, 0, 30)), ev(2, d(2024, 1, 2, 6, 0))]
-    # batch b: one row INSIDE the already-finalized window -> dropped
-    batch_b = [ev(3, d(2024, 1, 1, 0, 45))]
     schema = pa.schema([
         ("event_id", pa.int64()),
         ("ts", pa.timestamp("us")),
@@ -544,21 +547,35 @@ def test_append_mode_boundary(spark, tmp_path):
         ("value", pa.float64()),
         ("props", pa.string()),
     ])
-    src = tmp_path / "boundary_src"
+
+    def ev(eid, ts):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "click", "value": 1.0, "props": ""}
+
+    src = tmp_path / "lag_src"
     src.mkdir()
-    import os
-    pa_a = pa.Table.from_pylist(batch_a, schema=schema)
-    pa_b = pa.Table.from_pylist(batch_b, schema=schema)
-    pq.write_table(pa_a, src / "a.parquet")
-    pq.write_table(pa_b, src / "b.parquet")
+    # batch a: sets watermark = Jan 2 06:00 - 1 day = Jan 1 06:00,
+    # which is EXACTLY the end of e1's [00:00, 06:00) window (rule 3)
+    pq.write_table(pa.Table.from_pylist(
+        [ev(1, d(2024, 1, 1, 0, 30)), ev(2, d(2024, 1, 2, 6, 0))],
+        schema=schema), src / "a.parquet")
+    # batch b: fresh row + a late row (window end Dec 31 00:00 < wm)
+    # that the LAGGED filter watermark does not yet see (rule 1)
+    pq.write_table(pa.Table.from_pylist(
+        [ev(3, d(2024, 1, 2, 6, 0)), ev(4, d(2023, 12, 30, 23, 45))],
+        schema=schema), src / "b.parquet")
+    # batch c: the same late timestamp again — NOW dropped (rule 2)
+    pq.write_table(pa.Table.from_pylist(
+        [ev(5, d(2023, 12, 30, 23, 45))],
+        schema=schema), src / "c.parquet")
     now = os.path.getmtime(src / "a.parquet")
-    os.utime(src / "a.parquet", (now - 20, now - 20))
-    os.utime(src / "b.parquet", (now - 10, now - 10))
+    for i, f in enumerate(("a", "b", "c")):
+        os.utime(src / f"{f}.parquet", (now - 30 + 10 * i,) * 2)
 
     q = (
         windowed_counts(stream_events(spark, str(src)))
         .writeStream.format("memory")
-        .queryName("boundary_sink")
+        .queryName("lag_sink")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -572,10 +589,15 @@ def test_append_mode_boundary(spark, tmp_path):
         for op in json.loads(p.json)["stateOperators"]
     )
     rows = {(str(r["window_start"]), r["event_type"]): r["n"]
-            for r in spark.table("boundary_sink").collect()}
-    # e1's window (end == watermark) emitted, with ONLY the on-time row
-    assert rows == {("2024-01-01 00:00:00", "click"): 1}
+            for r in spark.table("lag_sink").collect()}
+    # rule 2: exactly the batch-c row dropped
     assert dropped == 1
+    # rule 1: the batch-b late row was accepted -> its window emitted;
+    # rule 3: e1's window (end == final watermark) emitted
+    assert rows == {
+        ("2023-12-30 18:00:00", "click"): 1,
+        ("2024-01-01 00:00:00", "click"): 1,
+    }
 
 
 def test_stream_late_stage_drops_planted_rows(spark):

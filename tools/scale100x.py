@@ -1,9 +1,16 @@
-"""100× measured-scaling spot-check (round-5 verdict task 6).
+"""100× measured-scaling spot-check (round-5 verdict task 6; extended
+to the MinHash-LSH dedup family in round 6 per VERDICT r5 task 3).
 
 Extends tools/scale10x.py's replica method by another decade for the
-three cheapest-to-replicate operator families — scan-agg (tpch_q1),
-exact dedup (ns_dedup_exact), as-of join (op_jn_asof) — and, new
-here, SPLITS COMPUTE FROM DRIVER TRANSFER: each query is timed both
+scan-agg (tpch_q1), exact-dedup (ns_dedup_exact), as-of-join
+(op_jn_asof) families plus — r6 — the full MinHash-LSH cross-modal
+pipeline (the registry md5 family AND the production xxhash64 twin,
+~500 k documents at 100×, near-dup density kept linear by the same
+9-of-10 per-copy perturbation rule: text suffixes for documents,
+vector rotations for embeddings, vec_id shifted by DOCUMENTS' row
+count so the doc_id ≡ vec_id cross-modal prefix stays aligned), and a
+bucket-size-distribution probe recording the hot-bucket cap behavior.
+It SPLITS COMPUTE FROM DRIVER TRANSFER: each query is timed both
 as ``collect()`` (what bench.py reports — includes transfer + Python
 Row materialization of the full result on the driver) and as a
 ``noop``-format write (full executor-side materialization of every
@@ -35,14 +42,20 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/spark_graft_sf100x"
 N_COPIES = 100
 
-# only the tables the three spot-check queries touch
-TABLES = ["lineitem", "documents", "events"]
+# only the tables the spot-check queries touch
+TABLES = ["lineitem", "documents", "events", "embeddings"]
 KEY_SHIFT = {
     "lineitem": ["l_orderkey"],
     "events": ["user_id", "event_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
-QUERIES_UNDER_TEST = ["tpch_q1_pricing_summary", "ns_dedup_exact", "op_jn_asof"]
+# vec_id must stay aligned with doc_id across copies (cross-modal
+# joins on doc_id == vec_id over the shared prefix), so embeddings
+# shift by DOCUMENTS' row count, not their own
+SHIFT_SOURCE = {"embeddings": "documents"}
+QUERIES_UNDER_TEST = ["tpch_q1_pricing_summary", "ns_dedup_exact", "op_jn_asof",
+                      "ns_dedup_lsh_cross_modal"]
 
 
 def build_replica(spark) -> None:
@@ -52,15 +65,37 @@ def build_replica(spark) -> None:
         shutil.rmtree(DST)
     os.makedirs(DST)
     copies = F.col("__copy")
+    shift_n = {
+        t: load_table(spark, SRC, t).count() for t in TABLES
+    }
     for t in TABLES:
         df = load_table(spark, SRC, t)
-        n = df.count()
+        n = shift_n[t]
+        shift = shift_n[SHIFT_SOURCE.get(t, t)]
         out = df.crossJoin(
             spark.range(N_COPIES).select(F.col("id").alias("__copy"))
         )
         for k in KEY_SHIFT[t]:
             out = out.withColumn(
-                k, (F.col(k) + copies * F.lit(n + 1)).cast("long")
+                k, (F.col(k) + copies * F.lit(shift + 1)).cast("long")
+            )
+        if t == "embeddings":
+            # 9-of-10 slice per copy gets its vector ROTATED by the
+            # copy index: cosine(x, rot_c(x)) ~ 0 for random vectors,
+            # so cross-copy embedding near-dup density stays linear
+            # (mirrors the documents text-suffix rule); the 1-of-10
+            # identical slice keeps realistic dup groups
+            dim = F.size("embedding")
+            r = F.pmod(copies, dim).cast("int")
+            out = out.withColumn(
+                "embedding",
+                F.when(
+                    (copies > 0) & (F.col("vec_id") % 10 != 0),
+                    F.concat(
+                        F.slice("embedding", r + 1, dim - r),
+                        F.slice("embedding", 1, r),
+                    ),
+                ).otherwise(F.col("embedding")),
             )
         if t == "documents":
             out = out.withColumn(
@@ -120,14 +155,80 @@ def main() -> None:
            f"{'100x coll':>10s} {'100x noop':>9s} {'coll x':>7s} "
            f"{'noop x':>6s} {'rows@100x':>10s}")
     print(hdr)
-    for name in QUERIES_UNDER_TEST:
-        q = QUERIES[name]
+
+    class _Q:  # bench-extra twin: not in the registry, timed the same
+        def __init__(self, builder):
+            self.builder = builder
+
+    from training_datawarehouse_spark.plans.northstar import (
+        lsh_cross_modal_xxhash,
+    )
+
+    under_test = [(n, QUERIES[n]) for n in QUERIES_UNDER_TEST]
+    under_test.append(
+        ("ns_dedup_lsh_xxhash64", _Q(lsh_cross_modal_xxhash))
+    )
+    for name, q in under_test:
         a_coll, a_cnt, _ = time_both(q, spark, SRC)
         b_coll, b_cnt, b_rows = time_both(q, spark, DST)
         print(
             f"{name:28s} {a_coll:9.2f} {a_cnt:8.2f} {b_coll:10.2f} "
             f"{b_cnt:9.2f} {b_coll / a_coll:7.1f} {b_cnt / a_cnt:6.1f} "
             f"{b_rows:10d}",
+            flush=True,
+        )
+
+    bucket_stats(spark)
+
+
+def bucket_stats(spark) -> None:
+    """Hot-bucket cap behavior at both scales: the LSH in-bucket pair
+    expansion is quadratic in bucket size, bounded by the max_bucket
+    cap (operators/dedup.py lsh_candidate_pairs). This probe rebuilds
+    just the signature->band->bucket stage (xxhash64 family, the
+    production parameters: 32 hashes, 8 bands of 4 rows) and records
+    the bucket-size distribution — the quantity the cap governs."""
+    from training_datawarehouse_spark.operators import dedup as dd
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    num_hashes, bands, rows_per_band, cap = 32, 8, 4, 10_000
+    for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dd.hashed_shingles(docs, "doc_id", "text", 3)
+        mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
+        per_doc = sh.groupBy("doc_id").agg(*mins)
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[
+                    F.col(f"h{b * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]).alias("sig"),
+            )
+            for b in range(bands)
+        ])
+        sizes = (
+            per_doc.select(F.explode(band_structs).alias("bs"))
+            .groupBy("bs.band", "bs.sig")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > 1)
+        )
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_sz"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("pairs"),
+            F.sum((F.col("sz") > cap).cast("int")).alias("over_cap"),
+            F.sum(
+                F.when(F.col("sz") > cap,
+                       F.col("sz") * (F.col("sz") - 1) / 2).otherwise(0.0)
+            ).alias("pairs_capped_away"),
+        ).collect()[0]
+        print(
+            f"buckets[{label}]: n>1={row['n_buckets']} "
+            f"max={row['max_sz']} pairs={int(row['pairs'])} "
+            f"over_cap(10k)={row['over_cap']} "
+            f"pairs_capped_away={int(row['pairs_capped_away'] or 0)}",
             flush=True,
         )
 

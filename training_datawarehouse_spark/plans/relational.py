@@ -436,16 +436,22 @@ N_PLANTED_LATE = 500
 def stream_late_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop + watermark state eviction, PROVEN under the
     driver's differential gate (r5 VERDICT task 5): batch 0 streams
-    the full events file; batch 1 streams ``N_PLANTED_LATE`` planted
-    rows whose event time equals the corpus MINIMUM — far older than
-    the post-batch-0 watermark (max ts − 1 day) — into windows that
-    batch 0 already finalized. In append mode those rows must be
-    dropped by the watermark (their state was evicted), so:
+    the full events file; batch 1 streams ONE fresh row at the corpus
+    maximum ts (Spark applies the late-row filter with the watermark
+    committed one batch EARLIER than the progress-reported value — an
+    empirically pinned lag, see
+    tests/test_streaming_multimodal.py::test_watermark_filter_lag —
+    so an intermediate batch is required before planted rows are
+    filterable); batch 2 streams ``N_PLANTED_LATE`` planted rows
+    whose event time equals the corpus MINIMUM — far older than the
+    watermark (max ts − 1 day) — into windows already finalized. In
+    append mode those rows must be dropped by the watermark (their
+    state was evicted), so:
 
     - the emitted window rows must equal the batch aggregation over
       the ORIGINAL events only, restricted to finalized windows
       (window_end <= final watermark — boundary rule pinned by
-      tests/test_streaming_multimodal.py::test_append_mode_boundary);
+      tests/test_streaming_multimodal.py::test_watermark_filter_lag);
       if a planted row leaked into an old window, n and v there would
       differ and the hash gate fails;
     - the state store's ``numRowsDroppedByWatermark`` metric, summed
@@ -489,24 +495,47 @@ def stream_late_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "events span must exceed watermark delay + one window "
                 "for the planted rows to be provably late"
             )
+        # batch 1: one fresh row AT the max ts — keeps the watermark
+        # where it is while letting the lagged filter watermark catch
+        # up; its window's end exceeds the final watermark, so it can
+        # never be emitted and the sink is unaffected by it
+        fresh = pa.Table.from_pydict(
+            {
+                "event_id": [9_999_999_999],
+                "ts": [tmax],
+                "user_id": [1],
+                "event_type": ["click"],
+                "value": [0.0],
+                "props": ["planted-fresh"],
+            },
+            schema=t.schema,
+        )
+        p1 = os.path.join(src, "b_fresh.parquet")
+        pq.write_table(fresh, p1)
+        # one DISTINCT event_type per planted row: the state operator
+        # applies the late filter to partially-aggregated rows, so its
+        # numRowsDroppedByWatermark metric counts dropped GROUPS —
+        # distinct types make groups == planted rows, so the metric
+        # must equal N_PLANTED_LATE exactly
         late = pa.Table.from_pydict(
             {
                 "event_id": [10_000_000_000 + i for i in range(N_PLANTED_LATE)],
                 "ts": [tmin] * N_PLANTED_LATE,
                 "user_id": [1] * N_PLANTED_LATE,
-                "event_type": ["click"] * N_PLANTED_LATE,
+                "event_type": [f"late_{i}" for i in range(N_PLANTED_LATE)],
                 "value": [123.45] * N_PLANTED_LATE,
                 "props": ["planted-late"] * N_PLANTED_LATE,
             },
             schema=t.schema,
         )
-        p1 = os.path.join(src, "b_late.parquet")
-        pq.write_table(late, p1)
+        p2 = os.path.join(src, "c_late.parquet")
+        pq.write_table(late, p2)
         # FileStreamSource orders new files by modification time; make
-        # the on-time file strictly older so batch 0 sets the watermark
+        # the on-time file strictly oldest so batch 0 sets the watermark
         now = os.path.getmtime(p0)
-        os.utime(p0, (now - 20, now - 20))
-        os.utime(p1, (now - 10, now - 10))
+        os.utime(p0, (now - 30, now - 30))
+        os.utime(p1, (now - 20, now - 20))
+        os.utime(p2, (now - 10, now - 10))
 
         q = (
             windowed_counts(stream_events(spark, src))
@@ -640,7 +669,7 @@ UNION ALL
 -- late: append-mode drain with {N_PLANTED_LATE} planted rows older than the
 -- watermark. Emitted = original-events windows finalized by the final
 -- watermark (max ts - 1 day; boundary rule window_end <= wm pinned by
--- test_append_mode_boundary); planted rows must NOT appear anywhere,
+-- test_watermark_filter_lag); planted rows must NOT appear anywhere,
 -- and the dropped-row metric surfaces as the '__late_dropped' row.
 SELECT 'late', strftime(window_start, '%Y-%m-%d %H:%M:%S'),
        event_type, n, total_value
