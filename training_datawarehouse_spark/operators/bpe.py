@@ -234,13 +234,13 @@ def bpe_oracle_ctes(num_merges: int = 8, src: str = "documents",
     (doc_id, bpe_n_tokens). Must be spliced into a WITH RECURSIVE.
     """
     parts = [f"""
-bpe_tw AS (
+bpe_tw AS MATERIALIZED (
   SELECT doc_id, w FROM (
     SELECT doc_id, unnest(string_split(lower({text_col}), ' ')) AS w
     FROM {src}
   ) WHERE regexp_matches(w, '^[a-z]+$')
 ),
-bpe_w0 AS (
+bpe_w0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt,
          ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '{EOW} ' AS seq
   FROM bpe_tw GROUP BY w
@@ -248,7 +248,7 @@ bpe_w0 AS (
     for i in range(1, num_merges + 1):
         p = i - 1
         parts.append(f"""
-bpe_p{i} AS (
+bpe_p{i} AS MATERIALIZED (
   SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
          sum(cnt) AS c
   FROM (
@@ -257,7 +257,7 @@ bpe_p{i} AS (
     FROM (SELECT cnt, string_split(trim(seq), ' ') AS l FROM bpe_w{p})
   ) GROUP BY a, b
 ),
-bpe_b{i} AS (SELECT a, b, c FROM bpe_p{i} ORDER BY c DESC, a, b LIMIT 1),
+bpe_b{i} AS MATERIALIZED (SELECT a, b, c FROM bpe_p{i} ORDER BY c DESC, a, b LIMIT 1),
 bpe_m{i} AS (
   SELECT w, cnt, '' AS done, seq AS todo FROM bpe_w{p}
   UNION ALL
@@ -270,7 +270,7 @@ bpe_m{i} AS (
         FROM bpe_b{i}) x
   WHERE strpos(m.todo, x.pat) > 0
 ),
-bpe_w{i} AS (
+bpe_w{i} AS MATERIALIZED (
   SELECT w, cnt, done || todo AS seq FROM bpe_m{i}
   WHERE strpos(todo, coalesce(
           (SELECT ' ' || a || ' ' || b || ' ' FROM bpe_b{i}), chr(1))) = 0
@@ -281,7 +281,7 @@ bpe_w{i} AS (
     )
     parts.append(f"""
 bpe_merge_tag AS (SELECT {tag} AS tag),
-bpe_enc AS (
+bpe_enc AS MATERIALIZED (
   SELECT t.doc_id,
          CAST(sum(len(string_split(trim(v.seq), ' '))) AS BIGINT)
            AS bpe_n_tokens
