@@ -152,7 +152,11 @@ SHUFFLE_BUDGET = {
     # bigram-LM stage (bigram groupBy, unigram groupBy, per-doc score
     # groupBy; the model itself broadcasts, top-K select is
     # TakeOrdered); lang_quality gained the url_norm dedup window in r5
-    "ns_text_profile": 4,
+    # r6: +3 for the BPE stage — encode's groupBy(doc_id) partial agg,
+    # and the doc-grain profile ⋈ doc-grain token-count merge join
+    # (both sides corpus-sized, so a shuffle join is the correct shape
+    # at scale; the encode side's groupBy partitioning is reused)
+    "ns_text_profile": 7,
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,

@@ -100,75 +100,73 @@ def train_bpe(
 ):
     """Train ``num_merges`` BPE merges on the corpus.
 
-    Returns ``(words, merges)``: ``words`` is the persisted trained
-    vocabulary DataFrame ``(w, cnt, syms array<string>)`` with the
-    final (post-merge) symbol sequence of every distinct trainable
-    word — join it to encode; ``merges`` is the learned rank-ordered
-    list of ``(a, b, count)`` tuples. Raises if the corpus exhausts
-    pairs before ``num_merges`` (keep k small relative to corpus —
-    the differential oracle unrolls exactly k stages).
-
-    The caller owns the returned persist (``words.unpersist()``).
+    Returns ``(words, merges)``: ``words`` is the trained vocabulary
+    DataFrame ``(w, cnt, syms array<string>)`` — localCheckpoint'ed,
+    so its storage is executor-memory-backed and released by the
+    context cleaner once unreferenced — with the final (post-merge)
+    symbol sequence of every distinct trainable word; join it to
+    encode. ``merges`` is the learned rank-ordered list of
+    ``(a, b, count)`` tuples. Raises if the corpus exhausts pairs
+    before ``num_merges`` (keep k small relative to corpus — the
+    differential oracle unrolls exactly k stages).
     """
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    # Each generation is localCheckpoint'ed (not merely persisted):
+    # an iterative fold nests every prior generation's plan inside the
+    # next InMemoryRelation recipe, so after k iterations the PLAN
+    # TEXT (and analyzer work) grows superlinearly — the standard
+    # Spark iterative-algorithm fix is to truncate lineage per
+    # iteration. Vocabulary-sized data, so the checkpoint is cheap; a
+    # cluster deployment with executor churn would use reliable
+    # checkpointing or land each generation to a scratch table
+    # instead (localCheckpoint storage dies with its executor).
     words = (
         _trainable_words(docs, text_col)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("syms", F.concat(chars, F.array(F.lit(EOW))))
-    ).persist()
+    ).localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
-    retired: list[DataFrame] = []
-    try:
-        for _ in range(num_merges):
-            n1 = F.size("syms") - 1
-            pair_rows = (
-                words.select(
-                    "cnt",
-                    F.explode(
-                        F.when(
-                            n1 < 1,
-                            F.array().cast(
-                                "array<struct<a:string,b:string>>"
+    for _ in range(num_merges):
+        n1 = F.size("syms") - 1
+        pair_rows = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.when(
+                        n1 < 1,
+                        F.array().cast(
+                            "array<struct<a:string,b:string>>"
+                        ),
+                    ).otherwise(
+                        F.zip_with(
+                            F.slice("syms", 1, n1),
+                            F.slice("syms", 2, n1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
                             ),
-                        ).otherwise(
-                            F.zip_with(
-                                F.slice("syms", 1, n1),
-                                F.slice("syms", 2, n1),
-                                lambda x, y: F.struct(
-                                    x.alias("a"), y.alias("b")
-                                ),
-                            )
                         )
-                    ).alias("p"),
-                )
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("cnt").alias("c"))
-                .orderBy(F.col("c").desc(), "a", "b")
-                .limit(1)
-                .collect()
+                    )
+                ).alias("p"),
             )
-            if not pair_rows:
-                raise ValueError(
-                    f"corpus exhausted adjacent pairs after "
-                    f"{len(merges)} merges; num_merges={num_merges} "
-                    f"is too large for this corpus"
-                )
-            a, b, c = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["c"]
-            merges.append((a, b, int(c)))
-            nxt = words.select(
-                "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-            ).persist()
-            retired.append(words)
-            words = nxt
-        # materialize the final vocabulary so the retired generations
-        # can be dropped (each pair-count job above materialized its
-        # own generation's cache)
-        words.count()
-    finally:
-        for old in retired:
-            old.unpersist()
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            raise ValueError(
+                f"corpus exhausted adjacent pairs after "
+                f"{len(merges)} merges; num_merges={num_merges} "
+                f"is too large for this corpus"
+            )
+        a, b, c = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["c"]
+        merges.append((a, b, int(c)))
+        words = words.select(
+            "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
     return words, merges
 
 
