@@ -21,9 +21,16 @@ SENNRICH_DOCS = [
 ]
 
 
-def test_train_bpe_sennrich_known_answer(spark):
+@pytest.mark.parametrize("cap", [0, 1_000_000],
+                         ids=["distributed-loop", "driver-fast-path"])
+def test_train_bpe_sennrich_known_answer(spark, cap):
+    """Both training paths — the fully distributed unrolled loop
+    (cap=0) and the driver-side fast path over the collected count
+    table — must produce the identical textbook merge sequence,
+    vocabulary, and encoding."""
     docs = spark.createDataFrame(SENNRICH_DOCS, "doc_id long, text string")
-    vocab, merges = bpe.train_bpe(docs, "text", num_merges=5)
+    vocab, merges = bpe.train_bpe(docs, "text", num_merges=5,
+                                  driver_vocab_cap=cap)
     try:
         assert [(a, b, c) for a, b, c in merges] == [
             ("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9),
@@ -50,7 +57,11 @@ def test_merge_fold_overlap_rule(spark):
     docs = spark.createDataFrame(
         [(1, "aaaa aaa")], "doc_id long, text string"
     )
-    vocab, merges = bpe.train_bpe(docs, "text", num_merges=1)
+    # cap=0 forces the distributed fold — the path whose overlap
+    # semantics this test pins (the driver path shares _merge_fold_py,
+    # covered by the parametrized known-answer test)
+    vocab, merges = bpe.train_bpe(docs, "text", num_merges=1,
+                                  driver_vocab_cap=0)
     try:
         assert merges == [("a", "a", 5)]
         syms = {r["w"]: r["syms"] for r in vocab.collect()}
@@ -63,9 +74,10 @@ def test_merge_fold_overlap_rule(spark):
 def test_train_bpe_exhausted_corpus_raises(spark):
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
     # 'ab' has pairs a-b, b-</w>; after 2 merges 'ab</w>' is a single
-    # symbol -> no pairs left for merge 3
-    with pytest.raises(ValueError, match="exhausted"):
-        bpe.train_bpe(docs, "text", num_merges=3)
+    # symbol -> no pairs left for merge 3 — both paths must refuse
+    for cap in (0, 1_000_000):
+        with pytest.raises(ValueError, match="exhausted"):
+            bpe.train_bpe(docs, "text", num_merges=3, driver_vocab_cap=cap)
 
 
 def test_encode_skips_untrainable_words(spark):

@@ -93,12 +93,67 @@ def _merge_fold(syms_col, a: str, b: str):
     )
 
 
+def _merge_fold_py(syms: list, a: str, b: str) -> list:
+    """Pure-Python twin of ``_merge_fold`` — same greedy left-to-right
+    overlap semantics, used by the driver-side fast path (and as the
+    property-test reference for the Spark fold)."""
+    out: list = []
+    ab = a + b
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = ab
+        else:
+            out.append(s)
+    return out
+
+
+def _train_merges_local(
+    word_counts: list, num_merges: int
+) -> tuple[list, list]:
+    """Driver-side merge loop over a collected (word, count) table:
+    identical algorithm and tie-break as the distributed loop."""
+    words = {w: [*w, EOW] for w, _ in word_counts}
+    counts = dict(word_counts)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for w, syms in words.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            raise ValueError(
+                f"corpus exhausted adjacent pairs after {len(merges)} "
+                f"merges; num_merges={num_merges} is too large for "
+                f"this corpus"
+            )
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, int(c)))
+        words = {w: _merge_fold_py(s, a, b) for w, s in words.items()}
+    return [(w, counts[w], s) for w, s in words.items()], merges
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
+    driver_vocab_cap: int = 1_000_000,
 ):
     """Train ``num_merges`` BPE merges on the corpus.
+
+    Two-phase, like reference trainers (subword-nmt, HuggingFace
+    tokenizers): the corpus-scale work is ONE distributed
+    word-frequency aggregation; the merge loop then runs over the
+    vocabulary-sized count table. When that table fits the driver
+    (``distinct words <= driver_vocab_cap``, the common case — web
+    corpora have ~1e7-1e8 distinct words after the [a-z]+ filter,
+    reference trainers hold exactly this table in memory), the loop
+    runs driver-side: zero per-iteration Spark jobs, identical
+    algorithm and tie-break (equivalence pytest-pinned). Above the
+    cap it falls back to the fully distributed loop below — one
+    vocabulary-sized pair-count job per merge with scalar-only driver
+    traffic, generations lineage-truncated via localCheckpoint.
 
     Returns ``(words, merges)``: ``words`` is the trained vocabulary
     DataFrame ``(w, cnt, syms array<string>)`` — localCheckpoint'ed,
@@ -111,6 +166,23 @@ def train_bpe(
     differential oracle unrolls exactly k stages).
     """
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    counts_df = (
+        _trainable_words(docs, text_col)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if driver_vocab_cap > 0:
+        head = counts_df.take(driver_vocab_cap + 1)
+        if len(head) <= driver_vocab_cap:
+            rows, merges = _train_merges_local(
+                [(r["w"], int(r["cnt"])) for r in head], num_merges
+            )
+            spark = docs.sparkSession
+            words = spark.createDataFrame(
+                rows, "w string, cnt long, syms array<string>"
+            )
+            return words, merges
+
     # Each generation is localCheckpoint'ed (not merely persisted):
     # an iterative fold nests every prior generation's plan inside the
     # next InMemoryRelation recipe, so after k iterations the PLAN
@@ -120,12 +192,9 @@ def train_bpe(
     # cluster deployment with executor churn would use reliable
     # checkpointing or land each generation to a scratch table
     # instead (localCheckpoint storage dies with its executor).
-    words = (
-        _trainable_words(docs, text_col)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("syms", F.concat(chars, F.array(F.lit(EOW))))
-    ).localCheckpoint()
+    words = counts_df.withColumn(
+        "syms", F.concat(chars, F.array(F.lit(EOW)))
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
@@ -164,9 +233,14 @@ def train_bpe(
             )
         a, b, c = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["c"]
         merges.append((a, b, int(c)))
+        # eager=False: the checkpoint materializes with the NEXT
+        # iteration's pair-count job instead of spending a dedicated
+        # job per generation — halves the serial job count of the
+        # training loop (the loop's cost at small scale is job launch
+        # latency, not data)
         words = words.select(
             "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return words, merges
 
 
