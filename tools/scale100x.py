@@ -98,14 +98,48 @@ def build_replica(spark) -> None:
                 ).otherwise(F.col("embedding")),
             )
         if t == "documents":
+            # Near-dup structure must stay LINEAR in corpus size: a
+            # naive per-copy suffix changes only ~3 shingles, so ALL
+            # 100 copies of a doc stay mutual near-dups and the true
+            # pair count grows QUADRATICALLY in copies — a generator
+            # artifact that would drown the engine measurement. Here
+            # copies form per-decade clusters: every token gets a
+            # decade suffix (d>0), so shingle sets across decades are
+            # disjoint (J~0); within a decade, j=1..8 append a 1-token
+            # variant mark (near-dups of the decade base), and j=9
+            # repeats the base exactly (exact-dup pair per decade,
+            # ~10% exact-dup rows like the r5 generator). Cluster
+            # size is constant (10), cluster COUNT grows with the
+            # data -> candidate pairs grow linearly.
+            dec = F.floor(copies / F.lit(10)).cast("int")
+            j = (copies % 10).cast("int")
+            base = F.when(
+                dec > 0,
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda tk: F.concat(
+                            tk, F.lit("d"), dec.cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            ).otherwise(F.col("text"))
+            varied = F.when(
+                (j > 0) & (j < 9),
+                F.concat(base, F.lit(" copymark"), j.cast("string")),
+            ).otherwise(base)
+            # ~1/41 of ALL rows collapse to one degenerate boilerplate
+            # text: a single ~12k-member LSH bucket in every band —
+            # far over the 10k hot-bucket cap, so the cap MUST engage
+            # (without it this alone would be ~74M in-bucket pairs).
+            # The bucket_stats probe records it.
             out = out.withColumn(
                 "text",
                 F.when(
-                    (copies > 0) & (F.col("doc_id") % 10 != 0),
-                    F.concat(
-                        "text", F.lit(" copymark"), copies.cast("string")
-                    ),
-                ).otherwise(F.col("text")),
+                    F.col("doc_id") % 41 == 0,
+                    F.lit("spam boilerplate spam boilerplate spam"),
+                ).otherwise(varied),
             )
         out.drop("__copy").repartition(64).write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
