@@ -156,8 +156,16 @@ def _extras() -> list[dict]:
              "builder": lsh_cross_modal_xxhash},
             {"name": "op_approx_aggs__r2equiv", "semver": 1,
              "desc": "op_approx_aggs semver-1 sub-plan (per-type stage only, "
-                     "no sketch rollup)",
+                     "no sketch rollup; NOTE: still carries the exact-twin "
+                     "columns — use __r1equiv for the r1-anchor comparison)",
              "builder": lambda s, d: approx_aggs(s, d, include_weekly=False)},
+            {"name": "op_approx_aggs__r1equiv", "semver": 1,
+             "desc": "op_approx_aggs ROUND-1 sub-plan: sketch-only single "
+                     "aggregation, no exact twins, no rollup — the honest "
+                     "anchor for BENCH_r01's 0.356 (see BENCH_ATTRIBUTION "
+                     "§7 addendum)",
+             "builder": lambda s, d: _compat(approx_aggs,
+                 s, d, include_weekly=False, include_exact=False)},
             {"name": "ns_multimodal_meta__r2equiv", "semver": 1,
              "desc": "ns_multimodal_meta semver-1 sub-plan (stub decode only, "
                      "no real codecs)",
