@@ -681,3 +681,34 @@ def test_bigram_lm_single_unigram_scan(spark):
     assert "InMemoryTableScan" in plan
     # and the scores themselves still come out right
     assert out.count() == 8
+
+
+def test_semdedup_stats_planted_groups(spark):
+    """SemDeDup per-cluster accounting on crafted vectors: exact dups
+    drop one of two; a transitive chain (a~b, b~c, a!~c) is ONE group
+    dropping two; sub-threshold pairs drop nothing. τ=0.9."""
+    from training_datawarehouse_spark.operators.similarity import semdedup_stats
+
+    rows = [
+        # cluster 0: one exact-dup pair + one distinct vector
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0),
+        # cluster 1: transitive chain 4~5, 5~6, but cos(4,6)=0.81 < 0.9
+        (4, [1.0, 0.0], 1), (5, [0.95, 0.31225], 1),
+        (6, [0.81, 0.58644], 1),
+        # cluster 2: nothing close
+        (7, [0.0, 1.0], 2), (8, [1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, cluster long"
+    )
+    out = {r["cluster"]: r for r in
+           semdedup_stats(df, "vec_id", "v", "cluster",
+                          threshold=0.9).collect()}
+    assert out[0]["sd_n_pairs"] == 1 and out[0]["sd_n_dropped"] == 1
+    assert out[1]["sd_n_pairs"] == 2 and out[1]["sd_n_dropped"] == 2
+    # cluster 2 has no qualifying pairs -> absent from pair stats but
+    # present with zeros via the full join only if it had pairs OR
+    # grouped rows; the builder's LEFT join restores zeros per cluster
+    assert 2 not in out or (
+        out[2]["sd_n_pairs"] == 0 and out[2]["sd_n_dropped"] == 0
+    )

@@ -387,3 +387,78 @@ def signlsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semdedup_stats(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication statistics (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public method): within each k-means
+    cluster, find embedding pairs whose cosine clears ``threshold``,
+    resolve them into duplicate groups (connected components), and
+    keep ONE representative (min id) per group.
+
+    This is the method's defining scale trick re-expressed
+    Spark-first: the quadratic cosine comparison runs WITHIN clusters
+    only — the coarse quantizer bounds each cluster, so total pair
+    work is sum(|cluster|²) ≈ n²/k, made linear-ish by growing k with
+    the corpus (SemDeDup uses k ~ sqrt(n)). The pair list is
+    localCheckpoint'ed before component resolution so the quadratic
+    join runs once, not once per label-propagation round.
+
+    ``assigned`` must carry (id_col, vec_col double-array,
+    cluster_col). Returns per-cluster
+    (cluster_col, sd_n_pairs, sd_avg_cos, sd_n_dropped): the number of
+    qualifying pairs, their mean cosine (6 dp; null when no pairs),
+    and how many vectors a dedup pass would DROP (group members minus
+    group representatives). Components cannot span clusters, so the
+    per-cluster accounting is exact.
+    """
+    from .dedup import connected_components
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col(cluster_col).alias("__cl"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col(cluster_col).alias("__cl2"),
+    )
+    pairs = (
+        a.join(b, (F.col("__cl") == F.col("__cl2"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("__cl", "id_a", "id_b", "cosine")
+    ).localCheckpoint()
+    comp = connected_components(pairs)
+    node_cl = assigned.select(
+        F.col(id_col).alias("node"), F.col(cluster_col).alias("__cl")
+    )
+    grouped = (
+        comp.join(node_cl, "node")
+        .groupBy("__cl")
+        .agg(
+            (F.count(F.lit(1)) - F.countDistinct("component"))
+            .cast("long").alias("sd_n_dropped"),
+        )
+    )
+    pair_stats = pairs.groupBy("__cl").agg(
+        F.count(F.lit(1)).alias("sd_n_pairs"),
+        F.round(F.avg("cosine"), 6).alias("sd_avg_cos"),
+    )
+    return (
+        pair_stats.join(grouped, "__cl", "full")
+        .select(
+            F.col("__cl").alias(cluster_col),
+            F.coalesce("sd_n_pairs", F.lit(0)).cast("long").alias("sd_n_pairs"),
+            F.col("sd_avg_cos"),
+            F.coalesce("sd_n_dropped", F.lit(0)).cast("long")
+            .alias("sd_n_dropped"),
+        )
+    )

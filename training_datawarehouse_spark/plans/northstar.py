@@ -652,9 +652,15 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
 
 _KMEANS_K = 6
 _KMEANS_ITERS = 4
+#: SemDeDup within-cluster cosine threshold — matches the
+#: embedding-neardup entry's τ (the synthetic embeddings carry no
+#: high-cosine planted pairs; 0.4 yields a non-trivial, non-degenerate
+#: pair population at both sf0.01 and sf0.1, measured r6)
+_SEMDEDUP_TAU = 0.4
 
 
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_clusters(spark: SparkSession, sf_dir: str,
+                    include_semdedup: bool = True) -> DataFrame:
     """Iterative algorithm surface: 4 Lloyd's iterations over the
     embeddings (one distributed pass each; only k·dim floats return to
     the driver between iterations), then final cluster sizes + mean
@@ -664,7 +670,16 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration's centroids round to 6 dp, so the whole fit is
     reproducible from the data alone — the DuckDB oracle below re-runs
     the SAME 4 unrolled Lloyd's iterations in SQL and every output
-    value hash-checks (round 2 this was rows-only)."""
+    value hash-checks (round 2 this was rows-only).
+
+    Round 6 adds the SemDeDup stage on the same fit
+    (``operators/similarity.py:semdedup_stats``): within-cluster
+    cosine pairs at τ=0.4, duplicate groups via connected components,
+    per-cluster pair count / mean cosine / would-drop count as the
+    sd_* columns — the oracle re-derives all three from its own
+    unrolled Lloyd's assignment plus a recursive-closure component
+    pass, so the semantic-dedup decision itself is hash-checked.
+    ``include_semdedup=False`` is the r5-equivalent sub-plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     init_rows = (
         emb.filter(F.col("vec_id") < _KMEANS_K)
@@ -691,11 +706,24 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     best = F.array_sort(scored)[0]
     assigned = emb.select(
-        best["cid"].cast("long").alias("cluster"), best["d2"].alias("d2")
+        "vec_id", v.alias("v"),
+        best["cid"].cast("long").alias("cluster"), best["d2"].alias("d2"),
     )
-    return assigned.groupBy("cluster").agg(
+    stats = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+    )
+    if not include_semdedup:
+        return stats
+    sd = sim.semdedup_stats(assigned, "vec_id", "v", "cluster",
+                            threshold=_SEMDEDUP_TAU)
+    return stats.join(sd, "cluster", "left").select(
+        "cluster", "n_vectors", "mean_sq_dist",
+        F.coalesce("sd_n_pairs", F.lit(0)).alias("sd_n_pairs"),
+        "sd_avg_cos",
+        F.coalesce("sd_n_dropped", F.lit(0)).alias("sd_n_dropped"),
+        (F.col("n_vectors")
+         - F.coalesce("sd_n_dropped", F.lit(0))).alias("sd_n_kept"),
     )
 
 
@@ -742,25 +770,72 @@ def _lloyd_blocks(k: int, iters: int, dim: int, prefix: str = "c") -> tuple[str,
 
 
 def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
-                   dim: int = EMBEDDING_DIM) -> str:
+                   dim: int = EMBEDDING_DIM,
+                   tau: float = _SEMDEDUP_TAU) -> str:
     """SQL twin of ``kmeans_clusters`` (see ``_lloyd_blocks``), plus
-    the same final assignment stats."""
+    the same final assignment stats and (r6) the SemDeDup stage:
+    within-cluster cosine pairs at τ, duplicate groups via the
+    recursive transitive closure (same pattern as the n-gram cluster
+    oracle), per-cluster would-drop = members − components. Heavily
+    referenced CTEs are MATERIALIZED — DuckDB inlines CTEs by default,
+    and `final` (the argmin assignment) is referenced three times."""
     blocks, final_c = _lloyd_blocks(k, iters, dim)
     d2 = (f"list_sum(list_transform(range(1, {dim + 1}),"
           f" i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),{blocks},
-final AS (
-  SELECT vec_id, cid, d2 FROM (
-    SELECT e.vec_id, c.cid, {d2} AS d2,
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),{blocks},
+final AS MATERIALIZED (
+  SELECT vec_id, v, cid, d2 FROM (
+    SELECT e.vec_id, e.v, c.cid, {d2} AS d2,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {d2}, c.cid) AS rn
     FROM e CROSS JOIN {final_c} c
   ) WHERE rn = 1
+),
+sd_pairs AS MATERIALIZED (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM final a JOIN final b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+sd_q AS MATERIALIZED (SELECT * FROM sd_pairs WHERE cosine >= {tau}),
+sd_edges AS MATERIALIZED (
+  SELECT id_a AS ea, id_b AS eb FROM sd_q
+  UNION
+  SELECT id_b, id_a FROM sd_q
+),
+sd_reach(ea, eb) AS (
+  SELECT ea, eb FROM sd_edges
+  UNION
+  SELECT r.ea, x.eb FROM sd_reach r JOIN sd_edges x ON r.eb = x.ea
+),
+sd_comp AS (
+  SELECT ea AS node, least(ea, min(eb)) AS component
+  FROM sd_reach GROUP BY ea
+),
+sd_grp AS (
+  SELECT f.cid,
+         CAST(count(*) - count(DISTINCT c.component) AS BIGINT)
+           AS sd_n_dropped
+  FROM sd_comp c JOIN final f ON f.vec_id = c.node
+  GROUP BY f.cid
+),
+sd_ps AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS sd_n_pairs,
+         round(avg(cosine), 6) AS sd_avg_cos
+  FROM sd_q GROUP BY cid
 )
-SELECT cid::BIGINT AS cluster, count(*) AS n_vectors,
-       round(avg(d2), 6) AS mean_sq_dist
-FROM final GROUP BY cid
+SELECT f.cid::BIGINT AS cluster, count(*) AS n_vectors,
+       round(avg(f.d2), 6) AS mean_sq_dist,
+       coalesce(any_value(sd_ps.sd_n_pairs), 0) AS sd_n_pairs,
+       any_value(sd_ps.sd_avg_cos) AS sd_avg_cos,
+       coalesce(any_value(sd_grp.sd_n_dropped), 0) AS sd_n_dropped,
+       count(*) - coalesce(any_value(sd_grp.sd_n_dropped), 0) AS sd_n_kept
+FROM final f
+LEFT JOIN sd_ps ON sd_ps.cid = f.cid
+LEFT JOIN sd_grp ON sd_grp.cid = f.cid
+GROUP BY f.cid
 """
 
 
