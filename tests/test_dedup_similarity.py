@@ -712,3 +712,143 @@ def test_semdedup_stats_planted_groups(spark):
     assert 2 not in out or (
         out[2]["sd_n_pairs"] == 0 and out[2]["sd_n_dropped"] == 0
     )
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """Differential check of the DSIR operator against a plain-Python
+    reimplementation of the same contract (md5 hex-byte bucket,
+    add-one smoothing over the bucket space, sum of log ratios,
+    per-domain top-fraction rank with (logw desc, id) tie-break)."""
+    import hashlib
+    import math
+
+    from training_datawarehouse_spark.operators.text import dsir_importance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox", "a", True),
+        (2, "the quick brown dog", "a", False),
+        (3, "lorem ipsum dolor sit amet", "a", False),
+        (4, "the quick fox jumps", "b", True),
+        (5, "colorless green ideas sleep", "b", False),
+        (6, "single", "b", False),          # <2 tokens: no features
+        (7, "the quick brown fox", "b", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, dom string, is_t boolean"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, "doc_id", "text", target_flag=F.col("is_t"),
+            n_buckets=256, select_frac=0.5, domain_col="dom",
+        ).collect()
+    }
+
+    def bkt(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:2], 16) % 256
+
+    feats = {}
+    for did, text, dom, is_t in rows:
+        tk = text.split(" ")
+        feats[did] = [bkt(f"{a} {b}") for a, b in zip(tk, tk[1:])]
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for did, _, _, is_t in rows:
+        for b in feats[did]:
+            cr[b] = cr.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    logw = {
+        did: round(sum(
+            math.log((ct.get(b, 0) + 1) / (nt + 256))
+            - math.log((cr[b] + 1) / (nr + 256))
+            for b in feats[did]
+        ), 6)
+        for did, _, _, _ in rows if feats[did]
+    }
+    for did, w in logw.items():
+        assert abs(out[did]["dsir_logw"] - w) < 1e-6, did
+    # doc 6 has no bigrams: absent from the operator's output
+    assert 6 not in out
+    # per-domain top-50% selection, ceil(frac*n): dom a has 3 scored
+    # docs -> 2 selected; dom b has 3 scored docs -> 2 selected
+    by_dom = {"a": [1, 2, 3], "b": [4, 5, 7]}
+    for dom, ids in by_dom.items():
+        order = sorted(ids, key=lambda d: (-logw[d], d))
+        want = set(order[:2])
+        got = {d for d in ids if out[d]["dsir_selected"]}
+        assert got == want, (dom, got, want)
+
+
+def test_dsir_target_docs_rank_higher(spark):
+    """Documents sharing the target corpus's vocabulary must score a
+    higher importance weight than off-distribution documents."""
+    from training_datawarehouse_spark.operators.text import dsir_importance
+    from pyspark.sql import functions as F
+
+    target_text = "training data quality matters for models"
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        + [(100, "training data quality matters a lot", False)]
+        + [(101, "zz yy xx ww vv uu", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance(
+            df, "doc_id", "text", target_flag=F.col("is_t"), n_buckets=256
+        ).collect()
+    }
+    assert out[100] > out[101]
+
+
+def test_dsir_single_model_scan(spark):
+    """Both DSIR models train from ONE groupBy over the bigram frame,
+    and the bucket-count table is persisted before the totals collect —
+    the scoring join must read it back as an InMemoryTableScan rather
+    than re-scanning the corpus (same 100 TB gate as the bigram LM)."""
+    from training_datawarehouse_spark.operators.text import dsir_importance
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3, i % 2 == 0) for i in range(8)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = dsir_importance(df, "doc_id", "text", target_flag=F.col("is_t"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert out.count() == 8
+
+
+def test_dup_span_coverage_planted_spans(spark):
+    """Crafted corpus: two docs share an exact 7-token span (covered
+    end-to-end: its three overlapping 5-grams merge to 7 tokens via
+    the interval arithmetic), a third doc repeats a 5-gram INTERNALLY
+    (counts: within-doc repetition is duplication too), a fourth is
+    unique (0), a fifth is shorter than the gram length (0)."""
+    from training_datawarehouse_spark.operators.dedup import dup_span_coverage
+
+    span = "one two three four five six seven"          # 7 tokens
+    rows = [
+        (1, f"aa bb {span} cc"),                        # 10 tokens
+        (2, f"xx {span} yy zz"),                        # 10 tokens
+        (3, "p q r s t u v p q r s t u v"),             # 14 tokens, self-dup
+        (4, "totally unique words with no repeats here"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dup_span_coverage(df, "doc_id", "text", gram_len=5).collect()}
+    # docs 1/2: the shared 7-token span -> 3 dup 5-grams at consecutive
+    # positions -> covered = 5 + 1 + 1 = 7
+    assert out[1]["dup_span_tokens"] == 7
+    assert out[2]["dup_span_tokens"] == 7
+    assert abs(out[1]["dup_span_frac"] - 0.7) < 1e-9
+    # doc 3: "p q r s t u v" twice -> every 5-gram of the repeated
+    # block occurs >=2x -> all 10 grams dup -> covers all 14 tokens
+    assert out[3]["dup_span_tokens"] == 14
+    assert abs(out[3]["dup_span_frac"] - 1.0) < 1e-9
+    assert out[4]["dup_span_tokens"] == 0 and out[4]["dup_span_frac"] == 0.0
+    assert out[5]["dup_span_tokens"] == 0 and out[5]["dup_span_frac"] == 0.0

@@ -714,3 +714,92 @@ def lsh_probe_index(
         .distinct()
     )
     return vs_corpus.unionByName(vs_batch).distinct()
+
+
+def dup_span_coverage(
+    docs: DataFrame, id_col: str, text_col: str, gram_len: int = 5
+) -> DataFrame:
+    """Substring-level duplication coverage (the distributed
+    approximation of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — public method): for every document,
+    the number and fraction of token positions covered by a
+    ``gram_len``-token window that occurs MORE THAN ONCE in the corpus
+    (including within the same document). Exact-substring dedup via a
+    corpus-wide suffix array doesn't distribute; k-gram anchors do —
+    a repeated span of length >= gram_len is covered end-to-end by its
+    repeated k-grams, so anchor coverage equals span coverage for all
+    spans >= gram_len.
+
+    Plan shape (100 TB): row-local gram construction (slice over the
+    materialized token array — linear, no lambda-CSE trap), then ONE
+    window partitioned by the 16-hex-char md5 gram key to count
+    occurrences (same shuffle a groupBy+join-back would take, one pass
+    instead of two), then per-doc interval union via a lag window:
+    covered = sum(min(gram_len, pos - prev_pos)) — overlapping windows
+    merge arithmetically, no interval list materializes. Two shuffles
+    of the gram stream (by gram key, then by doc) — the honest cost of
+    substring-level dedup; nothing is all-pairs and nothing collects.
+    md5 keys keep the oracle in DuckDB; production swaps xxhash64.
+
+    Returns (id_col, dup_span_tokens, dup_span_frac); documents with
+    no duplicated grams (or fewer than ``gram_len`` tokens) get 0/0.0.
+    """
+    tk = docs.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("tk"),
+    )
+    n_grams = F.size("tk") - F.lit(gram_len - 1)
+    grams = tk.select(
+        "__id",
+        F.size("tk").alias("n_tokens"),
+        F.explode(
+            F.when(n_grams < 1, F.array().cast("array<struct<pos:int,g:string>>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice("tk", i, gram_len))),
+                            1, 16,
+                        ).alias("g"),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("__id", "n_tokens", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))
+    dup = grams.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("cnt") > 1)
+    w = Window.partitionBy("__id").orderBy("pos")
+    covered = (
+        dup.withColumn(
+            "inc",
+            F.least(
+                F.lit(gram_len),
+                F.col("pos") - F.coalesce(
+                    F.lag("pos").over(w), F.col("pos") - F.lit(gram_len)
+                ),
+            ),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sum("inc").cast("long").alias("dup_span_tokens"),
+            F.first("n_tokens").alias("__n"),
+        )
+        .select(
+            "__id", "dup_span_tokens",
+            F.round(
+                F.col("dup_span_tokens") / F.col("__n").cast("double"), 6
+            ).alias("dup_span_frac"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("dup_span_tokens", F.lit(0)).alias("dup_span_tokens"),
+            F.coalesce("dup_span_frac", F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )

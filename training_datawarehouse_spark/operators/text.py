@@ -345,6 +345,128 @@ def normalize_url(url: Column) -> Column:
 
 # -------------------------------------- corpus-trained bigram LM score
 
+def doc_bigrams(docs, id_col: str, text_col: str):
+    """Per-document whitespace bigram rows ``(__id, bg, w1)`` — the
+    shared feature frame for the bigram-LM quality score and the DSIR
+    importance weights (one construction, reused by both trainers).
+
+    Materialize the token ARRAY as a column first, then build the
+    bigram pairs with zip_with over two slices of it: inside a
+    higher-order lambda, an expression like element_at(split(text),
+    i) re-runs the split PER ELEMENT (no CSE across lambda calls —
+    O(tokens²) per document, measured 5x the whole profile entry);
+    slicing a materialized array column is linear."""
+    tk = docs.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("tk"),
+    )
+    n1 = F.size("tk") - 1
+    pairs = F.when(
+        n1 < 1, F.array().cast("array<struct<w1:string,bg:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice("tk", 1, n1), F.slice("tk", 2, n1),
+            lambda a, b: F.struct(
+                a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")
+            ),
+        )
+    )
+    return tk.select("__id", F.explode(pairs).alias("p")).select(
+        "__id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1")
+    )
+
+
+def dsir_importance(
+    docs,
+    id_col: str,
+    text_col: str,
+    target_flag: Column,
+    n_buckets: int = 256,
+    select_frac: float = 0.25,
+    domain_col: str | None = None,
+):
+    """DSIR-style data selection via importance resampling (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public method): estimate how target-like each raw
+    document is with two hashed-bigram bag-of-words models, then keep
+    the top ``select_frac`` per domain.
+
+    - features: each whitespace bigram hashes into one of
+      ``n_buckets`` buckets (hashing trick; md5-backed so the oracle
+      reproduces it — production swaps xxhash64, same shape).
+    - models: ONE corpus scan trains both — groupBy(bucket) with
+      cr=count(*) (raw) and ct=count_if(target) (target); add-one
+      smoothing over the bucket space. The model table is ≤n_buckets
+      rows → broadcast; totals are collected scalars off the persisted
+      counts (same pattern as ``bigram_lm_scores``' vocab size — no
+      second corpus pass).
+    - weight: log w(doc) = Σ_bigram [ln p_t(bkt) − ln p_r(bkt)],
+      rounded 1e-6 (both engines sum identical addends).
+    - selection: within each ``domain_col`` partition, rank by
+      (dsir_logw desc, id asc) and keep rank ≤ ceil(frac·n) — a
+      PARTITIONED window (distributed; a global top-k would
+      single-partition at corpus scale). Docs with <2 tokens have no
+      features → dsir_logw NULL, never selected.
+
+    100 TB shape: two broadcast joins + two map-side-combinable
+    aggregations; nothing all-pairs, nothing global-sorted. Returns
+    (id_col, dsir_logw, dsir_selected).
+    """
+    bg = doc_bigrams(docs, id_col, text_col).select(
+        "__id", hash_bucket(F.col("bg"), n_buckets).alias("bkt")
+    )
+    flags = docs.select(
+        F.col(id_col).alias("__id"), target_flag.alias("__t")
+    )
+    counts = (
+        bg.join(flags, "__id")
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.col("__t").cast("long")).alias("ct"),
+        )
+    ).persist()
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    ).collect()[0]
+    nr, nt = int(totals["nr"] or 0), int(totals["nt"] or 0)
+    model = counts.select(
+        "bkt",
+        (
+            F.ln((F.col("ct") + 1).cast("double")
+                 / F.lit(float(nt + n_buckets)))
+            - F.ln((F.col("cr") + 1).cast("double")
+                   / F.lit(float(nr + n_buckets)))
+        ).alias("logratio"),
+    )
+    scored = (
+        bg.join(F.broadcast(model), "bkt")
+        .groupBy("__id")
+        .agg(F.round(F.sum("logratio"), 6).alias("dsir_logw"))
+    )
+    if domain_col is None:
+        return scored.withColumnRenamed("__id", id_col)
+    from pyspark.sql import Window
+
+    dom = docs.select(F.col(id_col).alias("__id"), domain_col)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("dsir_logw").desc(), F.col("__id")
+    )
+    ranked = (
+        scored.join(dom, "__id")
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(domain_col))
+        )
+        .select(
+            "__id", "dsir_logw",
+            (F.col("__rk") <= F.ceil(F.lit(select_frac) * F.col("__n")))
+            .alias("dsir_selected"),
+        )
+    )
+    return ranked.withColumnRenamed("__id", id_col)
+
+
 def bigram_lm_scores(
     docs, id_col: str, text_col: str, top_k: int = 200,
 ):
@@ -372,30 +494,7 @@ def bigram_lm_scores(
     """
     from pyspark.sql import functions as F
 
-    # Materialize the token ARRAY as a column first, then build the
-    # bigram pairs with zip_with over two slices of it: inside a
-    # higher-order lambda, an expression like element_at(split(text),
-    # i) re-runs the split PER ELEMENT (no CSE across lambda calls —
-    # O(tokens²) per document, measured 5x the whole profile entry);
-    # slicing a materialized array column is linear.
-    tk = docs.select(
-        F.col(id_col).alias("__id"),
-        F.split(F.col(text_col), " ").alias("tk"),
-    )
-    n1 = F.size("tk") - 1
-    pairs = F.when(
-        n1 < 1, F.array().cast("array<struct<w1:string,bg:string>>")
-    ).otherwise(
-        F.zip_with(
-            F.slice("tk", 1, n1), F.slice("tk", 2, n1),
-            lambda a, b: F.struct(
-                a.alias("w1"), F.concat(a, F.lit(" "), b).alias("bg")
-            ),
-        )
-    )
-    bg = tk.select("__id", F.explode(pairs).alias("p")).select(
-        "__id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1")
-    )
+    bg = doc_bigrams(docs, id_col, text_col)
     bg_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     top = bg_counts.orderBy(F.col("cb").desc(), "bg").limit(top_k)
     # Persist the (small, vocab-sized) unigram-count table BEFORE

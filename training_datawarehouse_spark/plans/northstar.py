@@ -1199,10 +1199,19 @@ SPLIT_ORACLE = SPLIT_ORACLE.replace(
 )
 
 
+# DSIR target distribution = the curated domains (the mixture dict's
+# 0.5-fraction sources) — the paper's setup: target is identified by
+# provenance (a trusted corpus), raw is everything. One literal list,
+# injected into BOTH engines so it can never diverge.
+DSIR_TARGET_SOURCES = tuple(f"src{i}" for i in range(20) if i % 4 == 3)
+DSIR_SELECT_FRAC = 0.25
+
+
 def text_profile(spark: SparkSession, sf_dir: str,
                  include_fingerprint: bool = True,
                  include_lm: bool = True,
-                 include_bpe: bool = True) -> DataFrame:
+                 include_bpe: bool = True,
+                 include_dsir: bool = True) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
     counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
     the canonical md5 fingerprint with its dupe-group size — ONE
@@ -1222,6 +1231,16 @@ def text_profile(spark: SparkSession, sf_dir: str,
     score to 1e-6 — model training AND scoring are differentially
     checked, not just the plumbing. ``include_lm=False`` is the
     round-4-equivalent sub-plan for the bench extras.
+
+    r6 adds DSIR data selection (``operators/text.py:dsir_importance``
+    — Xie et al. 2023): hashed-bigram importance weights
+    ln p_target/p_raw with target = the curated DSIR_TARGET_SOURCES
+    domains, trained in ONE corpus scan (both models from one
+    groupBy(bucket)), scored through a broadcast ≤256-row model, and
+    the top 25 % per source selected via a PARTITIONED rank window.
+    The oracle retrains both models and re-ranks — weights to 1e-6 AND
+    the exact per-domain selection set are differentially checked.
+    ``include_dsir=False`` is the round-6-entry equivalent sub-plan.
 
     r6 adds the distributed BPE subword-tokenizer training stage
     (``operators/bpe.py``): k=8 merges trained on the corpus's
@@ -1261,6 +1280,16 @@ def text_profile(spark: SparkSession, sf_dir: str,
         enc = bpe.encode_token_counts(docs, vocab, "doc_id", "text")
         prof = prof.join(enc, "doc_id", "left").withColumn(
             "bpe_merges", F.lit(bpe.merges_tag(merges))
+        )
+    if include_dsir:
+        ds = tx.dsir_importance(
+            docs, "doc_id", "text",
+            target_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
+            n_buckets=256, select_frac=DSIR_SELECT_FRAC,
+            domain_col="source",
+        )
+        prof = prof.join(ds, "doc_id", "left").withColumn(
+            "dsir_selected", F.coalesce("dsir_selected", F.lit(False))
         )
     return prof
 
@@ -1305,15 +1334,55 @@ lmsc AS (
   JOIN lmuni u ON lmbg.w1 = u.w
   CROSS JOIN lmv
   GROUP BY doc_id
+),
+-- DSIR stage: retrain BOTH hashed-bigram models (target = curated
+-- domains, raw = whole corpus; one-hex-byte md5 bucket, add-one
+-- smoothing over the 256-bucket space), re-score every document's
+-- log importance weight, and re-rank the per-domain top-25% selection
+dsb AS (
+  SELECT l.doc_id, ({_B0} % 256) AS bkt,
+         d.source IN ({", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)}) AS is_t
+  FROM (SELECT doc_id, bg, md5(bg) AS h FROM lmbg) l
+  JOIN documents d USING (doc_id)
+),
+dsm AS (
+  SELECT bkt, count(*) AS cr,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+  FROM dsb GROUP BY bkt
+),
+dst AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM dsm),
+dsmodel AS (
+  SELECT bkt,
+         ln((ct + 1)::DOUBLE / (nt + 256)::DOUBLE)
+         - ln((cr + 1)::DOUBLE / (nr + 256)::DOUBLE) AS logratio
+  FROM dsm CROSS JOIN dst
+),
+dsw AS (
+  SELECT doc_id, round(sum(logratio), 6) AS dsir_logw
+  FROM dsb JOIN dsmodel USING (bkt) GROUP BY doc_id
+),
+dssel AS (
+  SELECT doc_id, dsir_logw,
+         rk <= ceil({DSIR_SELECT_FRAC} * nd) AS dsir_selected
+  FROM (
+    SELECT w.doc_id, w.dsir_logw,
+           row_number() OVER (PARTITION BY d.source
+                              ORDER BY w.dsir_logw DESC, w.doc_id) AS rk,
+           count(*) OVER (PARTITION BY d.source) AS nd
+    FROM dsw w JOIN documents d USING (doc_id)
+  )
 )
 SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct,
        fp.fp, count(*) OVER (PARTITION BY fp.fp) AS group_size,
        lmsc.lm_score, lmsc.n_bigrams, lmsc.n_oov_bigrams,
        bpe_enc.bpe_n_tokens,
-       (SELECT tag FROM bpe_merge_tag) AS bpe_merges
+       (SELECT tag FROM bpe_merge_tag) AS bpe_merges,
+       dssel.dsir_logw,
+       COALESCE(dssel.dsir_selected, false) AS dsir_selected
 FROM ts JOIN tr USING (doc_id) JOIN fp USING (doc_id)
 LEFT JOIN lmsc USING (doc_id)
 LEFT JOIN bpe_enc USING (doc_id)
+LEFT JOIN dssel USING (doc_id)
 """
 
 
@@ -1613,7 +1682,16 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable md5 family (``simhash_hex_portable`` /
     ``winnowing_fingerprints_portable``), so every value hash-checks
     against the SQL oracle. The xxhash64 variants remain for hot paths
-    that don't need an oracle (property tests keep covering them)."""
+    that don't need an oracle (property tests keep covering them).
+
+    r6 adds substring-level duplication coverage
+    (``operators/dedup.py:dup_span_coverage`` — the distributed
+    k-gram-anchor approximation of Lee et al. 2022 exact-substring
+    dedup): per document, how many token positions sit inside a
+    5-token window that repeats anywhere in the corpus, and the
+    covered fraction. The oracle re-derives the gram stream, the
+    corpus-wide window counts, and the per-doc interval-union
+    arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dd.simhash_hex_portable(docs, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
@@ -1624,7 +1702,12 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs") > 1
     )
     n_shared = shared.agg(F.count(F.lit(1)).alias("n_shared_fps"))
-    return sh.join(per_doc, "doc_id").join(F.broadcast(n_shared), how="cross")
+    spans = dd.dup_span_coverage(docs, "doc_id", "text", gram_len=5)
+    return (
+        sh.join(per_doc, "doc_id")
+        .join(F.broadcast(n_shared), how="cross")
+        .join(spans, "doc_id")
+    )
 
 
 def _doc_signatures_oracle(k: int = 4, window: int = 5) -> str:
@@ -1652,6 +1735,9 @@ def _doc_signatures_oracle(k: int = 4, window: int = 5) -> str:
     )
     gram = " || ' ' || ".join(f"toks[pos + {j}]" if j else "toks[pos]"
                               for j in range(k))
+    span_len = 5
+    gram5 = " || ' ' || ".join(f"toks[pos + {j}]" if j else "toks[pos]"
+                               for j in range(span_len))
     return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
@@ -1687,9 +1773,42 @@ per_doc AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id),
 shared AS (
   SELECT count(*) AS n_shared_fps
   FROM (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1)
+),
+-- substring-duplication coverage: 5-token gram stream, corpus-wide
+-- occurrence counts, per-doc interval union via the lag arithmetic
+dsp AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         unnest(range(1, greatest(len(toks) - {span_len} + 1, 0) + 1)) AS pos
+  FROM t
+),
+dsg AS (
+  SELECT doc_id, n_tokens, pos, substr(md5({gram5}), 1, 16) AS g
+  FROM dsp
+),
+dsd AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           count(*) OVER (PARTITION BY g) AS cnt
+    FROM dsg
+  ) WHERE cnt > 1
+),
+dsc AS (
+  SELECT doc_id,
+         CAST(sum(least({span_len},
+                        pos - coalesce(prev, pos - {span_len})))
+              AS BIGINT) AS dup_span_tokens,
+         any_value(n_tokens) AS nt
+  FROM (SELECT doc_id, n_tokens, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dsd)
+  GROUP BY doc_id
 )
-SELECT sim.doc_id, sim.simhash_hex, per_doc.n_fps, shared.n_shared_fps
+SELECT sim.doc_id, sim.simhash_hex, per_doc.n_fps, shared.n_shared_fps,
+       COALESCE(dsc.dup_span_tokens, 0) AS dup_span_tokens,
+       COALESCE(round(dsc.dup_span_tokens / dsc.nt::DOUBLE, 6), 0.0)
+         AS dup_span_frac
 FROM sim JOIN per_doc USING (doc_id) CROSS JOIN shared
+LEFT JOIN dsc USING (doc_id)
 """
 
 
