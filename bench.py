@@ -71,7 +71,8 @@ MANIFEST = [
              "score, oracle-retrained); r6: + distributed BPE tokenizer "
              "training (8 merges, oracle-retrained) + re-encoding; "
              "r6b: + DSIR hashed-bigram importance weights + per-domain "
-             "top-25% selection (both models oracle-retrained)"},
+             "top-25% selection (both models oracle-retrained) + trained "
+             "logreg quality classifier (3 GD epochs, oracle-retrained)"},
     {"name": "ns_similarity_topk", "semver": 1,
      "desc": "brute-force cosine top-k"},
     {"name": "ns_dedup_lsh_cross_modal", "semver": 2,
@@ -198,12 +199,13 @@ def _extras() -> list[dict]:
             {"name": "ns_text_profile__r5equiv", "semver": 3,
              "desc": "ns_text_profile semver-3 sub-plan (no BPE stage)",
              "builder": lambda s, d: _compat(text_profile,
-                 s, d, include_bpe=False, include_dsir=False)},
+                 s, d, include_bpe=False, include_dsir=False,
+                 include_lrq=False)},
             {"name": "ns_text_profile__r6aequiv", "semver": 4,
              "desc": "ns_text_profile semver-4 sub-plan (BPE stage, no "
-                     "DSIR stage — the early-r6 entry shape)",
+                     "DSIR / classifier stages — the early-r6 entry shape)",
              "builder": lambda s, d: _compat(text_profile,
-                 s, d, include_dsir=False)},
+                 s, d, include_dsir=False, include_lrq=False)},
         ]
     except (ImportError, TypeError):
         pass  # older code state: no twins to time

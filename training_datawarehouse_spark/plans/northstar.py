@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import bpe
+from ..operators import classifier as clf
 from ..operators import dedup as dd
 from ..operators import sampling
 from ..operators import sharding
@@ -1211,7 +1212,8 @@ def text_profile(spark: SparkSession, sf_dir: str,
                  include_fingerprint: bool = True,
                  include_lm: bool = True,
                  include_bpe: bool = True,
-                 include_dsir: bool = True) -> DataFrame:
+                 include_dsir: bool = True,
+                 include_lrq: bool = True) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
     counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
     the canonical md5 fingerprint with its dupe-group size — ONE
@@ -1241,6 +1243,14 @@ def text_profile(spark: SparkSession, sf_dir: str,
     The oracle retrains both models and re-ranks — weights to 1e-6 AND
     the exact per-domain selection set are differentially checked.
     ``include_dsir=False`` is the round-6-entry equivalent sub-plan.
+
+    r6 also adds the TRAINED quality classifier
+    (``operators/classifier.py:logreg_quality``): logistic regression
+    on the same hashed-bigram features with the same weak provenance
+    labels, 3 unrolled full-batch GD epochs (per-epoch 8-dp weight
+    rounding — the k-means cross-engine discipline), scored back over
+    every document. The oracle RETRAINS the full descent and re-scores;
+    ``include_lrq=False`` excludes it for the bench twin.
 
     r6 adds the distributed BPE subword-tokenizer training stage
     (``operators/bpe.py``): k=8 merges trained on the corpus's
@@ -1291,6 +1301,13 @@ def text_profile(spark: SparkSession, sf_dir: str,
         prof = prof.join(ds, "doc_id", "left").withColumn(
             "dsir_selected", F.coalesce("dsir_selected", F.lit(False))
         )
+    if include_lrq:
+        lrq = clf.logreg_quality(
+            docs, "doc_id", "text",
+            label_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
+            n_buckets=256, epochs=3, lr=0.5,
+        )
+        prof = prof.join(lrq, "doc_id", "left")
     return prof
 
 
@@ -1371,18 +1388,30 @@ dssel AS (
            count(*) OVER (PARTITION BY d.source) AS nd
     FROM dsw w JOIN documents d USING (doc_id)
   )
-)
+),
+-- trained-quality-classifier stage: RETRAIN the logistic regression
+-- (same hashed-bigram buckets as DSIR, same weak provenance labels,
+-- 3 unrolled GD epochs with 8-dp per-epoch weight rounding) and
+-- re-score every document
+{clf.logreg_oracle_ctes(
+    label_sql="d.source IN ("
+    + ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES) + ")",
+    bucket_rows_sql="SELECT doc_id, bkt FROM dsb",
+    n_buckets=256, epochs=3, lr=0.5,
+)}
 SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct,
        fp.fp, count(*) OVER (PARTITION BY fp.fp) AS group_size,
        lmsc.lm_score, lmsc.n_bigrams, lmsc.n_oov_bigrams,
        bpe_enc.bpe_n_tokens,
        (SELECT tag FROM bpe_merge_tag) AS bpe_merges,
        dssel.dsir_logw,
-       COALESCE(dssel.dsir_selected, false) AS dsir_selected
+       COALESCE(dssel.dsir_selected, false) AS dsir_selected,
+       lrq.lrq_score, lrq.lrq_pred
 FROM ts JOIN tr USING (doc_id) JOIN fp USING (doc_id)
 LEFT JOIN lmsc USING (doc_id)
 LEFT JOIN bpe_enc USING (doc_id)
 LEFT JOIN dssel USING (doc_id)
+LEFT JOIN lrq USING (doc_id)
 """
 
 
