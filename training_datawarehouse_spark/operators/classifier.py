@@ -7,16 +7,22 @@ everything else = 0) over hashing-trick n-gram features, then score
 every document — all in DataFrame ops, no MLlib, no UDFs, so the
 whole fit is expressible in the DuckDB oracle and hash-checkable.
 
-Shape (100 TB): the feature frame is (doc, bucket, count) — one
-explode + one map-side-combinable groupBy, persisted once and rescanned
-per epoch (the k-means pattern: cache the slim projection, never the
-corpus). Each full-batch gradient-descent epoch is ONE distributed
-pass: margins via a ≤(buckets+1)-literal array lookup, residuals, a
-groupBy(bucket) gradient — and only buckets+1 floats return to the
-driver to become the next epoch's literals (scalar-only driver
-traffic, like Lloyd's). The bias rides as a synthetic always-on
-feature row per document, so one aggregation trains weights AND bias,
-and featureless documents still score.
+Shape (100 TB): the feature store is DOC-GRAIN and ROW-LOCAL — one row
+per document carrying its bigram-bucket occurrence array (bias
+appended as an always-present element), built by ONE corpus scan with
+no shuffle and no join, persisted once (the k-means pattern: cache the
+slim projection, never the corpus). Margins and residuals are
+row-local array folds against the weight-array literal, so a
+full-batch gradient-descent epoch is ONE distributed pass whose only
+exchange is the gradient groupBy(bucket) — map-side combinable,
+≤ buckets+1 rows after partial aggregation — and only buckets+1 floats
+return to the driver to become the next epoch's literals (scalar-only
+driver traffic, like Lloyd's). The bias element makes one aggregation
+train weights AND bias (its occurrence count doubles as the corpus
+size, so no separate count job), and featureless documents still
+score. Final scoring is row-local: no join, no shuffle, materialized
+via localCheckpoint so the training cache releases before the scored
+frame returns.
 
 Cross-engine determinism: weights round to 8 dp per epoch in BOTH
 engines (driver-side ``round`` here, ``round(x, 8)`` in the oracle —
@@ -29,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import doc_bigrams, hash_bucket
+from .text import hash_bucket
 
 
 def logreg_quality(
@@ -52,75 +58,102 @@ def logreg_quality(
     """
     bias_bkt = n_buckets  # one extra slot: the always-on bias feature
 
-    def build_feats() -> DataFrame:
-        x = (
-            doc_bigrams(docs, id_col, text_col)
-            .select("__id", hash_bucket(F.col("bg"), n_buckets).alias("bkt"))
-            .groupBy("__id", "bkt")
-            .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    # Doc-grain, fully ROW-LOCAL feature layout: one row per document
+    # carrying its bigram-bucket OCCURRENCE array (bias appended as an
+    # always-present element). No shuffle and no join builds the
+    # cached frame — it is one corpus scan. Occurrence lists replace
+    # (bucket, count) pairs: sum_b x_ib * w_b over counts equals the
+    # plain sum over occurrences, so margins are a row-local array
+    # fold and each epoch's ONLY exchange is the gradient
+    # groupBy(bucket) — map-side combinable, <= buckets+1 rows after
+    # partial aggregation; only buckets+1 floats reach the driver per
+    # epoch (scalar-only traffic, like Lloyd's). Two earlier cuts of
+    # this operator were measured slower: a per-epoch join of the
+    # exploded feature stream back to the doc frame (id-shuffles
+    # dominated), then a (bucket -> count) map build (three shuffles
+    # plus a join just to materialize the cache).
+    tk = F.split(F.col(text_col), " ")
+    n1 = F.size(tk) - 1
+    bkts = F.when(
+        n1 < 1, F.array().cast("array<int>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(tk, 1, n1), F.slice(tk, 2, n1),
+            lambda a, b: hash_bucket(
+                F.concat(a, F.lit(" "), b), n_buckets
+            ).cast("int"),
         )
-        return x.unionByName(
-            docs.select(
-                F.col(id_col).alias("__id"),
-                F.lit(bias_bkt).alias("bkt"), F.lit(1.0).alias("x"),
-            )
-        )
-
-    def margins(feats: DataFrame, weights: list[float]) -> DataFrame:
-        warr = F.array(*[F.lit(v) for v in weights])
-        return (
-            feats.withColumn(
-                "wx", F.element_at(warr, F.col("bkt") + 1) * F.col("x")
-            )
-            .groupBy("__id")
-            .agg(F.sum("wx").alias("m"))
-        )
-
-    labels = docs.select(
-        F.col(id_col).alias("__id"), label_flag.cast("int").alias("y")
     )
-    # Training rescans a cached slim frame per epoch (the k-means
-    # pattern); the RETURNED scoring plan is built on fresh lineage so
-    # the cache can be released here without the caller's execution
-    # silently recomputing through a dropped persist.
-    feats_c = build_feats().persist()
-    labels_c = labels.persist()
+    work = docs.select(
+        F.col(id_col).alias("__id"),
+        label_flag.cast("int").alias("y"),
+        F.concat(bkts, F.array(F.lit(bias_bkt))).alias("bk"),
+    ).persist()
+
+    def with_margin(frame: DataFrame, weights: list[float]) -> DataFrame:
+        # Bind the weight-array literal to a COLUMN before the fold:
+        # expressions referenced inside a higher-order lambda are
+        # re-evaluated PER ELEMENT (no constant folding / CSE inside
+        # lambdas — the SCALE.md trap); a column reference is bound
+        # once per row. F.lit(list) stays a single array Literal
+        # (an F.array of 257 children would re-generate+recompile the
+        # whole-stage codegen every epoch).
+        return frame.withColumn("__w", F.lit(weights)).withColumn(
+            "__m",
+            F.aggregate(
+                "bk", F.lit(0.0),
+                lambda acc, b: acc + F.element_at(F.col("__w"), b + 1),
+            ),
+        )
+
     try:
-        n_docs = labels_c.count()
         w = [0.0] * (n_buckets + 1)
+        n_docs = None
         for _ in range(epochs):
-            resid = labels_c.join(margins(feats_c, w), "__id").select(
-                "__id",
-                (
-                    F.col("y")
-                    - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
-                ).alias("r"),
+            r = (
+                F.col("y").cast("double")
+                - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m")))
             )
             grads = (
-                feats_c.join(resid, "__id")
+                with_margin(work, w)
+                .select(r.alias("r"), F.explode("bk").alias("bkt"))
                 .groupBy("bkt")
-                .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+                .agg(
+                    F.sum("r").alias("g"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
                 .collect()
             )
+            if n_docs is None:
+                # the bias element appears exactly once per document,
+                # so its occurrence count IS the corpus size — no
+                # separate count() job
+                n_docs = next(
+                    int(row["cnt"]) for row in grads
+                    if row["bkt"] == bias_bkt
+                )
             for row in grads:
                 w[row["bkt"]] = round(
                     w[row["bkt"]] + lr / n_docs * row["g"], 8
                 )
-    finally:
-        feats_c.unpersist()
-        labels_c.unpersist()
 
-    score = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
-    )
-    return (
-        labels.join(margins(build_feats(), w), "__id")
-        .select(
-            F.col("__id").alias(id_col),
-            score.alias("lrq_score"),
-            (score >= 0.5).alias("lrq_pred"),
+        score = F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))), 6
         )
-    )
+        # Scoring is row-local over the cached frame; materialize it
+        # (localCheckpoint truncates the lineage) so the cache can be
+        # released without the returned plan recomputing through a
+        # dropped persist.
+        return (
+            with_margin(work, w)
+            .select(
+                F.col("__id").alias(id_col),
+                score.alias("lrq_score"),
+                (score >= 0.5).alias("lrq_pred"),
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        work.unpersist()
 
 
 def logreg_oracle_ctes(
