@@ -155,8 +155,15 @@ SHUFFLE_BUDGET = {
     # r6: +3 for the BPE stage — encode's groupBy(doc_id) partial agg,
     # and the doc-grain profile ⋈ doc-grain token-count merge join
     # (both sides corpus-sized, so a shuffle join is the correct shape
-    # at scale; the encode side's groupBy partitioning is reused)
-    "ns_text_profile": 7,
+    # at scale; the encode side's groupBy partitioning is reused).
+    # r6b: +5 — DSIR (256-row model groupBy [map-side combinable],
+    # per-doc score groupBy, per-domain rank window, selection merge
+    # join; the broadcast model join adds no hash exchange) and the
+    # trained-classifier merge join of the localCheckpointed scored
+    # frame back onto the doc-grain profile. The classifier FIT's own
+    # per-epoch gradient exchanges run during the builder, before this
+    # plan — row-local margins keep them out of the scoring plan.
+    "ns_text_profile": 12,
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,
@@ -172,7 +179,10 @@ SHUFFLE_BUDGET = {
     # family: event profile — Expand kept out of the percentile sorts
     "op_agg_event_profile": 6,
     # family: fingerprints/signatures
-    "ns_doc_signatures": 5,
+    # r6: +2 for dup-span coverage — ONE corpus-wide window on the
+    # 5-gram key (the count pass; replaces a groupBy+join-back pair)
+    # and the per-doc interval-union lag window
+    "ns_doc_signatures": 7,
 }
 
 

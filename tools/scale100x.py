@@ -195,13 +195,40 @@ def main() -> None:
             self.builder = builder
 
     from training_datawarehouse_spark.plans.northstar import (
-        lsh_cross_modal_xxhash,
+        DSIR_TARGET_SOURCES, lsh_cross_modal_xxhash,
     )
+    from training_datawarehouse_spark.operators.classifier import (
+        logreg_quality,
+    )
+    from training_datawarehouse_spark.operators.text import dsir_importance
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    def _lrq(spark, sf_dir):
+        # the r6 trained classifier, in isolation: fit (3 GD epochs,
+        # eager) + the scored per-doc frame
+        return logreg_quality(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            label_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
+            n_buckets=256, epochs=3, lr=0.5,
+        )
+
+    def _dsir(spark, sf_dir):
+        # the r6 DSIR selection, in isolation: both models from one
+        # feature scan + per-doc weights + per-domain rank selection
+        return dsir_importance(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            target_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
+            n_buckets=256, select_frac=0.25, domain_col="source",
+        )
 
     under_test = [(n, QUERIES[n]) for n in QUERIES_UNDER_TEST]
     under_test.append(
         ("ns_dedup_lsh_xxhash64", _Q(lsh_cross_modal_xxhash))
     )
+    under_test += [("lrq_fit_score", _Q(_lrq)), ("dsir_select", _Q(_dsir))]
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if names:
+        under_test = [(n, q) for n, q in under_test if n in names]
     for name, q in under_test:
         a_coll, a_cnt, _ = time_both(q, spark, SRC)
         b_coll, b_cnt, b_rows = time_both(q, spark, DST)
@@ -212,7 +239,8 @@ def main() -> None:
             flush=True,
         )
 
-    bucket_stats(spark)
+    if not names:  # the LSH probe belongs to the full sweep only
+        bucket_stats(spark)
 
 
 def bucket_stats(spark) -> None:
