@@ -193,9 +193,10 @@ def _extras() -> list[dict]:
                  s, d, include_leakage=False)},
             {"name": "ns_text_profile__r4equiv", "semver": 2,
              "desc": "ns_text_profile semver-2 sub-plan (no bigram-LM / "
-                     "BPE stages)",
+                     "BPE / DSIR / classifier stages)",
              "builder": lambda s, d: _compat(text_profile,
-                 s, d, include_lm=False, include_bpe=False)},
+                 s, d, include_lm=False, include_bpe=False,
+                 include_dsir=False, include_lrq=False)},
             {"name": "ns_text_profile__r5equiv", "semver": 3,
              "desc": "ns_text_profile semver-3 sub-plan (no BPE stage)",
              "builder": lambda s, d: _compat(text_profile,
