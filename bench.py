@@ -86,9 +86,11 @@ MANIFEST = [
      "desc": "r3: real PNG/WAV codecs replaced the stub decode; "
              "r4: + real baseline JPEG stage (grayscale + YCbCr 4:2:0); "
              "r5: + real WebP-lossless (VP8L) stage"},
-    {"name": "op_approx_aggs", "semver": 2,
+    {"name": "op_approx_aggs", "semver": 3,
      "desc": "r3: added mergeable HLL sketch rollup stage "
-             "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin)"},
+             "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin); "
+             "r6: + Count-Min Sketch stages (direct AND daily-merged "
+             "builds, md5-reproducible so estimates hash-check as VALUES)"},
     {"name": "op_jn_asof", "semver": 1,
      "desc": "as-of join"},
     {"name": "op_jn_range", "semver": 1,
@@ -161,14 +163,16 @@ def _extras() -> list[dict]:
              "desc": "op_approx_aggs semver-1 sub-plan (per-type stage only, "
                      "no sketch rollup; NOTE: still carries the exact-twin "
                      "columns — use __r1equiv for the r1-anchor comparison)",
-             "builder": lambda s, d: approx_aggs(s, d, include_weekly=False)},
+             "builder": lambda s, d: _compat(approx_aggs,
+                 s, d, include_weekly=False, include_cms=False)},
             {"name": "op_approx_aggs__r1equiv", "semver": 1,
              "desc": "op_approx_aggs ROUND-1 sub-plan: sketch-only single "
                      "aggregation, no exact twins, no rollup — the honest "
                      "anchor for BENCH_r01's 0.356 (see BENCH_ATTRIBUTION "
                      "§7 addendum)",
              "builder": lambda s, d: _compat(approx_aggs,
-                 s, d, include_weekly=False, include_exact=False)},
+                 s, d, include_weekly=False, include_exact=False,
+                 include_cms=False)},
             {"name": "ns_multimodal_meta__r2equiv", "semver": 1,
              "desc": "ns_multimodal_meta semver-1 sub-plan (stub decode only, "
                      "no real codecs)",
@@ -202,6 +206,10 @@ def _extras() -> list[dict]:
              "builder": lambda s, d: _compat(text_profile,
                  s, d, include_bpe=False, include_dsir=False,
                  include_lrq=False)},
+            {"name": "op_approx_aggs__r5equiv", "semver": 2,
+             "desc": "op_approx_aggs semver-2 sub-plan (no CMS stages)",
+             "builder": lambda s, d: _compat(approx_aggs,
+                 s, d, include_cms=False)},
             {"name": "ns_text_profile__r6aequiv", "semver": 4,
              "desc": "ns_text_profile semver-4 sub-plan (BPE stage, no "
                      "DSIR / classifier stages — the early-r6 entry shape)",

@@ -852,3 +852,21 @@ def test_dup_span_coverage_planted_spans(spark):
     assert abs(out[3]["dup_span_frac"] - 1.0) < 1e-9
     assert out[4]["dup_span_tokens"] == 0 and out[4]["dup_span_frac"] == 0.0
     assert out[5]["dup_span_tokens"] == 0 and out[5]["dup_span_frac"] == 0.0
+
+
+def test_cms_estimates_overestimate_and_merge_identity(spark):
+    """Count-Min semantics on the real events table: estimates never
+    underestimate the exact count (pairwise-positive counters), and
+    the daily-merged sketch gives IDENTICAL estimates to the direct
+    build (CMS counters are linear, so partial sketches merge by
+    addition)."""
+    from training_datawarehouse_spark.plans.relational import approx_aggs
+
+    out = approx_aggs(spark, "/root/testdata/sf0.001").collect()
+    cms = {r["k"]: r for r in out if r["stage"] == "cms"}
+    merged = {r["k"]: r for r in out if r["stage"] == "cms_merge"}
+    assert set(cms) == {"1", "2", "3", "4", "5"} == set(merged)
+    for k, r in cms.items():
+        assert r["n_users"] >= r["n"], k          # est >= exact
+        assert r["hll_in_band"] is True
+        assert merged[k]["n_users"] == r["n_users"], k  # merge identity

@@ -174,8 +174,14 @@ SHUFFLE_BUDGET = {
     # family: multimodal — one metadata agg per codec stage
     # (stub/png/wav + jpeg since r4)
     "ns_multimodal_meta": 5,  # one groupBy(format) per codec stage (r5: +webp)
-    # family: approx aggs — separate agg branches + sketch rollup
-    "op_approx_aggs": 7,
+    # family: approx aggs — separate agg branches + sketch rollup.
+    # r6: +10 for the Count-Min stages, counted STATICALLY across the
+    # union's two build paths (direct sketch groupBy; daily partials +
+    # elementwise merge; per-path probe-estimate and exact-count
+    # groupBys — all d*w=256-row, map-side-combinable exchanges; the
+    # probe/exact/total sides broadcast, 0 SortMergeJoin asserted by
+    # the join-strategy gates)
+    "op_approx_aggs": 17,
     # family: event profile — Expand kept out of the percentile sorts
     "op_agg_event_profile": 6,
     # family: fingerprints/signatures
@@ -218,6 +224,7 @@ def test_no_cartesian_and_nested_loops_only_where_bounded(plans):
         "op_jn_range",               # interval containment, non-equi
         "tpch_deep_shapes",          # q22 global-scalar 1-row broadcast
         "op_fn_scalar_breadth",      # scalar-literal cross, 1 row
+        "op_approx_aggs",            # CMS N-total: 1-row broadcast cross
     }
     offenders = [
         n for n, p in plans.items()

@@ -799,9 +799,30 @@ GROUP BY o_orderpriority
 """
 
 
+# Count-Min Sketch parameters (the third mergeable-sketch family next
+# to HLL and quantile sketches): d hash rows × w buckets, md5-derived
+# row hashes so BOTH engines rebuild the identical sketch — unlike the
+# engine-internal HLL/quantile sketches, every CMS estimate is a
+# deterministic VALUE the oracle hash-checks, not just a bounds bool.
+CMS_D, CMS_W = 4, 64
+CMS_EPS_NUM = 2.71828  # e: the classic eps = e/w overestimate bound
+CMS_PROBE_KEYS = (1, 2, 3, 4, 5)
+
+
+def _cms_bucket(key, j: int):
+    """Row-j bucket: hex byte j of md5(key) mod CMS_W — one md5, four
+    independent-enough byte extractions; portable to the SQL oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(key.cast("string")), 2 * j + 1, 2), 16, 10
+        ).cast("int") % CMS_W
+    )
+
+
 def approx_aggs(spark: SparkSession, sf_dir: str,
                 include_weekly: bool = True,
-                include_exact: bool = True) -> DataFrame:
+                include_exact: bool = True,
+                include_cms: bool = True) -> DataFrame:
     """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
     distinct counts and quantile sketches per event_type.
 
@@ -899,10 +920,117 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
         nb.alias("q95_in_rank_band"),
         nb.alias("q99_in_rank_band"),
     )
-    return per_type.unionByName(weekly)
+    out = per_type.unionByName(weekly)
+    if include_cms:
+        out = out.unionByName(_cms_stages(spark, ev))
+    return out
 
 
-APPROX_AGGS_ORACLE = """
+def _cms_stages(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """r6: Count-Min Sketch frequency estimation, built twice — 'cms'
+    in one pass and 'cms_merge' through DAILY partial sketches summed
+    to the total (CMS counters are linear, so partial sketches merge
+    by elementwise addition — the same partial-aggregation shape the
+    HLL weekly rollup proves, now with VALUE-level oracle checking
+    since the md5-derived sketch is engine-reproducible).
+
+    Per probe key: n_users carries the CMS estimate (min over the d
+    row counters — hash-checked as an exact value), n the exact event
+    count, hll_in_band the never-underestimates guarantee, and
+    q50_in_rank_band the eps=e/w Markov bound est <= exact +
+    floor(e/w · N) — both booleans COMPUTED identically in both
+    engines, not pinned, so an unlucky testdata regeneration cannot
+    produce a spurious mismatch.
+
+    Plan shape at 100 TB: the sketch build is one explode(d rows) →
+    map-side-combinable groupBy collapsing to d·w=256 rows; probes
+    broadcast-join the tiny sketch; nothing else shuffles.
+    """
+    row_arr = lambda key: F.array(*[  # noqa: E731 — shared (j,b) rows
+        F.struct(F.lit(j).alias("j"), _cms_bucket(key, j).alias("b"))
+        for j in range(CMS_D)
+    ])
+    entries = ev.select(
+        F.to_date("ts").alias("d"),
+        F.explode(row_arr(F.col("user_id"))).alias("e"),
+    ).select("d", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+    sketch = entries.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    daily = entries.groupBy("d", "j", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = daily.groupBy("j", "b").agg(F.sum("c").alias("c"))
+
+    probes = spark.createDataFrame(
+        [(int(k),) for k in CMS_PROBE_KEYS], "k long"
+    )
+    pj = probes.select(
+        "k", F.explode(row_arr(F.col("k"))).alias("e")
+    ).select("k", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
+    exact = probes.join(
+        ev.filter(F.col("user_id").isin(*CMS_PROBE_KEYS))
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_exact")),
+        "k", "left",
+    ).select("k", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+
+    def stage(name: str, sk: DataFrame) -> DataFrame:
+        est = (
+            pj.join(F.broadcast(sk), ["j", "b"], "left")
+            .groupBy("k")
+            .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+        )
+        total = sk.filter(F.col("j") == 0).agg(
+            F.sum("c").alias("__N")
+        )
+        slack = F.floor(F.lit(CMS_EPS_NUM / CMS_W) * F.col("__N"))
+        return (
+            est.join(F.broadcast(exact), "k")
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("stage"),
+                F.col("k").cast("string").alias("k"),
+                F.col("est").cast("long").alias("n_users"),
+                F.col("n_exact").alias("n"),
+                (F.col("est") >= F.col("n_exact")).alias("hll_in_band"),
+                (F.col("est") <= F.col("n_exact") + slack)
+                .alias("q50_in_rank_band"),
+                F.lit(None).cast("boolean").alias("q95_in_rank_band"),
+                F.lit(None).cast("boolean").alias("q99_in_rank_band"),
+            )
+        )
+
+    return stage("cms", sketch).unionByName(stage("cms_merge", merged))
+
+
+# CMS bucket for hash row j (a COLUMN): hex byte j of md5 — the same
+# rule as _cms_bucket, with j entering the substr positions
+_CMS_HEXV = "(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+_CMS_B = (
+    f"(({_CMS_HEXV.format(p='2*j + 1')} * 16"
+    f" + {_CMS_HEXV.format(p='2*j + 2')}) % {CMS_W})"
+)
+_CMS_KEYS_SQL = ", ".join(str(k) for k in CMS_PROBE_KEYS)
+
+APPROX_AGGS_ORACLE = f"""
+WITH js AS (SELECT unnest(range(0, {CMS_D})) AS j),
+ent AS (
+  SELECT d, j, {_CMS_B} AS b
+  FROM (SELECT ts::DATE AS d, md5(user_id::VARCHAR) AS m FROM events)
+  CROSS JOIN js
+),
+cms AS (SELECT j, b, count(*) AS c FROM ent GROUP BY 1, 2),
+cmsd AS (SELECT d, j, b, count(*) AS c FROM ent GROUP BY 1, 2, 3),
+cmsm AS (SELECT j, b, sum(c) AS c FROM cmsd GROUP BY 1, 2),
+pk AS (SELECT unnest([{_CMS_KEYS_SQL}]) AS k),
+pj AS (
+  SELECT k, j, {_CMS_B} AS b
+  FROM (SELECT k, md5(k::VARCHAR) AS m FROM pk) CROSS JOIN js
+),
+pex AS (
+  SELECT pk.k, count(e.user_id) AS n_exact
+  FROM pk LEFT JOIN events e ON e.user_id = pk.k GROUP BY pk.k
+),
+cn AS (SELECT sum(c) AS nn FROM cms WHERE j = 0)
 SELECT 'per_type' AS stage,
        event_type AS k,
        count(DISTINCT user_id) AS n_users,
@@ -922,6 +1050,22 @@ SELECT 'weekly_merge',
        CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
 FROM events
 GROUP BY 2
+UNION ALL
+SELECT 'cms', k::VARCHAR, est, n_exact,
+       est >= n_exact,
+       est <= n_exact + floor({CMS_EPS_NUM / CMS_W!r} * nn),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+FROM (SELECT k, min(coalesce(c, 0)) AS est
+      FROM pj LEFT JOIN cms USING (j, b) GROUP BY k)
+JOIN pex USING (k) CROSS JOIN cn
+UNION ALL
+SELECT 'cms_merge', k::VARCHAR, est, n_exact,
+       est >= n_exact,
+       est <= n_exact + floor({CMS_EPS_NUM / CMS_W!r} * nn),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+FROM (SELECT k, min(coalesce(c, 0)) AS est
+      FROM pj LEFT JOIN cmsm USING (j, b) GROUP BY k)
+JOIN pex USING (k) CROSS JOIN cn
 """
 
 
