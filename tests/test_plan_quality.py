@@ -175,13 +175,15 @@ SHUFFLE_BUDGET = {
     # (stub/png/wav + jpeg since r4)
     "ns_multimodal_meta": 5,  # one groupBy(format) per codec stage (r5: +webp)
     # family: approx aggs — separate agg branches + sketch rollup.
-    # r6: +10 for the Count-Min stages, counted STATICALLY across the
-    # union's two build paths (direct sketch groupBy; daily partials +
-    # elementwise merge; per-path probe-estimate and exact-count
-    # groupBys — all d*w=256-row, map-side-combinable exchanges; the
-    # probe/exact/total sides broadcast, 0 SortMergeJoin asserted by
-    # the join-strategy gates)
-    "op_approx_aggs": 17,
+    # r6: +4 in the FINAL plan for the Count-Min stages (per-path
+    # probe-estimate and exact-count groupBys; probe/exact/total sides
+    # broadcast, 0 SortMergeJoin). The sketch BUILDS (explode ->
+    # 256-row map-side-combinable groupBy per path, daily partials +
+    # elementwise merge) run at build time behind localCheckpoint —
+    # their exchanges are priced in the builder, not re-derived per
+    # consuming branch of the union (measured: the un-checkpointed
+    # static plan re-counted them to 17)
+    "op_approx_aggs": 11,
     # family: event profile — Expand kept out of the percentile sorts
     "op_agg_event_profile": 6,
     # family: fingerprints/signatures

