@@ -1067,7 +1067,7 @@ SELECT 'cms', k::VARCHAR, est, n_exact,
        est >= n_exact,
        est <= n_exact + floor({CMS_EPS_NUM / CMS_W!r} * nn),
        CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
-FROM (SELECT k, min(coalesce(c, 0)) AS est
+FROM (SELECT k, min(coalesce(c, 0))::BIGINT AS est
       FROM pj LEFT JOIN cms USING (j, b) GROUP BY k)
 JOIN pex USING (k) CROSS JOIN cn
 UNION ALL
@@ -1075,7 +1075,7 @@ SELECT 'cms_merge', k::VARCHAR, est, n_exact,
        est >= n_exact,
        est <= n_exact + floor({CMS_EPS_NUM / CMS_W!r} * nn),
        CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
-FROM (SELECT k, min(coalesce(c, 0)) AS est
+FROM (SELECT k, min(coalesce(c, 0))::BIGINT AS est
       FROM pj LEFT JOIN cmsm USING (j, b) GROUP BY k)
 JOIN pex USING (k) CROSS JOIN cn
 """
