@@ -13,8 +13,26 @@ Semantics verified against the reference (SURVEY §2.3.4):
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def round_half_away(x: float, nd: int) -> float:
+    """Driver-side rounding that matches DuckDB's ``round(x, nd)`` on
+    DOUBLE: ties go away from zero. Python's builtin ``round`` is
+    half-to-even, which diverges from the oracle when a value lands
+    exactly on a representable midpoint (dyadic values like
+    0.001953125 at 8 dp) — a rare but real cross-engine hash flake.
+    Every iterative fit that feeds driver-rounded floats back into the
+    next epoch/iteration (logreg weights, k-means centroids) must
+    round through THIS helper so both engines see identical doubles.
+    Quantizes the exact binary value of ``x`` (``Decimal(x)``, not
+    ``Decimal(repr(x))``) — the same value DuckDB's scaled-round sees.
+    """
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def year_week(d: Column) -> Column:

@@ -156,11 +156,14 @@ def train_bpe(
     traffic, generations lineage-truncated via localCheckpoint.
 
     Returns ``(words, merges)``: ``words`` is the trained vocabulary
-    DataFrame ``(w, cnt, syms array<string>)`` — localCheckpoint'ed,
-    so its storage is executor-memory-backed and released by the
-    context cleaner once unreferenced — with the final (post-merge)
-    symbol sequence of every distinct trainable word; join it to
-    encode. ``merges`` is the learned rank-ordered list of
+    DataFrame ``(w, cnt, syms array<string>)`` with the final
+    (post-merge) symbol sequence of every distinct trainable word;
+    join it to encode. On the driver fast path it is a plain
+    ``createDataFrame`` over the locally-trained rows; on the
+    distributed path it is the final generation's eager
+    localCheckpoint (every superseded generation is unpersisted as
+    soon as its successor materializes, so only this one frame stays
+    pinned). ``merges`` is the learned rank-ordered list of
     ``(a, b, count)`` tuples. Raises if the corpus exhausts pairs
     before ``num_merges`` (keep k small relative to corpus — the
     differential oracle unrolls exactly k stages).
@@ -197,7 +200,8 @@ def train_bpe(
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    prev: DataFrame | None = None
+    for it in range(num_merges):
         n1 = F.size("syms") - 1
         pair_rows = (
             words.select(
@@ -233,14 +237,26 @@ def train_bpe(
             )
         a, b, c = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["c"]
         merges.append((a, b, int(c)))
+        # The collect above materialized THIS generation's checkpoint,
+        # so the one before it is no longer an input of anything —
+        # release it now (a localCheckpoint'ed frame must never be
+        # unpersisted while a successor still needs to materialize
+        # through it: the lineage is truncated, so the blocks are the
+        # only copy).
+        if prev is not None:
+            prev.unpersist()
+        prev = words
         # eager=False: the checkpoint materializes with the NEXT
         # iteration's pair-count job instead of spending a dedicated
         # job per generation — halves the serial job count of the
         # training loop (the loop's cost at small scale is job launch
-        # latency, not data)
+        # latency, not data). The FINAL generation is eager so its
+        # predecessor can be released before returning.
         words = words.select(
             "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=it == num_merges - 1)
+    if prev is not None:
+        prev.unpersist()
     return words, merges
 
 

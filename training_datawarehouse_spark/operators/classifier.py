@@ -25,9 +25,11 @@ via localCheckpoint so the training cache releases before the scored
 frame returns.
 
 Cross-engine determinism: weights round to 8 dp per epoch in BOTH
-engines (driver-side ``round`` here, ``round(x, 8)`` in the oracle —
-the k-means centroid discipline), so each epoch's inputs are identical
-doubles and float-sum ordering can't drift the fit.
+engines (driver-side ``round_half_away`` here — decimal quantize with
+ties away from zero, DuckDB's DOUBLE ``round(x, 8)`` convention — the
+k-means centroid discipline), so each epoch's inputs are identical
+doubles even on exact dyadic midpoints and float-sum ordering can't
+drift the fit.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_half_away
 from .text import hash_bucket
 
 
@@ -133,7 +136,7 @@ def logreg_quality(
                     if row["bkt"] == bias_bkt
                 )
             for row in grads:
-                w[row["bkt"]] = round(
+                w[row["bkt"]] = round_half_away(
                     w[row["bkt"]] + lr / n_docs * row["g"], 8
                 )
 

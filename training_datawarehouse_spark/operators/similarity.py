@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_half_away
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -303,7 +305,13 @@ def _kmeans_iterate(
                 comps[p][0] / comps[p][1] for p in sorted(comps)
             ]
             if round_dp is not None:
-                new_cents[cid] = [round(x, round_dp) for x in new_cents[cid]]
+                # round_half_away, not builtin round: the oracle's
+                # DuckDB round() is ties-away-from-zero (see
+                # functions/scalars.py) and these floats feed the next
+                # Lloyd iteration as literals in BOTH engines.
+                new_cents[cid] = [
+                    round_half_away(x, round_dp) for x in new_cents[cid]
+                ]
         cents = new_cents
     return cents, inertia_hist
 
@@ -387,6 +395,25 @@ def signlsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semdedup_k(n_vectors: int, target_cluster_pop: int = 250) -> int:
+    """The k∝n contract, as code: SemDeDup's within-cluster pair stage
+    is quadratic in cluster POPULATION (total work ≈ n²/k), so k must
+    grow linearly with the corpus to hold the per-cluster population —
+    and therefore per-cluster work — constant. SCALE.md measured the
+    contract directly: 10× vectors at fixed k ran 5.2× slower; 10×
+    vectors with k scaled 10× (population held at 250) ran FASTER than
+    the 1× baseline, because the same per-cluster work spreads over
+    10× the clusters. Production callers size k through this helper;
+    the registry's ``ns_kmeans_clusters`` entry pins k=6 instead
+    because its differential oracle unrolls Lloyd's iterations into
+    STATIC SQL (k is baked into the CTE text), a bench-scale
+    limitation documented there.
+    """
+    if n_vectors <= 0:
+        return 2
+    return max(2, -(-n_vectors // target_cluster_pop))
 
 
 def semdedup_stats(

@@ -680,7 +680,16 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str,
     sd_* columns — the oracle re-derives all three from its own
     unrolled Lloyd's assignment plus a recursive-closure component
     pass, so the semantic-dedup decision itself is hash-checked.
-    ``include_semdedup=False`` is the r5-equivalent sub-plan."""
+    ``include_semdedup=False`` is the r5-equivalent sub-plan.
+
+    k is PINNED at 6 here — a bench-scale choice, not the production
+    rule: the differential oracle unrolls Lloyd's into static SQL, so
+    k is baked into the CTE text and cannot follow the data (sf0.01's
+    500 vectors ÷ 6 ≈ 83/cluster; sf0.1's 2000 ÷ 6 ≈ 333 — the
+    quadratic SemDeDup stage is still tiny). At corpus scale the
+    plan is O(n²/k); production callers derive k from the corpus via
+    ``operators/similarity.semdedup_k`` (population-constant k∝n —
+    the contract SCALE.md measures head-on)."""
     emb = load_table(spark, sf_dir, "embeddings")
     init_rows = (
         emb.filter(F.col("vec_id") < _KMEANS_K)
