@@ -73,8 +73,11 @@ MANIFEST = [
              "r6b: + DSIR hashed-bigram importance weights + per-domain "
              "top-25% selection (both models oracle-retrained) + trained "
              "logreg quality classifier (3 GD epochs, oracle-retrained)"},
-    {"name": "ns_similarity_topk", "semver": 1,
-     "desc": "brute-force cosine top-k"},
+    {"name": "ns_similarity_topk", "semver": 2,
+     "desc": "brute-force cosine top-k (r7: + BM25 lexical ranked "
+             "retrieval over documents + hybrid more-like-this RRF "
+             "fusion of lexical and vector rankings, all oracle-"
+             "re-derived)"},
     {"name": "ns_dedup_lsh_cross_modal", "semver": 2,
      "desc": "r3: runs md5-portable hash family for oracle parity "
              "(xxhash64 production twin timed under extras)"},
@@ -140,8 +143,8 @@ def _extras() -> list[dict]:
             q1_pricing_summary, scalar_breadth,
         )
         from training_datawarehouse_spark.plans.northstar import (
-            lsh_cross_modal_xxhash, multimodal_meta, split_train_val,
-            text_profile,
+            lsh_cross_modal_xxhash, multimodal_meta, similarity_topk,
+            split_train_val, text_profile,
         )
         from training_datawarehouse_spark.plans.relational import approx_aggs
 
@@ -210,6 +213,11 @@ def _extras() -> list[dict]:
              "desc": "op_approx_aggs semver-2 sub-plan (no CMS stages)",
              "builder": lambda s, d: _compat(approx_aggs,
                  s, d, include_cms=False)},
+            {"name": "ns_similarity_topk__r6equiv", "semver": 1,
+             "desc": "similarity top-k semver-1 sub-plan (cosine stage "
+                     "only, no BM25 / RRF retrieval stages)",
+             "builder": lambda s, d: _compat(similarity_topk,
+                 s, d, include_retrieval=False)},
             {"name": "ns_text_profile__r6aequiv", "semver": 4,
              "desc": "ns_text_profile semver-4 sub-plan (BPE stage, no "
                      "DSIR / classifier stages — the early-r6 entry shape)",

@@ -1,0 +1,181 @@
+"""Lexical ranked retrieval (BM25) and hybrid rank fusion (RRF).
+
+Charter extension (no reference implementation — the reference's query
+surface stops at relational operators): a training-data pipeline needs
+corpus SEARCH as much as dedup — eval-set curation ("find the docs
+about X"), decontamination triage, and hybrid lexical+vector retrieval
+for RAG-style data selection. Two public methods, re-expressed
+Spark-first:
+
+- **BM25** (Robertson et al., TREC-3; the Lucene-default scoring
+  function): ``score(q, d) = Σ_t idf(t) · tf·(k1+1) /
+  (tf + k1·(1 − b + b·|d|/avgdl))`` with
+  ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
+- **Reciprocal-rank fusion** (Cormack et al. 2009): fuse two rankings
+  by ``Σ 1/(60 + rank)`` — the standard hybrid-search combiner.
+
+Plan shape at 100 TB:
+
+- The token stream broadcast-joins the (tiny) query-term set BEFORE
+  any shuffle, so the inverted-index grain ``(doc, term, tf)`` is
+  built only for matching terms — the corpus-wide explode feeds a
+  map-side-combinable groupBy whose post-filter input is the matched
+  slice, not the corpus.
+- Document length rides each token row (``size(split)`` is row-local)
+  so tf and |d| come out of ONE aggregation — no doc-grain join back.
+- df/idf is a per-term table bounded by the query vocabulary →
+  broadcast. Corpus stats (N, avgdl) are a 1-row frame → broadcast
+  cross join. (A production deployment keeps N/avgdl as table
+  metadata; computing them here costs one narrow scan of the token
+  column.)
+- Top-k is TWO-LEVEL: a partial top-k inside ``n_shards`` hash shards
+  of the doc space, then the final top-k over ``n_shards·k``
+  candidates — a single global window per query would funnel every
+  matching document of a 100 TB corpus through one partition.
+  Scores round to 6 dp BEFORE ranking and ties break on neighbor id,
+  so both engines rank identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_C = 60  # the fusion constant from Cormack et al. 2009
+
+
+def _tokens(text_col):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    qmap: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score every document against every query in ``qmap(query_id,
+    term)`` (a tiny frame — literal or derived — that broadcasts).
+    Returns ``(query_id, neighbor_id, score)`` for documents matching
+    ≥1 query term; ``score`` is rounded to 6 dp. One corpus token
+    scan builds tf+|d|; one narrow scan computes (N, avgdl)."""
+    toks = _tokens(text_col)
+    tok_rows = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.size(toks).alias("__dl"),
+        F.explode(toks).alias("term"),
+    )
+    terms = qmap.select("term").distinct()
+    # tf + doc length out of ONE aggregation over the matched slice
+    tf = (
+        tok_rows.join(F.broadcast(terms), "term")
+        .groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(toks)).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("__doc", "term", (idf * sat).alias("__c"))
+        .join(F.broadcast(qmap), "term")
+        .groupBy("query_id", F.col("__doc").alias("neighbor_id"))
+        .agg(F.round(F.sum("__c"), 6).alias("score"))
+    )
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    n_shards: int = 32,
+    score_col: str = "score",
+) -> DataFrame:
+    """Two-level top-k per query over ``(query_id, neighbor_id,
+    score)``: partial top-k inside hash shards of the neighbor space
+    (bounds any one partition to its shard's rows), final top-k over
+    the ≤ ``n_shards·k`` survivors. Deterministic: ties break on
+    neighbor_id asc; callers must pre-round the score."""
+    shard = F.pmod(F.col("neighbor_id"), F.lit(n_shards))
+    order = [F.col(score_col).desc(), F.col("neighbor_id")]
+    partial = Window.partitionBy("query_id", shard).orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("__pr", F.row_number().over(partial))
+        .filter(F.col("__pr") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", score_col)
+    )
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ``(query_id, rank, neighbor_id)``
+    rankings: ``score = Σ_lists 1/(c + rank)`` (a document absent from
+    one list simply contributes nothing — the standard convention),
+    rounded to 6 dp, re-ranked to the top ``k``. Two addends, so the
+    double sum is order-exact across engines."""
+    a = rank_a.select("query_id", "neighbor_id", F.col("rank").alias("__ra"))
+    b = rank_b.select("query_id", "neighbor_id", F.col("rank").alias("__rb"))
+    fused = (
+        a.join(b, ["query_id", "neighbor_id"], "full")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("__ra")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("__rb")), F.lit(0.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return topk_per_query(fused, k)
+
+
+def mlt_query_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_terms: int = 8,
+) -> DataFrame:
+    """More-like-this query derivation: a query document's terms are
+    the first ``max_terms`` of its SORTED distinct tokens — a
+    deterministic rule both engines can recompute (no tf-weighted
+    'interesting terms' heuristic, which would need its own oracle).
+    Returns ``(query_id, term)``; callers pre-filter ``docs`` to the
+    query slice (tiny → broadcasts downstream)."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, max_terms)
+        ).alias("term"),
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..operators import bpe
 from ..operators import classifier as clf
 from ..operators import dedup as dd
+from ..operators import retrieval as rtr
 from ..operators import sampling
 from ..operators import sharding
 from ..operators import similarity as sim
@@ -386,31 +387,185 @@ SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS group_size FROM fp
 
 # ------------------------------------------------ similarity search
 
-def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-5 cosine neighbours for 8 query vectors."""
+#: fixed lexical probe queries for the BM25 stage — drawn from the
+#: synthetic corpus vocabulary; ids ≥100 so they can't collide with
+#: the more-like-this query-doc ids (0..2)
+_BM25_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (100, ("spark", "window", "agg")),
+    (101, ("customer", "query", "join")),
+    (102, ("vector", "stream", "batch")),
+]
+_MLT_N_QUERIES = 3   # more-like-this query docs: doc_id 0..2 (≡ vec_id)
+_MLT_MAX_TERMS = 8
+_RETR_K = 5
+_RRF_DEPTH = 20      # fusion depth: top-20 from each ranking
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str,
+                    include_retrieval: bool = True) -> DataFrame:
+    """Retrieval composite (r7): three hash-checked stages on the
+    (query_id, rank, neighbor_id, score) grain.
+
+    - 'cosine': brute-force exact top-5 cosine neighbours for 8 query
+      vectors (the r1 entry; score = cosine).
+    - 'bm25' (r7): BM25 lexical ranked retrieval (Robertson et al.;
+      Lucene-default scoring) for three fixed term queries over
+      ``documents`` — see ``operators/retrieval.py`` for the 100 TB
+      shape (query-term broadcast prune before any shuffle, tf+|d|
+      from one aggregation, two-level top-k).
+    - 'mlt_rrf' (r7): hybrid more-like-this search — for query docs
+      0..2 (doc_id ≡ vec_id in the synthetic corpus), fuse the BM25
+      ranking of the doc's first-8 sorted distinct tokens with the
+      exact embedding-cosine ranking by reciprocal-rank fusion
+      (Cormack et al. 2009, c=60) over the top-20 of each, re-ranked
+      to top-5. The standard hybrid lexical+vector retrieval combiner,
+      entirely in DataFrame ops.
+
+    The oracle RE-DERIVES all three rankings — BM25 scores (same
+    idf/saturation arithmetic, same 6-dp pre-rank rounding, same
+    neighbor-id tie-break), the fusion sum, and the final ranks — so
+    the retrieval math itself is hash-checked.
+    ``include_retrieval=False`` is the r6-equivalent (cosine-only)
+    sub-plan for the bench twin."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return sim.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    qv = emb.filter(F.col("vec_id") < 8)
+    cos = sim.cosine_topk(emb, qv, "vec_id", "embedding", k=_RETR_K)
+    base = cos.select(
+        F.lit("cosine").alias("stage"), "query_id", "rank",
+        "neighbor_id", F.col("cosine").alias("score"),
+    )
+    if not include_retrieval:
+        return base
+    docs = load_table(spark, sf_dir, "documents")
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    bm = rtr.topk_per_query(rtr.bm25_scores(docs, qmap), k=_RETR_K)
+    bm_s = bm.select(
+        F.lit("bm25").alias("stage"), "query_id", "rank",
+        "neighbor_id", "score",
+    )
+    qterms = rtr.mlt_query_terms(
+        docs.filter(F.col("doc_id") < _MLT_N_QUERIES),
+        max_terms=_MLT_MAX_TERMS,
+    )
+    lex_rank = rtr.topk_per_query(
+        rtr.bm25_scores(docs, qterms)
+        .filter(F.col("query_id") != F.col("neighbor_id")),
+        k=_RRF_DEPTH,
+    )
+    vec_rank = sim.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < _MLT_N_QUERIES),
+        "vec_id", "embedding", k=_RRF_DEPTH,
+    )
+    rrf = rtr.rrf_fuse(lex_rank, vec_rank, k=_RETR_K)
+    rrf_s = rrf.select(
+        F.lit("mlt_rrf").alias("stage"), "query_id", "rank",
+        "neighbor_id", "score",
+    )
+    return base.unionByName(bm_s).unionByName(rrf_s)
 
 
-SIMILARITY_ORACLE = """
+def _retrieval_oracle() -> str:
+    """Re-derives all three retrieval stages in DuckDB. The BM25
+    constants are spliced with ``repr`` so both engines parse the
+    IDENTICAL doubles Python computed (1.2 + 1.0 is not the 2.2
+    literal's double); arithmetic is parenthesized exactly as the
+    Spark expression tree groups it. Two-level top-k needs no oracle
+    twin — it returns exactly the global top-k by construction."""
+    k1, b = rtr.BM25_K1, rtr.BM25_B
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+    )
+    return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-scored AS (
+cos_scored AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, cv)
            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
   FROM q CROSS JOIN c
   WHERE query_id <> neighbor_id
 ),
-ranked AS (
+cos_ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored
+  FROM cos_scored
+),
+dt AS (
+  SELECT doc_id AS doc, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         avg(len(string_split(lower(text), ' '))) AS avgdl
+  FROM documents
+),
+qmap AS (SELECT * FROM (VALUES {qvals}) v(query_id, term)),
+mlt AS (
+  SELECT doc_id AS query_id, unnest(terms[1:{_MLT_MAX_TERMS}]) AS term
+  FROM (SELECT doc_id,
+               list_sort(list_distinct(string_split(lower(text), ' '))) AS terms
+        FROM documents WHERE doc_id < {_MLT_N_QUERIES})
+),
+allq AS (SELECT query_id, term FROM qmap UNION ALL SELECT query_id, term FROM mlt),
+terms AS (SELECT DISTINCT term FROM allq),
+tf AS (
+  SELECT doc, term, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM dt JOIN terms USING (term)
+  GROUP BY doc, term
+),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT t.doc, t.term,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * ((t.tf * {k1 + 1.0!r}) /
+              (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} * t.dl / s.avgdl))) AS c
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN stats s
+),
+bm_scored AS (
+  SELECT a.query_id, c.doc AS neighbor_id, round(sum(c.c), 6) AS score
+  FROM contrib c JOIN allq a USING (term)
+  GROUP BY 1, 2
+),
+bm_ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM bm_scored WHERE query_id >= 100
+),
+lex_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM bm_scored WHERE query_id < 100 AND neighbor_id <> query_id
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         round(coalesce(1.0 / ({rtr.RRF_C} + l.rank), 0.0)
+               + coalesce(1.0 / ({rtr.RRF_C} + v.rank), 0.0), 6) AS score
+  FROM (SELECT * FROM lex_ranked WHERE rank <= {_RRF_DEPTH}) l
+  FULL JOIN (SELECT query_id, neighbor_id, rank FROM cos_ranked
+             WHERE query_id < {_MLT_N_QUERIES} AND rank <= {_RRF_DEPTH}) v
+  USING (query_id, neighbor_id)
+),
+rrf_ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM fused
 )
-SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
-FROM ranked WHERE rank <= 5
+SELECT 'cosine' AS stage, query_id, rank, neighbor_id, round(cos, 6) AS score
+FROM cos_ranked WHERE rank <= {_RETR_K}
+UNION ALL
+SELECT 'bm25', query_id, rank, neighbor_id, score
+FROM bm_ranked WHERE rank <= {_RETR_K}
+UNION ALL
+SELECT 'mlt_rrf', query_id, rank, neighbor_id, score
+FROM rrf_ranked WHERE rank <= {_RETR_K}
 """
+
+
+SIMILARITY_ORACLE = _retrieval_oracle()
 
 
 def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
