@@ -600,6 +600,98 @@ def test_watermark_filter_lag(spark, tmp_path):
     }
 
 
+def test_stream_dedup_drops_redelivered_keeps_new(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics on a crafted source:
+    a re-delivered event_id vanishes, a NEW event_id arriving in the
+    same later batch survives — i.e. the drop is keyed dedup state,
+    not a batch-level discard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.streaming.events_stream import (
+        stream_events,
+    )
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    src = tmp_path / "src"
+    src.mkdir()
+    p0 = str(src / "a.parquet")
+    p1 = str(src / "b.parquet")
+    pq.write_table(tbl([(1, base), (2, base + h), (3, base + 2 * h)]), p0)
+    # batch 1: re-delivery of id 3 (same recent ts) + brand-new id 4
+    pq.write_table(tbl([(3, base + 2 * h), (4, base + 3 * h)]), p1)
+    import os
+
+    now = os.path.getmtime(p0)
+    os.utime(p0, (now - 20, now - 20))
+    os.utime(p1, (now - 10, now - 10))
+
+    deduped = (
+        stream_events(spark, str(src))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_unit_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = sorted(
+        r["event_id"] for r in spark.table("dedup_unit_sink").collect()
+    )
+    assert got == [1, 2, 3, 4]
+
+
+def test_stream_dedup_stage_matches_batch_and_pins_input(spark):
+    """The 'dedup' e2e stage at sf0.001: per-type rows equal the batch
+    cents aggregation over the original events, and the input-row pin
+    proves the planted duplicates were read."""
+    from training_datawarehouse_spark.plans.relational import (
+        N_PLANTED_DUP, stream_dedup_e2e,
+    )
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    rows = stream_dedup_e2e(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    summary = [r for r in rows if r["k1"] == "__dedup_input"]
+    assert len(summary) == 1
+    assert summary[0]["n"] == n_events + N_PLANTED_DUP
+    batch = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100)).alias("v"),
+        )
+        .collect()
+    }
+    streamed = {
+        r["k1"]: (r["n"], r["v"]) for r in rows if r["k1"] != "__dedup_input"
+    }
+    assert streamed == batch
+
+
 def test_stream_late_stage_drops_planted_rows(spark):
     """The 'late' stage builder at sf0.001: planted rows never reach
     any window, the summary row carries exactly N_PLANTED_LATE, and

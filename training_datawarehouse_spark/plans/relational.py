@@ -576,16 +576,121 @@ def stream_late_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.unionByName(summary)
 
 
+#: planted exact-duplicate count for the 'dedup' streaming stage — a
+#: constant so the oracle can pin the stream's total INPUT row count
+#: (proof the duplicates actually entered the stream before vanishing)
+N_PLANTED_DUP = 400
+
+
+def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state
+    (``dropDuplicatesWithinWatermark``), r7 — the at-least-once
+    ingestion guard every streaming pipeline needs: batch 0 streams the
+    full events file; batch 1 re-delivers EXACT COPIES of the
+    ``N_PLANTED_DUP`` most-recent rows (ts within the 1-day watermark
+    of the corpus max, so they pass the late filter and must be caught
+    by the DEDUP STATE, not the watermark filter — first-occurrence
+    keys that recent are still un-evicted). The deduped stream feeds a
+    per-type complete-mode aggregation in exact cents, so:
+
+    - the per-type rows must equal the batch aggregation over the
+      ORIGINAL events (event_id is unique there) — one leaked
+      duplicate inflates n and v and fails the hash gate;
+    - the '__dedup_input' summary row carries the stream's total
+      numInputRows, which the oracle pins to count(events) +
+      N_PLANTED_DUP — proof the duplicates were read and dropped, not
+      never-delivered.
+
+    100 TB shape: dedup state is keyed by event_id and EVICTED once
+    the watermark passes an id's event time — without
+    ``withinWatermark`` the state grows with the corpus forever; this
+    stage is the executable proof of the bounded-state contract.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.events_stream import stream_events
+
+    name = f"op_stream_dedup_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        p0 = os.path.join(src, "a_ontime.parquet")
+        pq.write_table(t, p0)
+        recent = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("ts", "descending"), ("event_id", "ascending")]
+            )[:N_PLANTED_DUP]
+        )
+        p1 = os.path.join(src, "b_dups.parquet")
+        pq.write_table(recent, p1)
+        now = os.path.getmtime(p0)
+        os.utime(p0, (now - 20, now - 20))
+        os.utime(p1, (now - 10, now - 10))
+
+        cents = stream_events(spark, src).withColumn(
+            "value", F.round(F.col("value") * 100)
+        )
+        deduped = cents.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "dedup streaming drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        input_rows = sum(
+            json.loads(p.json).get("numInputRows", 0) for p in q.recentProgress
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    per_type = spark.table(name).select(
+        F.col("event_type").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("v").cast("double").alias("v"),
+    )
+    summary = spark.range(1).select(
+        F.lit("__dedup_input").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(int(input_rows)).cast("long").alias("n"),
+        F.lit(0.0).alias("v"),
+    )
+    return per_type.unionByName(summary)
+
+
 def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL micro-batch executions under one tagged entry: the
     tumbling-window aggregation ('windows' stage), the watermarked
     stream-stream interval join ('ssjoin' stage), the
     ``applyInPandasWithState`` running totals ('stateful' stage, r5),
     and the planted-late-rows watermark-eviction proof ('late' stage,
-    r6 — append mode, dropped-row metric oracle-checked), each
-    drained with ``trigger(availableNow)`` and aligned onto
-    (stage, k1, k2, n, v) so the batch SQL oracles apply verbatim per
-    stage."""
+    r6 — append mode, dropped-row metric oracle-checked), and the
+    planted-duplicate ``dropDuplicatesWithinWatermark`` bounded-state
+    dedup proof ('dedup' stage, r7 — re-delivered rows dropped, input
+    row count oracle-pinned), each drained with
+    ``trigger(availableNow)`` and aligned onto (stage, k1, k2, n, v)
+    so the batch SQL oracles apply verbatim per stage."""
     st = stream_stateful_e2e(spark, sf_dir).select(
         F.lit("stateful").alias("stage"),
         F.col("user_id").cast("string").alias("k1"),
@@ -610,7 +715,13 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = stream_late_e2e(spark, sf_dir).select(
         F.lit("late").alias("stage"), "k1", "k2", "n", "v",
     )
-    return win.unionByName(join).unionByName(st).unionByName(late)
+    ddp = stream_dedup_e2e(spark, sf_dir).select(
+        F.lit("dedup").alias("stage"), "k1", "k2", "n", "v",
+    )
+    return (
+        win.unionByName(join).unionByName(st)
+        .unionByName(late).unionByName(ddp)
+    )
 
 
 def skew_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +790,19 @@ WHERE window_start + INTERVAL '6 hours'
 UNION ALL
 SELECT 'late', '__late_dropped', CAST(NULL AS VARCHAR),
        {N_PLANTED_LATE}, 0.0
+UNION ALL
+-- dedup: re-delivered duplicates must vanish (per-type aggregation of
+-- the deduped stream == plain aggregation over the original events,
+-- event_id unique there), and the stream must have READ original +
+-- {N_PLANTED_DUP} planted rows — the '__dedup_input' pin
+SELECT 'dedup', event_type, CAST(NULL AS VARCHAR),
+       count(*),
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'dedup', '__dedup_input', CAST(NULL AS VARCHAR),
+       (SELECT count(*) + {N_PLANTED_DUP} FROM events), 0.0
 """
 
 
