@@ -936,10 +936,14 @@ CMS_PROBE_KEYS = (1, 2, 3, 4, 5)
 def _cms_bucket(key, j: int):
     """Row-j bucket: hex byte j of md5(key) mod CMS_W — one md5, four
     independent-enough byte extractions; portable to the SQL oracle."""
+    return _cms_bucket_hex(F.md5(key.cast("string")), j)
+
+
+def _cms_bucket_hex(m, j: int):
+    """Row-j bucket from an ALREADY-COMPUTED md5 hex column — the hot
+    path computes the digest once per row and slices it four times."""
     return (
-        F.conv(
-            F.substring(F.md5(key.cast("string")), 2 * j + 1, 2), 16, 10
-        ).cast("int") % CMS_W
+        F.conv(F.substring(m, 2 * j + 1, 2), 16, 10).cast("int") % CMS_W
     )
 
 
@@ -1070,37 +1074,47 @@ def _cms_stages(spark: SparkSession, ev: DataFrame) -> DataFrame:
     map-side-combinable groupBy collapsing to d·w=256 rows; probes
     broadcast-join the tiny sketch; nothing else shuffles.
     """
-    row_arr = lambda key: F.array(*[  # noqa: E731 — shared (j,b) rows
-        F.struct(F.lit(j).alias("j"), _cms_bucket(key, j).alias("b"))
+    # md5 is computed ONCE per row into a column and the four (j, b)
+    # extractions slice THAT column — relying on codegen CSE to dedupe
+    # four inline md5 calls inside one array literal is not a contract
+    # (and measurably wasn't happening under the explode)
+    hex_rows = lambda m: F.array(*[  # noqa: E731 — shared (j,b) rows
+        F.struct(F.lit(j).alias("j"), _cms_bucket_hex(m, j).alias("b"))
         for j in range(CMS_D)
     ])
     entries = ev.select(
         F.to_date("ts").alias("d"),
-        F.explode(row_arr(F.col("user_id"))).alias("e"),
+        F.md5(F.col("user_id").cast("string")).alias("__m"),
+    ).select(
+        "d", F.explode(hex_rows(F.col("__m"))).alias("e")
     ).select("d", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
-    # Each build path materializes its 256-row sketch ONCE
-    # (localCheckpoint): the probe-estimate and N-total branches below
-    # would otherwise each statically re-derive it — four extra event
-    # scans across the union (measured +2.1 s at sf0.1; 0.9 s after).
-    sketch = (
-        entries.groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    daily = entries.groupBy("d", "j", "b").agg(
+    # Both build paths materialize their 256-row sketches ONCE and in
+    # ONE JOB (a tagged union under a single localCheckpoint): the
+    # probe-estimate and N-total branches below would otherwise each
+    # statically re-derive them — four extra event scans across the
+    # union (measured +2.1 s at sf0.1) — and two separate eager
+    # checkpoints ran the one-pass and daily-merge scans as two SERIAL
+    # jobs (r7: fusing them lets the two scans run concurrently,
+    # 3.8 s → ~2.9 s warm at sf0.1).
+    one = entries.groupBy("j", "b").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    merged = (
-        daily.groupBy("j", "b")
+    ).withColumn("src", F.lit("one"))
+    mrg = (
+        entries.groupBy("d", "j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("j", "b")
         .agg(F.sum("c").alias("c"))
-        .localCheckpoint(eager=True)
+        .withColumn("src", F.lit("merge"))
     )
+    sk_all = one.unionByName(mrg).localCheckpoint(eager=True)
+    sketch = sk_all.filter(F.col("src") == "one").drop("src")
+    merged = sk_all.filter(F.col("src") == "merge").drop("src")
 
     probes = spark.createDataFrame(
         [(int(k),) for k in CMS_PROBE_KEYS], "k long"
     )
     pj = probes.select(
-        "k", F.explode(row_arr(F.col("k"))).alias("e")
+        "k", F.explode(hex_rows(F.md5(F.col("k").cast("string")))).alias("e")
     ).select("k", F.col("e.j").alias("j"), F.col("e.b").alias("b"))
     exact = probes.join(
         ev.filter(F.col("user_id").isin(*CMS_PROBE_KEYS))
