@@ -146,8 +146,15 @@ SHUFFLE_BUDGET = {
     # family: LSH near-dedup — 2 semantic (sig groupBy, band groupBy),
     # counted across the candidates ∪ cross-modal branches statically
     "ns_dedup_lsh_cross_modal": 10,
-    # family: similarity — corpus never shuffles; 1 for the top-k window
-    "ns_similarity_topk": 1,
+    # family: similarity/retrieval — corpus never shuffles for the
+    # cosine stage (1: top-k window). r7: +9 for BM25 + RRF — the
+    # shared scored candidate set materializes at build time behind a
+    # localCheckpoint (tf/df/score exchanges priced once there; 0
+    # corpus scans in this plan), leaving the two 2-level top-k window
+    # pairs (bm25 k=5, more-like-this k=20), the RRF full join's two
+    # repartitions, the fused top-k pair, and the depth-20 cosine
+    # ranking's window — every one over candidate-set-sized rows
+    "ns_similarity_topk": 10,
     # family: text analysis — profile: fp dupe-group window + the r5
     # bigram-LM stage (bigram groupBy, unigram groupBy, per-doc score
     # groupBy; the model itself broadcasts, top-K select is
@@ -163,7 +170,12 @@ SHUFFLE_BUDGET = {
     # frame back onto the doc-grain profile. The classifier FIT's own
     # per-epoch gradient exchanges run during the builder, before this
     # plan — row-local margins keep them out of the scoring plan.
-    "ns_text_profile": 12,
+    # r7: −4 — the advisor-flagged cache-release fix (bigram-LM unigram
+    # counts and DSIR bucket counts now materialize behind vocab-sized
+    # localCheckpoints before the scoring plan is built), so their
+    # training exchanges run once at build time instead of appearing
+    # in — and being re-derived by — the final plan.
+    "ns_text_profile": 8,
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,
@@ -227,6 +239,7 @@ def test_no_cartesian_and_nested_loops_only_where_bounded(plans):
         "tpch_deep_shapes",          # q22 global-scalar 1-row broadcast
         "op_fn_scalar_breadth",      # scalar-literal cross, 1 row
         "op_approx_aggs",            # CMS N-total: 1-row broadcast cross
+        "op_stream_windows_batch",   # funnel step-1 denominator: 1-row cross
     }
     offenders = [
         n for n, p in plans.items()

