@@ -64,17 +64,26 @@ def bm25_scores(
     ≥1 query term; ``score`` is rounded to 6 dp. One corpus token
     scan builds tf+|d|; one narrow scan computes (N, avgdl)."""
     toks = _tokens(text_col)
+    # The query vocabulary is collected to the driver (it is bounded
+    # by the query set, not the corpus) and pushed INSIDE the token
+    # array as a literal IN-list filter, so the explode emits only
+    # MATCHING occurrences — at web scale that is the difference
+    # between exploding every token of the corpus and exploding the
+    # posting entries the queries can touch. (A deployment with an
+    # unbounded / streaming query set swaps this for a broadcast
+    # semi-join on the exploded stream — same downstream plan.)
+    terms = sorted(
+        r["term"] for r in qmap.select("term").distinct().collect()
+    )
+    matched = F.filter(toks, lambda t: t.isin(terms))
     tok_rows = docs.select(
         F.col(id_col).alias("__doc"),
         F.size(toks).alias("__dl"),
-        F.explode(toks).alias("term"),
+        F.explode(matched).alias("term"),
     )
-    terms = qmap.select("term").distinct()
     # tf + doc length out of ONE aggregation over the matched slice
-    tf = (
-        tok_rows.join(F.broadcast(terms), "term")
-        .groupBy("__doc", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl"))
+    tf = tok_rows.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl")
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
