@@ -144,3 +144,51 @@ def test_encode_with_merges_oov_words(spark):
     assert len(out) == 1
     assert out[0]["bpe_n_tokens"] == 5 + 2 + 4
     assert out[0]["n_oov_words"] == 2
+
+
+def _persistent_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_release_local_checkpoint_frees_rdd_blocks(spark):
+    """r7 ADVICE regression gate: Dataset.unpersist is a no-op on a
+    localCheckpoint'ed frame (RDD-level persist, below the cache
+    manager); release_local_checkpoint must actually free the blocks,
+    and must no-op (False) on a non-checkpoint frame."""
+    from pyspark.sql import functions as F
+
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("x"))
+    assert release_local_checkpoint(df) is False  # not a checkpoint
+    before = _persistent_ids(spark)
+    ck = df.localCheckpoint(eager=True)
+    assert _persistent_ids(spark) - before  # checkpoint pinned a block
+    ck.unpersist(True)  # the documented no-op
+    assert _persistent_ids(spark) - before, "unpersist should be a no-op"
+    assert release_local_checkpoint(ck, blocking=True) is True
+    assert _persistent_ids(spark) - before == set()
+
+
+def test_train_bpe_distributed_loop_bounded_storage(spark):
+    """The distributed merge loop must pin O(1) generations, not
+    O(num_merges): after training, at most ONE new persistent RDD (the
+    returned final generation's checkpoint) may remain."""
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+
+    docs = spark.createDataFrame(SENNRICH_DOCS, "doc_id long, text string")
+    before = _persistent_ids(spark)
+    vocab, merges = bpe.train_bpe(docs, "text", num_merges=5,
+                                  driver_vocab_cap=0)
+    leaked = _persistent_ids(spark) - before
+    assert len(merges) == 5
+    assert len(leaked) <= 1, (
+        f"superseded BPE generations leaked persistent RDDs: {sorted(leaked)}"
+    )
+    release_local_checkpoint(vocab, blocking=True)
+    assert _persistent_ids(spark) - before == set()

@@ -400,6 +400,35 @@ def test_connected_components_converges_on_path_graph(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_connected_components_bounded_checkpoint_storage(spark):
+    """The per-round localCheckpoint must not accumulate: superseded
+    rounds release their RDD blocks (functions/caching.py — plain
+    Dataset.unpersist is a no-op on checkpoints, r7 ADVICE), so a
+    multi-round convergence pins at most ONE persistent RDD (the final
+    labels checkpoint the returned frame reads)."""
+    from training_datawarehouse_spark.operators.dedup import connected_components
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    # path graph: needs several propagation rounds → several checkpoints
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    before = persistent_ids()
+    out = connected_components(edges)
+    leaked = persistent_ids() - before
+    assert len(leaked) <= 1, (
+        f"superseded CC rounds leaked persistent RDDs: {sorted(leaked)}"
+    )
+    assert out.count() == 16
+    release_local_checkpoint(out, blocking=True)
+
+
 def test_resolve_near_duplicates_keeps_longest_then_smallest_id(spark):
     from training_datawarehouse_spark.operators.dedup import resolve_near_duplicates
 

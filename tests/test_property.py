@@ -203,3 +203,36 @@ def test_word_ngrams_matches_python_reference(spark, texts, n):
             " ".join(toks[k:k + n]) for k in range(len(toks) - n + 1)
         ] if len(toks) >= n else []
         assert got[i] == want, (t, n)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=50,
+    ),
+    st.sampled_from([4, 6, 8]),
+)
+@settings(max_examples=20, deadline=None)
+def test_round_half_away_matches_duckdb_double_round(xs, nd):
+    """round_half_away must reproduce DuckDB's DOUBLE round(x, nd)
+    operation-for-operation (scaled-product half-away-from-zero), not
+    an exact-value quantize — the advisor's r7 counterexamples
+    (2.5e-08@8, 0.123456785@8) are pinned alongside the random sweep
+    because rounded model weights feed back into later epochs in BOTH
+    engines."""
+    import duckdb
+
+    from training_datawarehouse_spark.functions.scalars import (
+        round_half_away,
+    )
+
+    con = duckdb.connect()
+    for x in xs + [2.5e-08, 0.123456785, -0.123456785, 0.001953125]:
+        want = con.execute(
+            "select round(?::DOUBLE, ?)", [x, nd]
+        ).fetchone()[0]
+        assert round_half_away(x, nd) == want, (x, nd)
+    con.close()

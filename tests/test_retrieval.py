@@ -135,10 +135,7 @@ def test_mlt_query_terms_deterministic_rule(spark):
     assert got == ["alpha", "beta", "gamma"]  # sorted distinct, first 3
 
 
-def test_bm25_plan_broadcasts_and_stays_jvm(spark):
-    """100 TB gates: the query-term prune and the df/stats joins are
-    broadcasts (no shuffle of the corpus for the tiny sides), and no
-    Python row crossing anywhere."""
+def _bm25_plan(spark, prune):
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma delta") for i in range(8)],
         "doc_id long, text string",
@@ -146,9 +143,102 @@ def test_bm25_plan_broadcasts_and_stays_jvm(spark):
     qmap = spark.createDataFrame(
         [(1, "alpha"), (1, "beta")], "query_id long, term string"
     )
-    out = topk_per_query(bm25_scores(docs, qmap), k=3)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    out = topk_per_query(bm25_scores(docs, qmap, prune=prune), k=3)
+    return out, out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_inlist_plan_prunes_before_explode(spark):
+    """100 TB gates, inlist path: the query-term prune sits INSIDE the
+    token array BEFORE the explode (the Generate node explodes the
+    filtered array — no full-token explode feeds a join), the df/qmap
+    joins broadcast, the 1-row stats frame rides a BNLJ cross join,
+    and no Python row crossing anywhere."""
+    out, plan = _bm25_plan(spark, "inlist")
     assert "BatchEvalPython" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # terms, df_t, qmap
+    assert plan.count("BroadcastHashJoin") == 2  # df_t, qmap
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+    # the Generate's child is the filtered array: explode(filter(...))
+    assert "Generate explode(filter(" in plan
     assert out.count() == 3
+
+
+def test_bm25_semijoin_plan_broadcast_probes_exploded_stream(spark):
+    """100 TB gates, semijoin path (unbounded query sets): the explode
+    is corpus-wide but its output is pruned by a broadcast LEFT-SEMI
+    probe before any shuffle — no driver collect of the vocabulary, no
+    literal IN-list in the plan, no Python row crossing."""
+    out, plan = _bm25_plan(spark, "semijoin")
+    assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan  # broadcast semi-join term prune
+    assert plan.count("BroadcastHashJoin") >= 3  # semi-prune, df_t, qmap
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+    assert "Generate explode(filter(" not in plan  # no IN-list prune
+    assert out.count() == 3
+
+
+def test_bm25_prune_paths_byte_identical(spark):
+    """Parity gate: inlist and semijoin pruning produce byte-identical
+    (query_id, neighbor_id, score) rows, and auto picks inlist under
+    the threshold / semijoin above it."""
+    import training_datawarehouse_spark.operators.retrieval as rtr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "cat cat cat everywhere"),
+            (4, "nothing relevant here at all"),
+            (5, "dog and cat together on mat"),
+        ],
+        "doc_id long, text string",
+    )
+    qmap = spark.createDataFrame(
+        [(10, "cat"), (10, "mat"), (11, "dog"), (11, "sat")],
+        "query_id long, term string",
+    )
+    rows = {}
+    for prune in ("inlist", "semijoin"):
+        rows[prune] = sorted(
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in bm25_scores(docs, qmap, prune=prune).collect()
+        )
+    assert rows["inlist"] == rows["semijoin"]
+    assert len(rows["inlist"]) > 0
+    with pytest.raises(ValueError):
+        bm25_scores(docs, qmap, prune="nope")
+    # auto flips to the semi-join above the vocabulary threshold
+    big_qmap = spark.createDataFrame(
+        [(10, f"term{i}") for i in range(rtr.BM25_INLIST_MAX_TERMS + 1)]
+        + [(10, "cat")],
+        "query_id long, term string",
+    )
+    auto_plan = (
+        bm25_scores(docs, big_qmap)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in auto_plan
+    small_plan = (
+        bm25_scores(docs, qmap)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate explode(filter(" in small_plan
+
+
+def test_topk_shard_hash_non_numeric_ids(spark):
+    """The xxhash64 shard key makes two-level top-k valid for ANY
+    orderable id type — string ids here, exact vs the global window."""
+    rows = [(1, f"doc-{n:03d}", float(n % 7)) for n in range(60)]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id string, score double"
+    )
+    want = [
+        (r["rank"], r["neighbor_id"])
+        for r in topk_per_query(scored, k=5, n_shards=1)
+        .orderBy("rank").collect()
+    ]
+    got = [
+        (r["rank"], r["neighbor_id"])
+        for r in topk_per_query(scored, k=5, n_shards=16)
+        .orderBy("rank").collect()
+    ]
+    assert got == want and len(got) == 5

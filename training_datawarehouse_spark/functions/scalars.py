@@ -13,26 +13,29 @@ Semantics verified against the reference (SURVEY §2.3.4):
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
+import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
 def round_half_away(x: float, nd: int) -> float:
-    """Driver-side rounding that matches DuckDB's ``round(x, nd)`` on
-    DOUBLE: ties go away from zero. Python's builtin ``round`` is
-    half-to-even, which diverges from the oracle when a value lands
-    exactly on a representable midpoint (dyadic values like
-    0.001953125 at 8 dp) — a rare but real cross-engine hash flake.
-    Every iterative fit that feeds driver-rounded floats back into the
-    next epoch/iteration (logreg weights, k-means centroids) must
-    round through THIS helper so both engines see identical doubles.
-    Quantizes the exact binary value of ``x`` (``Decimal(x)``, not
-    ``Decimal(repr(x))``) — the same value DuckDB's scaled-round sees.
+    """Driver-side rounding that mirrors DuckDB's ``round(x, nd)`` on
+    DOUBLE **operation-for-operation**: DuckDB rounds the scaled
+    double product — ``std::round(x * 10^nd) / 10^nd`` (half away from
+    zero on the already-imprecise product) — so matching its OUTPUT
+    means reproducing that arithmetic, not quantizing the exact binary
+    value of ``x`` (a Decimal-quantize diverges from DuckDB on ~1e-5
+    of random doubles, e.g. 0.123456785 → duck 0.12345679 vs exact
+    0.12345678, because the scaled product rounds differently than the
+    true value). Python's builtin ``round`` is also wrong here (half
+    to even). Every iterative fit that feeds driver-rounded floats
+    back into the next epoch/iteration (logreg weights, k-means
+    centroids) must round through THIS helper so both engines see
+    identical doubles at every step.
     """
-    q = Decimal(1).scaleb(-nd)
-    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+    scaled = x * 10.0**nd
+    return math.copysign(math.floor(abs(scaled) + 0.5), x) / 10.0**nd
 
 
 def year_week(d: Column) -> Column:

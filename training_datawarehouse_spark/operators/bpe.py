@@ -56,6 +56,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.caching import release_local_checkpoint
+
 EOW = "</w>"
 WORD_RE = "^[a-z]+$"
 
@@ -161,9 +163,10 @@ def train_bpe(
     join it to encode. On the driver fast path it is a plain
     ``createDataFrame`` over the locally-trained rows; on the
     distributed path it is the final generation's eager
-    localCheckpoint (every superseded generation is unpersisted as
-    soon as its successor materializes, so only this one frame stays
-    pinned). ``merges`` is the learned rank-ordered list of
+    localCheckpoint (every superseded generation's checkpoint RDD is
+    released — ``functions/caching.py``, RDD-level, since
+    ``Dataset.unpersist`` is a no-op on checkpoints — as soon as its
+    successor materializes, so only this one frame stays pinned). ``merges`` is the learned rank-ordered list of
     ``(a, b, count)`` tuples. Raises if the corpus exhausts pairs
     before ``num_merges`` (keep k small relative to corpus — the
     differential oracle unrolls exactly k stages).
@@ -239,12 +242,14 @@ def train_bpe(
         merges.append((a, b, int(c)))
         # The collect above materialized THIS generation's checkpoint,
         # so the one before it is no longer an input of anything —
-        # release it now (a localCheckpoint'ed frame must never be
-        # unpersisted while a successor still needs to materialize
-        # through it: the lineage is truncated, so the blocks are the
-        # only copy).
+        # release its RDD blocks now. NB ``Dataset.unpersist`` would
+        # be a no-op here (localCheckpoint persists at the RDD level,
+        # below the cache manager — r7 ADVICE); the helper unpersists
+        # the LogicalRDD's underlying RDD, which actually frees the
+        # blocks. Never release before the successor materializes:
+        # the lineage is truncated, so the blocks are the only copy.
         if prev is not None:
-            prev.unpersist()
+            release_local_checkpoint(prev)
         prev = words
         # eager=False: the checkpoint materializes with the NEXT
         # iteration's pair-count job instead of spending a dedicated
@@ -256,7 +261,7 @@ def train_bpe(
             "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint(eager=it == num_merges - 1)
     if prev is not None:
-        prev.unpersist()
+        release_local_checkpoint(prev)
     return words, merges
 
 

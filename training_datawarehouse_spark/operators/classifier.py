@@ -25,11 +25,11 @@ via localCheckpoint so the training cache releases before the scored
 frame returns.
 
 Cross-engine determinism: weights round to 8 dp per epoch in BOTH
-engines (driver-side ``round_half_away`` here — decimal quantize with
-ties away from zero, DuckDB's DOUBLE ``round(x, 8)`` convention — the
-k-means centroid discipline), so each epoch's inputs are identical
-doubles even on exact dyadic midpoints and float-sum ordering can't
-drift the fit.
+engines (driver-side ``round_half_away`` here — operation-for-
+operation DuckDB DOUBLE ``round(x, 8)``: half away from zero on the
+scaled double product, the k-means centroid discipline), so each
+epoch's inputs are identical doubles even on exact dyadic midpoints
+and float-sum ordering can't drift the fit.
 """
 
 from __future__ import annotations

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import release_local_checkpoint
+
 
 def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
     """Keep the first row (by ``order_col``) per distinct content value.
@@ -603,6 +605,11 @@ def connected_components(
             .filter(F.col("label") < F.col("old"))
             .count()
         )
+        # the changed-count above was the last reader of the previous
+        # round's checkpoint — release its RDD blocks (Dataset.
+        # unpersist would be a no-op; see functions/caching.py). The
+        # round-0 labels frame is not a checkpoint → helper no-ops.
+        release_local_checkpoint(labels)
         labels = new
         if changed == 0:
             return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))

@@ -16,11 +16,13 @@ Spark-first:
 
 Plan shape at 100 TB:
 
-- The token stream broadcast-joins the (tiny) query-term set BEFORE
-  any shuffle, so the inverted-index grain ``(doc, term, tf)`` is
-  built only for matching terms — the corpus-wide explode feeds a
-  map-side-combinable groupBy whose post-filter input is the matched
-  slice, not the corpus.
+- Non-query tokens are dropped BEFORE any shuffle, so the
+  inverted-index grain ``(doc, term, tf)`` is built only for matching
+  terms. Two tested prune paths (``bm25_scores(prune=...)``): a
+  literal IN-list pushed inside the token array (pre-explode — small
+  vocabularies) and a broadcast semi-join on the exploded stream
+  (unbounded / 10^4+-term query sets); either way the groupBy's input
+  is the matched slice, not the corpus.
 - Document length rides each token row (``size(split)`` is row-local)
   so tf and |d| come out of ONE aggregation — no doc-grain join back.
 - df/idf is a per-term table bounded by the query vocabulary →
@@ -32,8 +34,13 @@ Plan shape at 100 TB:
   of the doc space, then the final top-k over ``n_shards·k``
   candidates — a single global window per query would funnel every
   matching document of a 100 TB corpus through one partition.
-  Scores round to 6 dp BEFORE ranking and ties break on neighbor id,
-  so both engines rank identical values.
+  Scores round to 6 dp BEFORE ranking and ties break on neighbor id.
+  Residual cross-engine flake class: a multi-term score is a float
+  SUM whose addend order differs between Spark's partial aggregation
+  and DuckDB, so a last-ulp difference can in principle land on a
+  6-dp midpoint and flip a rank — rare (needs the sum to sit within
+  one ulp of a midpoint), unlike the RRF sum which is deliberately
+  two-addend order-exact.
 """
 
 from __future__ import annotations
@@ -44,6 +51,13 @@ from pyspark.sql import functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_C = 60  # the fusion constant from Cormack et al. 2009
+# Above this many distinct query terms, prune="auto" switches from the
+# literal IN-list (pushed inside the token array, pre-explode) to a
+# broadcast semi-join on the exploded stream: a 10^4–10^5-term set
+# (decontamination triage) as an IN-list is a multi-megabyte expression
+# tree scanned linearly per token row; as a broadcast hash side it is
+# one O(1) probe per row.
+BM25_INLIST_MAX_TERMS = 256
 
 
 def _tokens(text_col):
@@ -57,30 +71,57 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    prune: str = "auto",
 ) -> DataFrame:
     """Score every document against every query in ``qmap(query_id,
     term)`` (a tiny frame — literal or derived — that broadcasts).
     Returns ``(query_id, neighbor_id, score)`` for documents matching
     ≥1 query term; ``score`` is rounded to 6 dp. One corpus token
-    scan builds tf+|d|; one narrow scan computes (N, avgdl)."""
+    scan builds tf+|d|; one narrow scan computes (N, avgdl).
+
+    ``prune`` selects how non-query tokens are dropped (both paths
+    produce byte-identical scores — parity-tested):
+
+    - ``"inlist"``: collect the query vocabulary to the driver
+      (bounded by the query set, not the corpus) and push it INSIDE
+      the token array as a literal IN-list filter, so the explode
+      emits only MATCHING occurrences — at web scale that is the
+      difference between exploding every token of the corpus and
+      exploding the posting entries the queries can touch.
+    - ``"semijoin"``: explode all tokens and broadcast-LEFT-SEMI-join
+      the distinct-term frame. The explode is corpus-wide but never
+      leaves the map side (the semi-join is a broadcast probe feeding
+      the same map-side-combinable groupBy), no driver collect — the
+      path for unbounded / derived / 10^4+-term query sets.
+    - ``"auto"`` (default): ``"inlist"`` when the distinct vocabulary
+      is ≤ ``BM25_INLIST_MAX_TERMS``, else ``"semijoin"``.
+    """
+    if prune not in ("auto", "inlist", "semijoin"):
+        raise ValueError(f"prune must be auto|inlist|semijoin, got {prune!r}")
     toks = _tokens(text_col)
-    # The query vocabulary is collected to the driver (it is bounded
-    # by the query set, not the corpus) and pushed INSIDE the token
-    # array as a literal IN-list filter, so the explode emits only
-    # MATCHING occurrences — at web scale that is the difference
-    # between exploding every token of the corpus and exploding the
-    # posting entries the queries can touch. (A deployment with an
-    # unbounded / streaming query set swaps this for a broadcast
-    # semi-join on the exploded stream — same downstream plan.)
-    terms = sorted(
-        r["term"] for r in qmap.select("term").distinct().collect()
-    )
-    matched = F.filter(toks, lambda t: t.isin(terms))
-    tok_rows = docs.select(
-        F.col(id_col).alias("__doc"),
-        F.size(toks).alias("__dl"),
-        F.explode(matched).alias("term"),
-    )
+    if prune != "semijoin":
+        terms = sorted(
+            r["term"] for r in qmap.select("term").distinct().collect()
+        )
+        if prune == "auto" and len(terms) > BM25_INLIST_MAX_TERMS:
+            prune = "semijoin"
+        else:
+            prune = "inlist"
+    if prune == "inlist":
+        matched = F.filter(toks, lambda t: t.isin(terms))
+        tok_rows = docs.select(
+            F.col(id_col).alias("__doc"),
+            F.size(toks).alias("__dl"),
+            F.explode(matched).alias("term"),
+        )
+    else:
+        tok_rows = docs.select(
+            F.col(id_col).alias("__doc"),
+            F.size(toks).alias("__dl"),
+            F.explode(toks).alias("term"),
+        ).join(
+            F.broadcast(qmap.select("term").distinct()), "term", "left_semi"
+        )
     # tf + doc length out of ONE aggregation over the matched slice
     tf = tok_rows.groupBy("__doc", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl")
@@ -123,8 +164,12 @@ def topk_per_query(
     score)``: partial top-k inside hash shards of the neighbor space
     (bounds any one partition to its shard's rows), final top-k over
     the ≤ ``n_shards·k`` survivors. Deterministic: ties break on
-    neighbor_id asc; callers must pre-round the score."""
-    shard = F.pmod(F.col("neighbor_id"), F.lit(n_shards))
+    neighbor_id asc; callers must pre-round the score. Sharding hashes
+    the id (``xxhash64``) so any orderable id type works — shard
+    assignment never affects the result, only which partial window a
+    row rides (partial top-k per disjoint shard + exact final top-k is
+    correct for ANY sharding)."""
+    shard = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_shards))
     order = [F.col(score_col).desc(), F.col("neighbor_id")]
     partial = Window.partitionBy("query_id", shard).orderBy(*order)
     final = Window.partitionBy("query_id").orderBy(*order)
