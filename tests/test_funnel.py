@@ -65,3 +65,35 @@ def test_funnel_empty_first_step_null_conversion(spark):
 def test_funnel_rejects_single_step(spark):
     with pytest.raises(ValueError):
         funnel_counts(_ev([(1, 0, "view")], spark), ["view"])
+
+
+def test_funnel_persist_steps_parity_five_steps_bounded_storage(spark):
+    """persist_steps=True must (a) return identical rows to the
+    default recompute mode on a ≥5-step funnel, and (b) leave no
+    persisted step frame behind — only the steps-sized checkpoint of
+    the count table may remain pinned."""
+    seq = ["view", "click", "cart", "pay", "purchase"]
+    rows = []
+    # user u reaches step (u % 6) of the 5-step funnel, hourly spacing
+    for u in range(1, 31):
+        for i in range(min(u % 6, 5)):
+            rows.append((u, i, seq[i]))
+    # plus an out-of-order straggler and an outside-window pay
+    rows += [(40, 0, "click"), (41, 0, "view"), (41, 1, "click"),
+             (41, 2, "cart"), (41, 8 * 24, "pay")]
+    ev = _ev(rows, spark)
+
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    want = sorted(map(tuple, funnel_counts(ev, seq).collect()))
+    before = pids()
+    got_df = funnel_counts(ev, seq, persist_steps=True)
+    leaked = pids() - before
+    # the eager localCheckpoint of the count table is the only pin;
+    # every step-frame persist must already be released
+    assert len(leaked) <= 1, f"step-frame persists leaked: {sorted(leaked)}"
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    assert len(got) == 5

@@ -13,9 +13,17 @@ join against the (slim, user-grain) previous-step frame plus a
 min-aggregation. No per-user event collection, no window sort — at
 100 TB each step is a pushdown-filtered scan joined to a user-grain
 frame on the shuffle key the aggregation needs anyway. The step
-frames are each other's inputs, so a production pipeline with many
-steps persists them (user-grain, two timestamp columns); at bench
-scale the recompute is cheaper than the materialization.
+frames are each other's inputs AND each feeds its own count
+aggregation, so without materialization step i's frame is recomputed
+by every later step — O(steps²) scans of the event table at high step
+counts. ``funnel_counts(persist_steps=True)`` persists each user-grain
+frame (two timestamp columns), computes the tiny per-step count table
+off the caches, materializes it (eager localCheckpoint — steps-sized),
+and unpersists every frame before returning: each step frame is
+computed ONCE, peak extra storage is the user-grain frames for the
+duration of one job, and the returned plan never recomputes through a
+dropped cache. Default False: at bench scale the recompute is cheaper
+than the materialization (measured — see SCALE.md r8 funnel section).
 
 Reference parity note: no reference implementation (charter extension
 — the reference's query surface has no sequence analytics).
@@ -33,6 +41,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    persist_steps: bool = False,
 ) -> DataFrame:
     """Per-step reached-user counts and conversion-from-step-1.
 
@@ -43,6 +52,12 @@ def funnel_counts(
     t_i exists. Returns one row per step:
     (step, step_name, n_users, conversion) with conversion =
     round(n_users / n_step1, 6) (NULL when step 1 is empty).
+
+    ``persist_steps=True`` is the many-step/large-corpus mode: each
+    user-grain step frame is persisted so it is computed once (instead
+    of once per later step — O(steps²) event scans), the steps-sized
+    count table is materialized off the caches, and every persist is
+    released before returning (identical results — parity-tested).
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
@@ -52,6 +67,8 @@ def funnel_counts(
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t1"))
     )
+    if persist_steps:
+        cur = cur.persist()
     frames = [cur]
     prev = "__t1"
     for i, s in enumerate(steps[1:], start=2):
@@ -67,6 +84,8 @@ def funnel_counts(
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(t_i), F.min("__t1").alias("__t1"))
         )
+        if persist_steps:
+            cur = cur.persist()
         frames.append(cur)
         prev = t_i
     counts = None
@@ -75,6 +94,15 @@ def funnel_counts(
             F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
         )
         counts = row if counts is None else counts.unionByName(row)
+    if persist_steps:
+        # ONE job computes every step frame exactly once (step i's
+        # cache is populated on first touch and reused by both its
+        # consumers); the steps-sized count table is then the only
+        # retained storage and the returned plan reads it, never the
+        # dropped caches.
+        counts = counts.localCheckpoint(eager=True)
+        for fr in frames:
+            fr.unpersist()
     base = counts.filter(F.col("step") == 1).select(
         F.col("n_users").alias("__n1")
     )
