@@ -721,3 +721,34 @@ def test_stream_late_stage_drops_planted_rows(spark):
         for r in rows if r["k1"] != "__late_dropped"
     }
     assert streamed == batch
+
+
+def test_stream_dedup_identical_under_rocksdb_provider(spark):
+    """100 TB posture gate (r8): the RocksDB state-store provider must
+    produce EXACTLY the default provider's results for the bounded-
+    state dedup stage — provider is a storage engine, not semantics —
+    and the provider conf must be active during the run and restored
+    after the context exits."""
+    from training_datawarehouse_spark.plans.relational import stream_dedup_e2e
+    from training_datawarehouse_spark.streaming.state import (
+        ROCKSDB_PROVIDER, state_store_provider,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(conf_key)
+    except Exception:
+        before = None
+    default_rows = sorted(map(tuple, stream_dedup_e2e(spark, SF_DIR).collect()))
+    with state_store_provider(spark, "rocksdb"):
+        assert spark.conf.get(conf_key) == ROCKSDB_PROVIDER
+        rocks_rows = sorted(
+            map(tuple, stream_dedup_e2e(spark, SF_DIR).collect())
+        )
+    try:
+        after = spark.conf.get(conf_key)
+    except Exception:
+        after = None
+    assert after == before  # restored
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 1
