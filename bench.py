@@ -106,6 +106,10 @@ MANIFEST = [
              "HALF_UP/HALF_EVEN columns with planted midpoints)"},
     {"name": "ns_chunk_pack", "semver": 1,
      "desc": "chunking + training-window packing"},
+    {"name": "op_stream_windows_batch", "semver": 1,
+     "desc": "tumbling + sliding window aggregations + 3-step ordered "
+             "funnel min-chain, batch shapes (r8 headline addition — "
+             "the r7 funnel family was previously bench-invisible)"},
     {"name": "ns_split_train_val", "semver": 2,
      "desc": "deterministic splits + mixture sampling (r5: + leakage-"
              "safe group-representative split with measured naive-vs-"
@@ -146,7 +150,13 @@ def _extras() -> list[dict]:
             lsh_cross_modal_xxhash, multimodal_meta, similarity_topk,
             split_train_val, text_profile,
         )
-        from training_datawarehouse_spark.plans.relational import approx_aggs
+        from training_datawarehouse_spark.operators.funnel import (
+            funnel_counts,
+        )
+        from training_datawarehouse_spark.plans.relational import (
+            FUNNEL_STEPS, FUNNEL_WITHIN_DAYS, approx_aggs,
+        )
+        from training_datawarehouse_spark.sources.tables import load_table
 
         extras += [
             {"name": "tpch_q1_pricing_summary__r4equiv", "semver": 1,
@@ -218,6 +228,14 @@ def _extras() -> list[dict]:
                      "only, no BM25 / RRF retrieval stages)",
              "builder": lambda s, d: _compat(similarity_topk,
                  s, d, include_retrieval=False)},
+            {"name": "op_funnel_only", "semver": 1,
+             "desc": "funnel min-chain in isolation (the r7 'funnel' kind "
+                     "of op_stream_windows_batch without the tumbling/"
+                     "sliding stages) — keeps the headline entry "
+                     "decomposable",
+             "builder": lambda s, d: funnel_counts(
+                 load_table(s, d, "events"), FUNNEL_STEPS,
+                 within_days=FUNNEL_WITHIN_DAYS)},
             {"name": "ns_text_profile__r6aequiv", "semver": 4,
              "desc": "ns_text_profile semver-4 sub-plan (BPE stage, no "
                      "DSIR / classifier stages — the early-r6 entry shape)",

@@ -241,6 +241,139 @@ def main() -> None:
 
     if not names:  # the LSH probe belongs to the full sweep only
         bucket_stats(spark)
+    if "--retrieval" in sys.argv:
+        retrieval_probe(spark)
+    if "--funnel" in sys.argv:
+        funnel_probe(spark)
+
+
+def _time_noop(df) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 2)
+
+
+def retrieval_probe(spark) -> None:
+    """r8 (VERDICT r7 task 3): the BM25+RRF retrieval family at 100×
+    docs under a decontamination-sized query set (10⁴ terms — the
+    workload the prune='semijoin' path exists for; most terms miss,
+    like real eval-set n-grams, the full corpus vocabulary is folded
+    in so every query also matches). Records:
+
+    - full-pipeline growth: registry ``ns_similarity_topk`` (BM25 +
+      MLT + RRF + cosine stages) at sf0.1 vs 100×, collect vs noop;
+    - the 10⁴-term sweep per prune path (semijoin at both scales;
+      inlist too at sf0.1 — the multi-MB-expression path the auto
+      threshold avoids at this query-set size);
+    - hot-query top-k: one query whose terms match ~the whole corpus,
+      two-level (n_shards=32) vs single-global-window (n_shards=1)
+      top-k over the same checkpointed scored frame — the funnel-
+      one-partition hazard the two-level design removes."""
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+    from training_datawarehouse_spark.operators.retrieval import (
+        bm25_scores, topk_per_query,
+    )
+    from training_datawarehouse_spark.plans import QUERIES
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    n_terms, n_queries = 10_000, 100
+
+    q = QUERIES["ns_similarity_topk"]
+    a_coll, a_noop, _ = time_both(q, spark, SRC)
+    b_coll, b_noop, b_rows = time_both(q, spark, DST)
+    print(
+        f"retrieval_pipeline ns_similarity_topk: sf0.1 coll={a_coll} "
+        f"noop={a_noop} | 100x coll={b_coll} noop={b_noop} "
+        f"(x{b_coll / a_coll:.1f}/x{b_noop / a_noop:.1f}) rows={b_rows}",
+        flush=True,
+    )
+
+    for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
+        docs = load_table(spark, sf_dir, "documents")
+        tok = F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+        vocab = sorted(
+            r["t"] for r in docs.select(tok).distinct().collect()
+        )
+        rows = [(i % n_queries, f"evalgram{i:05d}") for i in range(n_terms)]
+        rows += [(j % n_queries, t) for j, t in enumerate(vocab)]
+        qmap = spark.createDataFrame(rows, "query_id long, term string")
+        prunes = ("semijoin", "inlist") if sf_dir == SRC else ("semijoin",)
+        for prune in prunes:
+            scored = bm25_scores(docs, qmap, prune=prune)
+            sec = _time_noop(topk_per_query(scored, 10))
+            print(
+                f"retrieval_qset[{label}] prune={prune} "
+                f"terms={n_terms + len(vocab)} vocab={len(vocab)} "
+                f"bm25+topk noop={sec}s",
+                flush=True,
+            )
+
+        # hot query: the top-10 most frequent tokens (covers the
+        # per-decade variants of the dominant base token at 100×) —
+        # nearly every document scores
+        hot = [
+            r["t"]
+            for r in docs.select(tok).groupBy("t").count()
+            .orderBy(F.desc("count"), "t").limit(10).collect()
+        ]
+        qhot = spark.createDataFrame(
+            [(999, t) for t in hot], "query_id long, term string"
+        )
+        scored_hot = bm25_scores(docs, qhot, prune="inlist").localCheckpoint(
+            eager=True
+        )
+        n_scored = scored_hot.count()
+        n_docs = docs.count()
+        one = _time_noop(topk_per_query(scored_hot, 10, n_shards=1))
+        sharded = _time_noop(topk_per_query(scored_hot, 10, n_shards=32))
+        release_local_checkpoint(scored_hot)
+        print(
+            f"retrieval_hot[{label}] scored={n_scored}/{n_docs} docs; "
+            f"topk global-window={one}s two-level(32)={sharded}s",
+            flush=True,
+        )
+
+
+def funnel_probe(spark) -> None:
+    """r8 (VERDICT r7 task 4): the funnel min-chain at 100× events
+    (10M rows / 150k users) — the claim under test is that it scales
+    like the scan-agg family (per step: one pushdown-filtered scan +
+    one user-grain join + one user-grain agg; nothing per-event
+    stateful). Measured on the registry's 3-step funnel AND a 5-step
+    funnel in both recompute (default) and persist_steps modes."""
+    from training_datawarehouse_spark.operators.funnel import funnel_counts
+    from training_datawarehouse_spark.plans.relational import (
+        FUNNEL_STEPS, FUNNEL_WITHIN_DAYS,
+    )
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    five = ["signup", "view", "click", "purchase", "error"]
+    for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
+        ev = load_table(spark, sf_dir, "events")
+        for steps, tag in ((FUNNEL_STEPS, "3step"), (five, "5step")):
+            recompute = _time_noop(
+                funnel_counts(ev, steps, within_days=FUNNEL_WITHIN_DAYS)
+            )
+            t0 = time.time()
+            # persist mode does its work eagerly (one job populates
+            # the caches and checkpoints the count table) — wall-clock
+            # the call AND the noop drain of the returned frame
+            pf = funnel_counts(
+                ev, steps, within_days=FUNNEL_WITHIN_DAYS,
+                persist_steps=True,
+            )
+            pf.write.format("noop").mode("overwrite").save()
+            persist = round(time.time() - t0, 2)
+            print(
+                f"funnel[{label}] {tag} recompute={recompute}s "
+                f"persist_steps={persist}s",
+                flush=True,
+            )
 
 
 def bucket_stats(spark) -> None:

@@ -53,10 +53,15 @@ BM25_B = 0.75
 RRF_C = 60  # the fusion constant from Cormack et al. 2009
 # Above this many distinct query terms, prune="auto" switches from the
 # literal IN-list (pushed inside the token array, pre-explode) to a
-# broadcast semi-join on the exploded stream: a 10^4–10^5-term set
-# (decontamination triage) as an IN-list is a multi-megabyte expression
-# tree scanned linearly per token row; as a broadcast hash side it is
-# one O(1) probe per row.
+# broadcast semi-join on the exploded stream. Measured (SCALE.md r8):
+# the per-row cost of a big IN-list is NOT the hazard — Catalyst's
+# OptimizeIn rewrites it to an InSet hash probe (10⁴ terms at 100×
+# docs: 21.4 s inlist vs 23.0 s semijoin). What the semijoin path
+# buys at large query sets is (a) no driver collect of the vocabulary
+# (works for unbounded/derived/streaming query frames), and (b) no
+# hundreds-of-KB literal expression tree re-analyzed and re-codegen'd
+# per query set. 256 keeps the common small-query case on the
+# zero-join plan while capping plan-size growth.
 BM25_INLIST_MAX_TERMS = 256
 
 
