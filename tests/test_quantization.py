@@ -1,0 +1,111 @@
+"""Product quantization (operators/quantization.py): fused training
+parity, ADC semantics, encode determinism, plan gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from training_datawarehouse_spark.operators import quantization as pq
+from training_datawarehouse_spark.operators.similarity import (
+    _as_double, kmeans_fit,
+)
+
+
+def _emb(spark, n=40, dim=8, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).round(3).tolist()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_pq_train_fused_equals_per_subspace_kmeans(spark):
+    """The fused one-job-per-iteration trainer must produce byte-equal
+    codebooks to m independent kmeans_fit calls with the same init —
+    the fusion is a job-count optimization, never a semantics one."""
+    df = _emb(spark, n=40, dim=8)
+    m, ksub, iters, dsub = 2, 4, 2, 4
+    fused = pq.pq_train(df, "embedding", dim=8, m=m, ksub=ksub,
+                        iters=iters)
+    init_rows = (
+        df.filter(F.col("vec_id") < ksub).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    for j in range(m):
+        sub = df.select(
+            pq._sub(_as_double(F.col("embedding")), j, dsub).alias("__sv")
+        )
+        init = [
+            [float(x) for x in r[0][j * dsub:(j + 1) * dsub]]
+            for r in init_rows
+        ]
+        cents, _ = kmeans_fit(sub, "__sv", k=ksub, iters=iters,
+                              init_vectors=init, round_dp=6)
+        assert fused[j] == cents, f"subspace {j} diverged"
+
+
+def test_pq_encode_zero_error_on_centroid_vectors(spark):
+    """A vector that IS the concatenation of per-subspace centroids
+    must encode to those exact codes with recon_err == 0, and ADC to
+    it from itself-as-query must be 0 for every codebook entry it
+    hits."""
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],   # subspace 0: 2 codes, 2 dims
+        [[2.0, 2.0], [-1.0, 3.0]],  # subspace 1
+    ]
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, -1.0, 3.0]),   # codes (0, 1)
+         (1, [0.0, 1.0, 2.0, 2.0])],   # codes (1, 0)
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in
+            pq.pq_encode(df, "embedding", books).collect()}
+    assert list(rows[0]["codes"]) == [0, 1]
+    assert list(rows[1]["codes"]) == [1, 0]
+    assert rows[0]["recon_err"] == 0.0
+    assert rows[1]["recon_err"] == 0.0
+    # ADC: query 0 vs neighbor 1 — distance is exact (both vectors
+    # are representable), so adc_d2 equals the true squared L2
+    codes = pq.pq_encode(df, "embedding", books)
+    adc = {
+        (r["query_id"], r["neighbor_id"]): r["adc_d2"]
+        for r in pq.pq_adc_scores(codes, df, books).collect()
+    }
+    true_d2 = sum(
+        (a - b) ** 2
+        for a, b in zip([1.0, 0.0, -1.0, 3.0], [0.0, 1.0, 2.0, 2.0])
+    )
+    assert adc[(0, 1)] == pytest.approx(true_d2, abs=1e-9)
+    assert adc[(1, 0)] == pytest.approx(true_d2, abs=1e-9)
+    assert (0, 0) not in adc  # self excluded
+
+
+def test_pq_code_tie_breaks_lowest_cid(spark):
+    """Equidistant codes pick the LOWEST code id (the argmin-struct
+    sort contract the oracle mirrors)."""
+    books = [[[1.0], [-1.0]]]  # both at distance 1 from 0.0
+    df = spark.createDataFrame(
+        [(0, [0.0])], "vec_id long, embedding array<double>"
+    )
+    r = pq.pq_encode(df, "embedding", books).collect()[0]
+    assert list(r["codes"]) == [0]
+
+
+def test_pq_stays_jvm_and_bounded_storage(spark):
+    """No Python row crossing in encode/ADC plans; training releases
+    its cached projection (work.unpersist in the finally)."""
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    df = _emb(spark, n=30, dim=8)
+    before = pids()
+    books = pq.pq_train(df, "embedding", dim=8, m=2, ksub=4, iters=2)
+    assert pids() - before == set(), "training persist leaked"
+    codes = pq.pq_encode(df, "embedding", books)
+    adc = pq.pq_adc_scores(codes, df.filter(F.col("vec_id") < 2), books)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert adc.count() == 2 * 29

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..operators import bpe
 from ..operators import classifier as clf
 from ..operators import dedup as dd
+from ..operators import quantization as pq
 from ..operators import retrieval as rtr
 from ..operators import sampling
 from ..operators import sharding
@@ -909,20 +910,22 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str,
     )
 
 
-def _lloyd_blocks(k: int, iters: int, dim: int, prefix: str = "c") -> tuple[str, str]:
+def _lloyd_blocks(k: int, iters: int, dim: int, prefix: str = "c",
+                  src: str = "e") -> tuple[str, str]:
     """Shared SQL generator for deterministic Lloyd's k-means over the
-    ``e(vec_id, v)`` CTE: init = k lowest vec_ids, each iteration a
+    ``src(vec_id, v)`` CTE: init = k lowest vec_ids, each iteration a
     CTE pair (assign by argmin squared-L2 with cluster-id tiebreak →
     per-component means rounded to 6 dp; empty clusters keep the
     previous centroid via the left join). Returns (sql_fragment,
-    final_centroid_cte) — used by BOTH the k-means entry and the
-    trained-IVF quantizer inside the ANN oracle."""
+    final_centroid_cte) — used by the k-means entry, the trained-IVF
+    quantizer inside the ANN oracle, and (r8, via ``src``) the m
+    per-subspace PQ codebook retrainings."""
     d2 = (f"list_sum(list_transform(range(1, {dim + 1}),"
           f" i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))")
     parts = [f"""
 {prefix}0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-  FROM e WHERE vec_id < {k}
+  FROM {src} WHERE vec_id < {k}
 )"""]
     prev = f"{prefix}0"
     for t in range(iters):
@@ -932,7 +935,7 @@ def _lloyd_blocks(k: int, iters: int, dim: int, prefix: str = "c") -> tuple[str,
     SELECT e.vec_id, e.v, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {d2}, c.cid) AS rn
-    FROM e CROSS JOIN {prev} c
+    FROM {src} e CROSS JOIN {prev} c
   ) WHERE rn = 1
 ),
 {prefix}m{t} AS (
@@ -1686,32 +1689,118 @@ _ANN_TABLES = 8   # sign-LSH hash tables (recall knob)
 _ANN_PLANES = 4   # hyperplanes per table (bucket-size knob)
 _ANN_LISTS = 8    # IVF coarse-quantizer lists
 _ANN_PROBE = 2    # IVF lists probed per query
+_PQ_M = 4         # PQ subspaces (64 dims -> 4 x 16)
+_PQ_KSUB = 8      # codes per subspace codebook
+
+
+def similarity_pq(spark: SparkSession, sf_dir: str) -> tuple:
+    """Product-quantization ADC path (``operators/quantization.py``,
+    Jégou et al. 2011): train m=4 × ksub=8 subspace codebooks (same
+    deterministic Lloyd's discipline as the IVF quantizer), encode
+    the corpus to 4 code ids per vector, score queries by asymmetric
+    distance (exact query vs per-subspace centroids), top-5 by
+    (adc_d2 asc, neighbor_id). Returns (topk_df, codes_df) — the
+    cosine column is the EXACT cosine of each chosen neighbor so the
+    row schema matches the other ANN methods (the approximation shows
+    up as rank order + recall, like ivf/signlsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = pq.pq_train(
+        emb, "embedding", dim=EMBEDDING_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        iters=_KMEANS_ITERS,
+    )
+    codes = pq.pq_encode(emb, "embedding", books)
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    top = (
+        pq.pq_adc_scores(codes, queries, books)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    topk = (
+        top.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(
+                sim.cosine(
+                    sim._as_double(F.col("__qv")),
+                    sim._as_double(F.col("__nv")),
+                ), 6,
+            ).alias("cosine"),
+        )
+    )
+    return topk, codes
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both bucketed ANN scale paths in one entry, tagged by stage and
-    method: sign-LSH (hyperplane buckets) and IVF (coarse quantizer,
-    2-probe) detail rows ('topk'), plus per-(method, query) recall@5
-    against the exact top-k computed in the same query ('recall' rows —
-    the quantified answer to "how approximate is the scale path?").
+    """The bucketed/compressed ANN scale paths in one entry, tagged by
+    stage and method: sign-LSH (hyperplane buckets), IVF (coarse
+    quantizer, 2-probe), and (r8) product-quantization ADC detail rows
+    ('topk'), plus per-(method, query) recall@5 against the exact
+    top-k computed in the same query ('recall' rows — the quantified
+    answer to "how approximate is the scale path?") and the PQ
+    codebook-population/reconstruction-error stage ('encode' rows:
+    one per (subspace, code) with member count + mean recon error, so
+    every vector's code assignment is hash-checked, not just the
+    scored ones).
 
     Round 3: the hyperplanes and IVF centroids are deterministic
     literals shared with the oracle generator, and the scoring fold
     matches DuckDB's list_dot_product evaluation order, so the ENTIRE
     entry — buckets, probes, ranks, cosines, recalls — hash-checks
-    against the SQL oracle below (round 2 this was rows-only)."""
+    against the SQL oracle below (round 2 this was rows-only).
+    Round 8: the oracle RETRAINS the four PQ subspace codebooks via
+    the same unrolled-Lloyd's blocks and re-derives codes, ADC ranks,
+    and recon errors."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     lsh = similarity_lsh(spark, sf_dir).withColumn("method", F.lit("signlsh"))
     ivf = similarity_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    ann = lsh.unionByName(ivf)
+    pq_topk, pq_codes = similarity_pq(spark, sf_dir)
+    ann = lsh.unionByName(ivf).unionByName(
+        pq_topk.withColumn("method", F.lit("pq"))
+    )
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
     topk = ann.select(
         F.lit("topk").alias("stage"), "method", "query_id", "rank",
         "neighbor_id", "cosine", F.lit(None).cast("double").alias("recall"),
     )
-    methods = spark.createDataFrame([("signlsh",), ("ivf",)], "method string")
+    encode = (
+        pq_codes.select(
+            "recon_err", F.posexplode("codes").alias("__j", "__code")
+        )
+        .groupBy("__j", "__code")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # exact-integer micro-units, then one division: a float
+            # AVG here would sum 6-dp doubles in engine-specific
+            # order (the known midpoint flake class); the long sum is
+            # order-exact in both engines (the dedup-stage exact-cents
+            # discipline)
+            (
+                F.sum(F.round(F.col("recon_err") * 1e6).cast("long"))
+                / F.lit(1e6)
+            ).alias("__err"),
+        )
+        .select(
+            F.lit("encode").alias("stage"), F.lit("pq").alias("method"),
+            F.col("__j").cast("long").alias("query_id"),
+            F.col("__code").alias("rank"),
+            F.col("__n").alias("neighbor_id"),
+            F.col("__err").alias("cosine"),
+            F.lit(None).cast("double").alias("recall"),
+        )
+    )
+    methods = spark.createDataFrame(
+        [("signlsh",), ("ivf",), ("pq",)], "method string"
+    )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(methods)
     )
@@ -1730,7 +1819,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine"),
         F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / _ANN_K, 6).alias("recall"),
     )
-    return topk.unionByName(recall)
+    return topk.unionByName(recall).unionByName(encode)
 
 
 def _vec_sql(vals: list[float]) -> str:
@@ -1740,13 +1829,16 @@ def _vec_sql(vals: list[float]) -> str:
 def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
                 n_tables: int = _ANN_TABLES,
                 n_lists: int = _ANN_LISTS, n_probe: int = _ANN_PROBE,
-                dim: int = EMBEDDING_DIM) -> str:
+                dim: int = EMBEDDING_DIM,
+                m: int = _PQ_M, ksub: int = _PQ_KSUB) -> str:
     """SQL twin of ``similarity_ann``: the same multi-table hyperplane
     sign buckets (plane literals from the same deterministic generator
     the Spark builder uses), the same TRAINED coarse quantizer (Lloyd's
     re-run in SQL via ``_lloyd_blocks``) with cosine-nearest 2-probe
     lists, the same rank windows, and recall joined against the exact
-    top-k."""
+    top-k. r8: RETRAINS the m per-subspace PQ codebooks (``_lloyd_
+    blocks`` over sliced-vector CTEs), re-derives every vector's codes
+    + reconstruction error, and re-ranks the ADC top-k."""
     planes_all = sim.hyperplanes(dim, n_tables * n_planes, seed=7)
     tables = [
         planes_all[t * n_planes:(t + 1) * n_planes] for t in range(n_tables)
@@ -1777,6 +1869,80 @@ def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
         for t in range(n_tables)
     )
     lloyd, final_c = _lloyd_blocks(n_lists, _KMEANS_ITERS, dim, prefix="qc")
+
+    dsub = dim // m
+    pq_slices, pq_lloyds, pq_assigns, pq_finals = [], [], [], []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        pq_slices.append(
+            f"pe{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        blk, fin = _lloyd_blocks(
+            ksub, _KMEANS_ITERS, dsub, prefix=f"p{j}c", src=f"pe{j}"
+        )
+        pq_lloyds.append(blk)
+        pq_finals.append(fin)
+        d2j = (f"list_sum(list_transform(range(1, {dsub + 1}),"
+               f" i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))")
+        pq_assigns.append(f"""
+pqa{j} AS (
+  SELECT vec_id, cid AS code, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2j} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2j}, c.cid) AS rn
+    FROM pe{j} e CROSS JOIN {fin} c
+  ) WHERE rn = 1
+)""")
+    recon = " + ".join(f"a{j}.d2" for j in range(m))
+    code_cols = ", ".join(f"a{j}.code AS c{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN pqa{j} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    adc_terms = " + ".join(
+        f"list_sum(list_transform(range(1, {dsub + 1}),"
+        f" i -> (q.qv[{j * dsub} + i] - f{j}.c[i])"
+        f" * (q.qv[{j * dsub} + i] - f{j}.c[i])))"
+        for j in range(m)
+    )
+    adc_joins = " ".join(
+        f"JOIN {pq_finals[j]} f{j} ON f{j}.cid = t.c{j}" for j in range(m)
+    )
+    enc_unpivot = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, c{j} AS code, recon_err FROM pqcodes"
+        for j in range(m)
+    )
+    pq_sql = f"""{",".join(pq_slices)},{",".join(pq_lloyds)},{",".join(pq_assigns)},
+pqcodes AS MATERIALIZED (
+  SELECT a0.vec_id, {code_cols}, round({recon}, 6) AS recon_err
+  FROM pqa0 a0 {code_joins}
+),
+pqadc AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+         round({adc_terms}, 6) AS adc_d2
+  FROM pqcodes t {adc_joins} CROSS JOIN q
+  WHERE q.query_id <> t.vec_id
+),
+pq_topk AS (
+  SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT a.query_id, a.neighbor_id,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY a.adc_d2, a.neighbor_id) AS rank,
+           list_dot_product(q.qv, c.cv)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+    FROM pqadc a
+    JOIN q ON q.query_id = a.query_id
+    JOIN c ON c.neighbor_id = a.neighbor_id
+  ) WHERE rank <= {k}
+),
+pq_enc AS (
+  SELECT j, code, count(*) AS n,
+         CAST(sum(CAST(round(recon_err * 1e6) AS BIGINT)) AS DOUBLE)
+           / 1e6 AS err
+  FROM (
+    {enc_unpivot}
+  ) GROUP BY j, code
+)"""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -1842,10 +2008,13 @@ ivf_topk AS (
     )
   ) WHERE rank <= {k}
 ),
+{pq_sql},
 ann AS (
   SELECT 'signlsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_topk
   UNION ALL
   SELECT 'ivf', query_id, rank, neighbor_id, cos FROM ivf_topk
+  UNION ALL
+  SELECT 'pq', query_id, rank, neighbor_id, cos FROM pq_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -1861,7 +2030,8 @@ exact_topk AS (
 ),
 grid AS (
   SELECT m.method, q.query_id
-  FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf') m
+  FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf'
+        UNION ALL SELECT 'pq') m
   CROSS JOIN q
 ),
 hits AS (
@@ -1878,6 +2048,9 @@ UNION ALL
 SELECT 'recall', g.method, g.query_id, NULL::INT, NULL::BIGINT, NULL::DOUBLE,
        round(coalesce(h.n_hits, 0) / {k}.0, 6)
 FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.query_id = g.query_id
+UNION ALL
+SELECT 'encode', 'pq', j::BIGINT, code::INT, n::BIGINT, err, NULL::DOUBLE
+FROM pq_enc
 """
 
 
