@@ -5,9 +5,12 @@ reference implementation — SURVEY §2.2).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_half_away
 from ..operators import bpe
 from ..operators import classifier as clf
 from ..operators import dedup as dd
@@ -801,27 +804,187 @@ FROM documents
 
 # ------------------------------------- embedding-cosine near-dedup
 
+_PCA_COMPONENTS = 2
+_PCA_ITERS = 12
+#: whitened-space pair threshold: in the 2-component whitened plane
+#: cosines concentrate near ±1, so the near-dup cut sits much higher
+#: than the raw-space 0.4 (τ chosen to keep a non-trivial,
+#: non-degenerate pair population at both driver SFs)
+_PCA_TAU = 0.995
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs over a deterministic
-    corpus slice (vec_id % 4 = 0) — the oracle anchor for the pruned
-    (LSH / IVF) scale paths."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    return sim.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    """Embedding near-dup pairs over a deterministic corpus slice
+    (vec_id % 4 = 0), space-tagged:
+
+    - 'raw': exact all-pairs cosine ≥ 0.4 — the oracle anchor for the
+      pruned (LSH / IVF / PQ) scale paths.
+    - r8 PCA whitening (``operators/pca.py``): 'mean' / 'comp' /
+      'eig' rows expose the power-iteration fit (per-dim mean, the 2
+      component loadings, the 2 eigenvalues — every number of the
+      trained model hash-checks), and 'white' rows are the near-dup
+      pairs ≥ τ in the 2-d WHITENED plane — the SemDeDup-style
+      preprocessing decision (which pairs count as semantic dups
+      after variance equalization) verified end-to-end. The oracle
+      re-derives the covariance in SQL and re-runs the same unrolled
+      matvec/normalize power iterations — the fit is RETRAINED, not
+      spliced.
+    """
+    from ..operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 4 == 0
+    )
+    raw = sim.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select(F.lit("raw").alias("space"), "id_a", "id_b", "cosine")
+    means, comps, eigs = pca.pca_whiten_fit(
+        emb, "embedding", n_components=_PCA_COMPONENTS, iters=_PCA_ITERS
+    )
+    model_rows = (
+        [("mean", i, -1, mu) for i, mu in enumerate(means)]
+        + [
+            ("comp", c, i, x)
+            for c, comp in enumerate(comps)
+            for i, x in enumerate(comp)
+        ]
+        + [("eig", c, -1, lam) for c, lam in enumerate(eigs)]
+    )
+    model = spark.createDataFrame(
+        model_rows, "space string, id_a long, id_b long, cosine double"
+    )
+    z = pca.whiten_project(emb, "embedding", means, comps, eigs)
+    white = sim.cosine_neardup_pairs(
+        z, "vec_id", "z", threshold=_PCA_TAU
+    ).select(F.lit("white").alias("space"), "id_a", "id_b", "cosine")
+    return raw.unionByName(model).unionByName(white)
 
 
-EMBEDDING_NEARDUP_ORACLE = """
+def _pca_blocks(dim: int, n_comp: int, iters: int) -> str:
+    """SQL fragment re-deriving the power-iteration PCA fit from the
+    ``e(vec_id, v)`` CTE: per-dim means, rounded covariance, then per
+    component ``iters`` unrolled matvec/normalize steps (6-dp-rounded
+    vectors — the same numbers ``operators/pca.py`` produces on the
+    driver), Rayleigh eigenvalue, and deflation. Emits CTEs
+    ``pm`` (means), ``fv{c}`` (component rows), ``p{c}lam``
+    (eigenvalue scalars), and ``wz`` (whitened 2-d projection)."""
+    v0 = repr(round_half_away(1.0 / math.sqrt(dim), 6))
+    parts = [f"""
+pm AS MATERIALIZED (
+  SELECT i, round(avg(v[i]), 6) AS mu
+  FROM e CROSS JOIN range(1, {dim + 1}) r(i) GROUP BY i
+),
+cv0 AS MATERIALIZED (
+  SELECT ii.i AS i, jj.i AS j,
+         round(sum((e.v[ii.i] - mi.mu) * (e.v[jj.i] - mj.mu))
+               / (SELECT count(*) FROM e), 6) AS c
+  FROM e
+  CROSS JOIN range(1, {dim + 1}) ii(i)
+  CROSS JOIN range(1, {dim + 1}) jj(i)
+  JOIN pm mi ON mi.i = ii.i
+  JOIN pm mj ON mj.i = jj.i
+  GROUP BY ii.i, jj.i
+)"""]
+    for c in range(n_comp):
+        parts.append(f"""
+p{c}v0 AS (SELECT i, {v0} AS x FROM range(1, {dim + 1}) r(i))""")
+        for t in range(iters):
+            # every step MATERIALIZED: v{t+1} references w{t} twice
+            # (values + the norm scalar) — DuckDB inlines plain CTEs,
+            # so an unrolled chain would double its expression tree
+            # per iteration (2^iters blowup; same reason the k-means
+            # oracle materializes its heavily-referenced CTEs)
+            parts.append(f"""
+p{c}w{t} AS MATERIALIZED (
+  SELECT a.i, sum(a.c * v.x) AS w
+  FROM cv{c} a JOIN p{c}v{t} v ON v.i = a.j GROUP BY a.i
+),
+p{c}v{t + 1} AS MATERIALIZED (
+  SELECT i, round(w / (SELECT sqrt(sum(w * w)) FROM p{c}w{t}), 6) AS x
+  FROM p{c}w{t}
+)""")
+        parts.append(f"""
+fv{c} AS MATERIALIZED (SELECT i, x FROM p{c}v{iters}),
+p{c}wf AS (
+  SELECT a.i, sum(a.c * v.x) AS w
+  FROM cv{c} a JOIN fv{c} v ON v.i = a.j GROUP BY a.i
+),
+p{c}lam AS MATERIALIZED (
+  SELECT round(sum(v.x * w.w), 6) AS lam
+  FROM fv{c} v JOIN p{c}wf w ON w.i = v.i
+)""")
+        if c + 1 < n_comp:
+            parts.append(f"""
+cv{c + 1} AS MATERIALIZED (
+  SELECT a.i, a.j,
+         round(a.c - (SELECT lam FROM p{c}lam) * vi.x * vj.x, 6) AS c
+  FROM cv{c} a
+  JOIN fv{c} vi ON vi.i = a.i
+  JOIN fv{c} vj ON vj.i = a.j
+)""")
+    z_cols = ", ".join(
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> (e.v[i] - lm.mu[i]) * lc{c}.c[i]))"
+        f" / sqrt((SELECT lam FROM p{c}lam)), 6) AS z{c}"
+        for c in range(n_comp)
+    )
+    z_lists = ", ".join(
+        f"(SELECT list(x ORDER BY i) AS c FROM fv{c}) lc{c}"
+        for c in range(n_comp)
+    )
+    parts.append(f"""
+wz AS MATERIALIZED (
+  SELECT e.vec_id, {z_cols}
+  FROM e, (SELECT list(mu ORDER BY i) AS mu FROM pm) lm, {z_lists}
+)""")
+    return ",".join(parts)
+
+
+def _embedding_neardup_oracle(dim: int = EMBEDDING_DIM,
+                              n_comp: int = _PCA_COMPONENTS,
+                              iters: int = _PCA_ITERS,
+                              tau: float = _PCA_TAU) -> str:
+    blocks = _pca_blocks(dim, n_comp, iters)
+    comp_rows = "\n  UNION ALL ".join(
+        f"SELECT 'comp' AS space, {c} AS id_a, i - 1 AS id_b, x AS cosine"
+        f" FROM fv{c}"
+        for c in range(n_comp)
+    )
+    eig_rows = "\n  UNION ALL ".join(
+        f"SELECT 'eig', {c}, -1, lam FROM p{c}lam" for c in range(n_comp)
+    )
+    wn = (" + ".join(f"a.z{c} * a.z{c}" for c in range(n_comp)),
+          " + ".join(f"b.z{c} * b.z{c}" for c in range(n_comp)))
+    wdot = " + ".join(f"a.z{c} * b.z{c}" for c in range(n_comp))
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 4 = 0
-),
-pairs AS (
+),{blocks},
+raw_pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-               6) AS cosine
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
   FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+white_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(({wdot}) / (sqrt({wn[0]}) * sqrt({wn[1]})), 6) AS cosine
+  FROM wz a JOIN wz b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+SELECT 'raw' AS space, id_a, id_b, cosine FROM raw_pairs WHERE cosine >= 0.4
+UNION ALL
+SELECT 'mean', i - 1, -1, mu FROM pm
+UNION ALL
+{comp_rows}
+UNION ALL
+{eig_rows}
+UNION ALL
+SELECT 'white', id_a, id_b, cosine FROM white_pairs WHERE cosine >= {tau}
 """
+
+
+EMBEDDING_NEARDUP_ORACLE = _embedding_neardup_oracle()
 
 
 _KMEANS_K = 6
