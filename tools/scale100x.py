@@ -245,6 +245,60 @@ def main() -> None:
         retrieval_probe(spark)
     if "--funnel" in sys.argv:
         funnel_probe(spark)
+    if "--quant" in sys.argv:
+        quant_probe(spark)
+
+
+def quant_probe(spark) -> None:
+    """r8: the two new embedding-model families at 100× vectors
+    (200 k × 64-d) — PQ (fused codebook training + row-local encode +
+    ADC top-k for 8 queries) and PCA whitening (distributed moments +
+    driver power iteration + row-local projection). Claim under test:
+    both are scan-agg-profile (training passes return model-sized
+    rows; encode/projection are row-local; the ADC top-k is the only
+    candidate-grain shuffle)."""
+    from training_datawarehouse_spark.operators import pca
+    from training_datawarehouse_spark.operators import quantization as pqz
+    from training_datawarehouse_spark.operators.retrieval import (
+        topk_per_query,
+    )
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        t0 = time.time()
+        books = pqz.pq_train(emb, "embedding", dim=64, m=4, ksub=8,
+                             iters=4)
+        train_s = round(time.time() - t0, 2)
+        codes = pqz.pq_encode(emb, "embedding", books)
+        enc_s = _time_noop(codes)
+        queries = emb.filter(F.col("vec_id") < 8)
+        adc = pqz.pq_adc_scores(codes, queries, books).withColumnRenamed(
+            "adc_d2", "score"
+        )
+        # ADC is a distance: rank ascending by negating before the
+        # descending two-level top-k
+        adc = adc.withColumn("score", -F.col("score"))
+        topk_s = _time_noop(topk_per_query(adc, 10))
+        print(
+            f"pq[{label}] n={n} train={train_s}s encode_noop={enc_s}s "
+            f"adc_topk_noop={topk_s}s",
+            flush=True,
+        )
+
+        t0 = time.time()
+        means, comps, eigs = pca.pca_whiten_fit(
+            emb, "embedding", n_components=2, iters=12
+        )
+        fit_s = round(time.time() - t0, 2)
+        proj_s = _time_noop(
+            pca.whiten_project(emb, "embedding", means, comps, eigs)
+        )
+        print(
+            f"pca[{label}] n={n} fit={fit_s}s project_noop={proj_s}s",
+            flush=True,
+        )
 
 
 def _time_noop(df) -> float:
