@@ -139,7 +139,11 @@ def test_ann_recall_targets(spark):
     """The quantified recall@5 the registry entry now emits must meet
     the engineered targets on the driver's synthetic embeddings:
     trained-quantizer IVF (2 of 8 lists probed ≈ 25% scanned) ≥ 0.8
-    mean recall; 8×4 multi-table sign-LSH ≥ 0.5."""
+    mean recall; 8×4 multi-table sign-LSH ≥ 0.5; r8 PQ: the raw ADC
+    ranking's recall is deliberately low on random gaussians (64×
+    compression of structure-free data — the honest floor is just
+    non-degeneracy), and the exact re-rank of the 10 % ADC shortlist
+    must recover most of it (≥ 0.5, and strictly above raw ADC)."""
     from training_datawarehouse_spark.plans.northstar import similarity_ann
 
     rows = similarity_ann(spark, "/root/testdata/sf0.001").collect()
@@ -147,10 +151,13 @@ def test_ann_recall_targets(spark):
     for r in rows:
         if r["stage"] == "recall":
             rec.setdefault(r["method"], []).append(r["recall"])
-    assert set(rec) == {"ivf", "signlsh"}
+    assert set(rec) == {"ivf", "signlsh", "pq", "pq_rr"}
     assert all(len(v) == 8 for v in rec.values())
     assert sum(rec["ivf"]) / 8 >= 0.8
     assert sum(rec["signlsh"]) / 8 >= 0.5
+    assert sum(rec["pq"]) / 8 >= 0.1
+    assert sum(rec["pq_rr"]) / 8 >= 0.5
+    assert sum(rec["pq_rr"]) > sum(rec["pq"])
 
 
 def test_approx_aggs_error_bounds(spark):

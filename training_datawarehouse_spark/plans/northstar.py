@@ -1854,18 +1854,28 @@ _ANN_LISTS = 8    # IVF coarse-quantizer lists
 _ANN_PROBE = 2    # IVF lists probed per query
 _PQ_M = 4         # PQ subspaces (64 dims -> 4 x 16)
 _PQ_KSUB = 8      # codes per subspace codebook
+_PQ_RERANK = 50   # ADC shortlist size for the exact re-rank stage
 
 
 def similarity_pq(spark: SparkSession, sf_dir: str) -> tuple:
-    """Product-quantization ADC path (``operators/quantization.py``,
+    """Product-quantization paths (``operators/quantization.py``,
     Jégou et al. 2011): train m=4 × ksub=8 subspace codebooks (same
     deterministic Lloyd's discipline as the IVF quantizer), encode
     the corpus to 4 code ids per vector, score queries by asymmetric
-    distance (exact query vs per-subspace centroids), top-5 by
-    (adc_d2 asc, neighbor_id). Returns (topk_df, codes_df) — the
-    cosine column is the EXACT cosine of each chosen neighbor so the
-    row schema matches the other ANN methods (the approximation shows
-    up as rank order + recall, like ivf/signlsh)."""
+    distance (exact query vs per-subspace centroids). TWO rankings
+    come back (both schemas match the other ANN methods — the cosine
+    column is the exact cosine of each chosen neighbor):
+
+    - 'pq' (raw ADC): top-5 by (adc_d2 asc, neighbor_id). Its recall
+      row QUANTIFIES the cost of ranking by 64×-compressed geometry
+      alone — deliberately reported, not hidden.
+    - 'pq_rr' (ADC shortlist → exact re-rank): the published
+      production shape — ADC keeps the top ``_PQ_RERANK`` candidates
+      (10 % of this corpus; the compressed scan does the pruning),
+      then the exact cosine re-ranks the shortlist to top-5. Recall
+      measures how often the true top-5 survive the shortlist.
+
+    Returns (topk_raw, topk_rerank, codes_df)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     books = pq.pq_train(
@@ -1874,10 +1884,8 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> tuple:
     )
     codes = pq.pq_encode(emb, "embedding", books)
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    top = (
-        pq.pq_adc_scores(codes, queries, books)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ANN_K)
+    adc = pq.pq_adc_scores(codes, queries, books).withColumn(
+        "__ar", F.row_number().over(w)
     )
     qv = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
@@ -1885,20 +1893,33 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> tuple:
     nv = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
     )
-    topk = (
-        top.join(F.broadcast(qv), "query_id")
+    cos = F.round(
+        sim.cosine(
+            sim._as_double(F.col("__qv")), sim._as_double(F.col("__nv"))
+        ), 6,
+    )
+    topk_raw = (
+        adc.filter(F.col("__ar") <= _ANN_K)
+        .join(F.broadcast(qv), "query_id")
         .join(nv, "neighbor_id")
         .select(
-            "query_id", "rank", "neighbor_id",
-            F.round(
-                sim.cosine(
-                    sim._as_double(F.col("__qv")),
-                    sim._as_double(F.col("__nv")),
-                ), 6,
-            ).alias("cosine"),
+            "query_id", F.col("__ar").alias("rank"), "neighbor_id",
+            cos.alias("cosine"),
         )
     )
-    return topk, codes
+    wrr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    topk_rr = (
+        adc.filter(F.col("__ar") <= _PQ_RERANK)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(wrr))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    return topk_raw, topk_rr, codes
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,9 +1946,11 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     lsh = similarity_lsh(spark, sf_dir).withColumn("method", F.lit("signlsh"))
     ivf = similarity_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    pq_topk, pq_codes = similarity_pq(spark, sf_dir)
-    ann = lsh.unionByName(ivf).unionByName(
-        pq_topk.withColumn("method", F.lit("pq"))
+    pq_raw, pq_rr, pq_codes = similarity_pq(spark, sf_dir)
+    ann = (
+        lsh.unionByName(ivf)
+        .unionByName(pq_raw.withColumn("method", F.lit("pq")))
+        .unionByName(pq_rr.withColumn("method", F.lit("pq_rr")))
     )
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
@@ -1962,7 +1985,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     methods = spark.createDataFrame(
-        [("signlsh",), ("ivf",), ("pq",)], "method string"
+        [("signlsh",), ("ivf",), ("pq",), ("pq_rr",)], "method string"
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(methods)
@@ -1993,7 +2016,8 @@ def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
                 n_tables: int = _ANN_TABLES,
                 n_lists: int = _ANN_LISTS, n_probe: int = _ANN_PROBE,
                 dim: int = EMBEDDING_DIM,
-                m: int = _PQ_M, ksub: int = _PQ_KSUB) -> str:
+                m: int = _PQ_M, ksub: int = _PQ_KSUB,
+                rerank: int = _PQ_RERANK) -> str:
     """SQL twin of ``similarity_ann``: the same multi-table hyperplane
     sign buckets (plane literals from the same deterministic generator
     the Spark builder uses), the same TRAINED coarse quantizer (Lloyd's
@@ -2085,17 +2109,28 @@ pqadc AS (
   FROM pqcodes t {adc_joins} CROSS JOIN q
   WHERE q.query_id <> t.vec_id
 ),
+pqranked AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id,
+         row_number() OVER (PARTITION BY a.query_id
+                            ORDER BY a.adc_d2, a.neighbor_id) AS ar,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM pqadc a
+  JOIN q ON q.query_id = a.query_id
+  JOIN c ON c.neighbor_id = a.neighbor_id
+),
 pq_topk AS (
+  SELECT query_id, ar AS rank, neighbor_id, cos FROM pqranked
+  WHERE ar <= {k}
+),
+pq_rr_topk AS (
   SELECT query_id, rank, neighbor_id, cos FROM (
-    SELECT a.query_id, a.neighbor_id,
-           row_number() OVER (PARTITION BY a.query_id
-                              ORDER BY a.adc_d2, a.neighbor_id) AS rank,
-           list_dot_product(q.qv, c.cv)
-             / (sqrt(list_dot_product(q.qv, q.qv))
-                * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-    FROM pqadc a
-    JOIN q ON q.query_id = a.query_id
-    JOIN c ON c.neighbor_id = a.neighbor_id
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM (SELECT query_id, neighbor_id, round(cos, 6) AS cos
+          FROM pqranked WHERE ar <= {rerank}) s
   ) WHERE rank <= {k}
 ),
 pq_enc AS (
@@ -2178,6 +2213,8 @@ ann AS (
   SELECT 'ivf', query_id, rank, neighbor_id, cos FROM ivf_topk
   UNION ALL
   SELECT 'pq', query_id, rank, neighbor_id, cos FROM pq_topk
+  UNION ALL
+  SELECT 'pq_rr', query_id, rank, neighbor_id, cos FROM pq_rr_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -2194,7 +2231,7 @@ exact_topk AS (
 grid AS (
   SELECT m.method, q.query_id
   FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf'
-        UNION ALL SELECT 'pq') m
+        UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr') m
   CROSS JOIN q
 ),
 hits AS (
