@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_away
-from .similarity import _as_double
+from .similarity import _as_double, vec_lit
 
 
 def dim_means(
@@ -75,7 +75,7 @@ def covariance_matrix(
     shuffle moves d² partial sums per partition, never the vectors."""
     cent = F.zip_with(
         _as_double(F.col(vec_col)),
-        F.array(*[F.lit(float(x)) for x in means]),
+        vec_lit(means),
         lambda x, mu: x - mu,
     )
     n = df.count()
@@ -168,7 +168,7 @@ def whiten_project(
     rides the plan as literals — no join, no shuffle."""
     cent = F.zip_with(
         _as_double(F.col(vec_col)),
-        F.array(*[F.lit(float(x)) for x in means]),
+        vec_lit(means),
         lambda x, mu: x - mu,
     )
     zs = []
@@ -176,7 +176,7 @@ def whiten_project(
         dotc = F.aggregate(
             F.zip_with(
                 cent,
-                F.array(*[F.lit(float(x)) for x in comp]),
+                vec_lit(comp),
                 lambda a, b: a * b,
             ),
             F.lit(0.0), lambda acc, x: acc + x,

@@ -52,7 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_away
-from .similarity import _as_double
+from .similarity import _as_double, vec_lit
 
 
 def _sub(vec: Column, j: int, dsub: int) -> Column:
@@ -111,18 +111,20 @@ def pq_train(
             subs = []
             for j, book in enumerate(books):
                 sv = _sub(F.col("__v"), j, dsub)
-                scored = F.array(*[
-                    F.struct(
-                        _d2(
-                            sv, F.array(*[F.lit(float(x)) for x in c])
-                        ).alias("d2"),
-                        F.lit(ci).alias("cid"),
-                    )
-                    for ci, c in enumerate(book)
-                ])
+                # argmin via array_position of the min over one
+                # transform (first occurrence = lowest code id — same
+                # tie-break as the former struct sort), not ksub
+                # separate struct expressions
+                d2s = F.transform(
+                    F.lit([[float(x) for x in c] for c in book]),
+                    lambda c: _d2(sv, c),
+                )
+                cid = (F.array_position(d2s, F.array_min(d2s)) - 1).cast(
+                    "int"
+                )
                 subs.append(F.struct(
                     F.lit(j).alias("j"),
-                    F.array_sort(scored)[0]["cid"].alias("cid"),
+                    cid.alias("cid"),
                     sv.alias("sv"),
                 ))
             stats = (
@@ -155,7 +157,7 @@ def _book_lit(book: list[list[float]]) -> Column:
     """One subspace codebook as a single nested array literal —
     ksub × dsub floats; indexed with element_at (1-based)."""
     return F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in book
+        vec_lit(c) for c in book
     ])
 
 
@@ -180,24 +182,23 @@ def pq_encode(
     squared-L2 with lowest-code-id ties. Returns
     ``(id_col, codes array<int>, recon_err double)`` with recon_err
     = Σ_j d²(x_j, cb[j][code_j]) rounded to 6 dp."""
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = _as_double(F.col(vec_col))
-    best = []
+    best = []  # (code, min_d2) per subspace
     for j, book in enumerate(codebooks):
-        scored = F.array(*[
-            F.struct(
-                _d2(_sub(v, j, dsub),
-                    F.array(*[F.lit(float(x)) for x in c])).alias("d2"),
-                F.lit(ci).alias("cid"),
-            )
-            for ci, c in enumerate(book)
-        ])
-        best.append(F.array_sort(scored)[0])
-    codes = F.array(*[b["cid"].cast("int") for b in best])
-    err = F.round(
-        sum((b["d2"] for b in best[1:]), best[0]["d2"]), 6
-    )
+        sv = _sub(v, j, dsub)
+        d2s = F.transform(
+            F.lit([[float(x) for x in c] for c in book]),
+            lambda c: _d2(sv, c),
+        )
+        mn = F.array_min(d2s)
+        # first occurrence of the min = lowest code id (the former
+        # (d2, cid) struct-sort tie-break, one transform instead of
+        # ksub struct expressions)
+        best.append(((F.array_position(d2s, mn) - 1).cast("int"), mn))
+    codes = F.array(*[c for c, _ in best])
+    errs = [d for _, d in best]
+    err = F.round(sum(errs[1:], errs[0]), 6)
     return df.select(
         F.col(id_col), codes.alias("codes"), err.alias("recon_err")
     )

@@ -29,6 +29,17 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def vec_lit(values) -> Column:
+    """A constant vector as ONE array Literal node. ``F.array(*[F.lit(x)
+    ...])`` builds a d-child CreateArray that bloats the expression
+    tree (d× per constant vector — 32 hyperplanes × 64 dims = 2048
+    nodes in the sign-LSH bucketer alone) and re-enters analysis +
+    codegen at that size; ``F.lit(list)`` is a single Literal. Same
+    values, same array<double> type — the r6 logreg-fit lesson
+    (SCALE.md 'Iterative-fit plan shape') applied module-wide."""
+    return F.lit([float(x) for x in values])
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product — matches DuckDB list_dot_product
     evaluation order (pairwise multiply, left-to-right sum)."""
@@ -171,13 +182,17 @@ def ivf_topk(
         cents = ivf_default_centroids(n_lists, _vec_dim(corpus, vec_col, dim), seed)
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        scored = F.array(*[
-            F.struct(
-                (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("neg"),
-                F.lit(i).alias("list_id"),
-            )
-            for i, c in enumerate(cents)
-        ])
+        # one two-arg transform over the 2-D centroid Literal instead
+        # of n_lists separate struct expressions — same (neg, list_id)
+        # sort semantics, a fraction of the driver-side construction
+        cl = F.lit([[float(x) for x in c] for c in cents])
+        scored = F.transform(
+            cl,
+            lambda c, i: F.struct(
+                (-cosine(vec, c)).alias("neg"),
+                i.cast("int").alias("list_id"),
+            ),
+        )
         return F.slice(F.array_sort(scored), 1, n)
 
     c = corpus.select(
@@ -264,21 +279,23 @@ def _kmeans_iterate(
     v = F.col("__v0")
     inertia_hist: list[float] = []
     for _ in range(iters):
-        # nearest centroid by squared L2 — array_sort on (dist, id) structs
-        scored = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(v, F.array(*[F.lit(x) for x in c]),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                ).alias("d2"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ])
-        best = F.array_sort(scored)[0]
+        # nearest centroid by squared L2: one transform over the 2-D
+        # centroid Literal → d2 array; argmin via array_position of
+        # the min (first occurrence = lowest cid, identical to the
+        # former (d2, cid) struct sort tie-break) — k× fewer driver-
+        # side expressions per iteration
+        cl = F.lit([[float(x) for x in c] for c in cents])
+        d2s = F.transform(
+            cl,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        best_d2 = F.array_min(d2s)
+        best_cid = (F.array_position(d2s, best_d2) - 1).cast("int")
         assigned = work.select(
-            v.alias("__v"), best["cid"].alias("__c"), best["d2"].alias("__d2")
+            v.alias("__v"), best_cid.alias("__c"), best_d2.alias("__d2")
         )
         # ONE action per iteration: the per-(cluster, position) partial
         # sums AND the inertia ride the same shuffle — each source row's
@@ -333,12 +350,21 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]
 
 
 def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = sign-bit string of the vector against each plane."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+    """Bucket id = sign-bit string of the vector against each plane.
+
+    Built as ONE ``transform`` over a 2-D plane Literal (bit per
+    plane, ``array_join`` to the string) instead of n_planes separate
+    fold expressions: the per-plane dot is the same left-fold, but the
+    DataFrame is constructed with 2 lambda conversions instead of
+    2·n_planes — driver-side expression construction (py4j) was the
+    dominant cost of the multi-table LSH builder, not execution
+    (measured r8: 6.1 s build vs 1.0 s execute before this shape)."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def signlsh_topk(
@@ -359,30 +385,42 @@ def signlsh_topk(
     planes_all = hyperplanes(
         _vec_dim(corpus, vec_col, dim), n_tables * n_planes, seed
     )
-    tables = [
-        planes_all[t * n_planes:(t + 1) * n_planes] for t in range(n_tables)
-    ]
+
+    # ALL tables' bucket keys from ONE 32-bit sign string (one
+    # transform lambda over the full plane literal, per-table keys by
+    # substring), and the per-table equi-joins collapsed into ONE
+    # (table, bucket) join over an exploded key column — same buckets,
+    # same candidate set, but the DataFrame builds with 2 lambda
+    # conversions + 1 join instead of 2·n_tables bucket expressions +
+    # n_tables joins (r8: driver-side construction dominated this
+    # builder), and the single broadcast probe replaces an n_tables-arm
+    # union at execution time.
+    def keyed(df, out_id):
+        bits = signlsh_bucket(_as_double(F.col(vec_col)), planes_all)
+        tb = F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.substring(bits, t * n_planes + 1, n_planes).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ])
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(tb).alias("tb")
+        ).select(out_id, "tb.t", "tb.bucket")
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    for t, planes in enumerate(tables):
-        c = c.withColumn(f"b{t}", signlsh_bucket(F.col("cv"), planes))
-        q = q.withColumn(f"b{t}", signlsh_bucket(F.col("qv"), planes))
-    cand = None
-    for t in range(n_tables):
-        hits = (
-            c.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
-            .join(
-                F.broadcast(q.select("query_id", F.col(f"b{t}").alias("bucket"))),
-                "bucket",
-            )
-            .select("query_id", "neighbor_id")
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    cand = (
+        keyed(corpus, "neighbor_id")
+        .join(F.broadcast(keyed(queries, "query_id")), ["t", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
     scored = (
         c.select("neighbor_id", "cv")
         .join(cand, "neighbor_id")

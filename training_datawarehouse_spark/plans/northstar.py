@@ -1039,21 +1039,19 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str,
         init_vectors=init, round_dp=6,
     )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scored = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in c]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias("d2"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(cents)
-    ])
-    best = F.array_sort(scored)[0]
+    cl = F.lit([[float(x) for x in c] for c in cents])
+    d2s = F.transform(
+        cl,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+    )
+    best_d2 = F.array_min(d2s)
+    best_cid = F.array_position(d2s, best_d2) - 1  # first min = lowest cid
     assigned = emb.select(
         "vec_id", v.alias("v"),
-        best["cid"].cast("long").alias("cluster"), best["d2"].alias("d2"),
+        best_cid.cast("long").alias("cluster"), best_d2.alias("d2"),
     )
     stats = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
