@@ -182,7 +182,7 @@ def lang_id_char_ngram(text: Column) -> Column:
     complement to the word-level ``lang_id`` heuristic."""
     grams = char_trigrams(text)
     counts = {
-        lang: F.size(F.array_intersect(grams, F.array(*[F.lit(g) for g in prof])))
+        lang: F.size(F.array_intersect(grams, F.lit(list(prof))))
         for lang, prof in CHAR_TRIGRAM_PROFILES.items()
     }
     en, fr, de = counts["en"], counts["fr"], counts["de"]

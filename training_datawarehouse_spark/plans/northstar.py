@@ -151,7 +151,7 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.round(tx.repetition_score(t, 2), 6)
     grams = tx.char_trigrams(t)
     ngram_cols = [
-        F.size(F.array_intersect(grams, F.array(*[F.lit(g) for g in prof])))
+        F.size(F.array_intersect(grams, F.lit(list(prof))))
         .alias(f"n_{lang}")
         for lang, prof in tx.CHAR_TRIGRAM_PROFILES.items()
     ]
@@ -320,7 +320,7 @@ def lang_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     grams = tx.char_trigrams(t)
     cols = [
-        F.size(F.array_intersect(grams, F.array(*[F.lit(g) for g in prof])))
+        F.size(F.array_intersect(grams, F.lit(list(prof))))
         .alias(f"n_{lang}")
         for lang, prof in tx.CHAR_TRIGRAM_PROFILES.items()
     ]
