@@ -210,13 +210,20 @@ def pq_adc_scores(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation: exact query vs PQ-approximated
     corpus. ``codes_df`` is ``pq_encode`` output; ``queries`` is a
     small frame (broadcasts) with (id_col, vec_col). Returns
     ``(query_id, neighbor_id, adc_d2)`` (6 dp) excluding self-pairs —
     rank/top-k is the caller's (``retrieval.topk_per_query`` above
-    bench scale)."""
+    bench scale).
+
+    ``pairs`` (optional, ``(query_id, neighbor_id)``) restricts
+    scoring to a candidate set — the IVFADC composition (Jégou et
+    al.): the coarse quantizer prunes which (query, vector) pairs are
+    even scored, PQ makes each score a code lookup. Without it every
+    query scores the full codes frame (the exhaustive-ADC mode)."""
     dsub = len(codebooks[0][0])
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -232,9 +239,18 @@ def pq_adc_scores(
         for j, book in enumerate(codebooks)
     ]
     adc = F.round(sum(terms[1:], terms[0]), 6)
+    base = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+    if pairs is None:
+        cand = base.crossJoin(F.broadcast(q))
+    else:
+        # candidate-grain, not broadcast: at scale the pair set is
+        # queries · corpus/n_lists · n_probe rows — it co-partitions
+        # with the codes frame on neighbor_id (AQE broadcasts it at
+        # bench scale anyway)
+        cand = base.join(
+            pairs.select("query_id", "neighbor_id"), "neighbor_id"
+        ).join(F.broadcast(q), "query_id")
     return (
-        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("adc_d2"))
     )

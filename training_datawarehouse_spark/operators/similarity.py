@@ -159,6 +159,25 @@ def _vec_dim(corpus: DataFrame, vec_col: str, dim: int | None) -> int:
     return len(corpus.select(vec_col).first()[0])
 
 
+def nearest_centroid_lists(
+    vec: Column, cents: list[list[float]], n: int
+) -> Column:
+    """The ``n`` cosine-nearest coarse-quantizer lists for a vector —
+    one two-arg transform over the 2-D centroid Literal instead of
+    n_lists separate struct expressions; same (neg, list_id) sort
+    semantics (ties → lowest list id). Shared by IVF probing and the
+    IVFADC composition."""
+    cl = F.lit([[float(x) for x in c] for c in cents])
+    scored = F.transform(
+        cl,
+        lambda c, i: F.struct(
+            (-cosine(vec, c)).alias("neg"),
+            i.cast("int").alias("list_id"),
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, n)
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     k: int = 5, n_lists: int = 8, n_probe: int = 2, seed: int = 13,
@@ -182,18 +201,7 @@ def ivf_topk(
         cents = ivf_default_centroids(n_lists, _vec_dim(corpus, vec_col, dim), seed)
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        # one two-arg transform over the 2-D centroid Literal instead
-        # of n_lists separate struct expressions — same (neg, list_id)
-        # sort semantics, a fraction of the driver-side construction
-        cl = F.lit([[float(x) for x in c] for c in cents])
-        scored = F.transform(
-            cl,
-            lambda c, i: F.struct(
-                (-cosine(vec, c)).alias("neg"),
-                i.cast("int").alias("list_id"),
-            ),
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+        return nearest_centroid_lists(vec, cents, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")

@@ -1188,15 +1188,10 @@ GROUP BY f.cid
 KMEANS_ORACLE = _kmeans_oracle()
 
 
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer: Lloyd's k-means (k=8,
-    4 iterations, deterministic init = lowest vec_ids, 6-dp-rounded
-    centroids) partitions the corpus; queries probe their 2
-    cosine-nearest lists and re-score exactly. Training lifts recall@5
-    from ~0.35 (random centroids) to ≥0.85 at ~25% of the corpus
-    scanned — the quantizer quality IS the IVF recall knob."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+def _train_ivf_cents(emb: DataFrame) -> list[list[float]]:
+    """The ANN entry's trained coarse quantizer: Lloyd's k-means
+    (k=8, 4 iterations, deterministic init = lowest vec_ids,
+    6-dp-rounded centroids)."""
     init_rows = (
         emb.filter(F.col("vec_id") < _ANN_LISTS)
         .orderBy("vec_id").select("embedding").collect()
@@ -1206,6 +1201,23 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "embedding", k=_ANN_LISTS, iters=_KMEANS_ITERS,
         init_vectors=init, round_dp=6,
     )
+    return cents
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str,
+                   cents: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: Lloyd's k-means (k=8,
+    4 iterations, deterministic init = lowest vec_ids, 6-dp-rounded
+    centroids) partitions the corpus; queries probe their 2
+    cosine-nearest lists and re-score exactly. Training lifts recall@5
+    from ~0.35 (random centroids) to ≥0.85 at ~25% of the corpus
+    scanned — the quantizer quality IS the IVF recall knob. Pass
+    ``cents`` to reuse an already-trained quantizer (the ANN entry
+    trains once and shares it with the IVFADC composition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    if cents is None:
+        cents = _train_ivf_cents(emb)
     return sim.ivf_topk(emb, queries, "vec_id", "embedding", k=5,
                         n_lists=_ANN_LISTS, n_probe=_ANN_PROBE,
                         centroids=cents, dim=EMBEDDING_DIM)
@@ -1917,7 +1929,7 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> tuple:
         .filter(F.col("rank") <= _ANN_K)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
-    return topk_raw, topk_rr, codes
+    return topk_raw, topk_rr, codes, books
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,16 +1951,71 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SQL oracle below (round 2 this was rows-only).
     Round 8: the oracle RETRAINS the four PQ subspace codebooks via
     the same unrolled-Lloyd's blocks and re-derives codes, ADC ranks,
-    and recon errors."""
+    and recon errors — plus the 'ivfpq' method: the full published
+    IVFADC composition (Jégou et al.) where the SHARED trained coarse
+    quantizer prunes which (query, vector) pairs are scored at all
+    and PQ codes make each surviving score a lookup; its recall row
+    isolates what the coarse pruning adds on top of raw ADC."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     lsh = similarity_lsh(spark, sf_dir).withColumn("method", F.lit("signlsh"))
-    ivf = similarity_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    pq_raw, pq_rr, pq_codes = similarity_pq(spark, sf_dir)
+    cents = _train_ivf_cents(emb)  # trained ONCE, shared ivf + ivfpq
+    ivf = similarity_ivf(spark, sf_dir, cents=cents).withColumn(
+        "method", F.lit("ivf")
+    )
+    pq_raw, pq_rr, pq_codes, pq_books = similarity_pq(spark, sf_dir)
+
+    # IVFADC: coarse-list candidate pairs (corpus list ∈ the query's
+    # probed lists) restrict the ADC scoring; rank by (adc, id)
+    cassign = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.nearest_centroid_lists(
+            sim._as_double(F.col("embedding")), cents, 1
+        )[0]["list_id"].alias("list_id"),
+    )
+    qassign = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                sim.nearest_centroid_lists(
+                    sim._as_double(F.col("embedding")), cents, _ANN_PROBE
+                ),
+                lambda s: s["list_id"],
+            )
+        ).alias("list_id"),
+    )
+    pairs = cassign.join(F.broadcast(qassign), "list_id").select(
+        "query_id", "neighbor_id"
+    )
+    wiv = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    ivfpq = (
+        pq.pq_adc_scores(pq_codes, queries, pq_books, pairs=pairs)
+        .withColumn("rank", F.row_number().over(wiv))
+        .filter(F.col("rank") <= _ANN_K)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(
+                sim.cosine(
+                    sim._as_double(F.col("__qv")),
+                    sim._as_double(F.col("__nv")),
+                ), 6,
+            ).alias("cosine"),
+        )
+    )
+
     ann = (
         lsh.unionByName(ivf)
         .unionByName(pq_raw.withColumn("method", F.lit("pq")))
         .unionByName(pq_rr.withColumn("method", F.lit("pq_rr")))
+        .unionByName(ivfpq.withColumn("method", F.lit("ivfpq")))
     )
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
@@ -1983,7 +2050,8 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     methods = spark.createDataFrame(
-        [("signlsh",), ("ivf",), ("pq",), ("pq_rr",)], "method string"
+        [("signlsh",), ("ivf",), ("pq",), ("pq_rr",), ("ivfpq",)],
+        "method string",
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
         F.broadcast(methods)
@@ -2131,6 +2199,20 @@ pq_rr_topk AS (
           FROM pqranked WHERE ar <= {rerank}) s
   ) WHERE rank <= {k}
 ),
+ivfpq_topk AS (
+  SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT a.query_id, a.neighbor_id,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY a.adc_d2, a.neighbor_id) AS rank,
+           list_dot_product(qa.qv, ca.cv)
+             / (sqrt(list_dot_product(qa.qv, qa.qv))
+                * sqrt(list_dot_product(ca.cv, ca.cv))) AS cos
+    FROM pqadc a
+    JOIN cassign ca ON ca.neighbor_id = a.neighbor_id
+    JOIN qassign qa ON qa.query_id = a.query_id
+                   AND qa.list_id = ca.list_id
+  ) WHERE rank <= {k}
+),
 pq_enc AS (
   SELECT j, code, count(*) AS n,
          CAST(sum(CAST(round(recon_err * 1e6) AS BIGINT)) AS DOUBLE)
@@ -2213,6 +2295,8 @@ ann AS (
   SELECT 'pq', query_id, rank, neighbor_id, cos FROM pq_topk
   UNION ALL
   SELECT 'pq_rr', query_id, rank, neighbor_id, cos FROM pq_rr_topk
+  UNION ALL
+  SELECT 'ivfpq', query_id, rank, neighbor_id, cos FROM ivfpq_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -2229,7 +2313,8 @@ exact_topk AS (
 grid AS (
   SELECT m.method, q.query_id
   FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf'
-        UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr') m
+        UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr'
+        UNION ALL SELECT 'ivfpq') m
   CROSS JOIN q
 ),
 hits AS (
