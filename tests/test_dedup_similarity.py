@@ -943,3 +943,42 @@ def test_cms_estimates_overestimate_and_merge_identity(spark):
         assert r["n_users"] >= r["n"], k          # est >= exact
         assert r["hll_in_band"] is True
         assert merged[k]["n_users"] == r["n_users"], k  # merge identity
+
+
+def test_gopher_rules_each_rule_fires_and_order_holds(spark):
+    """Gopher battery (Rae et al. 2021 A1.1): one engineered doc per
+    rule trips exactly that rule, a compliant doc is 'kept', and the
+    first-failing-rule order is the paper's."""
+    from training_datawarehouse_spark.operators.text import (
+        gopher_drop, gopher_measurements,
+    )
+
+    good = ("the cat sat of a mat that have with be to "
+            + "filler "* 45).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                               # kept
+            (2, "too short to count"),               # g_word_count
+            (3, "a b c d e f g h i j " * 5
+                + "the of and that have"),           # g_mean_word_len (short words)
+            (4, good + " " + "#" * 1 + " #### ## ######"),  # g_symbol_ratio
+            (5, good + "".join(f"\n• b{i}" for i in range(20))),  # g_bullet_lines
+            (6, good + "\nx...\ny...\nz..."),        # g_ellipsis_lines
+            (7, good + " " + " ".join(["9"] * 30)),  # g_alpha_words
+            (8, ("lorem ipsum dolor sit amet " * 12).strip()),  # g_stop_words
+            # order: a doc failing word count AND stop words reports
+            # word count (first rule)
+            (9, "no stopwords here"),                # g_word_count, not stop
+        ],
+        "doc_id long, text string",
+    )
+    m = gopher_measurements(F.col("text"))
+    got = {
+        r["doc_id"]: r["d"]
+        for r in docs.select("doc_id", gopher_drop(m).alias("d")).collect()
+    }
+    assert got == {
+        1: "kept", 2: "g_word_count", 3: "g_mean_word_len",
+        4: "g_symbol_ratio", 5: "g_bullet_lines", 6: "g_ellipsis_lines",
+        7: "g_alpha_words", 8: "g_stop_words", 9: "g_word_count",
+    }

@@ -539,3 +539,114 @@ def bigram_lm_scores(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+# --------------------------------------------------- Gopher rule battery
+
+#: The Gopher repetition-free quality rules (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", Appendix A1.1), the
+#: published rule battery most production cleaning pipelines start
+#: from. Stop-word rule uses the paper's list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_measurements(text: Column) -> dict[str, Column]:
+    """The row-local measurements behind the Gopher quality rules
+    (Rae et al. 2021 A1.1) — whitespace words, newline lines, every
+    ratio rounded to 6 dp so the pass/fail decision is computed from
+    the SAME doubles in both engines (the drop_reason discipline):
+
+    - ``g_n_words``, ``g_mean_word_len``
+    - ``g_symbol_ratio``: ('#' + '...') occurrences per word
+    - ``g_bullet_frac`` / ``g_ellipsis_frac``: fraction of lines
+      starting with a bullet ('•' or '- ') / ending with '...'
+    - ``g_alpha_frac``: fraction of words with ≥1 [a-z] letter
+    - ``g_stop_hits``: how many DISTINCT Gopher stop words appear
+    """
+    w = tokens(text)
+    n_words = F.size(w).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    mean_len = F.round(
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("double") / n_words.cast("double"),
+        6,
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(text)
+         - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    )
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis).cast("double") / n_words.cast("double"), 6
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(
+            lines,
+            lambda ln: ln.startswith("•") | ln.startswith("- "),
+        )).cast("double") / n_lines.cast("double"),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+        .cast("double") / n_lines.cast("double"),
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        .cast("double") / n_words.cast("double"),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.lit(list(GOPHER_STOPWORDS))
+        )
+    ).cast("long")
+    return {
+        "g_n_words": n_words,
+        "g_mean_word_len": mean_len,
+        "g_symbol_ratio": symbol_ratio,
+        "g_bullet_frac": bullet_frac,
+        "g_ellipsis_frac": ellipsis_frac,
+        "g_alpha_frac": alpha_frac,
+        "g_stop_hits": stop_hits,
+    }
+
+
+def gopher_drop(m: dict[str, Column]) -> Column:
+    """First failing Gopher rule (paper order: word count → mean word
+    length → symbol ratio → bullet/ellipsis lines → alpha words →
+    stop words) or 'kept'. Computed from the ROUNDED measurements the
+    row itself reports, so both engines decide at identical doubles."""
+    return (
+        F.when(
+            (m["g_n_words"] < GOPHER_MIN_WORDS)
+            | (m["g_n_words"] > GOPHER_MAX_WORDS),
+            F.lit("g_word_count"),
+        )
+        .when(
+            (m["g_mean_word_len"] < GOPHER_MIN_MEAN_WORD_LEN)
+            | (m["g_mean_word_len"] > GOPHER_MAX_MEAN_WORD_LEN),
+            F.lit("g_mean_word_len"),
+        )
+        .when(m["g_symbol_ratio"] > GOPHER_MAX_SYMBOL_RATIO,
+              F.lit("g_symbol_ratio"))
+        .when(m["g_bullet_frac"] > GOPHER_MAX_BULLET_FRAC,
+              F.lit("g_bullet_lines"))
+        .when(m["g_ellipsis_frac"] > GOPHER_MAX_ELLIPSIS_FRAC,
+              F.lit("g_ellipsis_lines"))
+        .when(m["g_alpha_frac"] < GOPHER_MIN_ALPHA_FRAC,
+              F.lit("g_alpha_words"))
+        .when(m["g_stop_hits"] < GOPHER_MIN_STOPWORD_HITS,
+              F.lit("g_stop_words"))
+        .otherwise(F.lit("kept"))
+    )

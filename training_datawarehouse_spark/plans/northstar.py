@@ -187,6 +187,40 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form from (source, doc_id) — a genuine differential check of the
     # whole parse→filter→sort→rebuild chain.
     url_raw = _messy_url(did, F.col("source"))
+
+    # r8 Gopher rule battery (operators/text.py, Rae et al. 2021
+    # A1.1), same scan. The synthetic corpus is rule-degenerate (no
+    # stop words, bullets, symbols, or digit words), so — the PII-
+    # stage pattern — deterministic rule-relevant content is APPENDED
+    # per doc_id residue class: stop words on even ids (odd ids fail
+    # g_stop_words), a 10-bullet-line tail on %13==5 (frac 10/11 >
+    # 0.9 → fails), a 3-bullet tail on %7==3 (0.75 → passes, nonzero
+    # measurement), 4 ellipsis-ended lines on %17==6 (0.8 > 0.3 →
+    # fails), a '#' burst on %11==4 (symbol ratio > 0.1 → fails), and
+    # 30 digit words on %19==7 (alpha frac < 0.8 → fails). Overlaps
+    # resolve by the battery's fixed rule order. The oracle re-derives
+    # the identical appended text and every measurement in SQL.
+    g_text = F.concat(
+        t,
+        F.when(did % 2 == 0,
+               F.lit(" the of and that have with be to")
+               ).otherwise(F.lit("")),
+        F.when(did % 13 == 5,
+               F.lit("".join(f"\n• item{i}" for i in range(10)))
+               ).otherwise(F.lit("")),
+        F.when((did % 7 == 3) & ~(did % 13 == 5),
+               F.lit("\n• one\n• two\n• three")).otherwise(F.lit("")),
+        F.when(did % 17 == 6,
+               F.lit("\nwait...\nmore...\nhmm...\nyes...")
+               ).otherwise(F.lit("")),
+        F.when(did % 11 == 4,
+               F.lit(" ################")).otherwise(F.lit("")),
+        F.when(did % 19 == 7,
+               F.lit(" " + " ".join(str(i % 10) for i in range(30)))
+               ).otherwise(F.lit("")),
+    )
+    gm = tx.gopher_measurements(g_text)
+
     out = docs.select(
         "doc_id",
         lp.alias("lang_pred"),
@@ -195,6 +229,8 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.drop_reason(lp, q, r, tx.token_count(t)).alias("drop_reason"),
         tx.lang_id_char_ngram(t).alias("lang_pred_ngram"),
         *ngram_cols,
+        *[v.alias(k) for k, v in gm.items()],
+        tx.gopher_drop(gm).alias("gopher_drop"),
         pii["n_emails"].alias("n_emails"),
         pii["n_urls"].alias("n_urls"),
         pii["n_phones"].alias("n_phones"),
@@ -266,10 +302,14 @@ FROM m
   SELECT u.*, count(*) OVER (PARTITION BY url_norm) AS url_dups FROM u
 )
 SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de,
+       gq.g_n_words, gq.g_mean_word_len, gq.g_symbol_ratio,
+       gq.g_bullet_frac, gq.g_ellipsis_frac, gq.g_alpha_frac,
+       gq.g_stop_hits, gq.gopher_drop,
        p.n_emails, p.n_urls, p.n_phones, p.clean_fp,
        ud.url_host, ud.url_domain, ud.url_path_depth, ud.n_tracking,
        ud.url_norm, ud.url_dups
 FROM sw JOIN ({{CHAR_NGRAM}}) cg USING (doc_id)
+JOIN (@@GOPHER@@) gq USING (doc_id)
 JOIN (@@PII@@) p USING (doc_id)
 JOIN ud USING (doc_id)
 """
@@ -361,12 +401,85 @@ SELECT doc_id,
 FROM c
 """
 
+# Gopher-battery oracle (r8): re-derives the identical appended
+# rule-relevant text and every measurement/decision in SQL —
+# thresholds spliced from the same operators/text.py constants the
+# Spark battery uses. Kept out of the f-string (the injected bullet
+# block is generated) and spliced via @@GOPHER@@.
+_GOPHER_BULLETS_10 = "".join(
+    f" || chr(10) || '• item{i}'" for i in range(10)
+)
+_GOPHER_DIGITS_30 = " " + " ".join(str(i % 10) for i in range(30))
+_GOPHER_ORACLE = f"""
+WITH gt AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' the of and that have with be to' ELSE '' END
+    || CASE WHEN doc_id % 13 = 5 THEN ''{_GOPHER_BULLETS_10} ELSE '' END
+    || CASE WHEN doc_id % 7 = 3 AND NOT doc_id % 13 = 5
+            THEN chr(10) || '• one' || chr(10) || '• two'
+                 || chr(10) || '• three' ELSE '' END
+    || CASE WHEN doc_id % 17 = 6
+            THEN chr(10) || 'wait...' || chr(10) || 'more...'
+                 || chr(10) || 'hmm...' || chr(10) || 'yes...'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 4 THEN ' ################' ELSE '' END
+    || CASE WHEN doc_id % 19 = 7 THEN '{_GOPHER_DIGITS_30}' ELSE '' END
+    AS g
+  FROM documents
+),
+gw AS (
+  SELECT doc_id, g, string_split(g, ' ') AS w,
+         string_split(g, chr(10)) AS ln
+  FROM gt
+),
+gx AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS g_n_words,
+    round(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6)
+      AS g_mean_word_len,
+    round(((len(g) - len(replace(g, '#', '')))
+           + floor((len(g) - len(replace(g, '...', ''))) / 3))::DOUBLE
+          / len(w), 6) AS g_symbol_ratio,
+    round(len(list_filter(ln, x -> starts_with(x, '•')
+                                   OR starts_with(x, '- ')))::DOUBLE
+          / len(ln), 6) AS g_bullet_frac,
+    round(len(list_filter(ln, x -> ends_with(x, '...')))::DOUBLE
+          / len(ln), 6) AS g_ellipsis_frac,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+          / len(w), 6) AS g_alpha_frac,
+    len(list_intersect(list_distinct(w),
+        [{", ".join("'" + s + "'" for s in tx.GOPHER_STOPWORDS)}]))::BIGINT
+      AS g_stop_hits
+  FROM gw
+)
+SELECT *,
+  CASE WHEN g_n_words < {tx.GOPHER_MIN_WORDS}
+            OR g_n_words > {tx.GOPHER_MAX_WORDS} THEN 'g_word_count'
+       WHEN g_mean_word_len < {tx.GOPHER_MIN_MEAN_WORD_LEN}
+            OR g_mean_word_len > {tx.GOPHER_MAX_MEAN_WORD_LEN}
+         THEN 'g_mean_word_len'
+       WHEN g_symbol_ratio > {tx.GOPHER_MAX_SYMBOL_RATIO}
+         THEN 'g_symbol_ratio'
+       WHEN g_bullet_frac > {tx.GOPHER_MAX_BULLET_FRAC}
+         THEN 'g_bullet_lines'
+       WHEN g_ellipsis_frac > {tx.GOPHER_MAX_ELLIPSIS_FRAC}
+         THEN 'g_ellipsis_lines'
+       WHEN g_alpha_frac < {tx.GOPHER_MIN_ALPHA_FRAC}
+         THEN 'g_alpha_words'
+       WHEN g_stop_hits < {tx.GOPHER_MIN_STOPWORD_HITS}
+         THEN 'g_stop_words'
+       ELSE 'kept' END AS gopher_drop
+FROM gx
+"""
+
 # the merged lang entry joins the char-ngram block in as a subquery;
 # the PII block splices in AFTER .format so its regex braces never
 # meet the format machinery
 LANG_QUALITY_ORACLE = LANG_QUALITY_ORACLE.format(
     CHAR_NGRAM=LANG_CHAR_NGRAM_ORACLE
-).replace("@@PII@@", _PII_ORACLE)
+).replace("@@PII@@", _PII_ORACLE).replace("@@GOPHER@@", _GOPHER_ORACLE)
 
 
 # ------------------------------------------------------- fingerprint
