@@ -229,8 +229,23 @@ def test_round_half_away_matches_duckdb_double_round(xs, nd):
         round_half_away,
     )
 
+    import struct
+
+    def below(v):  # the next double below v — one-ulp-under midpoints
+        b = struct.unpack("<q", struct.pack("<d", v))[0]
+        return struct.unpack("<d", struct.pack("<q", b - 1))[0]
+
+    adversarial = [2.5e-08, 0.123456785, -0.123456785, 0.001953125,
+                   0.049999999999999996, -0.049999999999999996]
+    # r8 review finding: floor(abs+0.5) overshoots when the scaled
+    # value sits one ulp BELOW a .5 midpoint (the +0.5 addition rounds
+    # UP to the midpoint); pin those exactly
+    for base in (0.5, 1.5, 2.5, 1234.5):
+        for scale_nd in (1, 6, 8):
+            adversarial += [below(base) / 10.0**scale_nd,
+                            -below(base) / 10.0**scale_nd]
     con = duckdb.connect()
-    for x in xs + [2.5e-08, 0.123456785, -0.123456785, 0.001953125]:
+    for x in xs + adversarial:
         want = con.execute(
             "select round(?::DOUBLE, ?)", [x, nd]
         ).fetchone()[0]

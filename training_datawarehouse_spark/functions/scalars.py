@@ -33,9 +33,19 @@ def round_half_away(x: float, nd: int) -> float:
     back into the next epoch/iteration (logreg weights, k-means
     centroids) must round through THIS helper so both engines see
     identical doubles at every step.
+
+    NB the classic ``floor(abs + 0.5)`` trick is NOT equivalent to
+    ``std::round``: for a scaled value one ulp BELOW a .5 midpoint,
+    ``abs(scaled) + 0.5`` rounds up to the midpoint in float
+    arithmetic and floor then overshoots (e.g. x=0.049999999999999996,
+    nd=1: +0.5 path gives 0.1, DuckDB gives 0.0 — r8 review finding,
+    verified). Comparing the fraction explicitly performs no float
+    addition, so it matches std::round exactly.
     """
-    scaled = x * 10.0**nd
-    return math.copysign(math.floor(abs(scaled) + 0.5), x) / 10.0**nd
+    scaled = abs(x) * 10.0**nd
+    f = math.floor(scaled)
+    r = f + 1.0 if scaled - f >= 0.5 else f
+    return math.copysign(r, x) / 10.0**nd
 
 
 def year_week(d: Column) -> Column:

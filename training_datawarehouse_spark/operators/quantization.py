@@ -52,7 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_away
-from .similarity import _as_double, vec_lit
+from .similarity import _as_double, mat_lit, vec_lit
 
 
 def _sub(vec: Column, j: int, dsub: int) -> Column:
@@ -116,7 +116,7 @@ def pq_train(
                 # tie-break as the former struct sort), not ksub
                 # separate struct expressions
                 d2s = F.transform(
-                    F.lit([[float(x) for x in c] for c in book]),
+                    mat_lit(book),
                     lambda c: _d2(sv, c),
                 )
                 cid = (F.array_position(d2s, F.array_min(d2s)) - 1).cast(
@@ -188,7 +188,7 @@ def pq_encode(
     for j, book in enumerate(codebooks):
         sv = _sub(v, j, dsub)
         d2s = F.transform(
-            F.lit([[float(x) for x in c] for c in book]),
+            mat_lit(book),
             lambda c: _d2(sv, c),
         )
         mn = F.array_min(d2s)

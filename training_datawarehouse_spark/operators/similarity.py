@@ -30,14 +30,24 @@ def _as_double(arr: Column) -> Column:
 
 
 def vec_lit(values) -> Column:
-    """A constant vector as ONE array Literal node. ``F.array(*[F.lit(x)
-    ...])`` builds a d-child CreateArray that bloats the expression
-    tree (d× per constant vector — 32 hyperplanes × 64 dims = 2048
-    nodes in the sign-LSH bucketer alone) and re-enters analysis +
-    codegen at that size; ``F.lit(list)`` is a single Literal. Same
-    values, same array<double> type — the r6 logreg-fit lesson
-    (SCALE.md 'Iterative-fit plan shape') applied module-wide."""
-    return F.lit([float(x) for x in values])
+    """A constant vector as one cheap array-literal Column. NB (r8
+    review finding): ``F.lit(list)`` does NOT build a single Literal —
+    classic PySpark expands it client-side to ``array(*[lit(x)...])``,
+    the same d-child CreateArray and d py4j calls as the spelled-out
+    form. The numpy path is the real single-call constructor
+    (measured: 64-float lit(list) 66 ms vs lit(ndarray) 15 ms per
+    construction), and the values are identical doubles either way.
+    For constant MATRICES use ``mat_lit`` (2-D ndarrays are not
+    supported by lit; an outer ``F.array`` of k vec_lits is k calls
+    instead of k·d)."""
+    return F.lit(np.asarray(values, dtype="float64"))
+
+
+def mat_lit(rows) -> Column:
+    """A constant 2-D array (array<array<double>>) built as one outer
+    ``F.array`` over per-row ``vec_lit``s — k py4j calls for a k×d
+    matrix instead of k·d."""
+    return F.array(*[vec_lit(r) for r in rows])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -167,7 +177,7 @@ def nearest_centroid_lists(
     n_lists separate struct expressions; same (neg, list_id) sort
     semantics (ties → lowest list id). Shared by IVF probing and the
     IVFADC composition."""
-    cl = F.lit([[float(x) for x in c] for c in cents])
+    cl = mat_lit(cents)
     scored = F.transform(
         cl,
         lambda c, i: F.struct(
@@ -292,7 +302,7 @@ def _kmeans_iterate(
         # the min (first occurrence = lowest cid, identical to the
         # former (d2, cid) struct sort tie-break) — k× fewer driver-
         # side expressions per iteration
-        cl = F.lit([[float(x) for x in c] for c in cents])
+        cl = mat_lit(cents)
         d2s = F.transform(
             cl,
             lambda c: F.aggregate(
@@ -367,7 +377,7 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     2·n_planes — driver-side expression construction (py4j) was the
     dominant cost of the multi-table LSH builder, not execution
     (measured r8: 6.1 s build vs 1.0 s execute before this shape)."""
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    planes_lit = mat_lit(planes)
     bits = F.transform(
         planes_lit,
         lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),

@@ -1152,7 +1152,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str,
         init_vectors=init, round_dp=6,
     )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    cl = F.lit([[float(x) for x in c] for c in cents])
+    cl = sim.mat_lit(cents)
     d2s = F.transform(
         cl,
         lambda c: F.aggregate(
