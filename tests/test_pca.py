@@ -80,3 +80,21 @@ def test_whiten_project_unit_variance_and_rowlocal(spark):
     # z0 must be the centered projection onto comp0 scaled by 1/sqrt(λ)
     manual = (arr - np.array(means)) @ np.array(comps[0]) / np.sqrt(eigs[0])
     assert np.allclose(zz[:, 0], manual, atol=2e-6)
+
+
+def test_power_iteration_degenerate_raises():
+    """r8 review: zero covariance (all-identical vectors) must fail
+    loudly, not ZeroDivisionError; whitening with a ≤0 eigenvalue must
+    refuse rather than emit NaN/Inf coordinates."""
+    zero = [[0.0] * 3 for _ in range(3)]
+    with pytest.raises(ValueError, match="collapsed"):
+        pca.power_iteration_components(zero, n_components=1, iters=3)
+
+
+def test_whiten_project_rejects_nonpositive_eigenvalue(spark):
+    df = _df(spark, np.eye(3))
+    with pytest.raises(ValueError, match="strictly positive"):
+        pca.whiten_project(
+            df, "embedding", [0.0, 0.0, 0.0],
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], [1.0, 0.0],
+        )

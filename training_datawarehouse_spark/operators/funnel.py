@@ -99,10 +99,14 @@ def funnel_counts(
         # cache is populated on first touch and reused by both its
         # consumers); the steps-sized count table is then the only
         # retained storage and the returned plan reads it, never the
-        # dropped caches.
-        counts = counts.localCheckpoint(eager=True)
-        for fr in frames:
-            fr.unpersist()
+        # dropped caches. finally: a failed checkpoint job must not
+        # leave the step frames pinned for the session (r8 review —
+        # the pq_train discipline).
+        try:
+            counts = counts.localCheckpoint(eager=True)
+        finally:
+            for fr in frames:
+                fr.unpersist()
     base = counts.filter(F.col("step") == 1).select(
         F.col("n_users").alias("__n1")
     )

@@ -102,10 +102,13 @@ def power_iteration_components(
 ) -> tuple[list[list[float]], list[float]]:
     """Top components of a (rounded) covariance by fixed-iteration
     power iteration with deflation — driver-side model math that
-    MIRRORS the SQL oracle operation-for-operation: matvec inner sums
-    run in ascending-j order, each normalized vector rounds to
-    ``round_dp``, λ is the rounded Rayleigh quotient, and the deflated
-    matrix re-rounds. Init: v0 = round(1/√d, 6) in every coordinate.
+    MIRRORS the SQL oracle operation-for-operation: matvec, norm, and
+    Rayleigh sums run in ascending index order (the oracle pins the
+    same order via list_sum over ORDER-BY-collected lists — a plain
+    GROUP-BY SUM's engine-chosen order could flip a 6-dp midpoint and
+    cascade), each normalized vector rounds to ``round_dp``, λ is the
+    rounded Rayleigh quotient, and the deflated matrix re-rounds.
+    Init: v0 = round(1/√d, 6) in every coordinate.
     Returns (components[n][d], eigenvalues[n])."""
     dim = len(cov)
     c = [row[:] for row in cov]
@@ -119,6 +122,13 @@ def power_iteration_components(
                 sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)
             ]
             nrm = math.sqrt(sum(x * x for x in w))
+            if nrm == 0.0:
+                raise ValueError(
+                    "power iteration collapsed (zero matvec norm): the "
+                    "covariance is rank-deficient below the requested "
+                    f"n_components — fit fewer components "
+                    f"(got {len(comps)} before collapse)"
+                )
             v = [round_half_away(x / nrm, round_dp) for x in w]
         w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         lam = round_half_away(
@@ -171,6 +181,15 @@ def whiten_project(
         vec_lit(means),
         lambda x, mu: x - mu,
     )
+    bad = [lam for lam in eigenvalues if lam <= 0.0]
+    if bad:
+        raise ValueError(
+            f"whitening needs strictly positive eigenvalues, got {bad}: "
+            "a ≤0 value (possible after deflation re-rounding on near-"
+            "rank-deficient data) would produce NaN/Inf z coordinates "
+            "that silently poison downstream near-dup pairs — fit fewer "
+            "components instead"
+        )
     zs = []
     for comp, lam in zip(components, eigenvalues):
         dotc = F.aggregate(

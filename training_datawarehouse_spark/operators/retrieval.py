@@ -104,14 +104,27 @@ def bm25_scores(
     if prune not in ("auto", "inlist", "semijoin"):
         raise ValueError(f"prune must be auto|inlist|semijoin, got {prune!r}")
     toks = _tokens(text_col)
-    if prune != "semijoin":
+    if prune == "auto":
+        # BOUNDED probe (r8 review): collect at most threshold+1
+        # distinct terms — enough to decide the branch, and, when
+        # under the threshold, already the complete inlist vocabulary.
+        # An unbounded/derived query frame never floods the driver
+        # just so auto can pick 'semijoin'.
+        rows = (
+            qmap.select("term").distinct()
+            .limit(BM25_INLIST_MAX_TERMS + 1).collect()
+        )
+        if len(rows) > BM25_INLIST_MAX_TERMS:
+            prune = "semijoin"
+        else:
+            terms = sorted(r["term"] for r in rows)
+            prune = "inlist"
+    elif prune == "inlist":
+        # explicit inlist: the caller asked for the literal plan, so
+        # the FULL vocabulary is collected regardless of size
         terms = sorted(
             r["term"] for r in qmap.select("term").distinct().collect()
         )
-        if prune == "auto" and len(terms) > BM25_INLIST_MAX_TERMS:
-            prune = "semijoin"
-        else:
-            prune = "inlist"
     if prune == "inlist":
         matched = F.filter(toks, lambda t: t.isin(terms))
         tok_rows = docs.select(

@@ -998,8 +998,21 @@ cv0 AS MATERIALIZED (
   JOIN pm mj ON mj.i = jj.i
   GROUP BY ii.i, jj.i
 )"""]
+    # Matvec/norm/Rayleigh sums are ORDER-PINNED via
+    # list_sum(list_transform(...)) over list(... ORDER BY ...) — the
+    # driver code sums in ascending index order, and a GROUP-BY SUM's
+    # engine-chosen order could flip a 6-dp rounding midpoint and
+    # cascade through every later iteration (r8 review). The
+    # covariance itself remains a group-sum over ROWS in both engines
+    # (unordered on both sides, 6-dp rounded — the k-means-means
+    # accepted class).
+    mv = (f"list_sum(list_transform(range(1, {dim + 1}),"
+          f" j -> r.crow[j] * vv.vl[j]))")
     for c in range(n_comp):
         parts.append(f"""
+cvl{c} AS MATERIALIZED (
+  SELECT i, list(c ORDER BY j) AS crow FROM cv{c} GROUP BY i
+),
 p{c}v0 AS (SELECT i, {v0} AS x FROM range(1, {dim + 1}) r(i))""")
         for t in range(iters):
             # every step MATERIALIZED: v{t+1} references w{t} twice
@@ -1009,22 +1022,30 @@ p{c}v0 AS (SELECT i, {v0} AS x FROM range(1, {dim + 1}) r(i))""")
             # oracle materializes its heavily-referenced CTEs)
             parts.append(f"""
 p{c}w{t} AS MATERIALIZED (
-  SELECT a.i, sum(a.c * v.x) AS w
-  FROM cv{c} a JOIN p{c}v{t} v ON v.i = a.j GROUP BY a.i
+  SELECT r.i, {mv} AS w
+  FROM cvl{c} r,
+       (SELECT list(x ORDER BY i) AS vl FROM p{c}v{t}) vv
+),
+p{c}n{t} AS MATERIALIZED (
+  SELECT sqrt(list_sum(list_transform(wl, x -> x * x))) AS nrm
+  FROM (SELECT list(w ORDER BY i) AS wl FROM p{c}w{t})
 ),
 p{c}v{t + 1} AS MATERIALIZED (
-  SELECT i, round(w / (SELECT sqrt(sum(w * w)) FROM p{c}w{t}), 6) AS x
+  SELECT i, round(w / (SELECT nrm FROM p{c}n{t}), 6) AS x
   FROM p{c}w{t}
 )""")
         parts.append(f"""
 fv{c} AS MATERIALIZED (SELECT i, x FROM p{c}v{iters}),
-p{c}wf AS (
-  SELECT a.i, sum(a.c * v.x) AS w
-  FROM cv{c} a JOIN fv{c} v ON v.i = a.j GROUP BY a.i
+p{c}wf AS MATERIALIZED (
+  SELECT r.i, {mv} AS w
+  FROM cvl{c} r,
+       (SELECT list(x ORDER BY i) AS vl FROM fv{c}) vv
 ),
 p{c}lam AS MATERIALIZED (
-  SELECT round(sum(v.x * w.w), 6) AS lam
-  FROM fv{c} v JOIN p{c}wf w ON w.i = v.i
+  SELECT round(list_sum(list_transform(range(1, {dim + 1}),
+               i -> vl.vl[i] * wl.wl[i])), 6) AS lam
+  FROM (SELECT list(x ORDER BY i) AS vl FROM fv{c}) vl,
+       (SELECT list(w ORDER BY i) AS wl FROM p{c}wf) wl
 )""")
         if c + 1 < n_comp:
             parts.append(f"""
@@ -1998,7 +2019,7 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> tuple:
       then the exact cosine re-ranks the shortlist to top-5. Recall
       measures how often the true top-5 survive the shortlist.
 
-    Returns (topk_raw, topk_rerank, codes_df)."""
+    Returns (topk_raw, topk_rerank, codes_df, codebooks)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     books = pq.pq_train(
