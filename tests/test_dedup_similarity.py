@@ -953,8 +953,10 @@ def test_gopher_rules_each_rule_fires_and_order_holds(spark):
         gopher_drop, gopher_measurements,
     )
 
+    # varied filler — a repeated single filler word would trip the
+    # (first-in-order) top-2-gram repetition rule on every doc
     good = ("the cat sat of a mat that have with be to "
-            + "filler "* 45).strip()
+            + " ".join(f"w{i:02d}x" for i in range(45)))
     docs = spark.createDataFrame(
         [
             (1, good),                               # kept
@@ -964,11 +966,21 @@ def test_gopher_rules_each_rule_fires_and_order_holds(spark):
             (4, good + " " + "#" * 1 + " #### ## ######"),  # g_symbol_ratio
             (5, good + "".join(f"\n• b{i}" for i in range(20))),  # g_bullet_lines
             (6, good + "\nx...\ny...\nz..."),        # g_ellipsis_lines
-            (7, good + " " + " ".join(["9"] * 30)),  # g_alpha_words
-            (8, ("lorem ipsum dolor sit amet " * 12).strip()),  # g_stop_words
+            # VARIED 4-digit numbers: repeats would hit the top-2-gram
+            # rule first, and 1-char digits would drag the mean word
+            # length under 3
+            (7, good + " " + " ".join(f"{i:04d}" for i in range(30))),  # g_alpha_words
+            # varied words (repeats would hit the repetition rule
+            # first), zero Gopher stop words
+            (8, " ".join(f"lorem{i}" for i in range(55))),  # g_stop_words
             # order: a doc failing word count AND stop words reports
-            # word count (first rule)
+            # word count (first QUALITY rule)
             (9, "no stopwords here"),                # g_word_count, not stop
+            # repetition half runs FIRST (MassiveText pipeline order):
+            # 6 identical boilerplate lines dominate the char mass
+            (10, good + "\nnavigation footer boilerplate line" * 6),  # g_dup_lines
+            # one bigram repeated till it owns >20% of the chars
+            (11, good + " buy now" * 40),            # g_top_2gram
         ],
         "doc_id long, text string",
     )
@@ -981,4 +993,5 @@ def test_gopher_rules_each_rule_fires_and_order_holds(spark):
         1: "kept", 2: "g_word_count", 3: "g_mean_word_len",
         4: "g_symbol_ratio", 5: "g_bullet_lines", 6: "g_ellipsis_lines",
         7: "g_alpha_words", 8: "g_stop_words", 9: "g_word_count",
+        10: "g_dup_lines", 11: "g_top_2gram",
     }

@@ -557,6 +557,10 @@ GOPHER_MAX_BULLET_FRAC = 0.9
 GOPHER_MAX_ELLIPSIS_FRAC = 0.3
 GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
+# repetition half of the battery (paper A1.1 "repetition removal",
+# which runs BEFORE the quality rules in the MassiveText pipeline)
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP2GRAM_CHAR_FRAC = 0.20
 
 
 def gopher_measurements(text: Column) -> dict[str, Column]:
@@ -611,7 +615,56 @@ def gopher_measurements(text: Column) -> dict[str, Column]:
             F.array_distinct(w), F.lit(list(GOPHER_STOPWORDS))
         )
     ).cast("long")
+    # repetition half (A1.1): fraction of line characters inside
+    # lines occurring more than once, and the deterministic variant of
+    # "characters in the most frequent word 2-gram": max over distinct
+    # bigrams of count·len(bigram), over total text length (no
+    # tie-break needed — the max is over the products). Both are
+    # row-local O(L²)/O(W²) lambda scans — bounded by document length,
+    # the right trade at doc grain; a corpus of book-length documents
+    # would swap the bigram top for an explode + windowed count.
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    dup_line_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda ln: F.size(F.filter(lines, lambda o: o == ln)) > 1,
+        ),
+        F.lit(0), lambda acc, ln: acc + F.length(ln),
+    )
+    dup_line_frac = F.round(
+        F.when(
+            line_chars > 0,
+            dup_line_chars.cast("double") / line_chars.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    n1 = F.size(w) - 1
+    bg = F.zip_with(
+        F.slice(w, 1, n1), F.slice(w, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # only bigrams that actually REPEAT count (a 3-word doc's unique
+    # bigram is 50% of its chars but is not repetition); count<2 → 0
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda b: F.when(
+                F.size(F.filter(bg, lambda x: x == b)) >= 2,
+                F.size(F.filter(bg, lambda x: x == b)) * F.length(b),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    top2_frac = F.round(
+        F.when(
+            n_words >= 2, top2.cast("double") / F.length(text).cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
     return {
+        "g_dup_line_frac": dup_line_frac,
+        "g_top2gram_frac": top2_frac,
         "g_n_words": n_words,
         "g_mean_word_len": mean_len,
         "g_symbol_ratio": symbol_ratio,
@@ -623,12 +676,19 @@ def gopher_measurements(text: Column) -> dict[str, Column]:
 
 
 def gopher_drop(m: dict[str, Column]) -> Column:
-    """First failing Gopher rule (paper order: word count → mean word
-    length → symbol ratio → bullet/ellipsis lines → alpha words →
-    stop words) or 'kept'. Computed from the ROUNDED measurements the
-    row itself reports, so both engines decide at identical doubles."""
+    """First failing Gopher rule or 'kept'. Order: the repetition
+    rules first (the MassiveText pipeline runs repetition removal
+    before the quality battery), then the paper's quality order (word
+    count → mean word length → symbol ratio → bullet/ellipsis lines →
+    alpha words → stop words). Computed from the ROUNDED measurements
+    the row itself reports, so both engines decide at identical
+    doubles."""
     return (
-        F.when(
+        F.when(m["g_dup_line_frac"] > GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+               F.lit("g_dup_lines"))
+        .when(m["g_top2gram_frac"] > GOPHER_MAX_TOP2GRAM_CHAR_FRAC,
+              F.lit("g_top_2gram"))
+        .when(
             (m["g_n_words"] < GOPHER_MIN_WORDS)
             | (m["g_n_words"] > GOPHER_MAX_WORDS),
             F.lit("g_word_count"),

@@ -218,6 +218,14 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 19 == 7,
                F.lit(" " + " ".join(str(i % 10) for i in range(30)))
                ).otherwise(F.lit("")),
+        # repetition half (r8b): 8 identical boilerplate lines
+        # (dup-line char fraction ≫ 0.2) and a 20×-repeated bigram
+        # (top-2-gram char fraction > 0.2)
+        F.when(did % 23 == 8,
+               F.lit("\nduplicate boilerplate navigation footer" * 8)
+               ).otherwise(F.lit("")),
+        F.when(did % 37 == 11,
+               F.lit(" buy now" * 20)).otherwise(F.lit("")),
     )
     gm = tx.gopher_measurements(g_text)
 
@@ -302,6 +310,7 @@ FROM m
   SELECT u.*, count(*) OVER (PARTITION BY url_norm) AS url_dups FROM u
 )
 SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de,
+       gq.g_dup_line_frac, gq.g_top2gram_frac,
        gq.g_n_words, gq.g_mean_word_len, gq.g_symbol_ratio,
        gq.g_bullet_frac, gq.g_ellipsis_frac, gq.g_alpha_frac,
        gq.g_stop_hits, gq.gopher_drop,
@@ -426,16 +435,36 @@ WITH gt AS (
             ELSE '' END
     || CASE WHEN doc_id % 11 = 4 THEN ' ################' ELSE '' END
     || CASE WHEN doc_id % 19 = 7 THEN '{_GOPHER_DIGITS_30}' ELSE '' END
+    || CASE WHEN doc_id % 23 = 8
+            THEN repeat(chr(10) || 'duplicate boilerplate navigation'
+                        || ' footer', 8) ELSE '' END
+    || CASE WHEN doc_id % 37 = 11 THEN repeat(' buy now', 20)
+            ELSE '' END
     AS g
   FROM documents
 ),
 gw AS (
   SELECT doc_id, g, string_split(g, ' ') AS w,
-         string_split(g, chr(10)) AS ln
+         string_split(g, chr(10)) AS ln,
+         [string_split(g, ' ')[i] || ' ' || string_split(g, ' ')[i + 1]
+          for i in range(1, len(string_split(g, ' ')))] AS bg
   FROM gt
 ),
 gx AS (
   SELECT doc_id,
+    round(CASE WHEN list_sum(list_transform(ln, x -> len(x))) > 0
+          THEN coalesce(list_sum(list_transform(
+                 list_filter(ln, x -> len(list_filter(ln, o -> o = x)) > 1),
+                 x -> len(x))), 0)::DOUBLE
+               / list_sum(list_transform(ln, x -> len(x)))
+          ELSE 0.0 END, 6) AS g_dup_line_frac,
+    round(CASE WHEN len(w) >= 2
+          THEN list_max(list_transform(list_distinct(bg),
+                 b -> CASE WHEN len(list_filter(bg, x -> x = b)) >= 2
+                      THEN len(list_filter(bg, x -> x = b)) * len(b)
+                      ELSE 0 END))::DOUBLE
+               / len(g)
+          ELSE 0.0 END, 6) AS g_top2gram_frac,
     len(w)::BIGINT AS g_n_words,
     round(list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w), 6)
       AS g_mean_word_len,
@@ -455,7 +484,11 @@ gx AS (
   FROM gw
 )
 SELECT *,
-  CASE WHEN g_n_words < {tx.GOPHER_MIN_WORDS}
+  CASE WHEN g_dup_line_frac > {tx.GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+         THEN 'g_dup_lines'
+       WHEN g_top2gram_frac > {tx.GOPHER_MAX_TOP2GRAM_CHAR_FRAC}
+         THEN 'g_top_2gram'
+       WHEN g_n_words < {tx.GOPHER_MIN_WORDS}
             OR g_n_words > {tx.GOPHER_MAX_WORDS} THEN 'g_word_count'
        WHEN g_mean_word_len < {tx.GOPHER_MIN_MEAN_WORD_LEN}
             OR g_mean_word_len > {tx.GOPHER_MAX_MEAN_WORD_LEN}
