@@ -646,16 +646,29 @@ def gopher_measurements(text: Column) -> dict[str, Column]:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     # only bigrams that actually REPEAT count (a 3-word doc's unique
-    # bigram is 50% of its chars but is not repetition); count<2 → 0
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda b: F.when(
-                F.size(F.filter(bg, lambda x: x == b)) >= 2,
-                F.size(F.filter(bg, lambda x: x == b)) * F.length(b),
-            ).otherwise(F.lit(0)),
-        )
+    # bigram is 50% of its chars but is not repetition); count<2 → 0.
+    # Computed as a SORT + single run-length fold (O(W log W)), not a
+    # per-distinct-bigram filter (O(W²) — measured 39 s for the
+    # lang-quality scan at sf0.1 before this shape; the oracle keeps
+    # the O(W²) comprehension, which is fine at oracle scale — only
+    # the VALUES must agree, not the algorithm)
+    sorted_bg = F.array_sort(bg)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def _run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        best = F.greatest(
+            acc["best"],
+            F.when(run >= 2, run * F.length(x)).otherwise(F.lit(0)),
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), best.alias("best")
+        )
+
+    top2 = F.aggregate(sorted_bg, acc0, _run_step, lambda a: a["best"])
     top2_frac = F.round(
         F.when(
             n_words >= 2, top2.cast("double") / F.length(text).cast("double")
