@@ -242,3 +242,34 @@ def test_topk_shard_hash_non_numeric_ids(spark):
         .orderBy("rank").collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_bm25_query_term_contract_null_case_dups(spark):
+    """r8 review contract gates: NULL terms drop in BOTH prune paths
+    (the inlist collect used to crash while semijoin silently
+    dropped), uppercase query terms match the lowercased token stream,
+    and duplicated (query_id, term) rows do NOT double a term's
+    contribution (the docstring pins the no-qtf Lucene-default
+    formula)."""
+    docs = spark.createDataFrame(
+        [(1, "the Cat sat"), (2, "dog runs fast")],
+        "doc_id long, text string",
+    )
+    clean = spark.createDataFrame(
+        [(1, "cat")], "query_id long, term string"
+    )
+    messy = spark.createDataFrame(
+        [(1, "Cat"), (1, "cat"), (1, None)],
+        "query_id long, term string",
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in bm25_scores(docs, clean).collect()
+    )
+    assert len(want) == 1  # doc 1 matches 'cat'
+    for prune in ("inlist", "semijoin"):
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in bm25_scores(docs, messy, prune=prune).collect()
+        )
+        assert got == want, prune

@@ -73,10 +73,9 @@ def funnel_counts(
     prev = "__t1"
     for i, s in enumerate(steps[1:], start=2):
         t_i = f"__t{i}"
-        keep = [user_col, "__t1"] + ([prev] if prev != "__t1" else [])
         cur = (
             events.filter(F.col(type_col) == s)
-            .join(cur.select(*keep), user_col)
+            .join(cur, user_col)
             .filter(
                 (F.col(ts_col) > F.col(prev))
                 & (F.col(ts_col) <= F.col("__t1") + win)
@@ -126,11 +125,17 @@ def funnel_oracle_ctes(
     src: str = "events",
 ) -> str:
     """DuckDB CTE block re-deriving the identical min-chain; emits
-    ``fnl(step, step_name, n_users, conversion)``."""
+    ``fnl(step, step_name, n_users, conversion)``. Step names come
+    from DATA (event-type strings), so they are SQL-escaped — an
+    apostrophe-bearing type must not produce a malformed oracle (the
+    Spark side compares by Column equality and was never at risk)."""
+    def q(name: str) -> str:
+        return "'" + str(name).replace("'", "''") + "'"
+
     parts = [
         f"""fnl_s1 AS (
   SELECT user_id, min(ts) AS t1 FROM {src}
-  WHERE event_type = '{steps[0]}' GROUP BY user_id
+  WHERE event_type = {q(steps[0])} GROUP BY user_id
 )"""
     ]
     prev_t = "t1"
@@ -139,13 +144,13 @@ def funnel_oracle_ctes(
         parts.append(f"""fnl_s{i} AS (
   SELECT e.user_id, min(e.ts) AS t{i}, min(f.t1) AS t1
   FROM {src} e JOIN fnl_s{p} f USING (user_id)
-  WHERE e.event_type = '{s}' AND e.ts > f.{prev_t}
+  WHERE e.event_type = {q(s)} AND e.ts > f.{prev_t}
     AND e.ts <= f.t1 + INTERVAL '{int(within_days)} days'
   GROUP BY e.user_id
 )""")
         prev_t = f"t{i}"
     unions = "\n  UNION ALL ".join(
-        f"SELECT {i} AS step, '{name}' AS step_name,"
+        f"SELECT {i} AS step, {q(name)} AS step_name,"
         f" count(*)::BIGINT AS n_users FROM fnl_s{i}"
         for i, name in enumerate(steps, start=1)
     )

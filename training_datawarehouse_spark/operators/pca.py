@@ -78,15 +78,23 @@ def covariance_matrix(
         vec_lit(means),
         lambda x, mu: x - mu,
     )
-    n = df.count()
     rows = (
         df.select(cent.alias("__c"))
         .select(F.posexplode("__c").alias("i", "ci"), F.col("__c"))
         .select("i", "ci", F.posexplode("__c").alias("j", "cj"))
         .groupBy("i", "j")
-        .agg(F.sum(F.col("ci") * F.col("cj")).alias("s"))
+        .agg(
+            F.sum(F.col("ci") * F.col("cj")).alias("s"),
+            # every source row contributes exactly one product per
+            # (i, j), so the group count IS n — no separate count()
+            # pass over the corpus (r8 review)
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     )
+    if not rows:
+        raise ValueError("covariance over an empty frame")
+    n = rows[0]["n"]
     dim = len(means)
     cov = [[0.0] * dim for _ in range(dim)]
     for r in rows:
@@ -181,6 +189,11 @@ def whiten_project(
         vec_lit(means),
         lambda x, mu: x - mu,
     )
+    if len(components) != len(eigenvalues):
+        raise ValueError(
+            f"{len(components)} components vs {len(eigenvalues)} "
+            "eigenvalues — a silent zip() would truncate the projection"
+        )
     bad = [lam for lam in eigenvalues if lam <= 0.0]
     if bad:
         raise ValueError(

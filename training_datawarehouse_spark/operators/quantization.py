@@ -52,7 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_away
-from .similarity import _as_double, mat_lit, vec_lit
+from .similarity import _as_double, mat_lit
 
 
 def _sub(vec: Column, j: int, dsub: int) -> Column:
@@ -97,6 +97,14 @@ def pq_train(
     if len(init_rows) != ksub:
         raise ValueError(
             f"need ids 0..{ksub - 1} present for deterministic init"
+        )
+    real_dim = len(init_rows[0][0])
+    if real_dim != dim:
+        # r8 review: a silent mismatch would train on a prefix of (or
+        # null-pad past) every vector — recall collapses with no error
+        raise ValueError(
+            f"dim={dim} does not match the data's vector length "
+            f"{real_dim}"
         )
     books = [
         [
@@ -151,14 +159,6 @@ def pq_train(
     finally:
         work.unpersist()
     return books
-
-
-def _book_lit(book: list[list[float]]) -> Column:
-    """One subspace codebook as a single nested array literal —
-    ksub × dsub floats; indexed with element_at (1-based)."""
-    return F.array(*[
-        vec_lit(c) for c in book
-    ])
 
 
 def _d2(a: Column, b: Column) -> Column:
@@ -233,7 +233,7 @@ def pq_adc_scores(
         _d2(
             _sub(F.col("__qv"), j, dsub),
             F.element_at(
-                _book_lit(book), F.element_at("codes", j + 1) + 1
+                mat_lit(book), F.element_at("codes", j + 1) + 1
             ),
         )
         for j, book in enumerate(codebooks)

@@ -104,6 +104,20 @@ def bm25_scores(
     if prune not in ("auto", "inlist", "semijoin"):
         raise ValueError(f"prune must be auto|inlist|semijoin, got {prune!r}")
     toks = _tokens(text_col)
+    # Query-term contract (r8 review): terms are lowercased to match
+    # the lowercased token stream (an uppercase query term would
+    # silently match nothing), NULL terms are dropped in BOTH paths
+    # (the inlist collect would otherwise crash in sorted() while the
+    # semijoin silently dropped them — path-dependent behavior), and
+    # (query_id, term) pairs are DEDUPLICATED: the docstring pins the
+    # Lucene-default simplified BM25 with no query-term-frequency
+    # weighting, so a duplicated pair must not double a term's
+    # contribution.
+    qmap = (
+        qmap.where(F.col("term").isNotNull())
+        .select("query_id", F.lower(F.col("term")).alias("term"))
+        .distinct()
+    )
     if prune == "auto":
         # BOUNDED probe (r8 review): collect at most threshold+1
         # distinct terms — enough to decide the branch, and, when

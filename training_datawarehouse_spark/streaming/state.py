@@ -49,7 +49,13 @@ def state_store_provider(spark: SparkSession, provider: str = "rocksdb"):
     the context use ``provider`` (``"rocksdb"``, ``"hdfs"``, or a fully
     qualified provider class); the previous session value is restored
     on exit. Already-running queries are unaffected (the conf is
-    captured at stream start)."""
+    captured at stream start).
+
+    NOT thread-safe (r8 review): the provider conf is SESSION-GLOBAL,
+    so two threads nesting this context on one SparkSession can stamp
+    each other's provider into a checkpoint and restore a stale value.
+    Start streams from one thread, or give each thread its own
+    ``spark.newSession()`` (session-scoped confs are per-session)."""
     target = _ALIASES.get(provider, provider)
     try:
         old = spark.conf.get(_PROVIDER_CONF)
