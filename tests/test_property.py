@@ -251,3 +251,71 @@ def test_round_half_away_matches_duckdb_double_round(xs, nd):
         ).fetchone()[0]
         assert round_half_away(x, nd) == want, (x, nd)
     con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),   # user
+            st.integers(min_value=0, max_value=200),  # hour offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_counts_monotone_nonincreasing(spark, rows):
+    """Funnel invariant: reaching step i+1 requires having reached
+    step i (the min-chain joins against the previous step frame), so
+    per-step user counts are non-increasing in step order for ANY
+    event set — including out-of-order, duplicate, and gap-heavy
+    streams."""
+    import datetime as dt
+
+    from training_datawarehouse_spark.operators.funnel import funnel_counts
+
+    base = dt.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(u, base + dt.timedelta(hours=h), t) for u, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = sorted(
+        (r["step"], r["n_users"])
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], within_days=7
+        ).collect()
+    )
+    counts = [n for _, n in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(n >= 0 for n in counts)
+
+
+@given(st.integers(min_value=1, max_value=6))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_score_monotone_in_tf(spark, extra):
+    """BM25 invariant: adding occurrences of a query term to a
+    document strictly increases that document's score (the saturation
+    term is increasing in tf), holding the rest of the corpus fixed
+    enough that idf stays positive."""
+    from training_datawarehouse_spark.operators.retrieval import bm25_scores
+
+    corpus = [
+        (1, "cat mat hat"),
+        (2, "cat " * (1 + extra) + "mat hat"),
+        (3, "dog log fog"),
+        (4, "bird word herd"),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t.strip()) for d, t in corpus], "doc_id long, text string"
+    )
+    qmap = spark.createDataFrame(
+        [(1, "cat")], "query_id long, term string"
+    )
+    got = {
+        r["neighbor_id"]: r["score"]
+        for r in bm25_scores(docs, qmap).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[2] > got[1] > 0.0
