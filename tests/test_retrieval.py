@@ -273,3 +273,34 @@ def test_bm25_query_term_contract_null_case_dups(spark):
             for r in bm25_scores(docs, messy, prune=prune).collect()
         )
         assert got == want, prune
+
+
+def test_bm25_self_retrieval_mrr_on_documents(spark):
+    """Retrieval-quality gate on the real corpus (the ANN recall-row
+    discipline, pytest-side): querying each sample document by its own
+    more-like-this terms should surface the document itself. The
+    synthetic corpus shares a ~31-word vocabulary across all docs —
+    every document is topically identical, so self-retrieval is
+    genuinely hard (measured MRR ≈ 0.39, 5/8 probes in the top-10;
+    rank-2-behind-a-denser-doc is CORRECT BM25 behavior here) — the
+    thresholds are set well under the measured values to catch
+    CATASTROPHIC relevance breaks (a broken idf sign, a dropped tf
+    join) that row-level parity tests cannot see because the oracle
+    would drift identically, while surviving driver testdata
+    regeneration."""
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    probes = docs.filter(F.col("doc_id") % 61 == 0).limit(8)
+    qmap = mlt_query_terms(probes, max_terms=8)
+    ranked = topk_per_query(bm25_scores(docs, qmap), k=10).collect()
+    rank_of_self = {}
+    for r in ranked:
+        if r["neighbor_id"] == r["query_id"]:
+            rank_of_self[r["query_id"]] = r["rank"]
+    n_probes = probes.count()
+    assert n_probes == 8
+    mrr = sum(1.0 / rank_of_self.get(q, 1e9) for q in
+              [row["doc_id"] for row in probes.collect()]) / n_probes
+    assert mrr >= 0.15, (mrr, rank_of_self)
+    assert len(rank_of_self) >= 3, rank_of_self  # self in top-10
