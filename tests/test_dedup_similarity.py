@@ -995,3 +995,38 @@ def test_gopher_rules_each_rule_fires_and_order_holds(spark):
         7: "g_alpha_words", 8: "g_stop_words", 9: "g_word_count",
         10: "g_dup_lines", 11: "g_top_2gram",
     }
+
+
+def test_c4_rules_each_rule_fires_and_order_holds(spark):
+    """C4 battery (Raffel et al. 2020 §2.2): placeholder text, code
+    braces, and too-few-sentences each fire; order lorem → brace →
+    sentences; a 3-sentence clean doc is kept; the terminal-line
+    fraction is measured correctly."""
+    from training_datawarehouse_spark.operators.text import (
+        c4_drop, c4_measurements,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One sentence. Two now! Third here?"),    # kept
+            (2, "no punctuation at all just words"),      # few sentences
+            (3, "Fine. Fine. Fine. But lorem ipsum."),    # lorem first
+            (4, "if (x) { y(); } More. Still. Done."),    # brace
+            (5, "Ends well.\nno terminal\nAlso ends! Go?"),  # kept, frac 2/3
+        ],
+        "doc_id long, text string",
+    )
+    m = c4_measurements(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in m.items()],
+            c4_drop(m).alias("d"),
+        ).collect()
+    }
+    assert rows[1]["d"] == "kept" and rows[1]["c4_n_sentences"] == 3
+    assert rows[2]["d"] == "c4_few_sentences"
+    assert rows[3]["d"] == "c4_lorem"      # lorem outranks sentence count
+    assert rows[4]["d"] == "c4_brace"
+    assert rows[5]["d"] == "kept"
+    assert rows[5]["c4_terminal_frac"] == pytest.approx(round(2 / 3, 6))

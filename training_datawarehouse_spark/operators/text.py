@@ -723,3 +723,60 @@ def gopher_drop(m: dict[str, Column]) -> Column:
               F.lit("g_stop_words"))
         .otherwise(F.lit("kept"))
     )
+
+
+# ------------------------------------------------------ C4 rule battery
+
+#: The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+#: Transfer Learning with a Unified Text-to-Text Transformer", §2.2) —
+#: the other canonical published recipe next to Gopher. Doc-level
+#: rules only; C4's line-level terminal-punctuation retention is
+#: REPORTED as a fraction (the doc-level decision C4 derives from it
+#: is line filtering, not doc dropping). The 3-sentence-span dedup of
+#: §2.2 is the dedup family's job (operators/dedup.py), not a row rule.
+C4_MIN_SENTENCES = 3
+
+
+def c4_measurements(text: Column) -> dict[str, Column]:
+    """Row-local C4 measurements, ratios rounded to 6 dp:
+
+    - ``c4_n_sentences``: segments split on ``[.!?]`` with non-blank
+      content (the paper's "at least 3 sentences" rule's quantity)
+    - ``c4_terminal_frac``: fraction of lines ending in terminal
+      punctuation (. ! ? or a closing double quote)
+    - ``c4_has_lorem`` / ``c4_has_brace``: the placeholder-text and
+      code-page flags, as 0/1 ints
+    """
+    sentences = F.size(
+        F.filter(
+            F.split(text, "[.!?]"), lambda s: F.trim(s) != F.lit("")
+        )
+    ).cast("long")
+    lines = F.split(text, "\n")
+    terminal = F.round(
+        F.size(F.filter(
+            lines,
+            lambda ln: ln.endswith(".") | ln.endswith("!")
+            | ln.endswith("?") | ln.endswith('"'),
+        )).cast("double") / F.size(lines).cast("double"),
+        6,
+    )
+    low = F.lower(text)
+    return {
+        "c4_n_sentences": sentences,
+        "c4_terminal_frac": terminal,
+        "c4_has_lorem": low.contains("lorem ipsum").cast("int"),
+        "c4_has_brace": low.contains("{").cast("int"),
+    }
+
+
+def c4_drop(m: dict[str, Column]) -> Column:
+    """First failing C4 doc-level rule (placeholder text → code page →
+    too few sentences) or 'kept'."""
+    return (
+        F.when(m["c4_has_lorem"] == 1, F.lit("c4_lorem"))
+        .when(m["c4_has_brace"] == 1, F.lit("c4_brace"))
+        .when(m["c4_n_sentences"] < C4_MIN_SENTENCES,
+              F.lit("c4_few_sentences"))
+        .otherwise(F.lit("kept"))
+    )

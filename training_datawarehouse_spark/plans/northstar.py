@@ -229,6 +229,24 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gm = tx.gopher_measurements(g_text)
 
+    # r8b C4 battery (operators/text.py, Raffel et al. 2020 §2.2) on
+    # its own injected twin text (the corpus has no sentence
+    # punctuation, placeholder text, or braces): docs with
+    # doc_id % 3 != 2 gain three terminal-punctuated sentences (the
+    # %3 == 2 residue fails c4_few_sentences), %41 == 3 gains
+    # "lorem ipsum", %43 == 5 gains a code brace.
+    c4_text = F.concat(
+        t,
+        F.when(did % 3 != 2,
+               F.lit(" First tail. Second tail! Third tail?")
+               ).otherwise(F.lit("")),
+        F.when(did % 41 == 3,
+               F.lit(" lorem ipsum dolor sit")).otherwise(F.lit("")),
+        F.when(did % 43 == 5,
+               F.lit(" function() { return 1; }")).otherwise(F.lit("")),
+    )
+    cm = tx.c4_measurements(c4_text)
+
     out = docs.select(
         "doc_id",
         lp.alias("lang_pred"),
@@ -239,6 +257,8 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *ngram_cols,
         *[v.alias(k) for k, v in gm.items()],
         tx.gopher_drop(gm).alias("gopher_drop"),
+        *[v.alias(k) for k, v in cm.items()],
+        tx.c4_drop(cm).alias("c4_drop"),
         pii["n_emails"].alias("n_emails"),
         pii["n_urls"].alias("n_urls"),
         pii["n_phones"].alias("n_phones"),
@@ -314,11 +334,14 @@ SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de,
        gq.g_n_words, gq.g_mean_word_len, gq.g_symbol_ratio,
        gq.g_bullet_frac, gq.g_ellipsis_frac, gq.g_alpha_frac,
        gq.g_stop_hits, gq.gopher_drop,
+       cq.c4_n_sentences, cq.c4_terminal_frac, cq.c4_has_lorem,
+       cq.c4_has_brace, cq.c4_drop,
        p.n_emails, p.n_urls, p.n_phones, p.clean_fp,
        ud.url_host, ud.url_domain, ud.url_path_depth, ud.n_tracking,
        ud.url_norm, ud.url_dups
 FROM sw JOIN ({{CHAR_NGRAM}}) cg USING (doc_id)
 JOIN (@@GOPHER@@) gq USING (doc_id)
+JOIN (@@C4@@) cq USING (doc_id)
 JOIN (@@PII@@) p USING (doc_id)
 JOIN ud USING (doc_id)
 """
@@ -507,12 +530,53 @@ SELECT *,
 FROM gx
 """
 
+# C4-battery oracle (r8b): the identical injected twin text and every
+# measurement/decision re-derived in SQL (thresholds from the same
+# operators/text.py constants). Spliced (the brace-bearing injected
+# code snippet must never meet .format).
+_C4_ORACLE = """
+WITH ct AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 != 2
+            THEN ' First tail. Second tail! Third tail?' ELSE '' END
+    || CASE WHEN doc_id % 41 = 3 THEN ' lorem ipsum dolor sit'
+            ELSE '' END
+    || CASE WHEN doc_id % 43 = 5 THEN ' function() [BRACE] return 1; }'
+            ELSE '' END
+    AS c
+  FROM documents
+),
+cx AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(c, '[.!?]'),
+        s -> trim(s) != ''))::BIGINT AS c4_n_sentences,
+    round(len(list_filter(string_split(c, chr(10)),
+          x -> ends_with(x, '.') OR ends_with(x, '!')
+               OR ends_with(x, '?') OR ends_with(x, '"')))::DOUBLE
+          / len(string_split(c, chr(10))), 6) AS c4_terminal_frac,
+    (CASE WHEN contains(lower(c), 'lorem ipsum') THEN 1 ELSE 0 END)::INT
+      AS c4_has_lorem,
+    (CASE WHEN contains(c, '[BRACE]') THEN 1 ELSE 0 END)::INT
+      AS c4_has_brace
+  FROM ct
+)
+SELECT *,
+  CASE WHEN c4_has_lorem = 1 THEN 'c4_lorem'
+       WHEN c4_has_brace = 1 THEN 'c4_brace'
+       WHEN c4_n_sentences < __C4_MIN__ THEN 'c4_few_sentences'
+       ELSE 'kept' END AS c4_drop
+FROM cx
+""".replace("[BRACE]", "{").replace(
+    "__C4_MIN__", str(tx.C4_MIN_SENTENCES))
+
 # the merged lang entry joins the char-ngram block in as a subquery;
 # the PII block splices in AFTER .format so its regex braces never
 # meet the format machinery
 LANG_QUALITY_ORACLE = LANG_QUALITY_ORACLE.format(
     CHAR_NGRAM=LANG_CHAR_NGRAM_ORACLE
-).replace("@@PII@@", _PII_ORACLE).replace("@@GOPHER@@", _GOPHER_ORACLE)
+).replace("@@PII@@", _PII_ORACLE).replace(
+    "@@GOPHER@@", _GOPHER_ORACLE).replace("@@C4@@", _C4_ORACLE)
 
 
 # ------------------------------------------------------- fingerprint
