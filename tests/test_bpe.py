@@ -192,3 +192,17 @@ def test_train_bpe_distributed_loop_bounded_storage(spark):
     )
     release_local_checkpoint(vocab, blocking=True)
     assert _persistent_ids(spark) - before == set()
+
+
+def test_train_bpe_error_path_releases_checkpoints(spark):
+    """r8 ADVICE: when the corpus exhausts pairs mid-loop, the pinned
+    checkpoint RDDs for the in-flight generations must be released,
+    not leaked for the session."""
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    before = _persistent_ids(spark)
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe.train_bpe(docs, "text", num_merges=3, driver_vocab_cap=0)
+    leaked = _persistent_ids(spark) - before
+    assert leaked == set(), (
+        f"error-path BPE generations leaked persistent RDDs: {sorted(leaked)}"
+    )

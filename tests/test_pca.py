@@ -98,3 +98,15 @@ def test_whiten_project_rejects_nonpositive_eigenvalue(spark):
             df, "embedding", [0.0, 0.0, 0.0],
             [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], [1.0, 0.0],
         )
+
+
+def test_covariance_rejects_ragged_vectors(spark):
+    """r8 ADVICE: a wrong-dim vector null-pads through zip_with and its
+    null products silently drop from the sums — the fit must refuse
+    instead of skewing the covariance."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0]), (2, [7.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or wrong-dim"):
+        pca.covariance_matrix(df, "embedding", [0.0, 0.0, 0.0])

@@ -319,3 +319,23 @@ def test_bm25_score_monotone_in_tf(spark, extra):
     }
     assert set(got) == {1, 2}
     assert got[2] > got[1] > 0.0
+
+
+def test_round_half_away_nonfinite_passthrough():
+    """r8 ADVICE: DuckDB's round returns inf/NaN unchanged; the helper
+    must pass non-finite inputs (and finite x whose scaled product
+    overflows) through instead of crashing in math.floor."""
+    import math
+
+    from training_datawarehouse_spark.functions.scalars import (
+        round_half_away,
+    )
+
+    assert round_half_away(math.inf, 4) == math.inf
+    assert round_half_away(-math.inf, 4) == -math.inf
+    assert math.isnan(round_half_away(math.nan, 4))
+    # finite but scaled product overflows: |x|*10^8 -> inf; no
+    # fractional digits at this magnitude, so x passes through
+    big = 1e308
+    assert round_half_away(big, 8) == big
+    assert round_half_away(-big, 8) == -big

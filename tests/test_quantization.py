@@ -109,3 +109,29 @@ def test_pq_stays_jvm_and_bounded_storage(spark):
     plan = adc._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert adc.count() == 2 * 29
+
+
+def test_pq_adc_duplicate_pairs_deduplicated(spark):
+    """r8 ADVICE: a candidate generator that emits the same
+    (query, neighbor) pair twice must not produce duplicate ADC rows
+    (they would corrupt downstream row_number rankings)."""
+    df = _emb(spark, n=12, dim=4)
+    books = pq.pq_train(df, "embedding", dim=4, m=2, ksub=4, iters=2)
+    codes = pq.pq_encode(df, "embedding", books)
+    queries = df.filter(F.col("vec_id") < 2)
+    pairs_unique = spark.createDataFrame(
+        [(0, 5), (0, 7), (1, 5)], "query_id long, neighbor_id long"
+    )
+    pairs_dup = pairs_unique.unionAll(pairs_unique).unionAll(
+        spark.createDataFrame([(0, 5)], "query_id long, neighbor_id long")
+    )
+    want = sorted(
+        map(tuple, pq.pq_adc_scores(codes, queries, books,
+                                    pairs=pairs_unique).collect())
+    )
+    got = sorted(
+        map(tuple, pq.pq_adc_scores(codes, queries, books,
+                                    pairs=pairs_dup).collect())
+    )
+    assert got == want
+    assert len(got) == 3

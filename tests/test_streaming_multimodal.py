@@ -735,20 +735,17 @@ def test_stream_dedup_identical_under_rocksdb_provider(spark):
     )
 
     conf_key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        before = spark.conf.get(conf_key)
-    except Exception:
-        before = None
+    # get with explicit None default: distinguishes truly-unset from
+    # set-to-default (r8 ADVICE) so the restore assertion checks the
+    # documented restore-to-unset behavior for real
+    before = spark.conf.get(conf_key, None)
     default_rows = sorted(map(tuple, stream_dedup_e2e(spark, SF_DIR).collect()))
     with state_store_provider(spark, "rocksdb"):
         assert spark.conf.get(conf_key) == ROCKSDB_PROVIDER
         rocks_rows = sorted(
             map(tuple, stream_dedup_e2e(spark, SF_DIR).collect())
         )
-    try:
-        after = spark.conf.get(conf_key)
-    except Exception:
-        after = None
-    assert after == before  # restored
+    after = spark.conf.get(conf_key, None)
+    assert after == before  # restored (to truly-unset if it was unset)
     assert rocks_rows == default_rows
     assert len(rocks_rows) > 1

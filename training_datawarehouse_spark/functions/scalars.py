@@ -41,8 +41,18 @@ def round_half_away(x: float, nd: int) -> float:
     nd=1: +0.5 path gives 0.1, DuckDB gives 0.0 — r8 review finding,
     verified). Comparing the fraction explicitly performs no float
     addition, so it matches std::round exactly.
+
+    Non-finite inputs (and finite x whose scaled product overflows to
+    inf) pass through unchanged — DuckDB's ``round`` returns inf/NaN
+    as-is, and any |x| big enough to overflow the scaling has no
+    fractional digits to round anyway (r8 ADVICE: ``math.floor`` on
+    inf/nan raises, a latent crash for unbounded aggregate feeders).
     """
+    if not math.isfinite(x):
+        return x
     scaled = abs(x) * 10.0**nd
+    if not math.isfinite(scaled):
+        return x
     f = math.floor(scaled)
     r = f + 1.0 if scaled - f >= 0.5 else f
     return math.copysign(r, x) / 10.0**nd

@@ -204,62 +204,77 @@ def train_bpe(
 
     merges: list[tuple[str, str, int]] = []
     prev: DataFrame | None = None
-    for it in range(num_merges):
-        n1 = F.size("syms") - 1
-        pair_rows = (
-            words.select(
-                "cnt",
-                F.explode(
-                    F.when(
-                        n1 < 1,
-                        F.array().cast(
-                            "array<struct<a:string,b:string>>"
-                        ),
-                    ).otherwise(
-                        F.zip_with(
-                            F.slice("syms", 1, n1),
-                            F.slice("syms", 2, n1),
-                            lambda x, y: F.struct(
-                                x.alias("a"), y.alias("b")
+    try:
+        for it in range(num_merges):
+            n1 = F.size("syms") - 1
+            pair_rows = (
+                words.select(
+                    "cnt",
+                    F.explode(
+                        F.when(
+                            n1 < 1,
+                            F.array().cast(
+                                "array<struct<a:string,b:string>>"
                             ),
+                        ).otherwise(
+                            F.zip_with(
+                                F.slice("syms", 1, n1),
+                                F.slice("syms", 2, n1),
+                                lambda x, y: F.struct(
+                                    x.alias("a"), y.alias("b")
+                                ),
+                            )
                         )
-                    )
-                ).alias("p"),
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), "a", "b")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not pair_rows:
-            raise ValueError(
-                f"corpus exhausted adjacent pairs after "
-                f"{len(merges)} merges; num_merges={num_merges} "
-                f"is too large for this corpus"
-            )
-        a, b, c = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["c"]
-        merges.append((a, b, int(c)))
-        # The collect above materialized THIS generation's checkpoint,
-        # so the one before it is no longer an input of anything —
-        # release its RDD blocks now. NB ``Dataset.unpersist`` would
-        # be a no-op here (localCheckpoint persists at the RDD level,
-        # below the cache manager — r7 ADVICE); the helper unpersists
-        # the LogicalRDD's underlying RDD, which actually frees the
-        # blocks. Never release before the successor materializes:
-        # the lineage is truncated, so the blocks are the only copy.
-        if prev is not None:
-            release_local_checkpoint(prev)
-        prev = words
-        # eager=False: the checkpoint materializes with the NEXT
-        # iteration's pair-count job instead of spending a dedicated
-        # job per generation — halves the serial job count of the
-        # training loop (the loop's cost at small scale is job launch
-        # latency, not data). The FINAL generation is eager so its
-        # predecessor can be released before returning.
-        words = words.select(
-            "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=it == num_merges - 1)
+            if not pair_rows:
+                raise ValueError(
+                    f"corpus exhausted adjacent pairs after "
+                    f"{len(merges)} merges; num_merges={num_merges} "
+                    f"is too large for this corpus"
+                )
+            a, b, c = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["c"]
+            merges.append((a, b, int(c)))
+            # The collect above materialized THIS generation's
+            # checkpoint, so the one before it is no longer an input of
+            # anything — release its RDD blocks now. NB
+            # ``Dataset.unpersist`` would be a no-op here
+            # (localCheckpoint persists at the RDD level, below the
+            # cache manager — r7 ADVICE); the helper unpersists the
+            # LogicalRDD's underlying RDD, which actually frees the
+            # blocks. Never release before the successor materializes:
+            # the lineage is truncated, so the blocks are the only
+            # copy.
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev = words
+            # eager=False: the checkpoint materializes with the NEXT
+            # iteration's pair-count job instead of spending a
+            # dedicated job per generation — halves the serial job
+            # count of the training loop (the loop's cost at small
+            # scale is job launch latency, not data). The FINAL
+            # generation is eager so its predecessor can be released
+            # before returning.
+            words = words.select(
+                "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
+            ).localCheckpoint(eager=it == num_merges - 1)
+    except BaseException:
+        # error-path release (r8 ADVICE): when the corpus-exhausts-
+        # pairs ValueError (or any job failure) fires mid-loop, the
+        # pinned checkpoint RDDs for prev/words would otherwise leak
+        # for the session — the funnel_counts / pq_train try/finally
+        # discipline. release_local_checkpoint is a safe no-op on a
+        # never-materialized lazy checkpoint.
+        for frame in (prev, words):
+            if frame is not None:
+                release_local_checkpoint(frame)
+        raise
     if prev is not None:
         release_local_checkpoint(prev)
     return words, merges

@@ -89,6 +89,13 @@ def covariance_matrix(
             # (i, j), so the group count IS n — no separate count()
             # pass over the corpus (r8 review)
             F.count(F.lit(1)).alias("n"),
+            # non-null product count: a ragged or wrong-dim vector
+            # null-pads through zip_with, its null products silently
+            # DROP from the sum while still counting toward n — the
+            # exact silent-skew class pq_train's dim check guards
+            # against (r8 ADVICE). n_valid < n pinpoints it without a
+            # second corpus pass.
+            F.count(F.col("ci") * F.col("cj")).alias("n_valid"),
         )
         .collect()
     )
@@ -96,6 +103,18 @@ def covariance_matrix(
         raise ValueError("covariance over an empty frame")
     n = rows[0]["n"]
     dim = len(means)
+    bad = [r for r in rows if r["n_valid"] != r["n"] or r["n"] != n]
+    if bad or len(rows) != dim * dim:
+        raise ValueError(
+            f"ragged or wrong-dim vectors in covariance fit: expected "
+            f"{dim * dim} uniform (i, j) groups of n={n} non-null "
+            f"products, got {len(rows)} groups"
+            + (
+                f"; first bad group (i={bad[0]['i']}, j={bad[0]['j']}) "
+                f"has n={bad[0]['n']}, n_valid={bad[0]['n_valid']}"
+                if bad else ""
+            )
+        )
     cov = [[0.0] * dim for _ in range(dim)]
     for r in rows:
         cov[r["i"]][r["j"]] = round_half_away(r["s"] / n, round_dp)

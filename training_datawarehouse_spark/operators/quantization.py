@@ -223,7 +223,13 @@ def pq_adc_scores(
     scoring to a candidate set — the IVFADC composition (Jégou et
     al.): the coarse quantizer prunes which (query, vector) pairs are
     even scored, PQ makes each score a code lookup. Without it every
-    query scores the full codes frame (the exhaustive-ADC mode)."""
+    query scores the full codes frame (the exhaustive-ADC mode).
+    The pairs projection is deduplicated here (r8 ADVICE): a caller
+    whose candidate generator emits the same (query, neighbor) twice
+    (e.g. multi-probe lists sharing a vector) would otherwise get
+    duplicate ADC rows that corrupt downstream ``row_number``
+    rankings; the extra hash-aggregate is on 16-byte id pairs at
+    candidate grain, map-side combinable."""
     dsub = len(codebooks[0][0])
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -248,7 +254,8 @@ def pq_adc_scores(
         # with the codes frame on neighbor_id (AQE broadcasts it at
         # bench scale anyway)
         cand = base.join(
-            pairs.select("query_id", "neighbor_id"), "neighbor_id"
+            pairs.select("query_id", "neighbor_id").distinct(),
+            "neighbor_id",
         ).join(F.broadcast(q), "query_id")
     return (
         cand.filter(F.col("neighbor_id") != F.col("query_id"))

@@ -57,10 +57,12 @@ def state_store_provider(spark: SparkSession, provider: str = "rocksdb"):
     Start streams from one thread, or give each thread its own
     ``spark.newSession()`` (session-scoped confs are per-session)."""
     target = _ALIASES.get(provider, provider)
-    try:
-        old = spark.conf.get(_PROVIDER_CONF)
-    except Exception:
-        old = None
+    # get with an explicit None default distinguishes never-set from
+    # set-to-the-default: a bare .get() returns the built-in default
+    # (HDFS provider) for an unset key, which would make the restore
+    # branch pin the previously-implicit default into the session conf
+    # instead of restoring to truly-unset (r8 ADVICE).
+    old = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set(_PROVIDER_CONF, target)
     try:
         yield
