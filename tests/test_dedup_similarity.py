@@ -151,7 +151,9 @@ def test_ann_recall_targets(spark):
     for r in rows:
         if r["stage"] == "recall":
             rec.setdefault(r["method"], []).append(r["recall"])
-    assert set(rec) == {"ivf", "signlsh", "pq", "pq_rr", "ivfpq"}
+    assert set(rec) == {
+        "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res",
+    }
     assert all(len(v) == 8 for v in rec.values())
     assert sum(rec["ivf"]) / 8 >= 0.8
     assert sum(rec["signlsh"]) / 8 >= 0.5
@@ -163,6 +165,25 @@ def test_ann_recall_targets(spark):
     # the corpus scored — not rank quality) and must not fall below
     # the shared floor
     assert sum(rec["ivfpq"]) / 8 >= 0.1
+    # r9 gate: residual encoding (PQ over x − c(x), the published
+    # IVFADC form) must not lose recall vs the raw-vector composition
+    # on the same queries — the residual distribution is tighter, so
+    # the same 4×8 codebooks quantize it with less error
+    assert sum(rec["ivfpq_res"]) >= sum(rec["ivfpq"]), (
+        rec["ivfpq_res"], rec["ivfpq"],
+    )
+
+
+def test_pq_rerank_shortlist_is_corpus_independent_count():
+    """r9 (verdict task 4): the exact-re-rank shortlist is a COUNT
+    (C·k per query), never a fraction of the corpus — at 10¹⁰ vectors
+    a 10 % shortlist would mean 10⁹ exact re-ranks per query. The
+    value must also stay byte-identical to what every prior round
+    benched (50), so the registry hash is unchanged."""
+    from training_datawarehouse_spark.plans import northstar as ns
+
+    assert ns._PQ_RERANK == ns._PQ_RERANK_C * ns._ANN_K
+    assert ns._PQ_RERANK == 50  # bench-parity pin (r1..r8 value)
 
 
 def test_approx_aggs_error_bounds(spark):
@@ -1030,3 +1051,74 @@ def test_c4_rules_each_rule_fires_and_order_holds(spark):
     assert rows[4]["d"] == "c4_brace"
     assert rows[5]["d"] == "kept"
     assert rows[5]["c4_terminal_frac"] == pytest.approx(round(2 / 3, 6))
+
+
+def _mog_embeddings(spark, n_per=12, noise=0.3, scale=6.0, seed=97):
+    """Deterministic mixture-of-gaussians slice for the clustered-
+    vector ANN eval (r9 verdict task): 8 well-separated centers
+    DERIVED from the driver's own sf0.001 embeddings (normalized,
+    scaled — the dirty-text-from-clean-docs construction pattern),
+    12 points each = 96 vectors. vec_ids 0..7 are one member per
+    cluster (they double as the queries AND the deterministic
+    k-means/PQ inits, exactly as the registry pipeline contracts);
+    remaining ids interleave clusters. Ground truth: each query's
+    true top-5 are cluster-mates by construction (noise σ=0.3 vs
+    center norm 6)."""
+    import numpy as np
+
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    )
+    centers = np.array([r["embedding"] for r in base], dtype="float64")
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    centers *= scale
+    rng = np.random.RandomState(seed)
+    rows = []
+    # vec_ids 0..7: cluster c gets id c (query + init, one per cluster)
+    for c in range(8):
+        pts = centers[c] + noise * rng.standard_normal((n_per, 64))
+        for i, p in enumerate(pts):
+            vid = c if i == 0 else 8 + c * (n_per - 1) + (i - 1)
+            rows.append((vid, [float(x) for x in np.round(p, 6)]))
+    return spark.createDataFrame(
+        sorted(rows), "vec_id long, embedding array<double>"
+    )
+
+
+def test_ann_recall_on_clustered_vectors(spark):
+    """r9 verdict task 2: recall@5 for every ANN method on CLUSTERED
+    vectors — the regime ANN exists for (the registry's structure-free
+    gaussians are the adversarial floor; real embedding corpora are
+    clustered). The mixture-of-gaussians slice rides the exact
+    registry pipeline (similarity_ann(emb=...)), so these gates hold
+    for shipped code. Side-by-side numbers live in SCALE.md."""
+    from training_datawarehouse_spark.plans.northstar import similarity_ann
+
+    mog = _mog_embeddings(spark)
+    rows = similarity_ann(spark, "/root/testdata/sf0.001", emb=mog).collect()
+    rec = {}
+    for r in rows:
+        if r["stage"] == "recall":
+            rec.setdefault(r["method"], []).append(r["recall"])
+    mean = {m: sum(v) / len(v) for m, v in rec.items()}
+    assert set(mean) == {
+        "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res",
+    }
+    # Gates: minimums with margin under the measured values (measured
+    # r9: ivf 1.0, signlsh ≥0.7, pq 0.425, pq_rr 1.0, ivfpq 0.425,
+    # ivfpq_res 0.65 — vs the structure-free floor pq/ivfpq 0.15,
+    # ivfpq_res 0.20; exact determinism holds per-seed, the margin is
+    # for future knob changes, not run-to-run noise).
+    assert mean["ivf"] >= 0.9, mean
+    assert mean["signlsh"] >= 0.6, mean
+    assert mean["pq"] >= 0.35, mean
+    assert mean["pq_rr"] >= 0.9, mean
+    assert mean["ivfpq"] >= 0.35, mean
+    assert mean["ivfpq_res"] >= 0.55, mean
+    # the structural claims: clustered recall must beat the
+    # structure-free floor for every compressed method, and residual
+    # encoding must keep its edge over raw-vector IVFADC
+    assert mean["ivfpq_res"] >= mean["ivfpq"], mean

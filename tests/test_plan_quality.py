@@ -203,15 +203,19 @@ SHUFFLE_BUDGET = {
     # 5-gram key (the count pass; replaces a groupBy+join-back pair)
     # and the per-doc interval-union lag window
     "ns_doc_signatures": 7,
-    # family: ANN methods (r8) — five methods + recall + encode in one
+    # family: ANN methods (r8) — six methods + recall + encode in one
     # plan: LSH (bucket-join distinct + rescore + rank window = 4),
     # IVF (list join + rank = 2), raw-ADC/rerank/IVFADC PQ rankings
     # (rank window + cosine join-backs = 8; codes are row-local, the
     # quantizer/codebook trainings run at BUILD time — their exchanges
     # never appear here), exact-top-k + recall + encode groupBys (4).
+    # r9: +4 for the residual IVFADC ranking (its per-list ADC join is
+    # broadcast — the 4 are the rank window + exact-cosine join-backs,
+    # the same shape as the other PQ rankings; residual encode itself
+    # is row-local literals, zero exchanges).
     # The corpus embedding column itself shuffles ONLY doc-grain slim
     # rows — never as part of an all-pairs product.
-    "ns_similarity_ann": 18,
+    "ns_similarity_ann": 22,
     # family: embedding model fit (r8) — ZERO hash exchanges in the
     # final plan: raw/whitened pair stages are subset-bounded BNL
     # joins, the projection is row-local literals, and the PCA

@@ -171,17 +171,60 @@ def _d2(a: Column, b: Column) -> Column:
     )
 
 
+def residual_frame(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    list_col: str | None = None,
+) -> DataFrame:
+    """Per-vector residual ``x − c(x)`` against a coarse quantizer —
+    the input representation for residual-encoded IVFADC (Jégou et
+    al. 2011 §IV-A: quantize what the coarse quantizer CANNOT express,
+    so the per-subspace codebooks spend their 8 codes on a much
+    tighter distribution than the raw vectors).
+
+    ROW-LOCAL at any scale: the k coarse centroids ride the plan as
+    one matrix literal (k·d floats — model-sized), the assignment is
+    the same cosine-argmin expression IVF probing uses, and the
+    subtraction is ``zip_with`` — no join, no shuffle, the corpus
+    vectors never move. Pass ``list_col`` to reuse an existing
+    assignment column instead of recomputing it.
+
+    Returns ``(id_col, list_id, residual array<double>)``. The
+    subtraction of two exact doubles is deterministic IEEE — no
+    rounding needed for the cross-engine oracle contract (centroids
+    are already 6-dp from the shared Lloyd's trainer)."""
+    from .similarity import nearest_centroid_lists
+
+    v = _as_double(F.col(vec_col))
+    if list_col is None:
+        lid = nearest_centroid_lists(v, cents, 1)[0]["list_id"]
+    else:
+        lid = F.col(list_col)
+    return df.select(
+        F.col(id_col),
+        lid.alias("list_id"),
+        F.zip_with(
+            v, F.element_at(mat_lit(cents), lid + 1), lambda x, c: x - c
+        ).alias("residual"),
+    )
+
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` code ids + its reconstruction
     error. Row-local (codebooks are literals): per subspace, argmin
     squared-L2 with lowest-code-id ties. Returns
-    ``(id_col, codes array<int>, recon_err double)`` with recon_err
-    = Σ_j d²(x_j, cb[j][code_j]) rounded to 6 dp."""
+    ``(id_col, *keep_cols, codes array<int>, recon_err double)`` with
+    recon_err = Σ_j d²(x_j, cb[j][code_j]) rounded to 6 dp.
+    ``keep_cols`` carries extra columns (e.g. the coarse ``list_id``
+    for residual IVFADC) through without a re-join."""
     dsub = len(codebooks[0][0])
     v = _as_double(F.col(vec_col))
     best = []  # (code, min_d2) per subspace
@@ -200,7 +243,8 @@ def pq_encode(
     errs = [d for _, d in best]
     err = F.round(sum(errs[1:], errs[0]), 6)
     return df.select(
-        F.col(id_col), codes.alias("codes"), err.alias("recon_err")
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        codes.alias("codes"), err.alias("recon_err"),
     )
 
 
@@ -259,5 +303,54 @@ def pq_adc_scores(
         ).join(F.broadcast(q), "query_id")
     return (
         cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+    )
+
+
+def pq_adc_scores_residual(
+    codes_df: DataFrame,
+    queries_res: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    res_col: str = "qres",
+) -> DataFrame:
+    """ADC where the QUERY representation varies per probed list — the
+    residual-encoded IVFADC form (Jégou et al. 2011 §IV-A): corpus
+    codes approximate ``x − c(x)``, so the query must be compared as
+    ``q − c(L)`` for EACH probed list L. ``codes_df`` is
+    ``pq_encode(..., keep_cols=("list_id",))`` output over the
+    residual frame; ``queries_res`` is the (tiny, broadcast) per-
+    (query, probed-list) residual frame ``(query_id, list_id,
+    res_col)`` — ``residual_frame``-shaped but exploded over n_probe
+    lists.
+
+    The list join IS the coarse pruning: only vectors whose list the
+    query probes are ever scored, and since a corpus vector lives in
+    exactly one list, (query_id, neighbor_id) pairs are unique by
+    construction. Scale shape: the codes frame stays partitioned,
+    queries broadcast, scoring is a row-local codebook lookup.
+
+    Returns ``(query_id, neighbor_id, adc_d2)`` (6 dp), self-pairs
+    excluded — rank/top-k is the caller's."""
+    dsub = len(codebooks[0][0])
+    q = queries_res.select(
+        "query_id", "list_id", _as_double(F.col(res_col)).alias("__qrv")
+    )
+    terms = [
+        _d2(
+            _sub(F.col("__qrv"), j, dsub),
+            F.element_at(
+                mat_lit(book), F.element_at("codes", j + 1) + 1
+            ),
+        )
+        for j, book in enumerate(codebooks)
+    ]
+    adc = F.round(sum(terms[1:], terms[0]), 6)
+    return (
+        codes_df.select(
+            F.col(id_col).alias("neighbor_id"), "list_id", "codes"
+        )
+        .join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("adc_d2"))
     )
