@@ -65,14 +65,14 @@ MANIFEST = [
      "desc": "first-writer-wins dedup"},
     {"name": "ns_dedup_exact", "semver": 1,
      "desc": "exact hash dedup, min_by agg"},
-    {"name": "ns_text_profile", "semver": 5,
+    {"name": "ns_text_profile", "semver": 6,
      "desc": "r3: absorbed fingerprint + dupe-group entries onto one scan; "
              "r5: + corpus-trained bigram-LM quality score (train + "
              "score, oracle-retrained); r6: + distributed BPE tokenizer "
              "training (8 merges, oracle-retrained) + re-encoding; "
              "r6b: + DSIR hashed-bigram importance weights + per-domain "
              "top-25% selection (both models oracle-retrained) + trained "
-             "logreg quality classifier (3 GD epochs, oracle-retrained)"},
+             "logreg quality classifier (3 GD epochs, oracle-retrained); r9/semver-6: + unigram-LM (SentencePiece-style) tokenizer training stage (soft-EM, oracle-retrained)"},
     {"name": "ns_similarity_topk", "semver": 2,
      "desc": "brute-force cosine top-k (r7: + BM25 lexical ranked "
              "retrieval over documents + hybrid more-like-this RRF "
@@ -106,10 +106,13 @@ MANIFEST = [
              "HALF_UP/HALF_EVEN columns with planted midpoints)"},
     {"name": "ns_chunk_pack", "semver": 1,
      "desc": "chunking + training-window packing"},
-    {"name": "op_stream_windows_batch", "semver": 1,
+    {"name": "op_stream_windows_batch", "semver": 2,
      "desc": "tumbling + sliding window aggregations + 3-step ordered "
              "funnel min-chain, batch shapes (r8 headline addition — "
-             "the r7 funnel family was previously bench-invisible)"},
+             "the r7 funnel family was previously bench-invisible); "
+             "r9/semver-2: + per-step time-to-convert percentile rows "
+             "(p50/p75/p100 of t_step − t1 on the same user-grain "
+             "frames)"},
     {"name": "ns_split_train_val", "semver": 2,
      "desc": "deterministic splits + mixture sampling (r5: + leakage-"
              "safe group-representative split with measured naive-vs-"
@@ -154,7 +157,7 @@ def _extras() -> list[dict]:
             funnel_counts,
         )
         from training_datawarehouse_spark.plans.relational import (
-            FUNNEL_STEPS, FUNNEL_WITHIN_DAYS, approx_aggs,
+            FUNNEL_STEPS, FUNNEL_WITHIN_DAYS, approx_aggs, windowed_batch,
         )
         from training_datawarehouse_spark.sources.tables import load_table
 
@@ -186,6 +189,11 @@ def _extras() -> list[dict]:
              "builder": lambda s, d: _compat(approx_aggs,
                  s, d, include_weekly=False, include_exact=False,
                  include_cms=False)},
+            {"name": "op_stream_windows_batch__r8equiv", "semver": 1,
+             "desc": "windows+funnel semver-1 sub-plan (no time-to-"
+                     "convert percentile rows)",
+             "builder": lambda s, d: _compat(windowed_batch,
+                 s, d, include_ttc=False)},
             {"name": "ns_multimodal_meta__r2equiv", "semver": 1,
              "desc": "ns_multimodal_meta semver-1 sub-plan (stub decode only, "
                      "no real codecs)",
@@ -214,6 +222,11 @@ def _extras() -> list[dict]:
              "builder": lambda s, d: _compat(text_profile,
                  s, d, include_lm=False, include_bpe=False,
                  include_dsir=False, include_lrq=False)},
+            {"name": "ns_text_profile__r8equiv", "semver": 5,
+             "desc": "ns_text_profile semver-5 sub-plan (no unigram-LM "
+                     "stage)",
+             "builder": lambda s, d: _compat(text_profile,
+                 s, d, include_ulm=False)},
             {"name": "ns_text_profile__r5equiv", "semver": 3,
              "desc": "ns_text_profile semver-3 sub-plan (no BPE stage)",
              "builder": lambda s, d: _compat(text_profile,

@@ -73,6 +73,7 @@ def test_funnel_persist_steps_parity_five_steps_bounded_storage(spark):
     persisted step frame behind — only the steps-sized checkpoint of
     the count table may remain pinned."""
     seq = ["view", "click", "cart", "pay", "purchase"]
+    pcts = (0.5, 0.75, 1.0)
     rows = []
     # user u reaches step (u % 6) of the 5-step funnel, hourly spacing
     for u in range(1, 31):
@@ -87,9 +88,11 @@ def test_funnel_persist_steps_parity_five_steps_bounded_storage(spark):
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in jmap.keySet().toArray()}
 
-    want = sorted(map(tuple, funnel_counts(ev, seq).collect()))
+    want = sorted(map(tuple, funnel_counts(
+        ev, seq, convert_percentiles=pcts).collect()))
     before = pids()
-    got_df = funnel_counts(ev, seq, persist_steps=True)
+    got_df = funnel_counts(ev, seq, persist_steps=True,
+                           convert_percentiles=pcts)
     leaked = pids() - before
     # the eager localCheckpoint of the count table is the only pin;
     # every step-frame persist must already be released
@@ -97,3 +100,76 @@ def test_funnel_persist_steps_parity_five_steps_bounded_storage(spark):
     got = sorted(map(tuple, got_df.collect()))
     assert got == want
     assert len(got) == 5
+    # r9: the ttc columns rode both modes — spot-check p100 at step 2:
+    # every user reaching click did so 1 h after view except the
+    # straggler-free max... assert the known max (4 h for user 41? no:
+    # hourly spacing means every click is 1 h after view; user 41 too)
+    by_step = {r[0]: r for r in got}
+    assert by_step[1][4:] == (0.0, 0.0, 0.0)  # step 1 deltas all zero
+
+
+def test_funnel_time_to_convert_percentiles_known_answer(spark):
+    """r9: exact interpolated time-to-convert quantiles on the same
+    planted funnel — click deltas are {1,2,2,4} h (users 4,1,6,3), so
+    p50 = 2 h, p75 = 2.5 h (dyadic interpolation between 2 and 4),
+    p100 = 4 h; purchase is user 1 alone at 5 h; view is 0 by
+    definition."""
+    rows = [
+        (1, 0, "view"), (1, 2, "click"), (1, 5, "purchase"),
+        (2, 0, "view"), (2, 3, "purchase"),
+        (3, -1, "click"), (3, 0, "view"), (3, 4, "click"),
+        (4, 0, "view"), (4, 1, "click"), (4, 8 * 24, "purchase"),
+        (5, 0, "click"), (5, 1, "purchase"),
+        (6, 0, "view"), (6, 2, "click"), (6, 2, "purchase"),
+    ]
+    out = {
+        r["step_name"]: r
+        for r in funnel_counts(
+            _ev(rows, spark), ["view", "click", "purchase"],
+            within_days=7, convert_percentiles=(0.5, 0.75, 1.0),
+        ).collect()
+    }
+    hour_us = 3600 * 1_000_000.0
+    assert out["view"]["ttc_p50_us"] == 0.0
+    assert out["click"]["ttc_p50_us"] == 2 * hour_us
+    assert out["click"]["ttc_p75_us"] == 2.5 * hour_us
+    assert out["click"]["ttc_p100_us"] == 4 * hour_us
+    assert out["purchase"]["ttc_p50_us"] == 5 * hour_us
+    assert out["purchase"]["ttc_p100_us"] == 5 * hour_us
+
+
+def test_funnel_ttc_matches_duckdb_quantile_cont(spark):
+    """The dyadic-percentile cross-engine exactness claim, tested
+    directly: Spark percentile == DuckDB quantile_cont bit-for-bit on
+    a 200-user funnel with irregular minute-grain deltas (even AND odd
+    group sizes so interpolation actually fires)."""
+    import duckdb
+
+    from training_datawarehouse_spark.operators.funnel import (
+        funnel_oracle_ctes,
+    )
+
+    rows = []
+    for u in range(1, 201):
+        rows.append((u, 0, "view"))
+        if u % 3:
+            # minutes-grain irregular deltas
+            rows.append((u, (u * 7 % 97 + 1) / 60.0, "click"))
+        if u % 5 == 1:
+            rows.append((u, (u * 13 % 131 + 3) / 60.0, "purchase"))
+    ev = _ev(rows, spark)
+    pcts = (0.5, 0.75, 1.0)
+    got = sorted(map(tuple, funnel_counts(
+        ev, ["view", "click", "purchase"], within_days=7,
+        convert_percentiles=pcts,
+    ).collect()))
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = sorted(map(tuple, con.execute(
+        "WITH "
+        + funnel_oracle_ctes(["view", "click", "purchase"], 7,
+                             convert_percentiles=pcts)
+        + " SELECT * FROM fnl"
+    ).fetchall()))
+    con.close()
+    assert got == want

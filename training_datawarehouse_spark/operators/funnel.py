@@ -34,6 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _ttc_col(p: float) -> str:
+    """Column name for a time-to-convert percentile (p=1.0 → p100 =
+    the max)."""
+    return f"ttc_p{int(round(p * 100))}_us"
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str],
@@ -42,6 +48,7 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     persist_steps: bool = False,
+    convert_percentiles: tuple[float, ...] = (),
 ) -> DataFrame:
     """Per-step reached-user counts and conversion-from-step-1.
 
@@ -52,6 +59,22 @@ def funnel_counts(
     t_i exists. Returns one row per step:
     (step, step_name, n_users, conversion) with conversion =
     round(n_users / n_step1, 6) (NULL when step 1 is empty).
+
+    ``convert_percentiles`` (r9): per-step TIME-TO-CONVERT quantiles —
+    for each p, an exact interpolated percentile of (t_i − t1) in
+    MICROSECONDS over the users who reached the step, as
+    ``ttc_p{P}_us`` columns on the same step rows (step 1 is 0 by
+    definition; an empty step is NULL). Computed on the SAME
+    user-grain step frames the counts aggregate — no extra event
+    scan. Units and percentile choice are cross-engine-exactness
+    decisions: micro deltas are exact int64s in both engines (a
+    seconds division would land interpolated midpoints exactly on the
+    6-dp rounding boundary), and DYADIC percentiles (0.5, 0.75, 1.0)
+    make ``(n−1)·p`` and the interpolation weights exact binary
+    fractions, so Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` produce bit-identical doubles (p = 0.9 would
+    put an engine-specific 1-ulp of ``0.9·(n−1)`` under a
+    day-magnitude delta — a 1e-4 absolute wobble at the 6-dp gate).
 
     ``persist_steps=True`` is the many-step/large-corpus mode: each
     user-grain step frame is persisted so it is computed once (instead
@@ -88,9 +111,19 @@ def funnel_counts(
         frames.append(cur)
         prev = t_i
     counts = None
+    pcols = [_ttc_col(p) for p in convert_percentiles]
     for i, (name, fr) in enumerate(zip(steps, frames), start=1):
-        row = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        t_col = "__t1" if i == 1 else f"__t{i}"
+        delta = (
+            F.unix_micros(F.col(t_col)) - F.unix_micros(F.col("__t1"))
+        ).cast("double")
+        aggs = [F.count(F.lit(1)).alias("n_users")] + [
+            F.round(F.percentile(delta, F.lit(p)), 6).alias(_ttc_col(p))
+            for p in convert_percentiles
+        ]
+        row = fr.agg(*aggs).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"),
+            "n_users", *pcols,
         )
         counts = row if counts is None else counts.unionByName(row)
     if persist_steps:
@@ -116,6 +149,7 @@ def funnel_counts(
         F.round(
             F.when(F.col("__n1") > 0, F.col("n_users") / F.col("__n1")), 6
         ).alias("conversion"),
+        *pcols,
     )
 
 
@@ -123,12 +157,16 @@ def funnel_oracle_ctes(
     steps: list[str],
     within_days: int = 7,
     src: str = "events",
+    convert_percentiles: tuple[float, ...] = (),
 ) -> str:
     """DuckDB CTE block re-deriving the identical min-chain; emits
-    ``fnl(step, step_name, n_users, conversion)``. Step names come
-    from DATA (event-type strings), so they are SQL-escaped — an
-    apostrophe-bearing type must not produce a malformed oracle (the
-    Spark side compares by Column equality and was never at risk)."""
+    ``fnl(step, step_name, n_users, conversion[, ttc_p*_us...])``.
+    Step names come from DATA (event-type strings), so they are
+    SQL-escaped — an apostrophe-bearing type must not produce a
+    malformed oracle (the Spark side compares by Column equality and
+    was never at risk). ``convert_percentiles`` mirrors
+    ``funnel_counts``: ``quantile_cont`` over the same micro deltas
+    (dyadic p → bit-identical to Spark's ``percentile``)."""
     def q(name: str) -> str:
         return "'" + str(name).replace("'", "''") + "'"
 
@@ -149,9 +187,21 @@ def funnel_oracle_ctes(
   GROUP BY e.user_id
 )""")
         prev_t = f"t{i}"
+    def ttc_sql(i: int) -> str:
+        t = "t1" if i == 1 else f"t{i}"
+        out = ""
+        for p in convert_percentiles:
+            out += (
+                f",\n         round(quantile_cont("
+                f"(epoch_us({t}) - epoch_us(t1))::DOUBLE, {p!r}), 6)"
+                f" AS {_ttc_col(p)}"
+            )
+        return out
+
+    pass_cols = "".join(f", {_ttc_col(p)}" for p in convert_percentiles)
     unions = "\n  UNION ALL ".join(
         f"SELECT {i} AS step, {q(name)} AS step_name,"
-        f" count(*)::BIGINT AS n_users FROM fnl_s{i}"
+        f" count(*)::BIGINT AS n_users{ttc_sql(i)} FROM fnl_s{i}"
         for i, name in enumerate(steps, start=1)
     )
     parts.append(f"""fnl_c AS (
@@ -159,7 +209,7 @@ def funnel_oracle_ctes(
 ),
 fnl AS (
   SELECT step, step_name, n_users,
-         round(CASE WHEN n1 > 0 THEN n_users / n1 END, 6) AS conversion
+         round(CASE WHEN n1 > 0 THEN n_users / n1 END, 6) AS conversion{pass_cols}
   FROM fnl_c CROSS JOIN (SELECT n_users AS n1 FROM fnl_c WHERE step = 1)
 )""")
     return ",\n".join(parts)

@@ -1624,9 +1624,15 @@ FROM ({ANTI_JOIN_ORACLE})
 #: the funnel stage's ordered step sequence + attribution window
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WITHIN_DAYS = 7
+#: r9 time-to-convert percentiles — DYADIC by design (0.5, 0.75, 1.0):
+#: (n−1)·p and the interpolation weights are exact binary fractions,
+#: so Spark percentile == DuckDB quantile_cont bit-for-bit (see
+#: operators/funnel.py docstring for why 0.9 would wobble)
+FUNNEL_TTC_PERCENTILES = (0.5, 0.75, 1.0)
 
 
-def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def windowed_batch(spark: SparkSession, sf_dir: str,
+                   include_ttc: bool = True) -> DataFrame:
     """Tumbling + sliding window aggregations in one entry (same
     ``F.window`` expressions the streaming module uses), tagged by
     kind — each grain hash-checked against its time_bucket oracle.
@@ -1636,15 +1642,26 @@ def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     window from the user's first view — per-step rows aligned as
     (window_start=NULL, event_type=step name, n=users reached,
     total_value=conversion from step 1, 6 dp). The oracle re-derives
-    the whole min-chain."""
-    from ..operators.funnel import funnel_counts
+    the whole min-chain.
+
+    r9 adds the 'funnel_ttc' kind: per-step time-to-convert
+    percentiles (p50/p75/p100 of t_step − t1 in µs, computed on the
+    SAME user-grain step frames — no extra event scan), unpivoted as
+    (window_start=NULL, event_type='{step}_{name}_p{P}', n=NULL,
+    total_value=percentile µs). The oracle re-derives the deltas and
+    quantiles via quantile_cont. ``include_ttc=False`` is the r8-
+    equivalent sub-plan for the bench lineage twin."""
+    from ..operators.funnel import _ttc_col, funnel_counts
 
     t = tumbling_window(spark, sf_dir).withColumn("kind", F.lit("tumbling"))
     s = sliding_window(spark, sf_dir).withColumn("kind", F.lit("sliding"))
-    fn = funnel_counts(
+    pcts = FUNNEL_TTC_PERCENTILES if include_ttc else ()
+    fc = funnel_counts(
         load_table(spark, sf_dir, "events"),
         FUNNEL_STEPS, within_days=FUNNEL_WITHIN_DAYS,
-    ).select(
+        convert_percentiles=pcts,
+    )
+    fn = fc.select(
         F.lit(None).cast("timestamp").alias("window_start"),
         F.concat(
             F.col("step").cast("string"), F.lit("_"), F.col("step_name")
@@ -1653,11 +1670,37 @@ def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conversion").alias("total_value"),
         F.lit("funnel").alias("kind"),
     )
-    return t.unionByName(s).unionByName(fn)
+    out = t.unionByName(s).unionByName(fn)
+    for pq in pcts:
+        out = out.unionByName(fc.select(
+            F.lit(None).cast("timestamp").alias("window_start"),
+            F.concat(
+                F.col("step").cast("string"), F.lit("_"),
+                F.col("step_name"),
+                F.lit(f"_p{int(round(pq * 100))}"),
+            ).alias("event_type"),
+            F.lit(None).cast("long").alias("n"),
+            F.col(_ttc_col(pq)).alias("total_value"),
+            F.lit("funnel_ttc").alias("kind"),
+        ))
+    return out
 
+
+_FUNNEL_TTC_ORACLE_ROWS = "".join(
+    f"""
+UNION ALL
+SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+       CAST(step AS VARCHAR) || '_' || step_name || '_p{int(round(p * 100))}'
+         AS event_type,
+       CAST(NULL AS BIGINT) AS n, {_funnel._ttc_col(p)} AS total_value,
+       'funnel_ttc' AS kind
+FROM fnl"""
+    for p in FUNNEL_TTC_PERCENTILES
+)
 
 WINDOWED_BATCH_ORACLE = f"""
-WITH {_funnel.funnel_oracle_ctes(FUNNEL_STEPS, FUNNEL_WITHIN_DAYS)}
+WITH {_funnel.funnel_oracle_ctes(FUNNEL_STEPS, FUNNEL_WITHIN_DAYS,
+                                 convert_percentiles=FUNNEL_TTC_PERCENTILES)}
 SELECT *, 'tumbling' AS kind FROM ({TUMBLING_ORACLE})
 UNION ALL
 SELECT *, 'sliding' AS kind FROM ({SLIDING_ORACLE})
@@ -1665,7 +1708,7 @@ UNION ALL
 SELECT CAST(NULL AS TIMESTAMP) AS window_start,
        CAST(step AS VARCHAR) || '_' || step_name AS event_type,
        n_users AS n, conversion AS total_value, 'funnel' AS kind
-FROM fnl
+FROM fnl{_FUNNEL_TTC_ORACLE_ROWS}
 """
 
 
