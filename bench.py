@@ -197,7 +197,8 @@ def _extras() -> list[dict]:
             {"name": "ns_multimodal_meta__r2equiv", "semver": 1,
              "desc": "ns_multimodal_meta semver-1 sub-plan (stub decode only, "
                      "no real codecs)",
-             "builder": lambda s, d: multimodal_meta(s, d, stages=("stub",))},
+             "builder": lambda s, d: _compat(multimodal_meta,
+                 s, d, stages=("stub",))},
             {"name": "ns_multimodal_meta__r3equiv", "semver": 2,
              "desc": "ns_multimodal_meta semver-2 sub-plan (stub+png+wav, "
                      "no jpeg stage)",
