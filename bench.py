@@ -78,9 +78,11 @@ MANIFEST = [
              "retrieval over documents + hybrid more-like-this RRF "
              "fusion of lexical and vector rankings, all oracle-"
              "re-derived)"},
-    {"name": "ns_dedup_lsh_cross_modal", "semver": 2,
+    {"name": "ns_dedup_lsh_cross_modal", "semver": 3,
      "desc": "r3: runs md5-portable hash family for oracle parity "
-             "(xxhash64 production twin timed under extras)"},
+             "(xxhash64 production twin timed under extras); r9/semver-3: "
+             "+ image_phash stage (DCT perceptual hash over REAL decoded "
+             "PNG pixels, Hamming-banded pairs, embedding agreement)"},
     {"name": "tpch_q6_forecast_revenue", "semver": 1,
      "desc": "TPC-H q6 filter-agg"},
     {"name": "op_stream_session_batch", "semver": 1,
@@ -150,8 +152,8 @@ def _extras() -> list[dict]:
             q1_pricing_summary, scalar_breadth,
         )
         from training_datawarehouse_spark.plans.northstar import (
-            lsh_cross_modal_xxhash, multimodal_meta, similarity_topk,
-            split_train_val, text_profile,
+            lsh_cross_modal, lsh_cross_modal_xxhash, multimodal_meta,
+            similarity_topk, split_train_val, text_profile,
         )
         from training_datawarehouse_spark.operators.funnel import (
             funnel_counts,
@@ -175,6 +177,11 @@ def _extras() -> list[dict]:
                      "ns_dedup_lsh_cross_modal (semver 2) minus md5 "
                      "oracle-portability cost",
              "builder": lsh_cross_modal_xxhash},
+            {"name": "ns_dedup_lsh_cross_modal__r8equiv", "semver": 1,
+             "desc": "lsh_cross_modal semver-2 sub-plan (no image_phash "
+                     "stage)",
+             "builder": lambda s, d: _compat(lsh_cross_modal,
+                 s, d, include_image_stage=False)},
             {"name": "op_approx_aggs__r2equiv", "semver": 1,
              "desc": "op_approx_aggs semver-1 sub-plan (per-type stage only, "
                      "no sketch rollup; NOTE: still carries the exact-twin "

@@ -19,6 +19,9 @@ SF_DIR = "/root/testdata/sf0.001"
 ARROW_ALLOWED = {
     "op_win_1_ewma_dual",       # sequential EWMA recurrence (pandas path)
     "ns_multimodal_meta",       # media decode (stub + real PNG/WAV codecs)
+    "ns_dedup_lsh_cross_modal", # r9: pHash image stage — real PNG
+                                # encode→decode→DCT, one row-local
+                                # MapInPandas crossing (phash.py)
 }
 
 
@@ -144,8 +147,13 @@ SHUFFLE_BUDGET = {
     "ns_dedup_exact": 1,
     "op_dd_1_dedup_first": 2,           # + group-size profile branch
     # family: LSH near-dedup — 2 semantic (sig groupBy, band groupBy),
-    # counted across the candidates ∪ cross-modal branches statically
-    "ns_dedup_lsh_cross_modal": 10,
+    # counted across the candidates ∪ cross-modal branches statically.
+    # r9: +2 for the image_phash stage (pHash band groupBy + candidate
+    # distinct — the same two semantic shuffles as MinHash banding, on
+    # (band, 16-bit) keys; signature computation is row-local inside
+    # the Arrow crossing and the Hamming verify joins broadcast the
+    # capped candidate set)
+    "ns_dedup_lsh_cross_modal": 12,
     # family: similarity/retrieval — corpus never shuffles for the
     # cosine stage (1: top-k window). r7: +9 for BM25 + RRF — the
     # shared scored candidate set materializes at build time behind a
@@ -175,7 +183,12 @@ SHUFFLE_BUDGET = {
     # localCheckpoints before the scoring plan is built), so their
     # training exchanges run once at build time instead of appearing
     # in — and being re-derived by — the final plan.
-    "ns_text_profile": 8,
+    # r9: +1 for the unigram-LM stage — the per-doc groupBy over
+    # exploded trainable words (ulm_nll/ulm_exp_tokens partial agg;
+    # the vocabulary-sized word-stats table broadcasts, and the EM
+    # training loop runs at build time, so this is the stage's only
+    # exchange — same shape as the r6 BPE-encode groupBy).
+    "ns_text_profile": 9,
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,

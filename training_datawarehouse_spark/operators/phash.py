@@ -1,0 +1,205 @@
+"""DCT perceptual-hash (pHash) image dedup over REAL decoded pixels.
+
+Classic pHash (the public method: Zauner 2010, "Implementation and
+Benchmarking of Perceptual Image Hash Functions"; pHash.org):
+grayscale -> downsample -> 2-D DCT-II -> keep the low-frequency block
+-> threshold each coefficient against the median -> 64-bit
+fingerprint. Near-duplicate images differ in few bits, so candidate
+generation is Hamming-banded LSH (split the 64 bits into 4 x 16-bit
+bands; a clean band => candidate) followed by exact Hamming
+verification — the same band/verify shape as the MinHash pipeline in
+``dedup.py``.
+
+Two engine adaptations keep the whole thing differentially checkable
+against a DuckDB oracle while still exercising the REAL image codec:
+
+- FIXED-POINT DCT. The 8x8 DCT-II basis is integerized as
+  ``round(cos((2x+1)·u·pi/16) * 1024)`` so every coefficient is an
+  exact int64 in both engines (a float DCT would need bitwise-
+  identical summation order across engines). The fingerprint is
+  bit-for-bit reproducible from the pixel values alone.
+- SIMILARITY-PRESERVING synthetic pixels. Image content is a 16x16
+  token-histogram grid derived from document text (each token lands
+  in cell ``md5_prefix(token) % 256``; pixel = min(255, 16·count)),
+  ENCODED into a real PNG and DECODED back through the in-tree real
+  codec (`multimodal.encode_png`/`decode_png`) inside the plan — the
+  hash is computed from pixels the engine genuinely decoded, and
+  near-dup texts share tokens => similar histograms => close pHashes.
+  (md5-of-whole-text pixels, as `synthesize_png_payload` uses, would
+  destroy similarity: one changed token flips every pixel.)
+
+Reference parity: the reference engine has no image-content dedup —
+this is the charter multimodal-dedup extension (SURVEY §2.2); the
+published pHash method is implemented from its definition.
+
+Scale shape (100 TB): synthesis + PNG encode + REAL decode + 64-int
+DCT are ROW-LOCAL inside one Arrow crossing; nothing wider than
+(id, 4 x int) survives it. Only the (band, 16-bit value) keys shuffle
+for the band join — same banding shape and hot-bucket cap as MinHash
+LSH — and Hamming verification touches candidate pairs only, via a
+broadcast of the capped candidate set into the signature lookup.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .dedup import _pairs_expr
+from .multimodal import decode_png, encode_png
+
+GRID = 16                 # synthesized image side (16x16 grayscale)
+DCT_N = 8                 # DCT block side after 2x2 downsample
+DCT_SCALE = 1024          # fixed-point scale for the cosine basis
+N_BITS = DCT_N * DCT_N    # 64-bit fingerprint
+BAND_BITS = 16
+N_BANDS = N_BITS // BAND_BITS
+PIXEL_GAIN = 16           # pixel = min(255, PIXEL_GAIN * token count)
+# Calibrated on the synthetic corpus (sf0.001, full pairwise Hamming
+# histogram over banded candidates): true text near-dups land at <= 6
+# bits, while vocabulary-overlap-only pairs form a continuum from ~8
+# bits up (short docs => sparse 256-cell histograms => a lower
+# unrelated-pair baseline than photographic pHash's classic <= 10/64).
+DEFAULT_MAX_HAMMING = 6
+
+
+def dct_basis_int() -> list[list[int]]:
+    """The integerized 8x8 DCT-II basis C[u][x] = round(cos((2x+1)·u·
+    pi/16) · 1024). Single source of truth: the Spark-side numpy DCT
+    and the generated oracle SQL both read THIS table, so the two
+    engines cannot disagree on the basis."""
+    return [
+        [round(math.cos((2 * x + 1) * u * math.pi / (2 * DCT_N)) * DCT_SCALE)
+         for x in range(DCT_N)]
+        for u in range(DCT_N)
+    ]
+
+
+def token_grid_pixels(text: str) -> bytes:
+    """16x16 grayscale token-histogram image for one document: token
+    -> cell ``int(md5(token)[:15 hex], 16) % 256`` (the engine-portable
+    md5-prefix integer convention of ``dedup.hashed_shingles_portable``
+    — `('0x' || substr(md5(t),1,15))::BIGINT` in the oracle), pixel =
+    min(255, 16·count). Tokenization is a bare split on ' ' to match
+    DuckDB's ``string_split(text, ' ')``."""
+    counts = [0] * (GRID * GRID)
+    for tok in text.split(" "):
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        counts[h % (GRID * GRID)] += 1
+    return bytes(min(255, PIXEL_GAIN * c) for c in counts)
+
+
+def phash_bands(pixels: bytes) -> list[int]:
+    """64-bit pHash of a 16x16 grayscale raster, returned as 4 x
+    16-bit band integers (band k holds bits [16k, 16k+16), LSB-first
+    within the band). Exact integer math throughout:
+
+    - 2x2 block SUM (not mean — no division, stays int) -> 8x8,
+    - fixed-point DCT  F = C · S · C^T  (int64; |F| <= 1020·64·1024²
+      ≈ 6.8e13, far inside int64),
+    - threshold: bit_i = F_i > (32nd-smallest of the 64 coefficients)
+      — the lower median, chosen over the averaged median so it is a
+      k-th order statistic both engines compute identically on ints.
+    """
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(GRID, GRID)
+    s = img.reshape(DCT_N, 2, DCT_N, 2).sum(axis=(1, 3)).astype(np.int64)
+    c = np.array(dct_basis_int(), dtype=np.int64)
+    f = (c @ s @ c.T).reshape(-1)          # f[u*8+v], row u = y-freq
+    med = np.sort(f)[N_BITS // 2 - 1]      # 32nd smallest (0-idx 31)
+    bits = f > med
+    bands = []
+    for k in range(N_BANDS):
+        val = 0
+        for j in range(BAND_BITS):
+            if bits[k * BAND_BITS + j]:
+                val |= 1 << j
+        bands.append(val)
+    return bands
+
+
+def image_phash_signatures(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """(id, b0..b3) pHash signatures: synthesize the token-grid image,
+    round-trip it through the REAL PNG codec (encode with a per-row
+    scanline filter so all five filter paths run, then full decode —
+    CRCs, inflate, un-filter), and pHash the DECODED raster. One
+    Arrow crossing, row-local, no shuffle."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"b{k}", T.IntegerType()) for k in range(N_BANDS)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                pix = token_grid_pixels(text)
+                png = encode_png(GRID, GRID, pix,
+                                 filter_type=len(text) % 5)
+                decoded = decode_png(png)["pixels"]
+                rows.append([did, *phash_bands(decoded)])
+            yield pd.DataFrame(
+                rows, columns=["id"] + [f"b{k}" for k in range(N_BANDS)])
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def phash_candidate_pairs(
+    sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Hamming-banded near-dup pairs from (id, b0..b3) signatures:
+    explode the 4 bands, bucket-join on (band, value) with the same
+    hot-bucket cap as the MinHash pipeline, then verify exact Hamming
+    distance ``sum_k bit_count(b_k XOR b'_k)`` over broadcast-joined
+    candidate pairs. Returns (id_a, id_b, hamming) with hamming <=
+    max_hamming, id_a < id_b.
+
+    Recall contract (multi-index hashing, Norouzi et al. 2012): with m
+    bands, a pair is GUARANTEED a clean band when its distance < m
+    (pigeonhole) — here m=4, so ham <= 3 is certain and 4..6 is
+    probabilistic (errors must all avoid one band; the planted-pair
+    test pins the behavior on this corpus). Scale sizing: 16-bit band
+    keys give 65 536 buckets per band, so expected bucket occupancy is
+    n/2^16 — fine to ~10^7 docs, but at 10^9 every bucket holds ~15 k
+    and the cap truncates recall. The production scale-up is a WIDER
+    hash, not a different plan: a 16x16 DCT block -> 256-bit hash ->
+    16 bands both restores the guarantee (radius 15) and re-sparsifies
+    the buckets; the banding/verify shape here is band-count-generic
+    (see SCALE.md r9)."""
+    band_structs = F.array(*[
+        F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+        for k in range(N_BANDS)
+    ])
+    banded = sig.select(
+        F.col("id").alias("bid"), F.explode(band_structs).alias("bs")
+    ).select("bid", F.col("bs.band"), F.col("bs.val"))
+
+    cand = (
+        banded.groupBy("band", "val")
+        .agg(F.array_sort(F.collect_list("bid")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+    a = sig.select(F.col("id").alias("id_a"),
+                   *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)])
+    b = sig.select(F.col("id").alias("id_b"),
+                   *[F.col(f"b{k}").alias(f"c{k}") for k in range(N_BANDS)])
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
+        for k in range(N_BANDS)
+    )
+    return (
+        a.join(F.broadcast(cand), "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

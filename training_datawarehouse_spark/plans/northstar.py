@@ -15,6 +15,7 @@ from ..operators import bpe
 from ..operators import classifier as clf
 from ..operators import unigram as ug
 from ..operators import dedup as dd
+from ..operators import phash as ph
 from ..operators import quantization as pq
 from ..operators import retrieval as rtr
 from ..operators import sampling
@@ -2913,10 +2914,49 @@ LEFT JOIN dsc USING (doc_id)
 DOC_SIGNATURES_ORACLE = _doc_signatures_oracle()
 
 
-def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-CONTENT near-dup pairs via DCT perceptual hash over REAL
+    decoded pixels (`operators/phash.py`): token-grid image → real PNG
+    encode → real decode → fixed-point 8×8 DCT → 64-bit pHash →
+    Hamming-banded candidates → exact-Hamming verify (≤12/64 bits).
+    Emitted in the cross-modal schema: the ``jaccard`` slot carries
+    the image similarity ``1 − hamming/64`` (documented overload — the
+    union needs one similarity column per stage), ``cosine`` is the
+    embedding cosine for pairs that carry embeddings (LEFT join: an
+    image-dup pair without embeddings survives with null cosine), and
+    ``agree`` mirrors the cross_modal stage's ``cosine ≥ 0.2`` QA bit
+    — image-content dup CONFIRMED (or not) by embedding space."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ph.image_phash_signatures(docs, "doc_id", "text")
+    pairs = ph.phash_candidate_pairs(sig)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    joined = (
+        pairs
+        .join(v.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a", "left")
+        .join(v.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}), "id_b", "left")
+    )
+    cos = F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
+    return joined.select(
+        F.lit("image_phash").alias("stage"), "id_a", "id_b",
+        F.round(F.lit(1.0) - F.col("hamming") / F.lit(64.0), 6).alias("jaccard"),
+        cos.alias("cosine"),
+        (cos >= 0.2).cast("int").alias("agree"),
+    )
+
+
+def lsh_cross_modal(spark: SparkSession, sf_dir: str,
+                    include_image_stage: bool = True) -> DataFrame:
     """MinHash-LSH near-dup candidates (τ=0.5) plus the cross-modal
     agreement pass (τ=0.3 candidates scored by embedding cosine),
     tagged by stage — the candidate stage carries null cosine/agree.
+
+    Round 9 (semver 3): + the ``image_phash`` stage — image-content
+    near-dup pairs from DCT perceptual hashes of REALLY-decoded PNG
+    pixels, cross-checked against embedding cosine (see
+    ``image_phash_stage``). ``include_image_stage=False`` is the
+    r8-equivalent plan for the bench twin.
 
     The LSH threshold only gates the final verified-Jaccard filter, so
     ONE candidate pass at τ=0.3 feeds both stages (τ=0.5 is a filter of
@@ -2942,7 +2982,10 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cross_modal").alias("stage"), "id_a", "id_b", "jaccard",
         "cosine", "agree",
     )
-    return cand.unionByName(cm)
+    out = cand.unionByName(cm)
+    if include_image_stage:
+        out = out.unionByName(image_phash_stage(spark, sf_dir))
+    return out
 
 
 def lsh_cross_modal_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2979,7 +3022,20 @@ def _lsh_cross_modal_oracle(
     integers, the same (a_i·x + b_i·y + i) mod P minhash family
     (coefficients injected from ``dedup.lsh_hash_coeffs`` — one source
     of truth), the same banded buckets with the hot-bucket cap, exact
-    Jaccard over distinct g1 ids, and cosine over the embeddings."""
+    Jaccard over distinct g1 ids, and cosine over the embeddings.
+
+    Round 9: + the ``image_phash`` stage re-derived END-TO-END in SQL
+    — the token-histogram pixels from the same md5-prefix integers,
+    the 2×2 block sums, the fixed-point DCT against the SAME
+    integerized basis the Spark side uses (``phash.dct_basis_int()``
+    injected as a VALUES table — one source of truth), the lower-
+    median threshold as a k-th order statistic, the 4×16-bit bands,
+    the capped band join, and exact Hamming via bit_count(xor). The
+    one thing SQL cannot re-derive is the PNG encode→decode round
+    trip in the middle of the Spark plan; that step is pixel-identity
+    by construction (lossless codec) and is pinned by the round-trip
+    pytest (`tests/test_phash.py`) — the oracle checks the math on
+    the same pixels the decoder reproduced."""
     p = dd._LSH_P
     mins = ",\n         ".join(
         f"min((({a} * (g1 % {p})) % {p} + ({b} * (g2 % {p})) % {p} + {i}) % {p})"
@@ -2994,8 +3050,14 @@ def _lsh_cross_modal_oracle(
     )
     gram = " || ' ' || ".join(f"toks[i + {j}]" if j else "toks[i]"
                               for j in range(shingle_n))
+    cos_rows = ",".join(
+        f"({u},{x},{c})"
+        for u, row in enumerate(ph.dct_basis_int()) for x, c in enumerate(row)
+    )
+    n_cells = ph.GRID * ph.GRID
     return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH cosq(u, x, c) AS (VALUES {cos_rows}),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
@@ -3052,6 +3114,67 @@ cm AS (
   JOIN e ea ON ea.vec_id = v2.id_a
   JOIN e eb ON eb.vec_id = v2.id_b
   WHERE v2.jaccard >= {tau_all}
+),
+ptok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+pcell AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {n_cells} AS cell
+  FROM ptok
+),
+pcnt AS (SELECT doc_id, cell, count(*) AS cnt FROM pcell GROUP BY 1, 2),
+pgrid AS (
+  SELECT d.doc_id, g.cell, coalesce(pc.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, {n_cells})) AS cell) g
+  LEFT JOIN pcnt pc ON pc.doc_id = d.doc_id AND pc.cell = g.cell
+),
+ppix AS (
+  SELECT doc_id, least(255, cnt * {ph.PIXEL_GAIN}) AS p,
+         (cell // {ph.GRID}) // 2 AS by, (cell % {ph.GRID}) // 2 AS bx
+  FROM pgrid
+),
+pblk AS (SELECT doc_id, by, bx, sum(p)::BIGINT AS s FROM ppix GROUP BY 1, 2, 3),
+pdct AS (
+  SELECT b.doc_id, cu.u AS u, cv.u AS v, sum(b.s * cu.c * cv.c)::BIGINT AS f
+  FROM pblk b JOIN cosq cu ON cu.x = b.by JOIN cosq cv ON cv.x = b.bx
+  GROUP BY 1, 2, 3
+),
+pmed AS (
+  SELECT doc_id, list_sort(list(f))[{ph.N_BITS // 2}] AS med
+  FROM pdct GROUP BY 1
+),
+pbit AS (
+  SELECT d.doc_id, (d.u * {ph.DCT_N} + d.v) AS i, (d.f > m.med)::BIGINT AS bit
+  FROM pdct d JOIN pmed m ON m.doc_id = d.doc_id
+),
+psig AS (
+  SELECT doc_id, (i // {ph.BAND_BITS}) AS band,
+         sum(bit << (i % {ph.BAND_BITS}))::BIGINT AS val
+  FROM pbit GROUP BY 1, 2
+),
+pbc AS (SELECT band, val, count(*) AS n FROM psig GROUP BY 1, 2),
+pcand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM psig x
+  JOIN psig y ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+  JOIN pbc ON pbc.band = x.band AND pbc.val = x.val
+  WHERE pbc.n <= {max_bucket}
+),
+pham AS (
+  SELECT c.id_a, c.id_b, sum(bit_count(xor(sa.val, sb.val)))::BIGINT AS ham
+  FROM pcand c
+  JOIN psig sa ON sa.doc_id = c.id_a
+  JOIN psig sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+  GROUP BY 1, 2
+),
+pimg AS (
+  SELECT h.id_a, h.id_b, round(1 - h.ham / 64.0, 6) AS jaccard,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM pham h
+  LEFT JOIN e ea ON ea.vec_id = h.id_a
+  LEFT JOIN e eb ON eb.vec_id = h.id_b
+  WHERE h.ham <= {ph.DEFAULT_MAX_HAMMING}
 )
 SELECT 'candidates' AS stage, id_a, id_b, jaccard,
        NULL::DOUBLE AS cosine, NULL::INT AS agree
@@ -3060,6 +3183,10 @@ UNION ALL
 SELECT 'cross_modal', id_a, id_b, jaccard, cosine,
        (cosine >= 0.2)::INT
 FROM cm
+UNION ALL
+SELECT 'image_phash', id_a, id_b, jaccard, cosine,
+       (cosine >= 0.2)::INT
+FROM pimg
 """
 
 
