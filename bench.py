@@ -82,7 +82,9 @@ MANIFEST = [
      "desc": "r3: runs md5-portable hash family for oracle parity "
              "(xxhash64 production twin timed under extras); r9/semver-3: "
              "+ image_phash stage (DCT perceptual hash over REAL decoded "
-             "PNG pixels, Hamming-banded pairs, embedding agreement)"},
+             "PNG pixels) + audio_fp stage (Haitsma-Kalker spectral "
+             "fingerprint over REAL decoded WAV samples), both "
+             "Hamming-banded with embedding agreement"},
     {"name": "tpch_q6_forecast_revenue", "semver": 1,
      "desc": "TPC-H q6 filter-agg"},
     {"name": "op_stream_session_batch", "semver": 1,
@@ -178,10 +180,11 @@ def _extras() -> list[dict]:
                      "oracle-portability cost",
              "builder": lsh_cross_modal_xxhash},
             {"name": "ns_dedup_lsh_cross_modal__r8equiv", "semver": 1,
-             "desc": "lsh_cross_modal semver-2 sub-plan (no image_phash "
-                     "stage)",
+             "desc": "lsh_cross_modal semver-2 sub-plan (no image_phash / "
+                     "audio_fp stages)",
              "builder": lambda s, d: _compat(lsh_cross_modal,
-                 s, d, include_image_stage=False)},
+                 s, d, include_image_stage=False,
+                 include_audio_stage=False)},
             {"name": "op_approx_aggs__r2equiv", "semver": 1,
              "desc": "op_approx_aggs semver-1 sub-plan (per-type stage only, "
                      "no sketch rollup; NOTE: still carries the exact-twin "

@@ -19,9 +19,9 @@ SF_DIR = "/root/testdata/sf0.001"
 ARROW_ALLOWED = {
     "op_win_1_ewma_dual",       # sequential EWMA recurrence (pandas path)
     "ns_multimodal_meta",       # media decode (stub + real PNG/WAV codecs)
-    "ns_dedup_lsh_cross_modal", # r9: pHash image stage — real PNG
-                                # encode→decode→DCT, one row-local
-                                # MapInPandas crossing (phash.py)
+    # (ns_dedup_lsh_cross_modal's r9 pHash/audio codec crossings run at
+    # BUILD time behind eager localCheckpoints — the final plan reads
+    # the (id, 4×int) signature RDDs, so it needs no allowlisting here)
 }
 
 
@@ -148,12 +148,14 @@ SHUFFLE_BUDGET = {
     "op_dd_1_dedup_first": 2,           # + group-size profile branch
     # family: LSH near-dedup — 2 semantic (sig groupBy, band groupBy),
     # counted across the candidates ∪ cross-modal branches statically.
-    # r9: +2 for the image_phash stage (pHash band groupBy + candidate
-    # distinct — the same two semantic shuffles as MinHash banding, on
-    # (band, 16-bit) keys; signature computation is row-local inside
-    # the Arrow crossing and the Hamming verify joins broadcast the
-    # capped candidate set)
-    "ns_dedup_lsh_cross_modal": 12,
+    # r9: +0 in the FINAL plan for the image_phash and audio_fp stages
+    # — their semantic shuffles (hash-group groupBy, band groupBy,
+    # rep-pair distinct, per stage) run at BUILD time behind eager
+    # localCheckpoints of the signature and verified-pair frames; the
+    # final plan unions two pair RDDs joined LEFT to the (broadcast at
+    # this scale) embeddings. The codec crossings are row-local inside
+    # the signature checkpoint.
+    "ns_dedup_lsh_cross_modal": 10,
     # family: similarity/retrieval — corpus never shuffles for the
     # cosine stage (1: top-k window). r7: +9 for BM25 + RRF — the
     # shared scored candidate set materializes at build time behind a

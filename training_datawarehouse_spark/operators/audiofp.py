@@ -1,0 +1,168 @@
+"""Audio-content dedup via spectral fingerprint over REAL decoded WAV.
+
+Haitsma & Kalker 2002 ("A Highly Robust Audio Fingerprinting
+System"): frame the signal, compute per-frame band energies, and take
+the SIGN of the energy difference's time-derivative as the
+fingerprint bits — robust because signs of band-energy deltas survive
+amplitude scaling, codec noise, and small edits. This module is that
+method at engine scale, with the same two adaptations that made the
+image pHash (`phash.py`) differentially checkable:
+
+- INTEGER-EXACT math end to end. The synthesis wave table and the
+  per-frame DFT basis are fixed-point (``round(cos·scale)``), band
+  energies are ``re² + im²`` of int64 sums, and the bits are sign
+  comparisons of int64 differences — the DuckDB oracle re-derives
+  every sample, energy, and bit exactly (no float summation-order
+  hazards). Bit layout (an adaptation of the paper's 33-bin scheme to
+  a 64-bit fingerprint): frames f=1..8 × bands b=0..7 with a CYCLIC
+  band neighbor, bit_{(f-1)·8+b} = [ (E[f][b] − E[f][(b+1) mod 8])
+  − (E[f−1][b] − E[f−1][(b+1) mod 8]) > 0 ].
+- SIMILARITY-PRESERVING synthetic audio. Each token contributes one
+  amplitude-modulated sinusoid (frequency and AM phase from the
+  md5-prefix integer convention shared with `dedup`/`phash`); the
+  mixture is clamped to 16-bit PCM, ENCODED to a real WAV and DECODED
+  back through the in-tree stdlib codec inside the plan, so the
+  fingerprint is computed from samples the engine genuinely decoded.
+  Near-dup texts share tokens => nearly the same mixture => close
+  fingerprints. The AM period (7) is coprime with the carrier's
+  4-frame period so no two of the 16 frames repeat — all 64 bits
+  carry signal.
+
+Candidate generation and Hamming verification REUSE
+`phash.phash_candidate_pairs` — one banded-Hamming operator serves
+both modalities (the signatures share the (id, b0..b3) shape).
+
+Reference parity: the reference engine has no audio-content dedup —
+charter multimodal extension (SURVEY §2.2); the published method is
+implemented from its definition.
+
+Scale shape (100 TB): synthesis + WAV encode + REAL decode + the
+16×8-bin integer DFT are ROW-LOCAL inside one Arrow crossing; only
+(id, 4 × int32) leaves it. Banding/verify inherit the pHash/MinHash
+shape (16-bit band keys, hot-bucket cap, candidate-only Hamming).
+"""
+from __future__ import annotations
+
+import functools
+import hashlib
+import math
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .multimodal import decode_wav, encode_wav
+from .phash import BAND_BITS, N_BANDS
+
+N_SAMPLES = 256           # synthesized clip length (16 frames x 16)
+FRAME = 16
+N_FRAMES = N_SAMPLES // FRAME
+N_BINS = 8
+WAVE_SCALE = 256          # synthesis carrier fixed-point scale
+DFT_SCALE = 1024          # analysis basis fixed-point scale
+N_FREQS = 31              # token carrier frequencies 1..31
+AM_PERIOD = 7             # coprime with the carrier's 4-frame period
+DEFAULT_MAX_HAMMING = 6   # calibrated like phash (see registry stage)
+
+
+def wave_table_int() -> list[int]:
+    """64-entry fixed-point carrier: round(cos(2·pi·i/64) · 256).
+    Single source of truth for synthesis in both engines."""
+    return [round(math.cos(2 * math.pi * i / 64) * WAVE_SCALE)
+            for i in range(64)]
+
+
+def dft_basis_int() -> tuple[list[list[int]], list[list[int]]]:
+    """Per-frame DFT basis, fixed-point: cos/sin(2·pi·b·t/16) · 1024
+    for b in 0..7, t in 0..15. Injected into the oracle as VALUES."""
+    cos = [[round(math.cos(2 * math.pi * b * t / FRAME) * DFT_SCALE)
+            for t in range(FRAME)] for b in range(N_BINS)]
+    sin = [[round(math.sin(2 * math.pi * b * t / FRAME) * DFT_SCALE)
+            for t in range(FRAME)] for b in range(N_BINS)]
+    return cos, sin
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def token_freq_phase(tok: str) -> tuple[int, int]:
+    """(carrier frequency 1..31, AM phase 0..6) from the md5-prefix
+    integer — the convention shared with `dedup` and `phash`:
+    h = ('0x' || substr(md5(tok), 1, 15))::BIGINT; k = h % 31 + 1,
+    phase = (h // 31) % 7. lru_cached: corpus tokens repeat heavily,
+    so the md5 runs once per distinct token per executor."""
+    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+    return h % N_FREQS + 1, (h // N_FREQS) % AM_PERIOD
+
+
+_T = np.arange(N_SAMPLES, dtype=np.int64)
+_AM_FRAME = _T // FRAME
+_WAVE_NP = np.array(wave_table_int(), dtype=np.int64)
+
+
+def token_wave_samples(text: str) -> list[int]:
+    """256-sample 16-bit PCM mixture: each token adds its carrier
+    ``wave[(k·t) mod 64]`` amplitude-modulated by
+    ``1 + (t//16 + phase) mod 7``; the sum clamps to int16 (the clamp
+    is deterministic and mirrored by the oracle). Vectorized: one
+    numpy gather+axpy per token, no per-sample Python loop."""
+    s = np.zeros(N_SAMPLES, dtype=np.int64)
+    for tok in text.split(" "):
+        k, phase = token_freq_phase(tok)
+        s += _WAVE_NP[(k * _T) % 64] * (1 + (_AM_FRAME + phase) % AM_PERIOD)
+    return np.clip(s, -32768, 32767).tolist()
+
+
+def fingerprint_bands(samples: list[int] | np.ndarray) -> list[int]:
+    """64-bit spectral fingerprint of a 256-sample clip as 4 x 16-bit
+    band ints (the `phash` signature shape). Exact int64 throughout:
+    E[f][b] = re² + im² of the fixed-point frame DFT (|re| <=
+    32767·16·1024 ≈ 5.4e8, E <= 5.8e17 — inside int64), bits as in
+    the module docstring."""
+    cos, sin = dft_basis_int()
+    s = np.asarray(samples, dtype=np.int64).reshape(N_FRAMES, FRAME)
+    c = np.array(cos, dtype=np.int64)   # (bins, t)
+    sn = np.array(sin, dtype=np.int64)
+    re = s @ c.T                        # (frames, bins)
+    im = s @ sn.T
+    e = re * re + im * im
+    d = e - np.roll(e, -1, axis=1)      # E[f][b] - E[f][(b+1) % 8]
+    bits = (d[1:1 + 8] - d[0:8]) > 0    # frames 1..8 vs their predecessor
+    flat = bits.reshape(-1)
+    bands = [0] * N_BANDS
+    for i, bit in enumerate(flat):
+        if bit:
+            bands[i // BAND_BITS] |= 1 << (i % BAND_BITS)
+    return bands
+
+
+def audio_fingerprint_signatures(df: DataFrame, id_col: str, text_col: str,
+                                 parallelism: int | None = None) -> DataFrame:
+    """(id, b0..b3) audio fingerprints: synthesize the token mixture,
+    round-trip it through the REAL stdlib WAV codec (16-bit PCM is
+    lossless, so decode reproduces the samples — asserted by pytest),
+    and fingerprint the DECODED samples. One Arrow crossing,
+    row-local, no shuffle; shares the signature schema with
+    `phash.image_phash_signatures` so `phash_candidate_pairs` serves
+    both modalities. ``parallelism``: same CPU-bound-crossing
+    repartition as `image_phash_signatures` (see its docstring)."""
+    if parallelism:
+        df = df.select(id_col, text_col).repartition(parallelism)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"b{k}", T.IntegerType()) for k in range(N_BANDS)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                samples = token_wave_samples(text)
+                wav = encode_wav(samples)
+                pcm = decode_wav(wav)["pcm"]
+                decoded = struct.unpack(f"<{N_SAMPLES}h", pcm)
+                rows.append([did, *fingerprint_bands(decoded)])
+            yield pd.DataFrame(
+                rows, columns=["id"] + [f"b{k}" for k in range(N_BANDS)])
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

@@ -41,6 +41,7 @@ broadcast of the capped candidate set into the signature lookup.
 """
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 from typing import Iterator
@@ -51,6 +52,25 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .dedup import _pairs_expr
 from .multimodal import decode_png, encode_png
+
+def _self_incl_pairs_expr(ids: str):
+    """All ordered pairs (a <= b, INCLUDING a == a self-pairs) from a
+    sorted id array — `dedup._pairs_expr` with the slice start moved
+    from i+2 to i+1. Self-pairs mark multi-doc hash groups whose
+    within-group (Hamming-0) expansion is licensed by an under-cap
+    bucket, mirroring the oracle's doc-grain semantics."""
+    return F.flatten(
+        F.transform(
+            F.col(ids),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids), (i + 1).cast("int"),
+                        F.greatest(F.size(F.col(ids)) - i,
+                                   F.lit(0)).cast("int")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
 
 GRID = 16                 # synthesized image side (16x16 grayscale)
 DCT_N = 8                 # DCT block side after 2x2 downsample
@@ -65,6 +85,16 @@ PIXEL_GAIN = 16           # pixel = min(255, PIXEL_GAIN * token count)
 # bits up (short docs => sparse 256-cell histograms => a lower
 # unrelated-pair baseline than photographic pHash's classic <= 10/64).
 DEFAULT_MAX_HAMMING = 6
+# Hot-bucket cap for 16-BIT band keys. This is deliberately far below
+# the MinHash family's 10_000: minhash band keys are 4x32-bit concats
+# (collisions are evidence of similarity), while a 16-bit band key has
+# only 65 536 values, so bucket occupancy grows as n/2^16 with corpus
+# size — at 500 k docs the 100x probe measured a 10 000 cap letting
+# near-full buckets expand quadratically into a >1 GiB candidate
+# broadcast. 512 is ~67x the expected occupancy at that scale: only
+# degenerate-content buckets (near-constant fingerprints) hit it, and
+# a skipped hot band still leaves a pair 3 other bands to surface in.
+DEFAULT_MAX_BUCKET = 512
 
 
 def dct_basis_int() -> list[list[int]]:
@@ -79,6 +109,14 @@ def dct_basis_int() -> list[list[int]]:
     ]
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _token_cell(tok: str) -> int:
+    """Grid cell for one token (md5 once per distinct token per
+    executor — corpus tokens repeat heavily)."""
+    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+    return h % (GRID * GRID)
+
+
 def token_grid_pixels(text: str) -> bytes:
     """16x16 grayscale token-histogram image for one document: token
     -> cell ``int(md5(token)[:15 hex], 16) % 256`` (the engine-portable
@@ -88,8 +126,7 @@ def token_grid_pixels(text: str) -> bytes:
     DuckDB's ``string_split(text, ' ')``."""
     counts = [0] * (GRID * GRID)
     for tok in text.split(" "):
-        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-        counts[h % (GRID * GRID)] += 1
+        counts[_token_cell(tok)] += 1
     return bytes(min(255, PIXEL_GAIN * c) for c in counts)
 
 
@@ -121,13 +158,24 @@ def phash_bands(pixels: bytes) -> list[int]:
     return bands
 
 
-def image_phash_signatures(df: DataFrame, id_col: str,
-                           text_col: str) -> DataFrame:
+def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
+                           parallelism: int | None = None) -> DataFrame:
     """(id, b0..b3) pHash signatures: synthesize the token-grid image,
     round-trip it through the REAL PNG codec (encode with a per-row
     scanline filter so all five filter paths run, then full decode —
     CRCs, inflate, un-filter), and pHash the DECODED raster. One
-    Arrow crossing, row-local, no shuffle."""
+    Arrow crossing, row-local, no shuffle (with ``parallelism`` unset).
+
+    ``parallelism``: optional round-robin repartition WIDTH for the
+    crossing. Parquet sizes scan partitions for IO (~128 MB), but this
+    crossing is CPU-bound at ~0.5 ms/row — a 50 MB file holding 500 k
+    docs would otherwise run as ONE multi-minute task (measured on the
+    100x replica, SCALE.md r9). Callers at corpus scale pass
+    ``spark.sparkContext.defaultParallelism``; the extra exchange
+    ships only (id, text) and is priced at build time when the result
+    is checkpointed."""
+    if parallelism:
+        df = df.select(id_col, text_col).repartition(parallelism)
     schema = T.StructType(
         [T.StructField("id", T.LongType())]
         + [T.StructField(f"b{k}", T.IntegerType()) for k in range(N_BANDS)]
@@ -150,56 +198,108 @@ def image_phash_signatures(df: DataFrame, id_col: str,
 
 def phash_candidate_pairs(
     sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
-    max_bucket: int = 10_000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Hamming-banded near-dup pairs from (id, b0..b3) signatures:
-    explode the 4 bands, bucket-join on (band, value) with the same
-    hot-bucket cap as the MinHash pipeline, then verify exact Hamming
-    distance ``sum_k bit_count(b_k XOR b'_k)`` over broadcast-joined
-    candidate pairs. Returns (id_a, id_b, hamming) with hamming <=
-    max_hamming, id_a < id_b.
+    """Hamming-banded near-dup pairs from (id, b0..b3) signatures.
+    Returns (id_a, id_b, hamming) with hamming <= max_hamming,
+    id_a < id_b.
+
+    The pipeline bands over DISTINCT FINGERPRINTS, not documents —
+    the standard dedupe-before-LSH refinement, and on perceptual
+    hashes it matters far more than on minhash signatures because
+    fingerprints are heavily repeated (exact dups, near-constant
+    low-content docs). Measured on the 100x replica (500 k docs,
+    ~96 k distinct hashes): doc-grain banding expanded ~100 M raw
+    in-bucket pairs in 361 s; hash-grain banding does the quadratic
+    work at rep grain and only expands to doc pairs AFTER the
+    Hamming <= tau filter (SCALE.md r9).
+
+    Stages:
+    1. group identical (b0..b3) -> one REP row per distinct hash
+       carrying its member-id list and member count,
+    2. band the reps; bucket weight = SUM of member counts, so the
+       hot-bucket cap keeps the ORACLE's doc-grain semantics
+       (a bucket is hot when it holds > max_bucket DOCUMENTS,
+       regardless of how the docs collapse into hashes),
+    3. in-bucket rep-pair expansion INCLUDING self-pairs (gid_a ==
+       gid_b: a multi-doc hash group pairs with itself at Hamming 0 —
+       but only, like the oracle, when one of its band buckets is
+       under the cap),
+    4. exact Hamming on rep hashes, filter <= max_hamming at rep
+       grain (before any doc-grain expansion),
+    5. expand surviving rep pairs to doc pairs: C(g,2) within a
+       group, full cross-product between groups; each doc pair
+       belongs to exactly one group pair, so no post-expansion
+       distinct is needed.
 
     Recall contract (multi-index hashing, Norouzi et al. 2012): with m
     bands, a pair is GUARANTEED a clean band when its distance < m
     (pigeonhole) — here m=4, so ham <= 3 is certain and 4..6 is
     probabilistic (errors must all avoid one band; the planted-pair
     test pins the behavior on this corpus). Scale sizing: 16-bit band
-    keys give 65 536 buckets per band, so expected bucket occupancy is
-    n/2^16 — fine to ~10^7 docs, but at 10^9 every bucket holds ~15 k
-    and the cap truncates recall. The production scale-up is a WIDER
-    hash, not a different plan: a 16x16 DCT block -> 256-bit hash ->
-    16 bands both restores the guarantee (radius 15) and re-sparsifies
-    the buckets; the banding/verify shape here is band-count-generic
-    (see SCALE.md r9)."""
+    keys give 65 536 buckets per band; occupancy grows with DISTINCT
+    hashes, and the 100x probe measured 20 % of doc-grain band rows
+    in over-cap buckets at 500 k docs. The production scale-up is a
+    WIDER hash, not a different plan: a 16x16 DCT block -> 256-bit
+    hash -> 16 bands both restores the guarantee (radius 15) and
+    re-sparsifies the buckets; the banding/verify shape here is
+    band-count-generic (see SCALE.md r9)."""
+    hash_cols = [f"b{k}" for k in range(N_BANDS)]
+    groups = sig.groupBy(*hash_cols).agg(
+        F.min("id").alias("gid"),
+        F.array_sort(F.collect_list("id")).alias("ids"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+
     band_structs = F.array(*[
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
         for k in range(N_BANDS)
     ])
-    banded = sig.select(
-        F.col("id").alias("bid"), F.explode(band_structs).alias("bs")
-    ).select("bid", F.col("bs.band"), F.col("bs.val"))
+    banded = groups.select(
+        "gid", "gn", F.explode(band_structs).alias("bs")
+    ).select("gid", "gn", F.col("bs.band"), F.col("bs.val"))
 
-    cand = (
+    # bucket weight = documents in the bucket (oracle cap parity);
+    # self-pair eligibility = any under-cap bucket containing the
+    # group, which the a <= b expansion below covers with gn > 1
+    rep_pairs = (
         banded.groupBy("band", "val")
-        .agg(F.array_sort(F.collect_list("bid")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-        .select(F.explode(_pairs_expr("ids")).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .agg(F.array_sort(F.collect_list("gid")).alias("gids"),
+             F.sum("gn").alias("w"))
+        .filter(F.col("w") <= max_bucket)
+        .select(F.explode(_self_incl_pairs_expr("gids")).alias("p"))
+        .select(F.col("p.id_a").alias("ga"), F.col("p.id_b").alias("gb"))
         .distinct()
     )
 
-    a = sig.select(F.col("id").alias("id_a"),
-                   *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)])
-    b = sig.select(F.col("id").alias("id_b"),
-                   *[F.col(f"b{k}").alias(f"c{k}") for k in range(N_BANDS)])
+    ra = groups.select(F.col("gid").alias("ga"),
+                       F.col("ids").alias("ids_a"), F.col("gn").alias("gn_a"),
+                       *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)])
+    rb = groups.select(F.col("gid").alias("gb"),
+                       F.col("ids").alias("ids_b"),
+                       *[F.col(f"b{k}").alias(f"c{k}") for k in range(N_BANDS)])
     ham = sum(
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
         for k in range(N_BANDS)
     )
-    return (
-        a.join(F.broadcast(cand), "id_a")
-        .join(b, "id_b")
+    verified = (
+        ra.join(F.broadcast(rep_pairs), "ga")
+        .join(rb, "gb")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .filter((F.col("ga") != F.col("gb")) | (F.col("gn_a") > 1))
     )
+
+    within = (
+        verified.filter(F.col("ga") == F.col("gb"))
+        .select(F.explode(_pairs_expr("ids_a")).alias("p"), "hamming")
+        .select(F.col("p.id_a"), F.col("p.id_b"), "hamming")
+    )
+    across = (
+        verified.filter(F.col("ga") != F.col("gb"))
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select(F.col("ia"), F.explode("ids_b").alias("ib"), "hamming")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "hamming")
+    )
+    return within.unionByName(across)

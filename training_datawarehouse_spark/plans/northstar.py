@@ -14,6 +14,7 @@ from ..functions.scalars import round_half_away
 from ..operators import bpe
 from ..operators import classifier as clf
 from ..operators import unigram as ug
+from ..operators import audiofp as afp
 from ..operators import dedup as dd
 from ..operators import phash as ph
 from ..operators import quantization as pq
@@ -2927,8 +2928,20 @@ def image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agree`` mirrors the cross_modal stage's ``cosine ≥ 0.2`` QA bit
     — image-content dup CONFIRMED (or not) by embedding space."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = ph.image_phash_signatures(docs, "doc_id", "text")
-    pairs = ph.phash_candidate_pairs(sig)
+    # signatures feed THREE consumers (band explode + both Hamming
+    # verify sides) — materialize the one Arrow/codec crossing behind
+    # a localCheckpoint (the BM25 scored-set discipline) instead of
+    # re-decoding the corpus per consumer; the frame is (id, 4×int),
+    # i.e. ~20 bytes/doc resident
+    sig = ph.image_phash_signatures(
+        docs, "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).localCheckpoint(eager=True)
+    # the verified pair set is candidate-grain (Hamming-filtered at
+    # rep grain before expansion) — materialize it too, so the final
+    # plan's union branches read one RDD instead of statically
+    # re-deriving the group/band/verify subplan per branch
+    pairs = ph.phash_candidate_pairs(sig).localCheckpoint(eager=True)
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -2946,17 +2959,56 @@ def image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_fp_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-CONTENT near-dup pairs via Haitsma–Kalker-style spectral
+    fingerprints over REALLY-decoded WAV samples
+    (`operators/audiofp.py`): token-mixture clip → real 16-bit PCM WAV
+    encode → real decode → fixed-point frame-DFT band energies →
+    sign-of-delta-derivative 64-bit fingerprint → the SAME
+    Hamming-banded candidate operator as the image stage
+    (`phash.phash_candidate_pairs`). Same schema conventions as
+    ``image_phash_stage``: ``jaccard`` carries ``1 − hamming/64``,
+    embedding cosine LEFT-joins on, ``agree`` is the ≥ 0.2 QA bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    # same three-consumer materialization as image_phash_stage: one
+    # synth+codec+DFT crossing, (id, 4×int) resident
+    sig = afp.audio_fingerprint_signatures(
+        docs, "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).localCheckpoint(eager=True)
+    pairs = ph.phash_candidate_pairs(
+        sig, max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    joined = (
+        pairs
+        .join(v.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a", "left")
+        .join(v.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}), "id_b", "left")
+    )
+    cos = F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
+    return joined.select(
+        F.lit("audio_fp").alias("stage"), "id_a", "id_b",
+        F.round(F.lit(1.0) - F.col("hamming") / F.lit(64.0), 6).alias("jaccard"),
+        cos.alias("cosine"),
+        (cos >= 0.2).cast("int").alias("agree"),
+    )
+
+
 def lsh_cross_modal(spark: SparkSession, sf_dir: str,
-                    include_image_stage: bool = True) -> DataFrame:
+                    include_image_stage: bool = True,
+                    include_audio_stage: bool = True) -> DataFrame:
     """MinHash-LSH near-dup candidates (τ=0.5) plus the cross-modal
     agreement pass (τ=0.3 candidates scored by embedding cosine),
     tagged by stage — the candidate stage carries null cosine/agree.
 
     Round 9 (semver 3): + the ``image_phash`` stage — image-content
     near-dup pairs from DCT perceptual hashes of REALLY-decoded PNG
-    pixels, cross-checked against embedding cosine (see
-    ``image_phash_stage``). ``include_image_stage=False`` is the
-    r8-equivalent plan for the bench twin.
+    pixels — and the ``audio_fp`` stage — audio-content near-dup
+    pairs from spectral fingerprints of REALLY-decoded WAV samples —
+    both cross-checked against embedding cosine (see
+    ``image_phash_stage`` / ``audio_fp_stage``). Both flags False is
+    the r8-equivalent plan for the bench twin.
 
     The LSH threshold only gates the final verified-Jaccard filter, so
     ONE candidate pass at τ=0.3 feeds both stages (τ=0.5 is a filter of
@@ -2985,6 +3037,8 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
     out = cand.unionByName(cm)
     if include_image_stage:
         out = out.unionByName(image_phash_stage(spark, sf_dir))
+    if include_audio_stage:
+        out = out.unionByName(audio_fp_stage(spark, sf_dir))
     return out
 
 
@@ -3055,8 +3109,18 @@ def _lsh_cross_modal_oracle(
         for u, row in enumerate(ph.dct_basis_int()) for x, c in enumerate(row)
     )
     n_cells = ph.GRID * ph.GRID
+    wave_rows = ",".join(
+        f"({i},{v})" for i, v in enumerate(afp.wave_table_int()))
+    afp_cos, afp_sin = afp.dft_basis_int()
+    acq_rows = ",".join(f"({b},{t},{v})" for b, row in enumerate(afp_cos)
+                        for t, v in enumerate(row))
+    asq_rows = ",".join(f"({b},{t},{v})" for b, row in enumerate(afp_sin)
+                        for t, v in enumerate(row))
     return f"""
 WITH cosq(u, x, c) AS (VALUES {cos_rows}),
+wv(i, v) AS (VALUES {wave_rows}),
+acq(b, t, v) AS (VALUES {acq_rows}),
+asq(b, t, v) AS (VALUES {asq_rows}),
 t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id,
@@ -3157,7 +3221,7 @@ pcand AS (
   FROM psig x
   JOIN psig y ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
   JOIN pbc ON pbc.band = x.band AND pbc.val = x.val
-  WHERE pbc.n <= {max_bucket}
+  WHERE pbc.n <= {ph.DEFAULT_MAX_BUCKET}
 ),
 pham AS (
   SELECT c.id_a, c.id_b, sum(bit_count(xor(sa.val, sb.val)))::BIGINT AS ham
@@ -3175,6 +3239,79 @@ pimg AS (
   LEFT JOIN e ea ON ea.vec_id = h.id_a
   LEFT JOIN e eb ON eb.vec_id = h.id_b
   WHERE h.ham <= {ph.DEFAULT_MAX_HAMMING}
+),
+atok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+afq AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {afp.N_FREQS} + 1 AS k,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT // {afp.N_FREQS})
+             % {afp.AM_PERIOD} AS phase
+  FROM atok
+),
+tg AS (SELECT unnest(range(0, {afp.N_SAMPLES})) AS ts),
+araw AS (
+  SELECT f.doc_id, g.ts,
+         sum(w.v * (1 + (g.ts // {afp.FRAME} + f.phase)
+                        % {afp.AM_PERIOD}))::BIGINT AS s
+  FROM afq f
+  CROSS JOIN tg g
+  JOIN wv w ON w.i = (f.k * g.ts) % 64
+  GROUP BY 1, 2
+),
+asamp AS (
+  SELECT doc_id, ts, greatest(-32768, least(32767, s)) AS s FROM araw
+),
+aeng AS (
+  SELECT a.doc_id, a.ts // {afp.FRAME} AS f, acq.b,
+         sum(a.s * acq.v)::BIGINT AS re, sum(a.s * asq.v)::BIGINT AS im
+  FROM asamp a
+  JOIN acq ON acq.t = a.ts % {afp.FRAME}
+  JOIN asq ON asq.b = acq.b AND asq.t = acq.t
+  GROUP BY 1, 2, 3
+),
+ae AS (SELECT doc_id, f, b, re * re + im * im AS en FROM aeng),
+ad AS (
+  SELECT x.doc_id, x.f, x.b, x.en - y.en AS d
+  FROM ae x
+  JOIN ae y ON y.doc_id = x.doc_id AND y.f = x.f
+           AND y.b = (x.b + 1) % {afp.N_BINS}
+),
+abit AS (
+  SELECT c.doc_id, (c.f - 1) * {afp.N_BINS} + c.b AS i,
+         (c.d - p.d > 0)::BIGINT AS bit
+  FROM ad c
+  JOIN ad p ON p.doc_id = c.doc_id AND p.f = c.f - 1 AND p.b = c.b
+  WHERE c.f BETWEEN 1 AND 8
+),
+asig AS (
+  SELECT doc_id, (i // {ph.BAND_BITS}) AS band,
+         sum(bit << (i % {ph.BAND_BITS}))::BIGINT AS val
+  FROM abit GROUP BY 1, 2
+),
+abc AS (SELECT band, val, count(*) AS n FROM asig GROUP BY 1, 2),
+acand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM asig x
+  JOIN asig y ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+  JOIN abc ON abc.band = x.band AND abc.val = x.val
+  WHERE abc.n <= {ph.DEFAULT_MAX_BUCKET}
+),
+aham AS (
+  SELECT c.id_a, c.id_b, sum(bit_count(xor(sa.val, sb.val)))::BIGINT AS ham
+  FROM acand c
+  JOIN asig sa ON sa.doc_id = c.id_a
+  JOIN asig sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+  GROUP BY 1, 2
+),
+aimg AS (
+  SELECT h.id_a, h.id_b, round(1 - h.ham / 64.0, 6) AS jaccard,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM aham h
+  LEFT JOIN e ea ON ea.vec_id = h.id_a
+  LEFT JOIN e eb ON eb.vec_id = h.id_b
+  WHERE h.ham <= {afp.DEFAULT_MAX_HAMMING}
 )
 SELECT 'candidates' AS stage, id_a, id_b, jaccard,
        NULL::DOUBLE AS cosine, NULL::INT AS agree
@@ -3187,6 +3324,10 @@ UNION ALL
 SELECT 'image_phash', id_a, id_b, jaccard, cosine,
        (cosine >= 0.2)::INT
 FROM pimg
+UNION ALL
+SELECT 'audio_fp', id_a, id_b, jaccard, cosine,
+       (cosine >= 0.2)::INT
+FROM aimg
 """
 
 
