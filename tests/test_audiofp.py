@@ -162,6 +162,27 @@ def test_similarity_preservation_and_threshold():
     assert _hamming(fb, ff) > 2 * afp.DEFAULT_MAX_HAMMING
 
 
+def test_fused_crossing_matches_separate_signatures(spark):
+    """`fused_multimodal_signatures` (one Arrow crossing for both
+    modalities) must slice back to byte-identical per-modality
+    signatures — the parity that lets `lsh_cross_modal` pay one scan
+    and one checkpoint instead of two."""
+    import pyspark.sql.functions as F
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, ""), (5, "one token")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = afp.fused_multimodal_signatures(df, "doc_id", "text")
+    isig = {r["id"]: [r[f"ib{k}"] for k in range(4)]
+            for r in fused.collect()}
+    asig = {r["id"]: [r[f"ab{k}"] for k in range(4)]
+            for r in fused.collect()}
+    for r in ph.image_phash_signatures(df, "doc_id", "text").collect():
+        assert isig[r["id"]] == [r[f"b{k}"] for k in range(4)]
+    for r in afp.audio_fingerprint_signatures(df, "doc_id", "text").collect():
+        assert asig[r["id"]] == [r[f"b{k}"] for k in range(4)]
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1  # genuinely ONE crossing
+
+
 def test_planted_near_dup_found_by_shared_banded_join(spark):
     """The audio signatures ride `phash.phash_candidate_pairs`
     unchanged — one banded-Hamming operator for both modalities."""

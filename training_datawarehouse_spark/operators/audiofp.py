@@ -53,6 +53,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from . import phash as _ph
 from .multimodal import decode_wav, encode_wav
 from .phash import BAND_BITS, N_BANDS
 
@@ -164,5 +165,43 @@ def audio_fingerprint_signatures(df: DataFrame, id_col: str, text_col: str,
                 rows.append([did, *fingerprint_bands(decoded)])
             yield pd.DataFrame(
                 rows, columns=["id"] + [f"b{k}" for k in range(N_BANDS)])
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def fused_multimodal_signatures(df: DataFrame, id_col: str, text_col: str,
+                                parallelism: int | None = None) -> DataFrame:
+    """Image pHash AND audio fingerprint in ONE Arrow crossing:
+    (id, ib0..ib3, ab0..ab3). Both modalities read the same (id, text)
+    projection, so a caller that wants both (the cross-modal dedup
+    entry) pays one scan, one repartition, one worker round trip, and
+    one checkpoint instead of two of each — the per-row Python is the
+    sum either way. Slices back to the (id, b0..b3) signature shape
+    with a select, so `phash_candidate_pairs` is unchanged."""
+    if parallelism:
+        df = df.select(id_col, text_col).repartition(parallelism)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"ib{k}", T.IntegerType()) for k in range(N_BANDS)]
+        + [T.StructField(f"ab{k}", T.IntegerType()) for k in range(N_BANDS)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                pix = _ph.token_grid_pixels(text)
+                png = _ph.encode_png(_ph.GRID, _ph.GRID, pix,
+                                     filter_type=len(text) % 5)
+                ibands = _ph.phash_bands(_ph.decode_png(png)["pixels"])
+                samples = token_wave_samples(text)
+                pcm = decode_wav(encode_wav(samples))["pcm"]
+                abands = fingerprint_bands(
+                    struct.unpack(f"<{N_SAMPLES}h", pcm))
+                rows.append([did, *ibands, *abands])
+            yield pd.DataFrame(
+                rows, columns=(["id"]
+                               + [f"ib{k}" for k in range(N_BANDS)]
+                               + [f"ab{k}" for k in range(N_BANDS)]))
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)

@@ -10,6 +10,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import release_local_checkpoint
 from ..functions.scalars import round_half_away
 from ..operators import bpe
 from ..operators import classifier as clf
@@ -2915,7 +2916,8 @@ LEFT JOIN dsc USING (doc_id)
 DOC_SIGNATURES_ORACLE = _doc_signatures_oracle()
 
 
-def image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_phash_stage(spark: SparkSession, sf_dir: str,
+                      pairs: DataFrame | None = None) -> DataFrame:
     """Image-CONTENT near-dup pairs via DCT perceptual hash over REAL
     decoded pixels (`operators/phash.py`): token-grid image → real PNG
     encode → real decode → fixed-point 8×8 DCT → 64-bit pHash →
@@ -2926,22 +2928,31 @@ def image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding cosine for pairs that carry embeddings (LEFT join: an
     image-dup pair without embeddings survives with null cosine), and
     ``agree`` mirrors the cross_modal stage's ``cosine ≥ 0.2`` QA bit
-    — image-content dup CONFIRMED (or not) by embedding space."""
-    docs = load_table(spark, sf_dir, "documents")
-    # signatures feed THREE consumers (band explode + both Hamming
-    # verify sides) — materialize the one Arrow/codec crossing behind
-    # a localCheckpoint (the BM25 scored-set discipline) instead of
-    # re-decoding the corpus per consumer; the frame is (id, 4×int),
-    # i.e. ~20 bytes/doc resident
-    sig = ph.image_phash_signatures(
-        docs, "doc_id", "text",
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).localCheckpoint(eager=True)
-    # the verified pair set is candidate-grain (Hamming-filtered at
-    # rep grain before expansion) — materialize it too, so the final
-    # plan's union branches read one RDD instead of statically
-    # re-deriving the group/band/verify subplan per branch
-    pairs = ph.phash_candidate_pairs(sig).localCheckpoint(eager=True)
+    — image-content dup CONFIRMED (or not) by embedding space.
+
+    ``pairs`` lets a caller that computes BOTH modality signatures in
+    one fused crossing (``lsh_cross_modal``) hand the verified pair
+    frame in, the same sharing seam as ``cross_modal_dedup(pairs=)``."""
+    if pairs is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # signatures feed THREE consumers (band explode + both Hamming
+        # verify sides) — materialize the one Arrow/codec crossing
+        # behind a localCheckpoint (the BM25 scored-set discipline)
+        # instead of re-decoding the corpus per consumer; the frame is
+        # (id, 4×int), i.e. ~20 bytes/doc resident
+        sig = ph.image_phash_signatures(
+            docs, "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).localCheckpoint(eager=True)
+        # the verified pair set is candidate-grain (Hamming-filtered
+        # at rep grain before expansion) — materialize it too, so the
+        # final plan's union branches read one RDD instead of
+        # statically re-deriving the group/band/verify subplan per
+        # branch; the signature checkpoint has no consumer after this,
+        # so release it (BPE discipline — blocks are the only copy,
+        # freed only once the successor is materialized)
+        pairs = ph.phash_candidate_pairs(sig).localCheckpoint(eager=True)
+        release_local_checkpoint(sig)
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -2959,7 +2970,8 @@ def image_phash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def audio_fp_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def audio_fp_stage(spark: SparkSession, sf_dir: str,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """Audio-CONTENT near-dup pairs via Haitsma–Kalker-style spectral
     fingerprints over REALLY-decoded WAV samples
     (`operators/audiofp.py`): token-mixture clip → real 16-bit PCM WAV
@@ -2968,16 +2980,20 @@ def audio_fp_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-banded candidate operator as the image stage
     (`phash.phash_candidate_pairs`). Same schema conventions as
     ``image_phash_stage``: ``jaccard`` carries ``1 − hamming/64``,
-    embedding cosine LEFT-joins on, ``agree`` is the ≥ 0.2 QA bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    # same three-consumer materialization as image_phash_stage: one
-    # synth+codec+DFT crossing, (id, 4×int) resident
-    sig = afp.audio_fingerprint_signatures(
-        docs, "doc_id", "text",
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).localCheckpoint(eager=True)
-    pairs = ph.phash_candidate_pairs(
-        sig, max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
+    embedding cosine LEFT-joins on, ``agree`` is the ≥ 0.2 QA bit;
+    ``pairs`` is the fused-crossing sharing seam."""
+    if pairs is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # same three-consumer materialization as image_phash_stage:
+        # one synth+codec+DFT crossing, (id, 4×int) resident
+        sig = afp.audio_fingerprint_signatures(
+            docs, "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).localCheckpoint(eager=True)
+        pairs = ph.phash_candidate_pairs(
+            sig,
+            max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
+        release_local_checkpoint(sig)
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -3035,9 +3051,29 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
         "cosine", "agree",
     )
     out = cand.unionByName(cm)
-    if include_image_stage:
+    if include_image_stage and include_audio_stage:
+        # both modalities read the same (id, text) rows — fuse the two
+        # codec crossings into ONE (scan + repartition + Arrow round
+        # trip + checkpoint paid once), slice back to per-modality
+        # signatures, and hand the verified pair frames to the stages
+        fused = afp.fused_multimodal_signatures(
+            docs, "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).localCheckpoint(eager=True)
+        isig = fused.select(
+            "id", *[F.col(f"ib{k}").alias(f"b{k}") for k in range(4)])
+        asig = fused.select(
+            "id", *[F.col(f"ab{k}").alias(f"b{k}") for k in range(4)])
+        ipairs = ph.phash_candidate_pairs(isig).localCheckpoint(eager=True)
+        apairs = ph.phash_candidate_pairs(
+            asig,
+            max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
+        release_local_checkpoint(fused)
+        out = out.unionByName(image_phash_stage(spark, sf_dir, pairs=ipairs))
+        out = out.unionByName(audio_fp_stage(spark, sf_dir, pairs=apairs))
+    elif include_image_stage:
         out = out.unionByName(image_phash_stage(spark, sf_dir))
-    if include_audio_stage:
+    elif include_audio_stage:
         out = out.unionByName(audio_fp_stage(spark, sf_dir))
     return out
 
