@@ -273,6 +273,8 @@ def test_no_cartesian_and_nested_loops_only_where_bounded(plans):
         "op_fn_scalar_breadth",      # scalar-literal cross, 1 row
         "op_approx_aggs",            # CMS N-total: 1-row broadcast cross
         "op_stream_windows_batch",   # funnel step-1 denominator: 1-row cross
+        "op_stream_e2e",             # r9 sfunnel stage: same 1-row
+                                     # step-1 denominator cross
     }
     offenders = [
         n for n, p in plans.items()

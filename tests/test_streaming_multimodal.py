@@ -749,3 +749,117 @@ def test_stream_dedup_identical_under_rocksdb_provider(spark):
     assert after == before  # restored (to truly-unset if it was unset)
     assert rocks_rows == default_rows
     assert len(rocks_rows) > 1
+
+
+# ------------------------------------------------ streaming funnel (r9)
+
+def _funnel_stream(spark, tmp_path, name, batches):
+    """File-per-micro-batch event stream from explicit row batches:
+    (event_id, user_id, event_type, ts_string)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from training_datawarehouse_spark.streaming.events_stream import (
+        stream_events,
+    )
+
+    src = tmp_path / f"fsrc_{name}"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["value"] = 1.0
+        pdf["props"] = "{}"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            str(src / f"part{i}.parquet"),
+        )
+    return stream_events(spark, str(src))
+
+
+def _drain_funnel(spark, tmp_path, name, batches, steps):
+    from training_datawarehouse_spark.streaming.stateful import (
+        streaming_funnel_progress,
+    )
+
+    q = (
+        streaming_funnel_progress(
+            _funnel_stream(spark, tmp_path, name, batches), steps,
+            within_days=7,
+        )
+        .writeStream.format("memory").queryName(f"fq_{name}")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"fckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    final = (
+        spark.sql(f"select * from fq_{name}")
+        .groupBy("user_id").agg(F.max_by("max_step", "nb").alias("max_step"))
+    )
+    return {r["user_id"]: r["max_step"] for r in final.collect()}
+
+
+def test_streaming_funnel_state_crosses_batches(spark, tmp_path):
+    """User 1's view arrives in batch 0; click and purchase only in
+    batch 1 — full credit requires the state store to carry the
+    step-1 timestamp across micro-batches. User 2 stalls at click;
+    user 3's purchase is outside the 7-day window."""
+    steps = ["view", "click", "purchase"]
+    got = _drain_funnel(spark, tmp_path, "cross", [
+        [(1, 1, "view", "2024-01-01 00:00:00"),
+         (2, 2, "view", "2024-01-01 00:00:00"),
+         (3, 3, "view", "2024-01-01 00:00:00")],
+        [(4, 1, "click", "2024-01-02 00:00:00"),
+         (5, 1, "purchase", "2024-01-03 00:00:00"),
+         (6, 2, "click", "2024-01-02 12:00:00"),
+         (7, 3, "click", "2024-01-02 00:00:00"),
+         (8, 3, "purchase", "2024-01-09 00:00:01")],  # > t1 + 7d
+    ], steps)
+    assert got == {1: 3, 2: 2, 3: 2}
+
+
+def test_streaming_funnel_not_monotone_under_out_of_order(spark, tmp_path):
+    """A LATER micro-batch delivers an EARLIER step-1 event: t1 drops,
+    the attribution window tightens, and the user's reached step must
+    legitimately DECREASE — the property that forces list-state +
+    re-derivation (chain-only state cannot roll forward through this)
+    and last-emission (max_by nb) final selection."""
+    steps = ["view", "click", "purchase"]
+    got = _drain_funnel(spark, tmp_path, "ooo", [
+        # initially: t1 = Jan 10, click Jan 11, purchase Jan 12 -> step 3
+        [(1, 7, "view", "2024-01-10 00:00:00"),
+         (2, 7, "click", "2024-01-11 00:00:00"),
+         (3, 7, "purchase", "2024-01-12 00:00:00")],
+        # out-of-order: view Jan 1 -> t1 = Jan 1, window ends Jan 8,
+        # click/purchase (Jan 11/12) fall outside -> step drops to 1
+        [(4, 7, "view", "2024-01-01 00:00:00")],
+    ], steps)
+    assert got == {7: 1}
+
+
+def test_streaming_funnel_matches_batch_on_random_split(spark, tmp_path):
+    """Stream/batch parity on the real corpus with the e2e split: the
+    per-step counts derived from streaming progress must equal
+    funnel_counts (the batch min-chain) on the same events."""
+    from training_datawarehouse_spark.operators.funnel import funnel_counts
+    from training_datawarehouse_spark.plans.relational import (
+        FUNNEL_STEPS, FUNNEL_WITHIN_DAYS, stream_funnel_e2e,
+    )
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    got = {
+        (r["step"], r["step_name"]): (r["n_users"], r["conversion"])
+        for r in stream_funnel_e2e(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["step"], r["step_name"]): (r["n_users"], r["conversion"])
+        for r in funnel_counts(
+            load_table(spark, SF_DIR, "events"), FUNNEL_STEPS,
+            within_days=FUNNEL_WITHIN_DAYS,
+        ).collect()
+    }
+    assert got == exact

@@ -680,6 +680,84 @@ def stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(summary)
 
 
+def stream_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel under the differential gate: the ordered
+    view→click→purchase min-chain (`streaming/stateful.py
+    streaming_funnel_progress`) executed as a TRUE two-micro-batch
+    stream — the events file is split in half and drained with
+    maxFilesPerTrigger=1, so users whose steps straddle the halves
+    exercise a state read-merge-write, and users whose step-1 events
+    arrive in the SECOND half exercise the non-monotone re-derivation
+    (a later batch can lower t1 and legitimately reduce progress —
+    why the final state is each user's LAST emission by batch
+    sequence, max_by(nb), not a max of steps).
+
+    Per-user progress then aggregates to the batch funnel's own
+    output shape — (step, step_name, n_users, conversion) — so the
+    UNCHANGED batch min-chain SQL oracle checks the streaming
+    execution end-to-end."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..streaming.events_stream import stream_events
+    from ..streaming.stateful import streaming_funnel_progress
+
+    name = f"op_stream_funnel_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_funnel_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), os.path.join(src, "part0.parquet"))
+        pq.write_table(t.slice(half), os.path.join(src, "part1.parquet"))
+        q = (
+            streaming_funnel_progress(
+                stream_events(spark, src), FUNNEL_STEPS,
+                within_days=FUNNEL_WITHIN_DAYS,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming funnel drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        final = spark.table(name).groupBy("user_id").agg(
+            F.max_by("max_step", "nb").alias("max_step")
+        )
+        steps_df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(FUNNEL_STEPS, start=1)],
+            "step int, step_name string",
+        )
+        counts = (
+            F.broadcast(steps_df)
+            .join(final, F.col("max_step") >= F.col("step"), "left")
+            .groupBy("step", "step_name")
+            .agg(F.count("user_id").alias("n_users"))
+        )
+        n1 = counts.filter(F.col("step") == 1).select(
+            F.col("n_users").alias("__n1"))
+        return counts.crossJoin(F.broadcast(n1)).select(
+            "step", "step_name", "n_users",
+            F.when(F.col("__n1") > 0,
+                   F.round(F.col("n_users") / F.col("__n1"), 6))
+            .alias("conversion"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL micro-batch executions under one tagged entry: the
     tumbling-window aggregation ('windows' stage), the watermarked
@@ -689,7 +767,9 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 — append mode, dropped-row metric oracle-checked), and the
     planted-duplicate ``dropDuplicatesWithinWatermark`` bounded-state
     dedup proof ('dedup' stage, r7 — re-delivered rows dropped, input
-    row count oracle-pinned), each drained with
+    row count oracle-pinned), and the stateful STREAMING funnel
+    checked against the batch min-chain oracle ('sfunnel' stage, r9),
+    each drained with
     ``trigger(availableNow)`` and aligned onto (stage, k1, k2, n, v)
     so the batch SQL oracles apply verbatim per stage."""
     st = stream_stateful_e2e(spark, sf_dir).select(
@@ -719,9 +799,17 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddp = stream_dedup_e2e(spark, sf_dir).select(
         F.lit("dedup").alias("stage"), "k1", "k2", "n", "v",
     )
+    sfn = stream_funnel_e2e(spark, sf_dir).select(
+        F.lit("sfunnel").alias("stage"),
+        F.concat(F.col("step").cast("string"), F.lit("_"),
+                 F.col("step_name")).alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_users").cast("long").alias("n"),
+        F.col("conversion").alias("v"),
+    )
     return (
         win.unionByName(join).unionByName(st)
-        .unionByName(late).unionByName(ddp)
+        .unionByName(late).unionByName(ddp).unionByName(sfn)
     )
 
 
@@ -758,10 +846,11 @@ GROUP BY user_id
 
 
 def _stream_e2e_dual_oracle() -> str:
-    """Aligned union of the two per-stage batch oracles."""
+    """Aligned union of the per-stage batch oracles."""
     return f"""
 WITH win AS ({TUMBLING_ORACLE}),
-ssj AS ({RANGE_JOIN_ORACLE})
+ssj AS ({RANGE_JOIN_ORACLE}),
+{_funnel.funnel_oracle_ctes(FUNNEL_STEPS, FUNNEL_WITHIN_DAYS)}
 SELECT 'windows' AS stage,
        strftime(window_start, '%Y-%m-%d %H:%M:%S') AS k1,
        event_type AS k2, n, total_value AS v
@@ -804,6 +893,12 @@ GROUP BY event_type
 UNION ALL
 SELECT 'dedup', '__dedup_input', CAST(NULL AS VARCHAR),
        (SELECT count(*) + {N_PLANTED_DUP} FROM events), 0.0
+UNION ALL
+-- sfunnel: the STREAMING funnel execution must match the batch
+-- min-chain exactly — same fnl CTE the batch funnel entry checks
+SELECT 'sfunnel', CAST(step AS VARCHAR) || '_' || step_name,
+       CAST(NULL AS VARCHAR), n_users, conversion
+FROM fnl
 """
 
 

@@ -96,3 +96,88 @@ def streaming_first_seen_dedup(events: DataFrame, key_col: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_progress(
+    events: DataFrame,
+    steps: list[str],
+    within_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """STREAMING ordered-sequence funnel: per-user progress through
+    ``steps`` (the exact `operators/funnel.py` min-chain semantics —
+    t1 = min step-1 ts; t_i = min step-i ts with t_{i-1} < ts <=
+    t1 + within_days), maintained across micro-batches.
+
+    Why state holds per-step TIMESTAMP LISTS and re-derives the chain
+    every batch, instead of just the chain (t1..tk): funnel progress
+    is NOT monotone under out-of-order arrival. A later micro-batch
+    can deliver an EARLIER step-1 event, which lowers t1, tightens the
+    attribution window, and can legitimately REDUCE a user's reached
+    step — a chain-only state cannot roll forward through that, the
+    event lists can. Emissions therefore carry the batch sequence
+    number ``nb``; the caller takes each user's LAST emission
+    (max_by nb), not the max step.
+
+    Scale posture: state per user = this user's step-typed event
+    timestamps (longs); non-step events are filtered out BEFORE the
+    shuffle, so the state store scales with |users| x step-event
+    density, not event volume. In a production continuous stream the
+    lists are bounded by pairing with a ProcessingTimeTimeout TTL at
+    the attribution horizon (t1 + within_days — events beyond it can
+    no longer change the chain); the availableNow drains here use
+    NoTimeout like the other operators (bounded synthetic key space).
+    """
+    n_steps = len(steps)
+    if n_steps < 2:
+        raise ValueError("a funnel needs at least two steps")
+    win_us = within_days * 86_400 * 1_000_000
+    idx = {s: i for i, s in enumerate(steps)}
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev = state.get
+            lists = [list(prev[i]) for i in range(n_steps)]
+            nb = prev[n_steps]
+        else:
+            lists = [[] for _ in range(n_steps)]
+            nb = 0
+        for pdf in pdfs:
+            for et, ts in zip(pdf[type_col], pdf[ts_col]):
+                i = idx.get(et)
+                if i is not None:
+                    lists[i].append(int(pd.Timestamp(ts).value // 1000))
+        nb += 1
+        state.update((*lists, nb))
+        reached = 0
+        if lists[0]:
+            t1 = min(lists[0])
+            reached, prev_t, limit = 1, t1, t1 + win_us
+            for i in range(1, n_steps):
+                nxt = [t for t in lists[i] if prev_t < t <= limit]
+                if not nxt:
+                    break
+                prev_t = min(nxt)
+                reached = i + 1
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "nb": [nb], "max_step": [reached]}
+        )
+
+    state_schema = ", ".join(
+        [f"s{i} array<long>" for i in range(n_steps)] + ["nb long"]
+    )
+    return (
+        events.filter(events[type_col].isin(steps))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, nb long, max_step int",
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
