@@ -58,7 +58,7 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     # update mode re-emits a user's row each batch it appears in — the
     # LAST emission per user must equal the batch-exact totals
     got = {}
@@ -87,7 +87,7 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     rows = spark.sql("select * from first_seen").collect()
     # exactly one row per event_type, and it is the true global first
     batch = load_table(spark, SF_DIR, "events")
@@ -241,7 +241,7 @@ def test_stream_stream_join_parity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     got = sorted(
         (r["click_id"], r["p_ts"], r["p_value"])
         for r in spark.sql("select * from ss_join").collect()
@@ -280,13 +280,13 @@ def test_stream_to_warehouse_replay_idempotent(spark, tmp_path):
     wh = str(tmp_path / "stream_wh")
 
     q1 = stream_to_warehouse(spark, str(src), wh, str(tmp_path / "ck1"))
-    q1.awaitTermination(300)
+    assert q1.awaitTermination(300)
     n1 = spark.read.parquet(wh).count()
     assert n1 > 0
 
     # same data, new checkpoint → full replay → zero new rows
     q2 = stream_to_warehouse(spark, str(src), wh, str(tmp_path / "ck2"))
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300)
     assert spark.read.parquet(wh).count() == n1
 
 
@@ -373,7 +373,7 @@ def test_events_ts_unit_tolerance(spark, tmp_path):
             .option("checkpointLocation", str(d / "ckpt"))
             .trigger(availableNow=True).start()
         )
-        agg.awaitTermination(120)
+        assert agg.awaitTermination(120)
         rows = spark.sql(f"select * from tsunit_{unit}").collect()
         assert sum(r["n"] for r in rows) == n
         assert {r["window_start"].year for r in rows} == {2024}, unit
