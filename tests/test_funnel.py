@@ -156,7 +156,12 @@ def test_funnel_ttc_matches_duckdb_quantile_cont(spark):
             # minutes-grain irregular deltas
             rows.append((u, (u * 7 % 97 + 1) / 60.0, "click"))
         if u % 5 == 1:
-            rows.append((u, (u * 13 % 131 + 3) / 60.0, "purchase"))
+            # DAY-grain deltas: µs values over ~9·10⁹ (2.5 h) are
+            # where DuckDB's float-path round(x, 6) corrupts the low
+            # digits — the r10 sf0.01 regression class. The ttc
+            # pipeline must stay exact WITHOUT any rounding step.
+            rows.append(
+                (u, (u * 13 % 131 + 3) + (u % 7) / 60.0, "purchase"))
     ev = _ev(rows, spark)
     pcts = (0.5, 0.75, 1.0)
     got = sorted(map(tuple, funnel_counts(

@@ -68,13 +68,19 @@ def funnel_counts(
     user-grain step frames the counts aggregate — no extra event
     scan. Units and percentile choice are cross-engine-exactness
     decisions: micro deltas are exact int64s in both engines (a
-    seconds division would land interpolated midpoints exactly on the
-    6-dp rounding boundary), and DYADIC percentiles (0.5, 0.75, 1.0)
-    make ``(n−1)·p`` and the interpolation weights exact binary
-    fractions, so Spark's ``percentile`` and DuckDB's
-    ``quantile_cont`` produce bit-identical doubles (p = 0.9 would
-    put an engine-specific 1-ulp of ``0.9·(n−1)`` under a
-    day-magnitude delta — a 1e-4 absolute wobble at the 6-dp gate).
+    seconds division would put interpolated midpoints on a rounding
+    boundary), and DYADIC percentiles (0.5, 0.75, 1.0) make
+    ``(n−1)·p`` and the interpolation weights exact binary fractions,
+    so every output is an exact multiple of 2⁻² µs — well inside
+    double precision at day magnitudes (< 2⁴¹ µs needs ≤ 43 mantissa
+    bits) — and Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    produce bit-identical doubles WITHOUT any rounding step (p = 0.9
+    would put an engine-specific 1-ulp of ``0.9·(n−1)`` under a
+    day-magnitude delta). The values are deliberately NOT rounded:
+    they are already exact, and DuckDB's ``round(x, 6)`` computes
+    through ``x·10⁶`` which exceeds 2⁵³ for any delta over ~2.5 hours
+    (9·10⁹ µs), silently corrupting the low digits — found as a
+    1-row sf0.01 oracle hash mismatch in r10.
 
     ``persist_steps=True`` is the many-step/large-corpus mode: each
     user-grain step frame is persisted so it is computed once (instead
@@ -118,7 +124,7 @@ def funnel_counts(
             F.unix_micros(F.col(t_col)) - F.unix_micros(F.col("__t1"))
         ).cast("double")
         aggs = [F.count(F.lit(1)).alias("n_users")] + [
-            F.round(F.percentile(delta, F.lit(p)), 6).alias(_ttc_col(p))
+            F.percentile(delta, F.lit(p)).alias(_ttc_col(p))
             for p in convert_percentiles
         ]
         row = fr.agg(*aggs).select(
@@ -166,7 +172,9 @@ def funnel_oracle_ctes(
     malformed oracle (the Spark side compares by Column equality and
     was never at risk). ``convert_percentiles`` mirrors
     ``funnel_counts``: ``quantile_cont`` over the same micro deltas
-    (dyadic p → bit-identical to Spark's ``percentile``)."""
+    (dyadic p → bit-identical to Spark's ``percentile``; UNROUNDED —
+    DuckDB's float-path ``round(x, 6)`` corrupts any value over
+    ~9·10⁹, see the ``funnel_counts`` docstring)."""
     def q(name: str) -> str:
         return "'" + str(name).replace("'", "''") + "'"
 
@@ -192,8 +200,8 @@ def funnel_oracle_ctes(
         out = ""
         for p in convert_percentiles:
             out += (
-                f",\n         round(quantile_cont("
-                f"(epoch_us({t}) - epoch_us(t1))::DOUBLE, {p!r}), 6)"
+                f",\n         quantile_cont("
+                f"(epoch_us({t}) - epoch_us(t1))::DOUBLE, {p!r})"
                 f" AS {_ttc_col(p)}"
             )
         return out
