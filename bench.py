@@ -78,21 +78,26 @@ MANIFEST = [
              "retrieval over documents + hybrid more-like-this RRF "
              "fusion of lexical and vector rankings, all oracle-"
              "re-derived)"},
-    {"name": "ns_dedup_lsh_cross_modal", "semver": 3,
+    {"name": "ns_dedup_lsh_cross_modal", "semver": 4,
      "desc": "r3: runs md5-portable hash family for oracle parity "
              "(xxhash64 production twin timed under extras); r9/semver-3: "
              "+ image_phash stage (DCT perceptual hash over REAL decoded "
              "PNG pixels) + audio_fp stage (Haitsma-Kalker spectral "
              "fingerprint over REAL decoded WAV samples), both "
-             "Hamming-banded with embedding agreement"},
+             "Hamming-banded with embedding agreement; r10/semver-4: "
+             "+ video_fp stage (per-frame pHashes of REAL AVI/DIB "
+             "container-decoded frames, temporal-offset voting to "
+             "video grain)"},
     {"name": "tpch_q6_forecast_revenue", "semver": 1,
      "desc": "TPC-H q6 filter-agg"},
     {"name": "op_stream_session_batch", "semver": 1,
      "desc": "sessionization, batch shape"},
-    {"name": "ns_multimodal_meta", "semver": 4,
+    {"name": "ns_multimodal_meta", "semver": 5,
      "desc": "r3: real PNG/WAV codecs replaced the stub decode; "
              "r4: + real baseline JPEG stage (grayscale + YCbCr 4:2:0); "
-             "r5: + real WebP-lossless (VP8L) stage"},
+             "r5: + real WebP-lossless (VP8L) stage; r10: + real "
+             "AVI/DIB video container stage (variable frame count, "
+             "idx1-verified chunk walk)"},
     {"name": "op_approx_aggs", "semver": 3,
      "desc": "r3: added mergeable HLL sketch rollup stage "
              "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin); "
@@ -181,10 +186,16 @@ def _extras() -> list[dict]:
              "builder": lsh_cross_modal_xxhash},
             {"name": "ns_dedup_lsh_cross_modal__r8equiv", "semver": 1,
              "desc": "lsh_cross_modal semver-2 sub-plan (no image_phash / "
-                     "audio_fp stages)",
+                     "audio_fp / video_fp stages)",
              "builder": lambda s, d: _compat(lsh_cross_modal,
                  s, d, include_image_stage=False,
-                 include_audio_stage=False)},
+                 include_audio_stage=False,
+                 include_video_stage=False)},
+            {"name": "ns_dedup_lsh_cross_modal__r9equiv", "semver": 1,
+             "desc": "lsh_cross_modal semver-3 sub-plan (image_phash + "
+                     "audio_fp, no video_fp stage)",
+             "builder": lambda s, d: _compat(lsh_cross_modal,
+                 s, d, include_video_stage=False)},
             {"name": "op_approx_aggs__r2equiv", "semver": 1,
              "desc": "op_approx_aggs semver-1 sub-plan (per-type stage only, "
                      "no sketch rollup; NOTE: still carries the exact-twin "
@@ -218,6 +229,10 @@ def _extras() -> list[dict]:
              "desc": "ns_multimodal_meta semver-3 sub-plan (no webp stage)",
              "builder": lambda s, d: _compat(multimodal_meta,
                  s, d, stages=("stub", "png", "wav", "jpeg"))},
+            {"name": "ns_multimodal_meta__r9equiv", "semver": 4,
+             "desc": "ns_multimodal_meta semver-4 sub-plan (no avi stage)",
+             "builder": lambda s, d: multimodal_meta(
+                 s, d, stages=("stub", "png", "wav", "jpeg", "webp"))},
             {"name": "ns_text_profile__r2equiv", "semver": 1,
              "desc": "ns_text_profile semver-1 sub-plan (no fingerprint / "
                      "dupe-group columns)",

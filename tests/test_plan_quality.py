@@ -155,6 +155,10 @@ SHUFFLE_BUDGET = {
     # final plan unions two pair RDDs joined LEFT to the (broadcast at
     # this scale) embeddings. The codec crossings are row-local inside
     # the signature checkpoint.
+    # r10: +0 again for the video_fp stage — frame-grain banding,
+    # Hamming verify, AND the offset-voting window all run at build
+    # time behind the same eager-checkpoint discipline; the final
+    # plan gains only a third video-grain pair RDD branch.
     "ns_dedup_lsh_cross_modal": 10,
     # family: similarity/retrieval — corpus never shuffles for the
     # cosine stage (1: top-k window). r7: +9 for BM25 + RRF — the
@@ -200,7 +204,8 @@ SHUFFLE_BUDGET = {
     "ns_split_train_val": 8,
     # family: multimodal — one metadata agg per codec stage
     # (stub/png/wav + jpeg since r4)
-    "ns_multimodal_meta": 5,  # one groupBy(format) per codec stage (r5: +webp)
+    # r10: +1 — the avi container stage's groupBy(format)
+    "ns_multimodal_meta": 6,  # one groupBy(format) per codec stage
     # family: approx aggs — separate agg branches + sketch rollup.
     # r6: +4 in the FINAL plan for the Count-Min stages (per-path
     # probe-estimate and exact-count groupBys; probe/exact/total sides

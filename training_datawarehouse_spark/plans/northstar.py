@@ -24,6 +24,7 @@ from ..operators import sampling
 from ..operators import sharding
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import video as vd
 from ..sources.tables import load_table
 from .base import Query
 
@@ -1469,7 +1470,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str,
 
 def multimodal_meta(spark: SparkSession, sf_dir: str,
                     stages: tuple = ("stub", "png", "wav", "jpeg",
-                                     "webp")) -> DataFrame:
+                                     "webp", "avi")) -> DataFrame:
     """Binary-column pipeline end-to-end, tagged by stage:
 
     - 'stub': deterministic fake decode of an opaque payload — the
@@ -1490,9 +1491,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str,
       code-length code, color cache, inverse subtract-green and
       predictor transforms — the per-row option mix exercises each);
       ``n_bytes`` is the reconstructed RGBA raster size (4·w·h).
+    - 'avi' (round 10): REAL video container decode (``operators/
+      video.py``: RIFF/AVI header parse, movi chunk walk verified
+      against the idx1 index, uncompressed-DIB frame decode incl.
+      stride padding); ``n_bytes`` is the total decoded raster across
+      an md5-derived VARIABLE frame count (2–8), so only a correct
+      container parse + every-frame decode matches.
 
     Dims/rates derive from the same md5 bytes in every stage, so the
-    whole five-codec pipeline shares one exact SQL oracle.
+    whole six-codec pipeline shares one exact SQL oracle.
 
     ``stages=("stub",)`` is the round-2-equivalent sub-plan (the real
     codecs landed in round 3), timed under the bench "extras" section
@@ -1554,8 +1561,16 @@ def multimodal_meta(spark: SparkSession, sf_dir: str,
         .groupBy("format").agg(*agg)
         .select(F.lit("webp").alias("stage"), "*")
     )
+    avi = (
+        mm.decode_metadata(
+            vd.synthesize_avi_payload(spread, "doc_id", "text"),
+            decode_fn=vd.avi_decode_meta,
+        )
+        .groupBy("format").agg(*agg)
+        .select(F.lit("avi").alias("stage"), "*")
+    )
     parts = {"stub": stub, "png": png, "wav": wav, "jpeg": jpg,
-             "webp": webp}
+             "webp": webp, "avi": avi}
     out = None
     for st in stages:
         out = parts[st] if out is None else out.unionByName(parts[st])
@@ -1606,6 +1621,14 @@ UNION ALL
 -- webp: n_bytes is the RGBA raster, 4 bytes a pixel
 SELECT 'webp', 'webp', count(*),
        CAST(sum((16 + {_B0} % 16) * (16 + {_B1} % 16) * 4) AS BIGINT),
+       round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
+FROM hx
+UNION ALL
+-- avi: n_bytes is the total decoded raster across the md5-derived
+-- variable frame count (2 + byte2 % 7 frames of w*h each)
+SELECT 'avi', 'avi', count(*),
+       CAST(sum((2 + {_B2} % 7) * (16 + {_B0} % 16) * (16 + {_B1} % 16))
+            AS BIGINT),
        round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
 FROM hx
 """
@@ -3011,9 +3034,51 @@ def audio_fp_stage(spark: SparkSession, sf_dir: str,
     )
 
 
+def video_fp_stage(spark: SparkSession, sf_dir: str,
+                   pairs: DataFrame | None = None) -> DataFrame:
+    """Video-CONTENT near-dup pairs via per-frame DCT perceptual
+    hashes of REALLY container-decoded frames (`operators/video.py`):
+    per-frame token-grid rasters → real AVI/DIB encode → real strict
+    parse + decode (idx1-verified chunk walk) → per-frame 64-bit
+    pHash → ONE `phash_candidate_pairs` pass on composite
+    (video·4 + frame) ids → temporal-offset voting to video grain
+    (≥ 2 of 4 frames matching at the winning offset). Same schema
+    conventions as ``image_phash_stage``: the ``jaccard`` slot
+    carries the video score ``n_match / n_frames``, embedding cosine
+    LEFT-joins on, ``agree`` is the ≥ 0.2 QA bit; ``pairs`` is the
+    shared-crossing seam (a video-grain (id_a, id_b, score) frame)."""
+    if pairs is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # same consumer shape as the image/audio stages: the codec
+        # crossing feeds banding + both Hamming-verify sides, so
+        # materialize it once; the video-grain pair set is then tiny
+        sig = vd.video_phash_signatures(
+            docs, "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).localCheckpoint(eager=True)
+        pairs = vd.video_pair_matches(sig).localCheckpoint(eager=True)
+        release_local_checkpoint(sig)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    joined = (
+        pairs
+        .join(v.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a", "left")
+        .join(v.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}), "id_b", "left")
+    )
+    cos = F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
+    return joined.select(
+        F.lit("video_fp").alias("stage"), "id_a", "id_b",
+        F.col("score").alias("jaccard"),
+        cos.alias("cosine"),
+        (cos >= 0.2).cast("int").alias("agree"),
+    )
+
+
 def lsh_cross_modal(spark: SparkSession, sf_dir: str,
                     include_image_stage: bool = True,
-                    include_audio_stage: bool = True) -> DataFrame:
+                    include_audio_stage: bool = True,
+                    include_video_stage: bool = True) -> DataFrame:
     """MinHash-LSH near-dup candidates (τ=0.5) plus the cross-modal
     agreement pass (τ=0.3 candidates scored by embedding cosine),
     tagged by stage — the candidate stage carries null cosine/agree.
@@ -3023,8 +3088,14 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
     pixels — and the ``audio_fp`` stage — audio-content near-dup
     pairs from spectral fingerprints of REALLY-decoded WAV samples —
     both cross-checked against embedding cosine (see
-    ``image_phash_stage`` / ``audio_fp_stage``). Both flags False is
-    the r8-equivalent plan for the bench twin.
+    ``image_phash_stage`` / ``audio_fp_stage``). All content flags
+    False is the r8-equivalent plan for the bench twin.
+
+    Round 10 (semver 4): + the ``video_fp`` stage — video-content
+    near-dup pairs from per-frame pHashes of REALLY
+    container-decoded AVI/DIB frames, lifted to video grain by
+    temporal-offset voting (see ``video_fp_stage``).
+    ``include_video_stage=False`` is the r9-equivalent twin.
 
     The LSH threshold only gates the final verified-Jaccard filter, so
     ONE candidate pass at τ=0.3 feeds both stages (τ=0.5 is a filter of
@@ -3075,6 +3146,8 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
         out = out.unionByName(image_phash_stage(spark, sf_dir))
     elif include_audio_stage:
         out = out.unionByName(audio_fp_stage(spark, sf_dir))
+    if include_video_stage:
+        out = out.unionByName(video_fp_stage(spark, sf_dir))
     return out
 
 
@@ -3125,7 +3198,15 @@ def _lsh_cross_modal_oracle(
     trip in the middle of the Spark plan; that step is pixel-identity
     by construction (lossless codec) and is pinned by the round-trip
     pytest (`tests/test_phash.py`) — the oracle checks the math on
-    the same pixels the decoder reproduced."""
+    the same pixels the decoder reproduced.
+
+    Round 10: + the ``video_fp`` stage — the same pixel/DCT/band
+    pipeline per FRAME at composite ``fid = doc_id·4 + frame`` ids
+    (token i -> frame (i-1) % 4), fid-grain banded candidates and
+    Hamming, then temporal-offset voting (most matching frames; ties
+    to smallest |offset|, then offset) lifted to video grain. The
+    AVI/DIB container round trip is the pixel-identity step here,
+    pinned by `tests/test_video.py`."""
     p = dd._LSH_P
     mins = ",\n         ".join(
         f"min((({a} * (g1 % {p})) % {p} + ({b} * (g2 % {p})) % {p} + {i}) % {p})"
@@ -3348,6 +3429,104 @@ aimg AS (
   LEFT JOIN e ea ON ea.vec_id = h.id_a
   LEFT JOIN e eb ON eb.vec_id = h.id_b
   WHERE h.ham <= {afp.DEFAULT_MAX_HAMMING}
+),
+-- video_fp (r10): per-frame token grids (token i -> frame (i-1) % nf
+-- at COMPOSITE fid = doc_id*nf + frame), the image stage's pixel/
+-- DCT/median/band pipeline at fid grain, fid-grain banded candidates,
+-- exact Hamming, then temporal-offset voting to video grain. The
+-- AVI/DIB container round trip in the Spark plan is pixel-identity
+-- (pinned by tests/test_video.py) — the oracle checks the math on
+-- the same rasters the parser reproduced.
+vpos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+),
+vtok AS (
+  SELECT doc_id * {vd.N_FRAMES} + ((i - 1) % {vd.N_FRAMES}) AS fid,
+         toks[i] AS tok
+  FROM vpos
+),
+vcnt AS (
+  SELECT fid,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {ph.GRID * ph.GRID}
+           AS cell,
+         count(*) AS cnt
+  FROM vtok GROUP BY 1, 2
+),
+vfids AS (
+  SELECT doc_id * {vd.N_FRAMES} + f AS fid
+  FROM documents, (SELECT unnest(range(0, {vd.N_FRAMES})) AS f)
+),
+vgrid AS (
+  SELECT v.fid, g.cell, coalesce(c.cnt, 0) AS cnt
+  FROM vfids v
+  CROSS JOIN (SELECT unnest(range(0, {ph.GRID * ph.GRID})) AS cell) g
+  LEFT JOIN vcnt c ON c.fid = v.fid AND c.cell = g.cell
+),
+vpix AS (
+  SELECT fid, least(255, cnt * {ph.PIXEL_GAIN}) AS p,
+         (cell // {ph.GRID}) // 2 AS by, (cell % {ph.GRID}) // 2 AS bx
+  FROM vgrid
+),
+vblk AS (SELECT fid, by, bx, sum(p)::BIGINT AS s FROM vpix GROUP BY 1, 2, 3),
+vdct AS (
+  SELECT b.fid, cu.u AS u, cv.u AS v, sum(b.s * cu.c * cv.c)::BIGINT AS f
+  FROM vblk b JOIN cosq cu ON cu.x = b.by JOIN cosq cv ON cv.x = b.bx
+  GROUP BY 1, 2, 3
+),
+vmed AS (
+  SELECT fid, list_sort(list(f))[{ph.N_BITS // 2}] AS med
+  FROM vdct GROUP BY 1
+),
+vbit AS (
+  SELECT d.fid, (d.u * {ph.DCT_N} + d.v) AS i, (d.f > m.med)::BIGINT AS bit
+  FROM vdct d JOIN vmed m ON m.fid = d.fid
+),
+vsig AS (
+  SELECT fid, (i // {ph.BAND_BITS}) AS band,
+         sum(bit << (i % {ph.BAND_BITS}))::BIGINT AS val
+  FROM vbit GROUP BY 1, 2
+),
+vbc AS (SELECT band, val, count(*) AS n FROM vsig GROUP BY 1, 2),
+vcand AS (
+  SELECT DISTINCT x.fid AS fa, y.fid AS fb
+  FROM vsig x
+  JOIN vsig y ON x.band = y.band AND x.val = y.val AND x.fid < y.fid
+  JOIN vbc ON vbc.band = x.band AND vbc.val = x.val
+  WHERE vbc.n <= {ph.DEFAULT_MAX_BUCKET}
+),
+vham AS (
+  SELECT c.fa, c.fb, sum(bit_count(xor(sa.val, sb.val)))::BIGINT AS ham
+  FROM vcand c
+  JOIN vsig sa ON sa.fid = c.fa
+  JOIN vsig sb ON sb.fid = c.fb AND sb.band = sa.band
+  GROUP BY 1, 2
+),
+vfm AS (
+  SELECT fa // {vd.N_FRAMES} AS va, fb // {vd.N_FRAMES} AS vb,
+         (fa % {vd.N_FRAMES}) - (fb % {vd.N_FRAMES}) AS off
+  FROM vham
+  WHERE ham <= {ph.DEFAULT_MAX_HAMMING}
+    AND fa // {vd.N_FRAMES} != fb // {vd.N_FRAMES}
+),
+vvote AS (
+  SELECT va, vb, off, count(*) AS n_match FROM vfm GROUP BY 1, 2, 3
+),
+vbest AS (
+  SELECT va, vb, off, n_match,
+         row_number() OVER (PARTITION BY va, vb
+                            ORDER BY n_match DESC, abs(off), off) AS rn
+  FROM vvote
+),
+vfin AS (
+  SELECT b.va AS id_a, b.vb AS id_b,
+         round(b.n_match / {vd.N_FRAMES}.0, 6) AS jaccard,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM vbest b
+  LEFT JOIN e ea ON ea.vec_id = b.va
+  LEFT JOIN e eb ON eb.vec_id = b.vb
+  WHERE b.rn = 1 AND b.n_match >= {vd.DEFAULT_MIN_FRAMES}
 )
 SELECT 'candidates' AS stage, id_a, id_b, jaccard,
        NULL::DOUBLE AS cosine, NULL::INT AS agree
@@ -3364,6 +3543,10 @@ UNION ALL
 SELECT 'audio_fp', id_a, id_b, jaccard, cosine,
        (cosine >= 0.2)::INT
 FROM aimg
+UNION ALL
+SELECT 'video_fp', id_a, id_b, jaccard, cosine,
+       (cosine >= 0.2)::INT
+FROM vfin
 """
 
 
