@@ -175,6 +175,21 @@ def test_video_offset_voting_finds_time_shifted_copy(spark):
     assert got[(1, 2)]["n_match"] >= vi.DEFAULT_MIN_FRAMES
 
 
+def test_phash_bands_batch_parity():
+    """The vectorized batch hash must be bit-identical to the scalar
+    `phash_bands` on every frame, including degenerate all-zero and
+    saturated rasters."""
+    import numpy as np
+
+    rasters = vi.frame_token_grids(BASE) + vi.frame_token_grids(FAR)
+    rasters += [bytes(256), bytes([255]) * 256,
+                bytes(range(256)), bytes(reversed(range(256)))]
+    got = ph.phash_bands_batch(
+        np.frombuffer(b"".join(rasters), dtype=np.uint8))
+    for j, r in enumerate(rasters):
+        assert got[j].tolist() == ph.phash_bands(r)
+
+
 def test_video_signatures_match_reference_loop(spark):
     """The in-plan signatures equal a direct no-Spark reimplementation
     (synthesize → encode → decode → hash, per frame)."""

@@ -170,25 +170,46 @@ def audio_fingerprint_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def fused_multimodal_signatures(df: DataFrame, id_col: str, text_col: str,
-                                parallelism: int | None = None) -> DataFrame:
+                                parallelism: int | None = None,
+                                include_video: bool = False) -> DataFrame:
     """Image pHash AND audio fingerprint in ONE Arrow crossing:
     (id, ib0..ib3, ab0..ab3). Both modalities read the same (id, text)
     projection, so a caller that wants both (the cross-modal dedup
     entry) pays one scan, one repartition, one worker round trip, and
     one checkpoint instead of two of each — the per-row Python is the
     sum either way. Slices back to the (id, b0..b3) signature shape
-    with a select, so `phash_candidate_pairs` is unchanged."""
+    with a select, so `phash_candidate_pairs` is unchanged.
+
+    ``include_video`` (r10) adds the per-frame VIDEO fingerprints to
+    the same crossing as 16 more int columns ``vf{f}b{k}`` (frame f's
+    band k, through the real AVI/DIB container round trip — see
+    `operators/video.py`); callers explode them back to the
+    (id, frame, b0..b3) grain JVM-side. Three modalities, still one
+    scan / one repartition / one crossing / one checkpoint."""
+    from . import video as _vd
+
     if parallelism:
         df = df.select(id_col, text_col).repartition(parallelism)
+    n_frames = _vd.N_FRAMES
+    vcols = [f"vf{f}b{k}" for f in range(n_frames) for k in range(N_BANDS)]
     schema = T.StructType(
         [T.StructField("id", T.LongType())]
         + [T.StructField(f"ib{k}", T.IntegerType()) for k in range(N_BANDS)]
         + [T.StructField(f"ab{k}", T.IntegerType()) for k in range(N_BANDS)]
+        + ([T.StructField(c, T.IntegerType()) for c in vcols]
+           if include_video else [])
     )
 
+    cols = (["id"]
+            + [f"ib{k}" for k in range(N_BANDS)]
+            + [f"ab{k}" for k in range(N_BANDS)]
+            + (vcols if include_video else []))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         for pdf in batches:
-            rows = []
+            rows, vframes = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 pix = _ph.token_grid_pixels(text)
                 png = _ph.encode_png(_ph.GRID, _ph.GRID, pix,
@@ -199,9 +220,18 @@ def fused_multimodal_signatures(df: DataFrame, id_col: str, text_col: str,
                 abands = fingerprint_bands(
                     struct.unpack(f"<{N_SAMPLES}h", pcm))
                 rows.append([did, *ibands, *abands])
-            yield pd.DataFrame(
-                rows, columns=(["id"]
-                               + [f"ib{k}" for k in range(N_BANDS)]
-                               + [f"ab{k}" for k in range(N_BANDS)]))
+                if include_video:
+                    avi = _vd.encode_avi(
+                        _vd.frame_token_grids(text, n_frames),
+                        _ph.GRID, _ph.GRID)
+                    vframes.extend(_vd.decode_avi(avi)["frames"])
+            if include_video and rows:
+                # one stacked einsum hashes every frame in the batch
+                vb = _ph.phash_bands_batch(
+                    _np.frombuffer(b"".join(vframes), dtype=_np.uint8))
+                for j, row in enumerate(rows):
+                    row.extend(
+                        vb[j * n_frames:(j + 1) * n_frames].reshape(-1))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)

@@ -158,6 +158,24 @@ def phash_bands(pixels: bytes) -> list[int]:
     return bands
 
 
+def phash_bands_batch(rasters: np.ndarray) -> np.ndarray:
+    """Vectorized `phash_bands` over a BATCH of rasters: (n, 256)
+    uint8 -> (n, 4) int64 band values, one stacked einsum instead of
+    n small matmuls and n·64 Python bit-shifts. Bit-identical to the
+    scalar path (same integer math; parity-tested) — the batch form
+    exists because per-frame video hashing multiplies the call count
+    by n_frames."""
+    imgs = np.ascontiguousarray(rasters, dtype=np.int64)
+    imgs = imgs.reshape(-1, GRID, GRID)
+    s = imgs.reshape(-1, DCT_N, 2, DCT_N, 2).sum(axis=(2, 4))
+    c = np.array(dct_basis_int(), dtype=np.int64)
+    f = np.einsum("ur,nrc,vc->nuv", c, s, c).reshape(len(imgs), N_BITS)
+    med = np.sort(f, axis=1)[:, N_BITS // 2 - 1]
+    bits = f > med[:, None]
+    weights = 1 << np.arange(BAND_BITS, dtype=np.int64)
+    return (bits.reshape(-1, N_BANDS, BAND_BITS) * weights).sum(axis=2)
+
+
 def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
                            parallelism: int | None = None) -> DataFrame:
     """(id, b0..b3) pHash signatures: synthesize the token-grid image,

@@ -61,6 +61,7 @@ import hashlib
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
@@ -339,18 +340,28 @@ def video_phash_signatures(df: DataFrame, id_col: str, text_col: str,
            for k in range(ph.N_BANDS)]
     )
 
+    cols = ["id", "frame"] + [f"b{k}" for k in range(ph.N_BANDS)]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, rasters = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 avi = encode_avi(frame_token_grids(text, n_frames),
                                  ph.GRID, ph.GRID)
-                dec = decode_avi(avi)
-                for fno, raster in enumerate(dec["frames"]):
-                    rows.append([did, fno, *ph.phash_bands(raster)])
-            yield pd.DataFrame(
-                rows, columns=["id", "frame"]
-                + [f"b{k}" for k in range(ph.N_BANDS)])
+                ids.append(did)
+                rasters.extend(decode_avi(avi)["frames"])
+            if not ids:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # one stacked einsum hashes EVERY frame in the Arrow batch
+            bands = ph.phash_bands_batch(
+                np.frombuffer(b"".join(rasters), dtype=np.uint8))
+            rows = [
+                [did, fno, *bands[j * n_frames + fno]]
+                for j, did in enumerate(ids)
+                for fno in range(n_frames)
+            ]
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 

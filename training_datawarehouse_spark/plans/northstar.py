@@ -3123,13 +3123,17 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
     )
     out = cand.unionByName(cm)
     if include_image_stage and include_audio_stage:
-        # both modalities read the same (id, text) rows — fuse the two
-        # codec crossings into ONE (scan + repartition + Arrow round
-        # trip + checkpoint paid once), slice back to per-modality
-        # signatures, and hand the verified pair frames to the stages
+        # all included modalities read the same (id, text) rows — fuse
+        # the codec crossings into ONE (scan + repartition + Arrow
+        # round trip + checkpoint paid once), slice back to
+        # per-modality signatures, and hand the verified pair frames
+        # to the stages. r10: the video frames ride the same crossing
+        # as 16 vf{f}b{k} columns, exploded back to frame grain
+        # JVM-side before the banded pass.
         fused = afp.fused_multimodal_signatures(
             docs, "doc_id", "text",
             parallelism=spark.sparkContext.defaultParallelism,
+            include_video=include_video_stage,
         ).localCheckpoint(eager=True)
         isig = fused.select(
             "id", *[F.col(f"ib{k}").alias(f"b{k}") for k in range(4)])
@@ -3139,10 +3143,28 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
         apairs = ph.phash_candidate_pairs(
             asig,
             max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
+        vpairs = None
+        if include_video_stage:
+            vsig = fused.select(
+                "id",
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(f).alias("frame"),
+                        *[F.col(f"vf{f}b{k}").alias(f"b{k}")
+                          for k in range(4)])
+                    for f in range(vd.N_FRAMES)
+                ])).alias("s"),
+            ).select("id", "s.frame",
+                     *[F.col(f"s.b{k}").alias(f"b{k}") for k in range(4)])
+            vpairs = vd.video_pair_matches(vsig).localCheckpoint(eager=True)
         release_local_checkpoint(fused)
         out = out.unionByName(image_phash_stage(spark, sf_dir, pairs=ipairs))
         out = out.unionByName(audio_fp_stage(spark, sf_dir, pairs=apairs))
-    elif include_image_stage:
+        if include_video_stage:
+            out = out.unionByName(
+                video_fp_stage(spark, sf_dir, pairs=vpairs))
+        return out
+    if include_image_stage:
         out = out.unionByName(image_phash_stage(spark, sf_dir))
     elif include_audio_stage:
         out = out.unionByName(audio_fp_stage(spark, sf_dir))
