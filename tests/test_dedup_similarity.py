@@ -152,11 +152,16 @@ def test_ann_recall_targets(spark):
         if r["stage"] == "recall":
             rec.setdefault(r["method"], []).append(r["recall"])
     assert set(rec) == {
-        "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res",
+        "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
     }
     assert all(len(v) == 8 for v in rec.values())
     assert sum(rec["ivf"]) / 8 >= 0.8
     assert sum(rec["signlsh"]) / 8 >= 0.5
+    # r10: 8-bit scalar quantization is the mild end of the
+    # compression spectrum (4× vs PQ's 64×) — its per-dim step is
+    # ~range/255, tiny next to neighbor separation, so recall must be
+    # near-exact even on structure-free gaussians (measured 1.0)
+    assert sum(rec["sq8"]) / 8 >= 0.9
     assert sum(rec["pq"]) / 8 >= 0.1
     assert sum(rec["pq_rr"]) / 8 >= 0.5
     assert sum(rec["pq_rr"]) > sum(rec["pq"])
@@ -1105,7 +1110,7 @@ def test_ann_recall_on_clustered_vectors(spark):
             rec.setdefault(r["method"], []).append(r["recall"])
     mean = {m: sum(v) / len(v) for m, v in rec.items()}
     assert set(mean) == {
-        "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res",
+        "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
     }
     # Gates: minimums with margin under the measured values (measured
     # r9: ivf 1.0, signlsh ≥0.7, pq 0.425, pq_rr 1.0, ivfpq 0.425,
@@ -1118,6 +1123,14 @@ def test_ann_recall_on_clustered_vectors(spark):
     assert mean["pq_rr"] >= 0.9, mean
     assert mean["ivfpq"] >= 0.35, mean
     assert mean["ivfpq_res"] >= 0.55, mean
+    # r10: sq8 measures 0.775 here vs 1.0 on structure-free gaussians
+    # — the INVERTED regime from PQ (which gains on clusters): global
+    # per-dim min/max bounds stretch across far-apart cluster
+    # centers, so the quantization step becomes comparable to
+    # WITHIN-cluster neighbor separations. The production fix is
+    # trained bounds (quantile-clipped, or per-IVF-list like the
+    # residual PQ path); gate pins the honest global-bounds floor.
+    assert mean["sq8"] >= 0.7, mean
     # the structural claims: clustered recall must beat the
     # structure-free floor for every compressed method, and residual
     # encoding must keep its edge over raw-vector IVFADC

@@ -135,3 +135,71 @@ def test_pq_adc_duplicate_pairs_deduplicated(spark):
     )
     assert got == want
     assert len(got) == 3
+
+
+# ----------------------------------------------- scalar quantization
+
+def test_sq_train_bounds_and_ragged_refusal(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, -2.0]), (1, [1.0, 2.0]), (2, [0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = pq.sq_train(df, "embedding", 2)
+    assert mins == [0.0, -2.0] and maxs == [1.0, 2.0]
+    ragged = df.union(spark.createDataFrame(
+        [(3, [1.0])], "vec_id long, embedding array<double>"))
+    with pytest.raises(ValueError, match="ragged"):
+        pq.sq_train(ragged, "embedding", 2)
+
+
+def test_sq_encode_known_codes_and_constant_dim(spark):
+    """code = round((x-mn)*255/(mx-mn)) clamped; a constant dimension
+    (mx == mn) codes to 0 instead of dividing by zero."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 7.0]), (1, [0.5, 7.0]), (2, [1.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = pq.sq_train(df, "embedding", 2)
+    got = {r["vec_id"]: r["codes"]
+           for r in pq.sq_encode(df, "embedding", mins, maxs).collect()}
+    assert got[0] == [0, 0]
+    assert got[1] == [128, 0]   # 0.5*255 = 127.5 -> half-up 128
+    assert got[2] == [255, 0]
+
+
+def test_sq_adc_matches_python_reference(spark):
+    """Micro-exact ADC distances equal an independent Python loop over
+    the same reconstruction arithmetic."""
+    df = _emb(spark, n=20, dim=4)
+    mins, maxs = pq.sq_train(df, "embedding", 4)
+    codes = pq.sq_encode(df, "embedding", mins, maxs)
+    queries = df.filter(F.col("vec_id") < 2)
+    got = {(r["query_id"], r["neighbor_id"]): r["sq_d2"]
+           for r in pq.sq_adc_scores(codes, queries, mins, maxs).collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    cmap = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    for q in (0, 1):
+        for n, v in vecs.items():
+            if n == q:
+                assert (q, n) not in got
+                continue
+            micro = 0
+            for j in range(4):
+                rec = mins[j] + cmap[n][j] * (maxs[j] - mins[j]) / 255.0
+                d = vecs[q][j] - rec
+                micro += round(d * d * 1e6)
+            assert got[(q, n)] == micro / 1e6, (q, n)
+
+
+def test_sq_roundtrip_error_bounded(spark):
+    """Reconstruction error per dim is bounded by half a quantization
+    step — the property that makes SQ8 near-exact."""
+    df = _emb(spark, n=50, dim=8)
+    mins, maxs = pq.sq_train(df, "embedding", 8)
+    codes = pq.sq_encode(df, "embedding", mins, maxs)
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for r in codes.collect():
+        for j, c in enumerate(r["codes"]):
+            rec = mins[j] + c * (maxs[j] - mins[j]) / 255.0
+            step = (maxs[j] - mins[j]) / 255.0
+            assert abs(vecs[r["vec_id"]][j] - rec) <= step / 2 + 1e-12

@@ -247,6 +247,64 @@ def main() -> None:
         funnel_probe(spark)
     if "--quant" in sys.argv:
         quant_probe(spark)
+    if "--video" in sys.argv:
+        video_probe(spark)
+
+
+def video_probe(spark) -> None:
+    """r10: the video-fingerprint family at 100× docs (500 k docs →
+    2 M frame signatures). Claims under test: (a) the codec+hash
+    crossing stays CPU-sized via the parallelism knob and the batched
+    einsum, (b) frame-grain banding scales like the image family at
+    4× its rows, (c) 16-bit bucket occupancy at 2 M fid-grain rows —
+    the known envelope edge of the 64-bit/4-band family — and (d)
+    temporal-offset voting adds only a pair-grain groupBy + window."""
+    from training_datawarehouse_spark.operators import video as vd
+    from training_datawarehouse_spark.operators.phash import (
+        DEFAULT_MAX_BUCKET, N_BANDS,
+    )
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        t0 = time.time()
+        sig = vd.video_phash_signatures(
+            docs, "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).localCheckpoint(eager=True)
+        n_sig = sig.count()
+        sig_s = round(time.time() - t0, 2)
+
+        comp = sig.select(
+            (F.col("id") * vd.N_FRAMES + F.col("frame")).alias("id"),
+            *[f"b{k}" for k in range(N_BANDS)])
+        band_structs = F.array(*[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+            for k in range(N_BANDS)
+        ])
+        occ = (
+            comp.select(F.explode(band_structs).alias("bs"))
+            .groupBy("bs.band", "bs.val").count()
+            .agg(
+                F.max("count").alias("max_bucket"),
+                F.expr("percentile_approx(count, 0.99)").alias("p99"),
+                (F.sum(F.when(F.col("count") > DEFAULT_MAX_BUCKET,
+                              F.col("count")).otherwise(0))
+                 / F.sum("count")).alias("frac_rows_capped"),
+            ).collect()[0]
+        )
+        t0 = time.time()
+        pairs = vd.video_pair_matches(sig).localCheckpoint(eager=True)
+        pair_s = round(time.time() - t0, 2)
+        n_pairs = pairs.count()
+        print(
+            f"video[{label}] docs={n} frame_sigs={n_sig} "
+            f"crossing+ckpt={sig_s}s pairs={n_pairs} match={pair_s}s "
+            f"max_bucket={occ['max_bucket']} p99={occ['p99']} "
+            f"frac_rows_capped={occ['frac_rows_capped']:.4f}",
+            flush=True,
+        )
 
 
 def quant_probe(spark) -> None:

@@ -354,3 +354,117 @@ def pq_adc_scores_residual(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("adc_d2"))
     )
+
+
+# ------------------------------------------------ scalar quantization
+
+def sq_train(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) bounds for 8-bit SCALAR quantization
+    (the FAISS ``SQ8`` family: each dimension affine-mapped to one
+    uint8 — 4× compression for float32 at near-exact recall, the
+    mild sibling of PQ's 64×). One map-side-combinable aggregation;
+    2·d doubles return to the driver, the corpus never shuffles.
+    Raises on ragged/wrong-dim vectors (the ``pq_train`` dim-check
+    discipline). The bounds are exact data values (no arithmetic),
+    so a SQL oracle re-derives them bit-for-bit with min()/max()."""
+    v = _as_double(F.col(vec_col))
+    # try_element_at: a short vector must reach the __bad counter (and
+    # raise below), not blow up ANSI element_at inside the same agg
+    row = df.agg(
+        F.sum((F.size(F.col(vec_col)) != dim).cast("long")).alias("__bad"),
+        *[F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"mn{i}")
+          for i in range(dim)],
+        *[F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"mx{i}")
+          for i in range(dim)],
+    ).collect()[0]
+    if row["__bad"]:
+        raise ValueError(
+            f"sq_train: {row['__bad']} ragged or wrong-dim vectors "
+            f"(expected {dim})")
+    return ([row[f"mn{i}"] for i in range(dim)],
+            [row[f"mx{i}"] for i in range(dim)])
+
+
+def sq_encode(
+    df: DataFrame, vec_col: str, mins: list[float], maxs: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): ROW-LOCAL 8-bit encode — ``code_i = clamp(round(
+    (x_i − mn_i) · 255 / (mx_i − mn_i)), 0, 255)``, constant
+    dimensions (mx == mn) code to 0. The bounds ride the plan as two
+    d-float array literals; no join, no shuffle, whole-stage codegen.
+    The expression order is written identically in the SQL oracle, so
+    codes are bit-identical across engines (round halves never need a
+    tie-break: both engines round the SAME double, and both round
+    non-negative halves away from zero)."""
+    mn = F.array(*[F.lit(float(x)) for x in mins])
+    mx = F.array(*[F.lit(float(x)) for x in maxs])
+    v = _as_double(F.col(vec_col))
+    codes = F.transform(
+        v,
+        lambda x, i: F.when(
+            F.element_at(mx, i + 1) == F.element_at(mn, i + 1), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (x - F.element_at(mn, i + 1)) * 255
+                        / (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.select(F.col(id_col).alias(id_col), codes.alias("codes"))
+
+
+def sq_adc_scores(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance for scalar quantization: exact query vs
+    per-dim reconstructed corpus ``x̂_i = mn_i + code_i·(mx_i−mn_i)/
+    255``. Returns ``(query_id, neighbor_id, sq_d2)``, self-pairs
+    excluded; rank/top-k is the caller's.
+
+    Cross-engine exactness: each per-dim squared term is computed
+    with the identical expression order in both engines, rounded to
+    exact integer MICRO-units, and summed as int64 — an order-free
+    sum (the dedup-stage exact-cents discipline), where a 64-term
+    float sum would be engine-order-dependent. Scale shape: queries
+    broadcast, scoring is row-local literal arithmetic, the only
+    shuffle in an SQ top-k is the top-k itself."""
+    mn = F.array(*[F.lit(float(x)) for x in mins])
+    mx = F.array(*[F.lit(float(x)) for x in maxs])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+
+    def term(c, i):
+        rec = F.element_at(mn, i + 1) + c * (
+            F.element_at(mx, i + 1) - F.element_at(mn, i + 1)
+        ) / 255.0
+        d = F.element_at(F.col("__qv"), i + 1) - rec
+        return F.round(d * d * 1e6).cast("long")
+
+    micro = F.aggregate(
+        F.transform(F.col("codes"), term),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (micro / F.lit(1e6)).alias("sq_d2"))
+    )

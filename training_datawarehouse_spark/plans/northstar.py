@@ -2271,6 +2271,16 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     rank and cosine hash-checks. Residual encode stays row-local: one
     k·d centroid literal, zip_with subtraction, no shuffle.
 
+    Round 10 adds 'sq8': 8-bit SCALAR quantization (the FAISS SQ8
+    family) — per-dim affine uint8 codes from one min/max aggregation,
+    row-local encode/ADC, micro-exact order-free distance sums. The
+    mild end of the compression spectrum (4× vs PQ's 64×): recall
+    1.0 on structure-free gaussians but 0.775 on the clustered slice
+    — the INVERTED regime from PQ, because global per-dim bounds
+    stretch across cluster centers and the step grows comparable to
+    within-cluster separations (production fix: quantile-clipped or
+    per-list trained bounds; measured side-by-side in SCALE.md).
+
     ``emb`` overrides the corpus for every stage (r9): the clustered-
     vector recall eval injects a deterministic mixture-of-gaussians
     slice through this exact pipeline, so its recall numbers measure
@@ -2387,12 +2397,41 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         )
     )
 
+    # 8-bit scalar quantization ('sq8', r10 — the FAISS SQ8 family):
+    # per-dim affine uint8 codes, 4× compression at near-exact recall
+    # — the mild end of the compression spectrum next to PQ's 64×.
+    # Train = one map-side-combinable min/max agg (2·d doubles to the
+    # driver); encode and ADC are row-local literal arithmetic; the
+    # rank window is the method's only shuffle. The oracle RE-DERIVES
+    # the bounds with min()/max() (exact data values, no arithmetic)
+    # and every code and micro-exact distance.
+    sq_mins, sq_maxs = pq.sq_train(emb, "embedding", EMBEDDING_DIM)
+    sq_codes = pq.sq_encode(emb, "embedding", sq_mins, sq_maxs)
+    wsq = Window.partitionBy("query_id").orderBy("sq_d2", "neighbor_id")
+    sq8 = (
+        pq.sq_adc_scores(sq_codes, queries, sq_mins, sq_maxs)
+        .withColumn("rank", F.row_number().over(wsq))
+        .filter(F.col("rank") <= _ANN_K)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(
+                sim.cosine(
+                    sim._as_double(F.col("__qv")),
+                    sim._as_double(F.col("__nv")),
+                ), 6,
+            ).alias("cosine"),
+        )
+    )
+
     ann = (
         lsh.unionByName(ivf)
         .unionByName(pq_raw.withColumn("method", F.lit("pq")))
         .unionByName(pq_rr.withColumn("method", F.lit("pq_rr")))
         .unionByName(ivfpq.withColumn("method", F.lit("ivfpq")))
         .unionByName(ivfpq_res.withColumn("method", F.lit("ivfpq_res")))
+        .unionByName(sq8.withColumn("method", F.lit("sq8")))
     )
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
@@ -2428,7 +2467,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     )
     methods = spark.createDataFrame(
         [("signlsh",), ("ivf",), ("pq",), ("pq_rr",), ("ivfpq",),
-         ("ivfpq_res",)],
+         ("ivfpq_res",), ("sq8",)],
         "method string",
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
@@ -2742,6 +2781,51 @@ ivf_topk AS (
   ) WHERE rank <= {k}
 ),
 {pq_sql},
+-- sq8 (r10): per-dim min/max RE-DERIVED from the corpus, affine
+-- uint8 codes, micro-exact asymmetric distances (per-dim term rounded
+-- to int64 micro-units, summed order-free — the Spark side's exact
+-- discipline), ranked by (distance, neighbor_id)
+sqd AS MATERIALIZED (
+  SELECT neighbor_id, unnest(range(1, {dim} + 1)) AS j, cv FROM c
+),
+sqmm AS MATERIALIZED (
+  SELECT j, min(cv[j]) AS mn, max(cv[j]) AS mx FROM sqd GROUP BY j
+),
+sqcodes AS MATERIALIZED (
+  SELECT d.neighbor_id, d.j,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE least(255, greatest(0,
+                round((d.cv[d.j] - m.mn) * 255 / (m.mx - m.mn))::BIGINT))
+         END AS code
+  FROM sqd d JOIN sqmm m USING (j)
+),
+sqmicro AS (
+  SELECT q.query_id, s.neighbor_id,
+         sum(round(
+           (q.qv[s.j] - (m.mn + s.code * (m.mx - m.mn) / 255.0))
+           * (q.qv[s.j] - (m.mn + s.code * (m.mx - m.mn) / 255.0))
+           * 1e6)::BIGINT) AS micro
+  FROM sqcodes s
+  JOIN sqmm m USING (j)
+  CROSS JOIN q
+  WHERE q.query_id <> s.neighbor_id
+  GROUP BY 1, 2
+),
+sq_topk AS (
+  SELECT t.query_id, t.rank, t.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY micro, neighbor_id) AS rank
+    FROM sqmicro
+  ) t
+  JOIN q ON q.query_id = t.query_id
+  JOIN c ON c.neighbor_id = t.neighbor_id
+  WHERE t.rank <= {k}
+),
 ann AS (
   SELECT 'signlsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_topk
   UNION ALL
@@ -2755,6 +2839,8 @@ ann AS (
   UNION ALL
   SELECT 'ivfpq_res', query_id, rank, neighbor_id, cos
   FROM ivfpq_res_topk
+  UNION ALL
+  SELECT 'sq8', query_id, rank, neighbor_id, cos FROM sq_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -2772,7 +2858,8 @@ grid AS (
   SELECT m.method, q.query_id
   FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf'
         UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr'
-        UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_res') m
+        UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_res'
+        UNION ALL SELECT 'sq8') m
   CROSS JOIN q
 ),
 hits AS (
