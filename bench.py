@@ -65,14 +65,14 @@ MANIFEST = [
      "desc": "first-writer-wins dedup"},
     {"name": "ns_dedup_exact", "semver": 1,
      "desc": "exact hash dedup, min_by agg"},
-    {"name": "ns_text_profile", "semver": 6,
+    {"name": "ns_text_profile", "semver": 7,
      "desc": "r3: absorbed fingerprint + dupe-group entries onto one scan; "
              "r5: + corpus-trained bigram-LM quality score (train + "
              "score, oracle-retrained); r6: + distributed BPE tokenizer "
              "training (8 merges, oracle-retrained) + re-encoding; "
              "r6b: + DSIR hashed-bigram importance weights + per-domain "
              "top-25% selection (both models oracle-retrained) + trained "
-             "logreg quality classifier (3 GD epochs, oracle-retrained); r9/semver-6: + unigram-LM (SentencePiece-style) tokenizer training stage (soft-EM, oracle-retrained)"},
+             "logreg quality classifier (3 GD epochs, oracle-retrained); r9/semver-6: + unigram-LM (SentencePiece-style) tokenizer training stage (soft-EM, oracle-retrained); r10/semver-7: + WordPiece trainer (likelihood-ratio merge selection over ##-prefixed symbols, oracle-retrained) — the tokenizer-family triad"},
     {"name": "ns_similarity_topk", "semver": 2,
      "desc": "brute-force cosine top-k (r7: + BM25 lexical ranked "
              "retrieval over documents + hybrid more-like-this RRF "
@@ -244,20 +244,31 @@ def _extras() -> list[dict]:
                  s, d, include_leakage=False)},
             {"name": "ns_text_profile__r4equiv", "semver": 2,
              "desc": "ns_text_profile semver-2 sub-plan (no bigram-LM / "
-                     "BPE / DSIR / classifier stages)",
+                     "BPE / DSIR / classifier / unigram / wordpiece "
+                     "stages; r10 fix: the r9 unigram flag was missing "
+                     "here, silently inflating this twin for one round)",
              "builder": lambda s, d: _compat(text_profile,
                  s, d, include_lm=False, include_bpe=False,
-                 include_dsir=False, include_lrq=False)},
+                 include_dsir=False, include_lrq=False,
+                 include_ulm=False, include_wp=False)},
             {"name": "ns_text_profile__r8equiv", "semver": 5,
-             "desc": "ns_text_profile semver-5 sub-plan (no unigram-LM "
+             "desc": "ns_text_profile semver-5 sub-plan (no unigram-LM / "
+                     "wordpiece stages)",
+             "builder": lambda s, d: _compat(text_profile,
+                 s, d, include_ulm=False, include_wp=False)},
+            {"name": "ns_text_profile__r9equiv", "semver": 6,
+             "desc": "ns_text_profile semver-6 sub-plan (no wordpiece "
                      "stage)",
              "builder": lambda s, d: _compat(text_profile,
-                 s, d, include_ulm=False)},
+                 s, d, include_wp=False)},
             {"name": "ns_text_profile__r5equiv", "semver": 3,
-             "desc": "ns_text_profile semver-3 sub-plan (no BPE stage)",
+             "desc": "ns_text_profile semver-3 sub-plan (no BPE / DSIR / "
+                     "classifier / unigram / wordpiece stages; r10 fix: "
+                     "the r9 unigram flag was missing here)",
              "builder": lambda s, d: _compat(text_profile,
                  s, d, include_bpe=False, include_dsir=False,
-                 include_lrq=False)},
+                 include_lrq=False, include_ulm=False,
+                 include_wp=False)},
             {"name": "op_approx_aggs__r5equiv", "semver": 2,
              "desc": "op_approx_aggs semver-2 sub-plan (no CMS stages)",
              "builder": lambda s, d: _compat(approx_aggs,

@@ -194,7 +194,10 @@ SHUFFLE_BUDGET = {
     # the vocabulary-sized word-stats table broadcasts, and the EM
     # training loop runs at build time, so this is the stage's only
     # exchange — same shape as the r6 BPE-encode groupBy).
-    "ns_text_profile": 9,
+    # r10: +1 for the WordPiece encode groupBy (trained words
+    # broadcast; the merge-training pair/symbol-count jobs run at
+    # build time on the driver fast path).
+    "ns_text_profile": 10,
     "ns_lang_quality": 1,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,

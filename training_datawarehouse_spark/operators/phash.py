@@ -36,8 +36,10 @@ Scale shape (100 TB): synthesis + PNG encode + REAL decode + 64-int
 DCT are ROW-LOCAL inside one Arrow crossing; nothing wider than
 (id, 4 x int) survives it. Only the (band, 16-bit value) keys shuffle
 for the band join — same banding shape and hot-bucket cap as MinHash
-LSH — and Hamming verification touches candidate pairs only, via a
-broadcast of the capped candidate set into the signature lookup.
+LSH — and Hamming verification touches candidate pairs only (AQE
+broadcasts the capped candidate set when it is small and
+shuffle-joins on the rep key when it is not — forcing the broadcast
+OOM'd the driver at the 100× frame-grain scale, SCALE.md r10).
 """
 from __future__ import annotations
 
@@ -300,8 +302,15 @@ def phash_candidate_pairs(
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
         for k in range(N_BANDS)
     )
+    # NO forced broadcast of rep_pairs (r10 fix): its size is
+    # data-dependent (candidate-grain — the r9 image probe measured
+    # ~9 M pairs at 500 k docs, and the 4×-rows video family OOM'd
+    # the driver building the broadcast table at the same corpus).
+    # AQE broadcasts it when it is actually small (bench scale) and
+    # shuffle-joins on the rep key when it is not — which is the
+    # correct plan at either end.
     verified = (
-        ra.join(F.broadcast(rep_pairs), "ga")
+        ra.join(rep_pairs, "ga")
         .join(rb, "gb")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

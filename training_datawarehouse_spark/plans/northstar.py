@@ -25,6 +25,7 @@ from ..operators import sharding
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators import video as vd
+from ..operators import wordpiece as wpc
 from ..sources.tables import load_table
 from .base import Query
 
@@ -1836,7 +1837,8 @@ def text_profile(spark: SparkSession, sf_dir: str,
                  include_bpe: bool = True,
                  include_dsir: bool = True,
                  include_lrq: bool = True,
-                 include_ulm: bool = True) -> DataFrame:
+                 include_ulm: bool = True,
+                 include_wp: bool = True) -> DataFrame:
     """Per-document text analysis in one entry: lexical stats (token
     counts, TTR, stopwords), BPE-pretokenizer regex token counts, and
     the canonical md5 fingerprint with its dupe-group size — ONE
@@ -1896,7 +1898,16 @@ def text_profile(spark: SparkSession, sf_dir: str,
     passes per iteration) and the learned model is stamped as the
     constant ``ulm_vocab`` column — piece-for-piece, probability-for-
     probability. ``include_ulm=False`` is the round-8-equivalent
-    sub-plan."""
+    sub-plan.
+
+    r10 completes the tokenizer-family triad with WordPiece
+    (``operators/wordpiece.py``, Schuster & Nakajima 2012 / the BERT
+    trainer): 6 merges chosen by the likelihood-ratio score
+    ``count(ab)/(count(a)·count(b))`` over ##-prefixed continuation
+    symbols, re-encoded per document. The oracle RETRAINS every
+    merge (pair + symbol counts, score argmax, the greedy fold) —
+    the learned sequence is the constant ``wp_merges`` column.
+    ``include_wp=False`` is the round-9-equivalent sub-plan."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     base = docs.select(
@@ -1950,6 +1961,12 @@ def text_profile(spark: SparkSession, sf_dir: str,
         prof = prof.join(usc, "doc_id", "left").withColumn(
             "ulm_vocab", F.lit(ug.vocab_tag(uprobs))
         )
+    if include_wp:
+        wvocab, wmerges = wpc.train_wordpiece(docs, "text", num_merges=6)
+        wenc = wpc.encode_token_counts(docs, wvocab, "doc_id", "text")
+        prof = prof.join(wenc, "doc_id", "left").withColumn(
+            "wp_merges", F.lit(wpc.merges_tag(wmerges))
+        )
     return prof
 
 
@@ -1957,6 +1974,7 @@ TEXT_PROFILE_ORACLE = f"""
 WITH RECURSIVE ts AS ({TEXT_STATS_ORACLE}),
 {bpe.bpe_oracle_ctes(num_merges=8)},
 {ug.unigram_oracle_ctes(vocab_size=40, max_len=3, iters=2)},
+{wpc.wordpiece_oracle_ctes(num_merges=6)},
 tr AS ({TOKEN_REGEX_ORACLE}),
 fp AS (
   SELECT doc_id,
@@ -2051,13 +2069,16 @@ SELECT ts.*, tr.n_ws_tokens, tr.n_bpe_tokens, tr.n_bpe_distinct,
        COALESCE(dssel.dsir_selected, false) AS dsir_selected,
        lrq.lrq_score, lrq.lrq_pred,
        ulm.ulm_nll, ulm.ulm_exp_tokens,
-       (SELECT tag FROM ulm_tag) AS ulm_vocab
+       (SELECT tag FROM ulm_tag) AS ulm_vocab,
+       wp_enc.wp_n_tokens,
+       (SELECT tag FROM wp_merge_tag) AS wp_merges
 FROM ts JOIN tr USING (doc_id) JOIN fp USING (doc_id)
 LEFT JOIN lmsc USING (doc_id)
 LEFT JOIN bpe_enc USING (doc_id)
 LEFT JOIN dssel USING (doc_id)
 LEFT JOIN lrq USING (doc_id)
 LEFT JOIN ulm USING (doc_id)
+LEFT JOIN wp_enc USING (doc_id)
 """
 
 
