@@ -140,3 +140,45 @@ def test_cluster_by_zorder_plan_shape(spark):
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_index_layout_prunes_unprobed_lists(spark, tmp_path):
+    """The IVF storage contract: an index written partitionBy(list_id)
+    and probed with isin([...]) must (a) prune at the PARTITION level
+    (PartitionFilters in the scan, unprobed directories never opened),
+    (b) return exactly the probed lists' rows, (c) lay files out as
+    one directory per list."""
+    import os
+
+    from training_datawarehouse_spark.operators.layout import (
+        read_probed_lists, write_ivf_index,
+    )
+
+    rows = [(i, i % 8, [i % 251, (i * 7) % 251]) for i in range(800)]
+    codes = spark.createDataFrame(
+        rows, "vec_id long, list_id int, codes array<int>")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(codes, path)
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("list_id="))
+    assert dirs == [f"list_id={k}" for k in range(8)]
+
+    probed = read_probed_lists(spark, path, [1, 4])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    got = probed.select("vec_id").collect()
+    assert len(got) == 200
+    assert all(r["vec_id"] % 8 in (1, 4) for r in got)
+    # physical proof unprobed directories are never OPENED (
+    # inputFiles() lists pre-pruning, so it can't show this): corrupt
+    # an unprobed list's file — the probed read must still succeed,
+    # and touching the corrupt list must fail
+    victim_dir = os.path.join(path, "list_id=5")
+    victim = [f for f in os.listdir(victim_dir) if f.endswith(".parquet")][0]
+    with open(os.path.join(victim_dir, victim), "wb") as fh:
+        fh.write(b"not a parquet file")
+    assert read_probed_lists(spark, path, [1, 4]).count() == 200
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_probed_lists(spark, path, [5]).count()
