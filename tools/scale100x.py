@@ -345,6 +345,23 @@ def quant_probe(spark) -> None:
             flush=True,
         )
 
+        # r10: 8-bit scalar quantization — train is ONE min/max agg,
+        # encode/ADC row-local; claim: train cost ~ a corpus scan,
+        # flat in everything but data volume
+        t0 = time.time()
+        mins, maxs = pqz.sq_train(emb, "embedding", dim=64)
+        sq_train_s = round(time.time() - t0, 2)
+        sq_codes = pqz.sq_encode(emb, "embedding", mins, maxs)
+        sq_enc_s = _time_noop(sq_codes)
+        sq = pqz.sq_adc_scores(sq_codes, queries, mins, maxs) \
+            .withColumn("score", -F.col("sq_d2"))
+        sq_topk_s = _time_noop(topk_per_query(sq, 10))
+        print(
+            f"sq8[{label}] n={n} train={sq_train_s}s "
+            f"encode_noop={sq_enc_s}s adc_topk_noop={sq_topk_s}s",
+            flush=True,
+        )
+
         t0 = time.time()
         means, comps, eigs = pca.pca_whiten_fit(
             emb, "embedding", n_components=2, iters=12
