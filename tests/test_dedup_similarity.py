@@ -153,6 +153,7 @@ def test_ann_recall_targets(spark):
             rec.setdefault(r["method"], []).append(r["recall"])
     assert set(rec) == {
         "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
+        "sq8l",
     }
     assert all(len(v) == 8 for v in rec.values())
     assert sum(rec["ivf"]) / 8 >= 0.8
@@ -162,6 +163,10 @@ def test_ann_recall_targets(spark):
     # ~range/255, tiny next to neighbor separation, so recall must be
     # near-exact even on structure-free gaussians (measured 1.0)
     assert sum(rec["sq8"]) / 8 >= 0.9
+    # per-list sq8 composes the coarse pruning, so its ceiling is
+    # ivf's recall (measured: exactly equal — the per-list
+    # quantization loses nothing the pruning hadn't already)
+    assert sum(rec["sq8l"]) >= sum(rec["ivf"]) - 0.5, rec["sq8l"]
     assert sum(rec["pq"]) / 8 >= 0.1
     assert sum(rec["pq_rr"]) / 8 >= 0.5
     assert sum(rec["pq_rr"]) > sum(rec["pq"])
@@ -1111,6 +1116,7 @@ def test_ann_recall_on_clustered_vectors(spark):
     mean = {m: sum(v) / len(v) for m, v in rec.items()}
     assert set(mean) == {
         "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
+        "sq8l",
     }
     # Gates: minimums with margin under the measured values (measured
     # r9: ivf 1.0, signlsh ≥0.7, pq 0.425, pq_rr 1.0, ivfpq 0.425,
@@ -1123,14 +1129,35 @@ def test_ann_recall_on_clustered_vectors(spark):
     assert mean["pq_rr"] >= 0.9, mean
     assert mean["ivfpq"] >= 0.35, mean
     assert mean["ivfpq_res"] >= 0.55, mean
-    # r10: sq8 measures 0.775 here vs 1.0 on structure-free gaussians
-    # — the INVERTED regime from PQ (which gains on clusters): global
-    # per-dim min/max bounds stretch across far-apart cluster
-    # centers, so the quantization step becomes comparable to
-    # WITHIN-cluster neighbor separations. The production fix is
-    # trained bounds (quantile-clipped, or per-IVF-list like the
-    # residual PQ path); gate pins the honest global-bounds floor.
+    # r10: sq8/sq8l measure 0.775 here vs 1.0 on structure-free
+    # gaussians — and the drop is NOT quantization: ranking by EXACT
+    # L2 scores the same 0.775 against the cosine ground truth
+    # (diagnosed in-round; asserted exactly below). Tight clusters
+    # with varying norms are where L2 order and cosine order diverge;
+    # on structure-free gaussians the two metrics agree. The
+    # production fix for cosine retrieval is normalizing vectors
+    # before scalar quantization, which makes L2 order ≡ cosine
+    # order — a semantics choice, not a precision one.
     assert mean["sq8"] >= 0.7, mean
+    assert mean["sq8l"] >= 0.7, mean
+    # The strong claim: at this scale SQ quantization is LOSSLESS at
+    # rank granularity — both sq8 (global bounds, exhaustive) and
+    # sq8l (per-list bounds, coarse-pruned) return EXACTLY the
+    # exact-L2 top-5 for every query.
+    import numpy as np
+
+    top = {}
+    for r in rows:
+        if r["stage"] == "topk" and r["method"] in ("sq8", "sq8l"):
+            top.setdefault((r["method"], r["query_id"]), set()).add(
+                r["neighbor_id"])
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in mog.collect()}
+    for q in range(8):
+        d2 = {i: float(((X[i] - X[q]) ** 2).sum())
+              for i in X if i != q}
+        l2top = set(sorted(d2, key=lambda i: (round(d2[i], 6), i))[:5])
+        assert top[("sq8", q)] == l2top, q
+        assert top[("sq8l", q)] == l2top, q
     # the structural claims: clustered recall must beat the
     # structure-free floor for every compressed method, and residual
     # encoding must keep its edge over raw-vector IVFADC

@@ -468,3 +468,119 @@ def sq_adc_scores(
         .select("query_id", "neighbor_id",
                 (micro / F.lit(1e6)).alias("sq_d2"))
     )
+
+
+def sq_train_per_list(
+    df: DataFrame, vec_col: str, dim: int, n_lists: int,
+    list_col: str = "list_id",
+) -> tuple[list[list[float]], list[list[float]]]:
+    """PER-COARSE-LIST (min, max) bounds — the production fix for
+    SQ8's clustered-recall inversion (global bounds stretch across
+    cluster centers; per-list bounds are tight within each cluster,
+    the residual-PQ insight applied to scalar quantization). One
+    groupBy(list) aggregation, ``2·n_lists·d`` doubles to the driver.
+    A list with no members gets degenerate [0, 0] bounds (its codes
+    would all be 0 — but an empty list also has nothing to encode).
+    Raises on ragged/wrong-dim vectors."""
+    v = _as_double(F.col(vec_col))
+    rows = df.groupBy(list_col).agg(
+        F.sum((F.size(F.col(vec_col)) != dim).cast("long")).alias("__bad"),
+        *[F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"mn{i}")
+          for i in range(dim)],
+        *[F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"mx{i}")
+          for i in range(dim)],
+    ).collect()
+    bad = sum(r["__bad"] for r in rows)
+    if bad:
+        raise ValueError(
+            f"sq_train_per_list: {bad} ragged or wrong-dim vectors "
+            f"(expected {dim})")
+    mins = [[0.0] * dim for _ in range(n_lists)]
+    maxs = [[0.0] * dim for _ in range(n_lists)]
+    for r in rows:
+        li = int(r[list_col])
+        if not 0 <= li < n_lists:
+            raise ValueError(f"list id {li} outside [0, {n_lists})")
+        mins[li] = [r[f"mn{i}"] for i in range(dim)]
+        maxs[li] = [r[f"mx{i}"] for i in range(dim)]
+    return mins, maxs
+
+
+def _sq_list_code(x, i, mn_row, mx_row):
+    lo = F.element_at(mn_row, i + 1)
+    hi = F.element_at(mx_row, i + 1)
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round((x - lo) * 255 / (hi - lo)).cast("int"),
+            ),
+        )
+    )
+
+
+def sq_encode_per_list(
+    df: DataFrame, vec_col: str,
+    mins: list[list[float]], maxs: list[list[float]],
+    id_col: str = "vec_id", list_col: str = "list_id",
+) -> DataFrame:
+    """(id, list_id, codes): row-local encode against the row's OWN
+    list bounds — the bounds matrix rides the plan as one
+    ``n_lists × d`` literal, double-indexed by (list_id, dim)."""
+    mn_mat = mat_lit(mins)
+    mx_mat = mat_lit(maxs)
+    v = _as_double(F.col(vec_col))
+    mn_row = F.element_at(mn_mat, F.col(list_col).cast("int") + 1)
+    mx_row = F.element_at(mx_mat, F.col(list_col).cast("int") + 1)
+    codes = F.transform(v, lambda x, i: _sq_list_code(x, i, mn_row, mx_row))
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(list_col).alias(list_col),
+        codes.alias("codes"),
+    )
+
+
+def sq_adc_scores_per_list(
+    codes_df: DataFrame,
+    queries_probed: DataFrame,
+    mins: list[list[float]],
+    maxs: list[list[float]],
+    id_col: str = "vec_id",
+    list_col: str = "list_id",
+    query_vec_col: str = "__qv",
+) -> DataFrame:
+    """IVF + per-list-SQ8 composition: the list join IS the coarse
+    pruning (only vectors in a query's probed lists are scored — the
+    `pq_adc_scores_residual` shape), and each score reconstructs
+    against the vector's own list bounds. ``queries_probed`` is the
+    (tiny, broadcast) per-(query, probed-list) frame
+    ``(query_id, list_id, query_vec_col)``. Micro-exact order-free
+    term sums as in ``sq_adc_scores``. Returns
+    ``(query_id, neighbor_id, sq_d2)``, self-pairs excluded."""
+    mn_mat = mat_lit(mins)
+    mx_mat = mat_lit(maxs)
+    mn_row = F.element_at(mn_mat, F.col(list_col).cast("int") + 1)
+    mx_row = F.element_at(mx_mat, F.col(list_col).cast("int") + 1)
+
+    def term(c, i):
+        lo = F.element_at(mn_row, i + 1)
+        hi = F.element_at(mx_row, i + 1)
+        rec = lo + c * (hi - lo) / 255.0
+        d = F.element_at(F.col(query_vec_col), i + 1) - rec
+        return F.round(d * d * 1e6).cast("long")
+
+    micro = F.aggregate(
+        F.transform(F.col("codes"), term),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    q = queries_probed.select("query_id", list_col, query_vec_col)
+    return (
+        codes_df.select(
+            F.col(id_col).alias("neighbor_id"), list_col, "codes"
+        )
+        .join(F.broadcast(q), list_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (micro / F.lit(1e6)).alias("sq_d2"))
+    )

@@ -2294,13 +2294,19 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
 
     Round 10 adds 'sq8': 8-bit SCALAR quantization (the FAISS SQ8
     family) — per-dim affine uint8 codes from one min/max aggregation,
-    row-local encode/ADC, micro-exact order-free distance sums. The
-    mild end of the compression spectrum (4× vs PQ's 64×): recall
-    1.0 on structure-free gaussians but 0.775 on the clustered slice
-    — the INVERTED regime from PQ, because global per-dim bounds
-    stretch across cluster centers and the step grows comparable to
-    within-cluster separations (production fix: quantile-clipped or
-    per-list trained bounds; measured side-by-side in SCALE.md).
+    row-local encode/ADC, micro-exact order-free distance sums — and
+    'sq8l': the IVF composition with PER-LIST bounds (the coarse list
+    join prunes what is scored; each vector reconstructs against its
+    own list's min/max — the residual-PQ insight applied to scalar
+    quantization). Measured recall: sq8 1.0 / sq8l 0.925 (= ivf's
+    pruning ceiling exactly) on structure-free gaussians; BOTH 0.775
+    on the clustered slice — and the in-round diagnosis matters:
+    ranking by EXACT L2 also scores 0.775 there, i.e. SQ quantization
+    is rank-lossless (gate-asserted: both methods return exactly the
+    exact-L2 top-5) and the drop is the L2-vs-cosine METRIC gap on
+    tight clusters with varying norms. For cosine retrieval the
+    production shape normalizes vectors before quantization, making
+    the orders coincide — a semantics choice, not a precision one.
 
     ``emb`` overrides the corpus for every stage (r9): the clustered-
     vector recall eval injects a deterministic mixture-of-gaussians
@@ -2446,6 +2452,58 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         )
     )
 
+    # Per-list SQ8 ('sq8l', r10): the coarse quantizer prunes WHICH
+    # vectors are scored (the list join — the ivfpq composition) AND
+    # tightens the bounds each is reconstructed against (per-list
+    # min/max, the residual-PQ insight applied to scalar
+    # quantization) — the production fix for sq8's clustered-recall
+    # inversion. Bounds ride as one n_lists×d literal matrix.
+    sql_mins, sql_maxs = pq.sq_train_per_list(
+        cassign.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        ),
+        "embedding", EMBEDDING_DIM, n_lists=_ANN_LISTS,
+    )
+    sql_codes = pq.sq_encode_per_list(
+        cassign.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        ),
+        "embedding", sql_mins, sql_maxs, id_col="neighbor_id",
+    )
+    qprobe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sim._as_double(F.col("embedding")).alias("__qpv"),
+        F.explode(
+            F.transform(
+                sim.nearest_centroid_lists(
+                    sim._as_double(F.col("embedding")), cents, _ANN_PROBE
+                ),
+                lambda s: s["list_id"],
+            )
+        ).alias("list_id"),
+    )
+    sq8l = (
+        pq.sq_adc_scores_per_list(
+            sql_codes, qprobe, sql_mins, sql_maxs,
+            id_col="neighbor_id", query_vec_col="__qpv",
+        )
+        .withColumn("rank", F.row_number().over(wsq))
+        .filter(F.col("rank") <= _ANN_K)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(
+                sim.cosine(
+                    sim._as_double(F.col("__qv")),
+                    sim._as_double(F.col("__nv")),
+                ), 6,
+            ).alias("cosine"),
+        )
+    )
+
     ann = (
         lsh.unionByName(ivf)
         .unionByName(pq_raw.withColumn("method", F.lit("pq")))
@@ -2453,6 +2511,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         .unionByName(ivfpq.withColumn("method", F.lit("ivfpq")))
         .unionByName(ivfpq_res.withColumn("method", F.lit("ivfpq_res")))
         .unionByName(sq8.withColumn("method", F.lit("sq8")))
+        .unionByName(sq8l.withColumn("method", F.lit("sq8l")))
     )
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
@@ -2488,7 +2547,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     )
     methods = spark.createDataFrame(
         [("signlsh",), ("ivf",), ("pq",), ("pq_rr",), ("ivfpq",),
-         ("ivfpq_res",), ("sq8",)],
+         ("ivfpq_res",), ("sq8",), ("sq8l",)],
         "method string",
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
@@ -2847,6 +2906,52 @@ sq_topk AS (
   JOIN c ON c.neighbor_id = t.neighbor_id
   WHERE t.rank <= {k}
 ),
+-- sq8l (r10): PER-COARSE-LIST bounds (the clustered-recall fix) +
+-- the list join as coarse pruning — bounds re-derived per (list, dim)
+-- from the shared trained cassign, scored only for probed lists
+sq8ld AS MATERIALIZED (
+  SELECT neighbor_id, list_id, unnest(range(1, {dim} + 1)) AS j, cv
+  FROM cassign
+),
+sq8lmm AS MATERIALIZED (
+  SELECT list_id, j, min(cv[j]) AS mn, max(cv[j]) AS mx
+  FROM sq8ld GROUP BY 1, 2
+),
+sq8lcodes AS MATERIALIZED (
+  SELECT d.neighbor_id, d.list_id, d.j,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE least(255, greatest(0,
+                round((d.cv[d.j] - m.mn) * 255 / (m.mx - m.mn))::BIGINT))
+         END AS code
+  FROM sq8ld d JOIN sq8lmm m USING (list_id, j)
+),
+sq8lmicro AS (
+  SELECT qa.query_id, s.neighbor_id,
+         sum(round(
+           (qa.qv[s.j] - (m.mn + s.code * (m.mx - m.mn) / 255.0))
+           * (qa.qv[s.j] - (m.mn + s.code * (m.mx - m.mn) / 255.0))
+           * 1e6)::BIGINT) AS micro
+  FROM sq8lcodes s
+  JOIN sq8lmm m USING (list_id, j)
+  JOIN qassign qa ON qa.list_id = s.list_id
+  WHERE qa.query_id <> s.neighbor_id
+  GROUP BY 1, 2
+),
+sq8l_topk AS (
+  SELECT t.query_id, t.rank, t.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY micro, neighbor_id) AS rank
+    FROM sq8lmicro
+  ) t
+  JOIN q ON q.query_id = t.query_id
+  JOIN c ON c.neighbor_id = t.neighbor_id
+  WHERE t.rank <= {k}
+),
 ann AS (
   SELECT 'signlsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_topk
   UNION ALL
@@ -2862,6 +2967,8 @@ ann AS (
   FROM ivfpq_res_topk
   UNION ALL
   SELECT 'sq8', query_id, rank, neighbor_id, cos FROM sq_topk
+  UNION ALL
+  SELECT 'sq8l', query_id, rank, neighbor_id, cos FROM sq8l_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -2880,7 +2987,7 @@ grid AS (
   FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf'
         UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr'
         UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_res'
-        UNION ALL SELECT 'sq8') m
+        UNION ALL SELECT 'sq8' UNION ALL SELECT 'sq8l') m
   CROSS JOIN q
 ),
 hits AS (
