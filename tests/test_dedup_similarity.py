@@ -153,11 +153,13 @@ def test_ann_recall_targets(spark):
             rec.setdefault(r["method"], []).append(r["recall"])
     assert set(rec) == {
         "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
-        "sq8l",
+        "sq8l", "sq8n",
     }
     assert all(len(v) == 8 for v in rec.values())
     assert sum(rec["ivf"]) / 8 >= 0.8
     assert sum(rec["signlsh"]) / 8 >= 0.5
+    # normalize-then-quantize ranks by cosine order exactly
+    assert sum(rec["sq8n"]) / 8 >= 0.9
     # r10: 8-bit scalar quantization is the mild end of the
     # compression spectrum (4× vs PQ's 64×) — its per-dim step is
     # ~range/255, tiny next to neighbor separation, so recall must be
@@ -1116,7 +1118,7 @@ def test_ann_recall_on_clustered_vectors(spark):
     mean = {m: sum(v) / len(v) for m, v in rec.items()}
     assert set(mean) == {
         "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
-        "sq8l",
+        "sq8l", "sq8n",
     }
     # Gates: minimums with margin under the measured values (measured
     # r9: ivf 1.0, signlsh ≥0.7, pq 0.425, pq_rr 1.0, ivfpq 0.425,
@@ -1140,6 +1142,12 @@ def test_ann_recall_on_clustered_vectors(spark):
     # order — a semantics choice, not a precision one.
     assert mean["sq8"] >= 0.7, mean
     assert mean["sq8l"] >= 0.7, mean
+    # The diagnosis's PREDICTION, confirmed: normalize-then-quantize
+    # (sq8n) makes L2 order ≡ cosine order, so if the drop really is
+    # the metric gap — not quantization — sq8n must recover it.
+    # Measured: exactly 1.0 on this slice.
+    assert mean["sq8n"] >= 0.9, mean
+    assert mean["sq8n"] > mean["sq8"], mean
     # The strong claim: at this scale SQ quantization is LOSSLESS at
     # rank granularity — both sq8 (global bounds, exhaustive) and
     # sq8l (per-list bounds, coarse-pruned) return EXACTLY the

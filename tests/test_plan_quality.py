@@ -239,11 +239,12 @@ SHUFFLE_BUDGET = {
     # r10: +2 for the sq8 scalar-quantization ranking — the rank
     # window plus its exact-cosine join-back (the min/max training
     # agg runs at build time; encode and ADC are row-local literals)
-    # — and +2 more for sq8l's (rank window + join-back; its list
-    # join is broadcast, its per-list bounds are literals).
+    # — and +2 each for sq8l (list join broadcast, per-list bounds
+    # literals) and sq8n (normalize-then-quantize) — every SQ variant
+    # costs exactly its rank window + exact-cosine join-back.
     # The corpus embedding column itself shuffles ONLY doc-grain slim
     # rows — never as part of an all-pairs product.
-    "ns_similarity_ann": 26,
+    "ns_similarity_ann": 28,
     # family: embedding model fit (r8) — ZERO hash exchanges in the
     # final plan: raw/whitened pair stages are subset-bounded BNL
     # joins, the projection is row-local literals, and the PCA

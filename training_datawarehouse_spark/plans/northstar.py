@@ -2304,9 +2304,12 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     ranking by EXACT L2 also scores 0.775 there, i.e. SQ quantization
     is rank-lossless (gate-asserted: both methods return exactly the
     exact-L2 top-5) and the drop is the L2-vs-cosine METRIC gap on
-    tight clusters with varying norms. For cosine retrieval the
-    production shape normalizes vectors before quantization, making
-    the orders coincide — a semantics choice, not a precision one.
+    tight clusters with varying norms. The diagnosis's prediction is
+    itself shipped and gate-tested as 'sq8n' — normalize-then-
+    quantize (one row-local fold; the sq8 machinery verbatim on unit
+    vectors, where L2 rank ≡ cosine rank): measured recall 1.0 on
+    BOTH regimes, confirming the gap was metric semantics, not
+    quantization precision.
 
     ``emb`` overrides the corpus for every stage (r9): the clustered-
     vector recall eval injects a deterministic mixture-of-gaussians
@@ -2504,6 +2507,42 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         )
     )
 
+    # Normalize-then-quantize ('sq8n', r10): the PREDICTION test of
+    # the clustered-recall diagnosis. On unit vectors L2 order ≡
+    # cosine order (d² = 2 − 2cos), so if sq8's clustered drop really
+    # is the metric gap — not quantization — sq8n must recover it.
+    # Normalization is one row-local fold (the `sim.dot` order DuckDB
+    # reproduces with list_dot_product); everything downstream reuses
+    # the sq8 machinery verbatim on the normalized frame.
+    def _normed(frame):
+        raw = sim._as_double(F.col("embedding"))
+        return frame.select(
+            "vec_id",
+            F.transform(
+                raw, lambda x: x / F.sqrt(sim.dot(raw, raw))
+            ).alias("embedding"),
+        )
+
+    nemb = _normed(emb)
+    sqn_mins, sqn_maxs = pq.sq_train(nemb, "embedding", EMBEDDING_DIM)
+    sqn_codes = pq.sq_encode(nemb, "embedding", sqn_mins, sqn_maxs)
+    sq8n = (
+        pq.sq_adc_scores(sqn_codes, _normed(queries), sqn_mins, sqn_maxs)
+        .withColumn("rank", F.row_number().over(wsq))
+        .filter(F.col("rank") <= _ANN_K)
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(
+                sim.cosine(
+                    sim._as_double(F.col("__qv")),
+                    sim._as_double(F.col("__nv")),
+                ), 6,
+            ).alias("cosine"),
+        )
+    )
+
     ann = (
         lsh.unionByName(ivf)
         .unionByName(pq_raw.withColumn("method", F.lit("pq")))
@@ -2512,6 +2551,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         .unionByName(ivfpq_res.withColumn("method", F.lit("ivfpq_res")))
         .unionByName(sq8.withColumn("method", F.lit("sq8")))
         .unionByName(sq8l.withColumn("method", F.lit("sq8l")))
+        .unionByName(sq8n.withColumn("method", F.lit("sq8n")))
     )
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
@@ -2547,7 +2587,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     )
     methods = spark.createDataFrame(
         [("signlsh",), ("ivf",), ("pq",), ("pq_rr",), ("ivfpq",),
-         ("ivfpq_res",), ("sq8",), ("sq8l",)],
+         ("ivfpq_res",), ("sq8",), ("sq8l",), ("sq8n",)],
         "method string",
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
@@ -2906,6 +2946,62 @@ sq_topk AS (
   JOIN c ON c.neighbor_id = t.neighbor_id
   WHERE t.rank <= {k}
 ),
+-- sq8n (r10): normalize-then-quantize — the sq8 pipeline verbatim on
+-- unit vectors (x / sqrt(x·x), the list_dot_product order the Spark
+-- fold mirrors); on unit vectors L2 rank ≡ cosine rank
+sqnc AS MATERIALIZED (
+  SELECT neighbor_id,
+         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+           AS nv
+  FROM c
+),
+sqnq AS MATERIALIZED (
+  SELECT query_id,
+         list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+           AS nqv
+  FROM q
+),
+sqnd AS MATERIALIZED (
+  SELECT neighbor_id, unnest(range(1, {dim} + 1)) AS j, nv FROM sqnc
+),
+sqnmm AS MATERIALIZED (
+  SELECT j, min(nv[j]) AS mn, max(nv[j]) AS mx FROM sqnd GROUP BY j
+),
+sqncodes AS MATERIALIZED (
+  SELECT d.neighbor_id, d.j,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE least(255, greatest(0,
+                round((d.nv[d.j] - m.mn) * 255 / (m.mx - m.mn))::BIGINT))
+         END AS code
+  FROM sqnd d JOIN sqnmm m USING (j)
+),
+sqnmicro AS (
+  SELECT q2.query_id, s.neighbor_id,
+         sum(round(
+           (q2.nqv[s.j] - (m.mn + s.code * (m.mx - m.mn) / 255.0))
+           * (q2.nqv[s.j] - (m.mn + s.code * (m.mx - m.mn) / 255.0))
+           * 1e6)::BIGINT) AS micro
+  FROM sqncodes s
+  JOIN sqnmm m USING (j)
+  CROSS JOIN sqnq q2
+  WHERE q2.query_id <> s.neighbor_id
+  GROUP BY 1, 2
+),
+sqn_topk AS (
+  SELECT t.query_id, t.rank, t.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY micro, neighbor_id) AS rank
+    FROM sqnmicro
+  ) t
+  JOIN q ON q.query_id = t.query_id
+  JOIN c ON c.neighbor_id = t.neighbor_id
+  WHERE t.rank <= {k}
+),
 -- sq8l (r10): PER-COARSE-LIST bounds (the clustered-recall fix) +
 -- the list join as coarse pruning — bounds re-derived per (list, dim)
 -- from the shared trained cassign, scored only for probed lists
@@ -2969,6 +3065,8 @@ ann AS (
   SELECT 'sq8', query_id, rank, neighbor_id, cos FROM sq_topk
   UNION ALL
   SELECT 'sq8l', query_id, rank, neighbor_id, cos FROM sq8l_topk
+  UNION ALL
+  SELECT 'sq8n', query_id, rank, neighbor_id, cos FROM sqn_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -2987,7 +3085,8 @@ grid AS (
   FROM (SELECT 'signlsh' AS method UNION ALL SELECT 'ivf'
         UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr'
         UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_res'
-        UNION ALL SELECT 'sq8' UNION ALL SELECT 'sq8l') m
+        UNION ALL SELECT 'sq8' UNION ALL SELECT 'sq8l'
+        UNION ALL SELECT 'sq8n') m
   CROSS JOIN q
 ),
 hits AS (
