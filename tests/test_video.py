@@ -278,3 +278,33 @@ def test_video_frames_feed_the_incremental_phash_index(spark):
     best = {(r["nv"], r["ov"]): r["count"] for r in vids if r["off"] == 0}
     assert best.get((100, 1), 0) >= vi.DEFAULT_MIN_FRAMES
     assert (100, 2) not in best
+
+
+def test_foreign_avi_with_audio_stream_parses_video_correctly():
+    """A second (audio) strl whose strf is NOT a BITMAPINFOHEADER must
+    not overwrite the video stream's codec/bit-depth — the strf
+    belongs to the stream whose strh preceded it."""
+    frames = vi.frame_token_grids(BASE)
+    avi = vi.encode_avi(frames, ph.GRID, ph.GRID, fps=8)
+    strh = struct.pack(
+        "<4s4sI2HIIIIIIII4h",
+        b"auds", b"pcm ", 0, 0, 0, 0, 1, 8000, 0, 100, 0,
+        0xFFFFFFFF, 0, 0, 0, 0, 0)
+    strf = b"\xff" * 18  # fake WAVEFORMATEX: poison if misattributed
+    extra = vi._list(b"strl", vi._chunk(b"strh", strh)
+                     + vi._chunk(b"strf", strf))
+    hsize = struct.unpack("<I", avi[16:20])[0]
+    pos = 20 + hsize  # end of the hdrl LIST body
+    patched = bytearray(avi[:pos] + extra + avi[pos:])
+    patched[16:20] = struct.pack("<I", hsize + len(extra))
+    patched[4:8] = struct.pack(
+        "<I", struct.unpack("<I", avi[4:8])[0] + len(extra))
+    dec = vi.decode_avi(bytes(patched))
+    assert dec["codec"] == "DIB " and dec["fps"] == 8
+    assert dec["frames"] == frames
+
+
+def test_sample_avi_frames_rejects_bad_stride():
+    with pytest.raises(ValueError, match="every_k"):
+        vi.sample_avi_frames(
+            vi.encode_avi(vi.frame_token_grids(BASE), ph.GRID, ph.GRID), 0)

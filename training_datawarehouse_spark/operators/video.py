@@ -203,6 +203,11 @@ def _parse_headers(data: bytes) -> dict:
 
 
 def _parse_hdrl(data: bytes, pos: int, end: int, meta: dict) -> None:
+    # a strf belongs to the stream whose strh preceded it — without
+    # tracking that, a foreign AVI's AUDIO strl would overwrite the
+    # video bit_count/compression with WAVEFORMATEX bytes (silent
+    # mis-parse — the class this strict parser exists to refuse)
+    in_video_stream = False
     while pos + 8 <= end:
         fourcc = data[pos:pos + 4]
         size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
@@ -214,14 +219,16 @@ def _parse_hdrl(data: bytes, pos: int, end: int, meta: dict) -> None:
         elif fourcc == b"LIST" and body[:4] == b"strl":
             _parse_hdrl(data, pos + 12, pos + 8 + size, meta)
         elif fourcc == b"strh":
-            if body[:4] == b"vids":
+            in_video_stream = body[:4] == b"vids"
+            if in_video_stream:
                 meta["codec"] = body[4:8].decode("ascii")
                 scale, rate = struct.unpack("<II", body[20:28])
                 meta["fps"] = rate // max(scale, 1)
         elif fourcc == b"strf":
-            bit_count, compression = struct.unpack("<HI", body[14:20])
-            meta["bit_count"] = bit_count
-            meta["compression"] = compression
+            if in_video_stream:
+                bit_count, compression = struct.unpack("<HI", body[14:20])
+                meta["bit_count"] = bit_count
+                meta["compression"] = compression
         pos += 8 + size + (size % 2)
 
 
@@ -297,6 +304,8 @@ def sample_avi_frames(data: bytes, every_k: int = 2) -> list[tuple[int, bytes]]:
     verifies the index). Returns (frame_no, raster) pairs. This is the
     production frame-sampling access pattern: IO proportional to the
     SAMPLED frames, not the clip length."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
     meta = _parse_headers(data)
     spans = _frame_spans(data, meta)
     return [
