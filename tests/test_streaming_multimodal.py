@@ -863,3 +863,52 @@ def test_streaming_funnel_matches_batch_on_random_split(spark, tmp_path):
         ).collect()
     }
     assert got == exact
+
+
+def test_streaming_video_ingest_decodes_per_microbatch(spark, tmp_path):
+    """Streaming × video composition: a file-source stream of
+    documents synthesizes REAL AVI payloads and container-decodes
+    their metadata inside the stream (two Arrow crossings per
+    micro-batch, append mode, no state), and the drained rows equal
+    the batch pipeline exactly — media ingest at 100 TB is a stream,
+    not a table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.operators import video as vd
+    from training_datawarehouse_spark.operators.multimodal import (
+        decode_metadata,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    t = t.slice(0, 40)
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), src / "p0.parquet")
+    pq.write_table(t.slice(half), src / "p1.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    meta = decode_metadata(
+        vd.synthesize_avi_payload(stream, "doc_id", "text"),
+        decode_fn=vd.avi_decode_meta,
+    )
+    q = (
+        meta.writeStream.format("memory").queryName("video_meta")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120), "stream drain timed out"
+    got = {r["id"]: (r["n_bytes"], r["width"], r["height"], r["checksum"])
+           for r in spark.sql("SELECT * FROM video_meta").collect()}
+    batch = spark.createDataFrame(t.to_pandas())
+    want = {r["id"]: (r["n_bytes"], r["width"], r["height"], r["checksum"])
+            for r in decode_metadata(
+                vd.synthesize_avi_payload(batch, "doc_id", "text"),
+                decode_fn=vd.avi_decode_meta).collect()}
+    assert got == want and len(got) == 40
