@@ -2461,19 +2461,15 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     # min/max, the residual-PQ insight applied to scalar
     # quantization) — the production fix for sq8's clustered-recall
     # inversion. Bounds ride as one n_lists×d literal matrix.
+    embl = cassign.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
     sql_mins, sql_maxs = pq.sq_train_per_list(
-        cassign.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-            "neighbor_id",
-        ),
-        "embedding", EMBEDDING_DIM, n_lists=_ANN_LISTS,
+        embl, "embedding", EMBEDDING_DIM, n_lists=_ANN_LISTS,
     )
     sql_codes = pq.sq_encode_per_list(
-        cassign.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-            "neighbor_id",
-        ),
-        "embedding", sql_mins, sql_maxs, id_col="neighbor_id",
+        embl, "embedding", sql_mins, sql_maxs, id_col="neighbor_id",
     )
     qprobe = queries.select(
         F.col("vec_id").alias("query_id"),
