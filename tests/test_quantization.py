@@ -203,3 +203,28 @@ def test_sq_roundtrip_error_bounded(spark):
             rec = mins[j] + c * (maxs[j] - mins[j]) / 255.0
             step = (maxs[j] - mins[j]) / 255.0
             assert abs(vecs[r["vec_id"]][j] - rec) <= step / 2 + 1e-12
+
+
+def test_normalized_embeddings_zero_vector_guard(spark):
+    """A zero vector must normalize to the zero vector, not NaN —
+    Spark's max ranks NaN greatest while DuckDB's ignores it, so an
+    unguarded 0/0 would silently diverge the sq8n trained bounds
+    between engines."""
+    import math
+
+    from training_datawarehouse_spark.plans.northstar import (
+        normalized_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["embedding"]
+           for r in normalized_embeddings(df).collect()}
+    assert got[0] == [0.6, 0.8]
+    assert got[1] == [0.0, 0.0]
+    assert not any(math.isnan(x) for v in got.values() for x in v)
+    # and the downstream sq pipeline stays NaN-free on such a corpus
+    mins, maxs = pq.sq_train(normalized_embeddings(df), "embedding", 2)
+    assert mins == [0.0, 0.0] and maxs == [0.6, 0.8]

@@ -2254,6 +2254,24 @@ def similarity_pq(spark: SparkSession, sf_dir: str,
     return topk_raw, topk_rr, codes, books
 
 
+def normalized_embeddings(frame: DataFrame) -> DataFrame:
+    """(vec_id, embedding) with each vector scaled to unit L2 norm —
+    the sq8n input representation. A ZERO vector normalizes to the
+    zero vector (not NaN): Spark's max ranks NaN greatest while
+    DuckDB's ignores it, so an unguarded 0/0 would silently diverge
+    the trained bounds between engines the first time a null-ish
+    embedding appears. The oracle carries the same CASE guard."""
+    raw = sim._as_double(F.col("embedding"))
+    nrm = F.sqrt(sim.dot(raw, raw))
+    return frame.select(
+        "vec_id",
+        F.transform(
+            raw,
+            lambda x: F.when(nrm == 0, F.lit(0.0)).otherwise(x / nrm),
+        ).alias("embedding"),
+    )
+
+
 def similarity_ann(spark: SparkSession, sf_dir: str,
                    emb: DataFrame | None = None) -> DataFrame:
     """The bucketed/compressed ANN scale paths in one entry, tagged by
@@ -2510,20 +2528,12 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     # Normalization is one row-local fold (the `sim.dot` order DuckDB
     # reproduces with list_dot_product); everything downstream reuses
     # the sq8 machinery verbatim on the normalized frame.
-    def _normed(frame):
-        raw = sim._as_double(F.col("embedding"))
-        return frame.select(
-            "vec_id",
-            F.transform(
-                raw, lambda x: x / F.sqrt(sim.dot(raw, raw))
-            ).alias("embedding"),
-        )
-
-    nemb = _normed(emb)
+    nemb = normalized_embeddings(emb)
     sqn_mins, sqn_maxs = pq.sq_train(nemb, "embedding", EMBEDDING_DIM)
     sqn_codes = pq.sq_encode(nemb, "embedding", sqn_mins, sqn_maxs)
     sq8n = (
-        pq.sq_adc_scores(sqn_codes, _normed(queries), sqn_mins, sqn_maxs)
+        pq.sq_adc_scores(sqn_codes, normalized_embeddings(queries),
+                         sqn_mins, sqn_maxs)
         .withColumn("rank", F.row_number().over(wsq))
         .filter(F.col("rank") <= _ANN_K)
         .join(F.broadcast(qv), "query_id")
@@ -2947,14 +2957,18 @@ sq_topk AS (
 -- fold mirrors); on unit vectors L2 rank ≡ cosine rank
 sqnc AS MATERIALIZED (
   SELECT neighbor_id,
-         list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
-           AS nv
+         list_transform(cv, x -> CASE WHEN list_dot_product(cv, cv) = 0
+                                      THEN 0.0
+                                      ELSE x / sqrt(list_dot_product(cv, cv))
+                                 END) AS nv
   FROM c
 ),
 sqnq AS MATERIALIZED (
   SELECT query_id,
-         list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
-           AS nqv
+         list_transform(qv, x -> CASE WHEN list_dot_product(qv, qv) = 0
+                                      THEN 0.0
+                                      ELSE x / sqrt(list_dot_product(qv, qv))
+                                 END) AS nqv
   FROM q
 ),
 sqnd AS MATERIALIZED (
