@@ -98,11 +98,14 @@ MANIFEST = [
              "r5: + real WebP-lossless (VP8L) stage; r10: + real "
              "AVI/DIB video container stage (variable frame count, "
              "idx1-verified chunk walk)"},
-    {"name": "op_approx_aggs", "semver": 3,
+    {"name": "op_approx_aggs", "semver": 4,
      "desc": "r3: added mergeable HLL sketch rollup stage "
              "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin); "
              "r6: + Count-Min Sketch stages (direct AND daily-merged "
-             "builds, md5-reproducible so estimates hash-check as VALUES)"},
+             "builds, md5-reproducible so estimates hash-check as VALUES); "
+             "r10/semver-4: + KMV theta-family sketches with SET "
+             "OPERATIONS (per-audience distinct + union + intersection "
+             "estimates over type pairs, md5-reproducible, exact twins)"},
     {"name": "op_jn_asof", "semver": 1,
      "desc": "as-of join"},
     {"name": "op_jn_range", "semver": 1,
@@ -269,10 +272,15 @@ def _extras() -> list[dict]:
                  s, d, include_bpe=False, include_dsir=False,
                  include_lrq=False, include_ulm=False,
                  include_wp=False)},
-            {"name": "op_approx_aggs__r5equiv", "semver": 2,
-             "desc": "op_approx_aggs semver-2 sub-plan (no CMS stages)",
+            {"name": "op_approx_aggs__r9equiv", "semver": 3,
+             "desc": "op_approx_aggs semver-3 sub-plan (no KMV stages)",
              "builder": lambda s, d: _compat(approx_aggs,
-                 s, d, include_cms=False)},
+                 s, d, include_kmv=False)},
+            {"name": "op_approx_aggs__r5equiv", "semver": 2,
+             "desc": "op_approx_aggs semver-2 sub-plan (no CMS / KMV "
+                     "stages)",
+             "builder": lambda s, d: _compat(approx_aggs,
+                 s, d, include_cms=False, include_kmv=False)},
             {"name": "ns_similarity_topk__r6equiv", "semver": 1,
              "desc": "similarity top-k semver-1 sub-plan (cosine stage "
                      "only, no BM25 / RRF retrieval stages)",

@@ -1170,3 +1170,40 @@ def test_ann_recall_on_clustered_vectors(spark):
     # structure-free floor for every compressed method, and residual
     # encoding must keep its edge over raw-vector IVFADC
     assert mean["ivfpq_res"] >= mean["ivfpq"], mean
+
+
+def test_kmv_sketch_estimates_and_set_ops(spark):
+    """KMV semantics on planted audiences: a NOT-full sketch is an
+    exact count; a full sketch estimates within its 4-sigma band; the
+    union estimate comes from the merged k-smallest; intersection =
+    rho * union on overlapping audiences and 0 on disjoint ones."""
+    from training_datawarehouse_spark.plans.relational import (
+        KMV_K, _kmv_stages,
+    )
+
+    rows = []
+    # 'small': 30 distinct users (< K=64 -> sketch not full -> exact)
+    for u in range(30):
+        rows.append((u, "small"))
+    # 'big' and 'bigger': 400 users each, sharing 200
+    for u in range(1000, 1400):
+        rows.append((u, "big"))
+    for u in range(1200, 1600):
+        rows.append((u, "bigger"))
+    ev = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rows)],
+        "user_id long, event_type string, event_id long",
+    )
+    out = {(r["stage"], r["k"]): r for r in _kmv_stages(spark, ev).collect()}
+
+    small = out[("kmv", "small")]
+    assert small["n_users"] == small["n"] == 30  # not-full => exact
+    big = out[("kmv", "big")]
+    assert big["n"] == 400 and big["hll_in_band"]
+    u = out[("kmv_union", "big|bigger")]
+    assert u["n"] == 600 and u["hll_in_band"]
+    i = out[("kmv_int", "big|bigger")]
+    assert i["n"] == 200 and i["hll_in_band"]
+    # disjoint audiences: zero shared sketch values -> estimate 0
+    d = out[("kmv_int", "big|small")]
+    assert d["n"] == 0 and d["n_users"] == 0

@@ -13,9 +13,12 @@ statistics quality.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import release_local_checkpoint
 from ..operators import funnel as _funnel
 from ..sources.tables import load_table
 from .base import Query
@@ -1046,7 +1049,8 @@ def _cms_bucket_hex(m, j: int):
 def approx_aggs(spark: SparkSession, sf_dir: str,
                 include_weekly: bool = True,
                 include_exact: bool = True,
-                include_cms: bool = True) -> DataFrame:
+                include_cms: bool = True,
+                include_kmv: bool = True) -> DataFrame:
     """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
     distinct counts and quantile sketches per event_type.
 
@@ -1147,6 +1151,149 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
     out = per_type.unionByName(weekly)
     if include_cms:
         out = out.unionByName(_cms_stages(spark, ev))
+    if include_kmv:
+        out = out.unionByName(_kmv_stages(spark, ev))
+    return out
+
+
+#: KMV (k-minimum-values / theta-sketch family) size. rsd ≈
+#: 1/sqrt(K−2) ≈ 0.127; the in-band booleans use 4× that (the HLL
+#: discipline) and are COMPUTED identically in both engines, never
+#: pinned.
+KMV_K = 64
+#: 2^60 — the md5-15-hex-prefix hash space's upper bound, exactly
+#: representable as a double (power of two), so hk/2^60 is the same
+#: IEEE value in both engines
+KMV_SPACE = float(1 << 60)
+
+
+def _kmv_stages(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """r10: KMV distinct-count sketches WITH SET OPERATIONS — the
+    capability HLL lacks: union AND intersection estimates over
+    audience sets (Beyer et al. 2007, "On synopses for distinct-value
+    estimation under multiset operations" — the theta-sketch family's
+    published core). Keep the K smallest distinct hash values per
+    event_type; then
+
+    - distinct estimate:   (K−1) / (h_K / 2^60)   (exact count when
+      the sketch is not full — it then holds every value),
+    - union A∪B:           merge both sketches, keep the K smallest,
+      same estimator,
+    - intersection A∩B:    ρ · est(A∪B), where ρ = fraction of the
+      union sketch's values present in BOTH input sketches.
+
+    The md5-prefix hash makes every sketch value engine-reproducible,
+    so the ESTIMATES hash-check as exact values (the CMS discipline)
+    — n_users carries the estimate, n the exact twin, hll_in_band the
+    4σ (union/type) or ±50 %+10 (intersection — ρ is a ratio of small
+    counts) in-band boolean computed identically in both engines.
+
+    Scale shape at 100 TB: the sketch build is distinct(type, hash) →
+    ONE rank window per type with bounded output (K rows/type) — no
+    collect_set of a full audience anywhere; pair set-ops then touch
+    only K-row sketches (driver-enumerated type pairs — audiences are
+    few even when users are billions). The EXACT twins are the
+    differential-check apparatus and scan the distinct frame per pair
+    — test-scale machinery; production reads only the sketches."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    du = ev.select("event_type", h.alias("h")).distinct() \
+        .localCheckpoint(eager=True)
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        du.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+
+    def est_col(cnt, hk):
+        return F.when(
+            cnt < KMV_K, cnt.cast("double")
+        ).otherwise(F.lit(float(KMV_K - 1)) / (hk.cast("double") / KMV_SPACE))
+
+    nb = F.lit(None).cast("boolean")
+    exact_t = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    per_type = (
+        sk.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+        .join(exact_t, "event_type")
+        .select(
+            F.lit("kmv").alias("stage"),
+            F.col("event_type").alias("k"),
+            F.round(est_col(F.col("cnt"), F.col("hk")))
+            .cast("long").alias("n_users"),
+            F.col("nd").alias("n"),
+            (F.abs(est_col(F.col("cnt"), F.col("hk")) - F.col("nd"))
+             <= 4.0 / math.sqrt(KMV_K - 2) * F.col("nd"))
+            .alias("hll_in_band"),
+            nb.alias("q50_in_rank_band"), nb.alias("q95_in_rank_band"),
+            nb.alias("q99_in_rank_band"),
+        )
+    )
+
+    types = sorted(r["event_type"] for r in exact_t.select("event_type").collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(types) for b in types[i + 1:]],
+        "ta string, tb string",
+    )
+
+    def melt(src: DataFrame) -> DataFrame:
+        a = pairs.join(
+            src.withColumnRenamed("event_type", "ta"), "ta"
+        ).select("ta", "tb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        b = pairs.join(
+            src.withColumnRenamed("event_type", "tb"), "tb"
+        ).select("ta", "tb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+        return a.unionByName(b).groupBy("ta", "tb", "h").agg(
+            F.max("ia").alias("ia"), F.max("ib").alias("ib")
+        )
+
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    psk = (
+        melt(sk).withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"),
+             F.sum(F.col("ia") * F.col("ib")).alias("nboth"))
+    )
+    pex = melt(du).groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("u_exact"),
+        F.sum(F.col("ia") * F.col("ib")).alias("i_exact"),
+    )
+    est_u = est_col(F.col("cnt"), F.col("hk"))
+    est_i = F.col("nboth").cast("double") / F.col("cnt") * est_u
+    both = psk.join(pex, ["ta", "tb"])
+    key = F.concat("ta", F.lit("|"), "tb")
+    union_rows = both.select(
+        F.lit("kmv_union").alias("stage"), key.alias("k"),
+        F.round(est_u).cast("long").alias("n_users"),
+        F.col("u_exact").alias("n"),
+        (F.abs(est_u - F.col("u_exact"))
+         <= 4.0 / math.sqrt(KMV_K - 2) * F.col("u_exact"))
+        .alias("hll_in_band"),
+        nb.alias("q50_in_rank_band"), nb.alias("q95_in_rank_band"),
+        nb.alias("q99_in_rank_band"),
+    )
+    int_rows = both.select(
+        F.lit("kmv_int").alias("stage"), key.alias("k"),
+        F.round(est_i).cast("long").alias("n_users"),
+        F.col("i_exact").alias("n"),
+        (F.abs(est_i - F.col("i_exact"))
+         <= 0.5 * F.col("i_exact") + 10).alias("hll_in_band"),
+        nb.alias("q50_in_rank_band"), nb.alias("q95_in_rank_band"),
+        nb.alias("q99_in_rank_band"),
+    )
+    out = per_type.unionByName(union_rows).unionByName(int_rows)
+    # The whole stage output is <= n_types + 2·C(n_types, 2) rows —
+    # materialize it at build (one job over the K-row sketches) so
+    # its window/groupBy/join exchanges never enter the entry's final
+    # plan (the training-stage discipline; budget-gated at +0). The
+    # input checkpoints are superseded the moment this materializes.
+    out = out.localCheckpoint(eager=True)
+    release_local_checkpoint(sk)
+    release_local_checkpoint(du)
     return out
 
 
@@ -1276,7 +1423,70 @@ pex AS (
   SELECT pk.k, count(e.user_id) AS n_exact
   FROM pk LEFT JOIN events e ON e.user_id = pk.k GROUP BY pk.k
 ),
-cn AS (SELECT sum(c) AS nn FROM cms WHERE j = 0)
+cn AS (SELECT sum(c) AS nn FROM cms WHERE j = 0),
+-- KMV sketches (r10): K smallest distinct md5-prefix hashes per
+-- audience; union/intersection estimates per type pair
+kmv_du AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+kmv_sk AS MATERIALIZED (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM kmv_du
+  ) WHERE rn <= {KMV_K}
+),
+kmv_ex AS (SELECT event_type, count(*) AS nd FROM kmv_du GROUP BY 1),
+kmv_t AS (
+  SELECT s.event_type,
+         CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE
+              ELSE {float(KMV_K - 1)!r} / (max(s.h)::DOUBLE / {KMV_SPACE!r})
+         END AS est
+  FROM kmv_sk s GROUP BY 1
+),
+kmv_pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM kmv_ex a JOIN kmv_ex b ON a.event_type < b.event_type
+),
+kmv_pm AS (
+  SELECT ta, tb, h, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT p.ta, p.tb, s.h, 1 AS ia, 0 AS ib
+    FROM kmv_pairs p JOIN kmv_sk s ON s.event_type = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, s.h, 0, 1
+    FROM kmv_pairs p JOIN kmv_sk s ON s.event_type = p.tb
+  ) GROUP BY 1, 2, 3
+),
+kmv_pt AS (
+  SELECT ta, tb, count(*) AS cnt, max(h) AS hk,
+         sum(ia * ib) AS nboth
+  FROM (
+    SELECT ta, tb, h, ia, ib,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+    FROM kmv_pm
+  ) WHERE rn <= {KMV_K}
+  GROUP BY 1, 2
+),
+kmv_pex AS (
+  SELECT ta, tb, count(*) AS u_exact, sum(ia * ib) AS i_exact FROM (
+    SELECT ta, tb, h, max(ia) AS ia, max(ib) AS ib FROM (
+      SELECT p.ta, p.tb, d.h, 1 AS ia, 0 AS ib
+      FROM kmv_pairs p JOIN kmv_du d ON d.event_type = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, d.h, 0, 1
+      FROM kmv_pairs p JOIN kmv_du d ON d.event_type = p.tb
+    ) GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+kmv_p AS (
+  SELECT t.ta, t.tb, x.u_exact, x.i_exact, t.nboth, t.cnt,
+         CASE WHEN t.cnt < {KMV_K} THEN t.cnt::DOUBLE
+              ELSE {float(KMV_K - 1)!r} / (t.hk::DOUBLE / {KMV_SPACE!r})
+         END AS est_u
+  FROM kmv_pt t JOIN kmv_pex x USING (ta, tb)
+)
 SELECT 'per_type' AS stage,
        event_type AS k,
        count(DISTINCT user_id) AS n_users,
@@ -1312,6 +1522,25 @@ SELECT 'cms_merge', k::VARCHAR, est, n_exact,
 FROM (SELECT k, min(coalesce(c, 0))::BIGINT AS est
       FROM pj LEFT JOIN cmsm USING (j, b) GROUP BY k)
 JOIN pex USING (k) CROSS JOIN cn
+UNION ALL
+SELECT 'kmv', t.event_type, round(t.est)::BIGINT, x.nd,
+       abs(t.est - x.nd) <= {4.0 / math.sqrt(KMV_K - 2)!r} * x.nd,
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN)
+FROM kmv_t t JOIN kmv_ex x USING (event_type)
+UNION ALL
+SELECT 'kmv_union', ta || '|' || tb, round(est_u)::BIGINT, u_exact,
+       abs(est_u - u_exact) <= {4.0 / math.sqrt(KMV_K - 2)!r} * u_exact,
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN)
+FROM kmv_p
+UNION ALL
+SELECT 'kmv_int', ta || '|' || tb,
+       round(nboth::DOUBLE / cnt * est_u)::BIGINT, i_exact,
+       abs(nboth::DOUBLE / cnt * est_u - i_exact) <= 0.5 * i_exact + 10,
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN)
+FROM kmv_p
 """
 
 
