@@ -1470,7 +1470,7 @@ kmv_pt AS (
   GROUP BY 1, 2
 ),
 kmv_pex AS (
-  SELECT ta, tb, count(*) AS u_exact, sum(ia * ib) AS i_exact FROM (
+  SELECT ta, tb, count(*) AS u_exact, sum(ia * ib)::BIGINT AS i_exact FROM (
     SELECT ta, tb, h, max(ia) AS ia, max(ib) AS ib FROM (
       SELECT p.ta, p.tb, d.h, 1 AS ia, 0 AS ib
       FROM kmv_pairs p JOIN kmv_du d ON d.event_type = p.ta
