@@ -17,35 +17,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import pandas as pd
+
+from training_datawarehouse_spark.canon import (
+    canon, duck_describe, dtype_drift, values_repr,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    cols = sorted(df.columns)
-    df = df[cols]
-    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
-    return df
-
-
-def _cell(v) -> str:
-    # DuckDB hands DATE back as datetime64[ns]; Spark as datetime.date.
-    # The driver's canon treats midnight timestamps and dates alike.
-    # NULLs: the pandas path turns DuckDB NULL booleans/numbers into
-    # NaN/NaT while Spark rows carry None — one marker for all three
-    # (the driver compares null-safely; r3's op_approx_aggs proved it).
-    if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
-        return "None"
-    s = str(v)
-    return s[:-9] if s.endswith(" 00:00:00") else s
-
-
-def values_repr(df: pd.DataFrame) -> list[tuple]:
-    return [tuple(_cell(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def main() -> None:
@@ -80,7 +60,10 @@ def main() -> None:
         t0 = time.time()
         row: dict = {}
         try:
-            sdf = q.builder(spark, sf_dir).toPandas()
+            built = q.builder(spark, sf_dir)
+            spark_fields = [(f.name, f.dataType.simpleString())
+                            for f in built.schema.fields]
+            sdf = built.toPandas()
             s = canon(sdf)
             row["spark_rows"] = len(s)
         except Exception as e:  # noqa: BLE001
@@ -107,6 +90,11 @@ def main() -> None:
                 n_bad += 1
                 print(f"FAIL {name}: {row['err'][:200]}")
                 continue
+            drift = dtype_drift(spark_fields, duck_describe(con, q.oracle))
+            if drift:
+                row["dtype_drift"] = drift
+                n_bad += 1
+                print(f"DTYPE-DRIFT {name}: " + "; ".join(drift))
             row["oracle_rows"] = len(o)
             row["rows_match"] = len(s) == len(o)
             row["schema_match"] = list(s.columns) == list(o.columns)
@@ -128,7 +116,8 @@ def main() -> None:
                             break
         row["sec"] = round(time.time() - t0, 2)
         results[name] = row
-        tag = "ok" if row.get("hash_match") or row.get("status") == "rows-only-ok" else "??"
+        tag = ("ok" if (row.get("hash_match") or row.get("status") == "rows-only-ok")
+               and not row.get("dtype_drift") else "??")
         print(f"{tag:2s} {name}: {row}")
 
     print(f"\n{len(results)} queries, {n_bad} problems")

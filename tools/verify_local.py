@@ -1,19 +1,22 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
-DuckDB at the given sf dir, compares row count, column names, and
-order-insensitive values (sorted by all columns, compared cell-wise
-with exact match for non-floats and tiny-epsilon for floats — stricter
-than a value-hash, so passing here implies passing the driver hash
-unless the driver hashes raw float bits, which our rounding discipline
-also covers).
+DuckDB at the given sf dir and compares them with the SAME
+canonicalization the driver uses (sort columns by name, sort rows,
+stringify every cell) — imported from
+``training_datawarehouse_spark.canon``, the single code path shared
+with ``tools/check_all.py``. r10 shipped a red driver row because this
+tool compared numeric values where the driver compares strings
+(DuckDB HUGEINT → pandas float64 → '74.0' vs '74'); never again.
+
+Also runs the schema-level dtype-drift gate (Spark integral column vs
+non-integral oracle type) before touching data.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -23,6 +26,9 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from training_datawarehouse_spark.canon import (  # noqa: E402
+    canon, duck_describe, dtype_drift, values_repr,
+)
 from training_datawarehouse_spark.session import get_spark  # noqa: E402
 from training_datawarehouse_spark.sources.tables import TABLE_NAMES  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
@@ -35,49 +41,6 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
-
-
-def normalize(rows: list[tuple]) -> list[tuple]:
-    def cell(v):
-        if isinstance(v, float):
-            return round(v, 9)
-        return v
-
-    return sorted(
-        [tuple(cell(v) for v in r) for r in rows],
-        key=lambda r: tuple((x is None, str(x)) for x in r),
-    )
-
-
-def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
-    problems = []
-    if len(spark_rows) != len(duck_rows):
-        problems.append(f"row count {len(spark_rows)} != {len(duck_rows)}")
-    if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
-        problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
-    if problems:
-        return problems
-    # align column order by name
-    duck_idx = [duck_cols.index(c) for c in spark_cols]
-    duck_rows = [tuple(r[i] for i in duck_idx) for r in duck_rows]
-    a, b = normalize(spark_rows), normalize(duck_rows)
-    n_bad = 0
-    for ra, rb in zip(a, b):
-        for va, vb in zip(ra, rb):
-            same = (
-                (va is None and vb is None)
-                or (isinstance(va, float) and isinstance(vb, float)
-                    and (va == vb or math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-9)))
-                or str(va) == str(vb)
-            )
-            if not same:
-                n_bad += 1
-                if n_bad <= 3:
-                    problems.append(f"value mismatch: spark={ra!r} duck={rb!r}")
-                break
-    if n_bad > 3:
-        problems.append(f"... {n_bad} mismatched rows total")
-    return problems
 
 
 def main() -> int:
@@ -95,31 +58,47 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = builder(spark, sf_dir)
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_cols = sdf.columns
+            spark_fields = [(f.name, f.dataType.simpleString())
+                            for f in sdf.schema.fields]
+            s = canon(sdf.toPandas())
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
-            if len(spark_rows) == 0:
+            print(f"ok   {name}: rows-only ({len(s)} rows, {time.time()-t0:.1f}s)")
+            if len(s) == 0:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            drift = dtype_drift(spark_fields, duck_describe(con, oracles[name]))
+            o = canon(con.execute(oracles[name]).df())
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failed.append(name)
             continue
-        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        problems = []
+        if drift:
+            problems.append("dtype drift: " + "; ".join(drift))
+        if len(s) != len(o):
+            problems.append(f"row count {len(s)} != {len(o)}")
+        elif list(s.columns) != list(o.columns):
+            problems.append(f"columns {list(s.columns)} != {list(o.columns)}")
+        else:
+            sv, ov = values_repr(s), values_repr(o)
+            n_bad = 0
+            for ra, rb in zip(sv, ov):
+                if ra != rb:
+                    n_bad += 1
+                    if n_bad <= 3:
+                        problems.append(f"value mismatch: spark={ra!r} duck={rb!r}")
+            if n_bad > 3:
+                problems.append(f"... {n_bad} mismatched rows total")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
         else:
-            print(f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {len(s)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(qs) - len(failed)}/{len(qs)} green")
     return 1 if failed else 0
