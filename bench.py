@@ -92,12 +92,14 @@ MANIFEST = [
      "desc": "TPC-H q6 filter-agg"},
     {"name": "op_stream_session_batch", "semver": 1,
      "desc": "sessionization, batch shape"},
-    {"name": "ns_multimodal_meta", "semver": 5,
+    {"name": "ns_multimodal_meta", "semver": 6,
      "desc": "r3: real PNG/WAV codecs replaced the stub decode; "
              "r4: + real baseline JPEG stage (grayscale + YCbCr 4:2:0); "
              "r5: + real WebP-lossless (VP8L) stage; r10: + real "
              "AVI/DIB video container stage (variable frame count, "
-             "idx1-verified chunk walk)"},
+             "idx1-verified chunk walk); r11/semver-6: + MJPEG "
+             "container-metadata stage (real per-frame JPEG encode at "
+             "synthesis, '00dc'/strh/idx1 parse with no JPEG decode)"},
     {"name": "op_approx_aggs", "semver": 4,
      "desc": "r3: added mergeable HLL sketch rollup stage "
              "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin); "
@@ -236,6 +238,12 @@ def _extras() -> list[dict]:
              "desc": "ns_multimodal_meta semver-4 sub-plan (no avi stage)",
              "builder": lambda s, d: multimodal_meta(
                  s, d, stages=("stub", "png", "wav", "jpeg", "webp"))},
+            {"name": "ns_multimodal_meta__r10equiv", "semver": 5,
+             "desc": "ns_multimodal_meta semver-5 sub-plan (no avi_mjpg "
+                     "stage)",
+             "builder": lambda s, d: multimodal_meta(
+                 s, d, stages=("stub", "png", "wav", "jpeg", "webp",
+                               "avi"))},
             {"name": "ns_text_profile__r2equiv", "semver": 1,
              "desc": "ns_text_profile semver-1 sub-plan (no fingerprint / "
                      "dupe-group columns)",

@@ -238,3 +238,94 @@ def test_phash_incremental_index_cross_generation(spark):
     assert (101, 102) in pairs
     assert all(103 not in p for p in pairs)
     assert all(2 not in p for p in pairs)  # FAR pairs with nothing
+
+
+# ----------------------------------------- r11: production envelope
+
+def _ref_phash_params(pixels: bytes, p: ph.PhashParams) -> list[int]:
+    """The independent loop reimplementation, geometry-generic."""
+    c = ph.dct_basis_int(p.dct_n)
+    blk = [[0] * p.dct_n for _ in range(p.dct_n)]
+    for y in range(p.grid):
+        for x in range(p.grid):
+            blk[y // 2][x // 2] += pixels[y * p.grid + x]
+    f = [
+        sum(blk[r][col] * c[u][r] * c[v][col]
+            for r in range(p.dct_n) for col in range(p.dct_n))
+        for u in range(p.dct_n) for v in range(p.dct_n)
+    ]
+    med = sorted(f)[p.n_bits // 2 - 1]
+    bands = [0] * p.n_bands
+    for i, v in enumerate(f):
+        if v > med:
+            bands[i // p.band_bits] |= 1 << (i % p.band_bits)
+    return bands
+
+
+def test_production_params_geometry():
+    p = ph.PRODUCTION_PARAMS
+    assert (p.grid, p.dct_n) == (32, 16)
+    assert p.n_bits == 256 and p.n_bands == 16
+    assert p.band_cols == [f"b{k}" for k in range(16)]
+    # proportional threshold: 6/64 -> 24/256
+    assert ph.scaled_max_hamming(ph.DEFAULT_PARAMS) == 6
+    assert ph.scaled_max_hamming(p) == 24
+
+
+def test_production_phash_matches_reference_and_batch():
+    """256-bit scalar path == the independent loop reimplementation ==
+    the batched einsum, on the calibration corpus."""
+    import numpy as np
+    p = ph.PRODUCTION_PARAMS
+    pix = [ph.token_grid_pixels(t, p) for t in (BASE, NEAR, FAR)]
+    scalar = [ph.phash_bands(px, p) for px in pix]
+    ref = [_ref_phash_params(px, p) for px in pix]
+    assert scalar == ref
+    batch = ph.phash_bands_batch(
+        np.frombuffer(b"".join(pix), dtype=np.uint8), p)
+    assert [list(b) for b in batch] == scalar
+    assert all(0 <= v < (1 << p.band_bits) for b in scalar for v in b)
+
+
+def test_production_hamming_separation():
+    """The planted near-dup/unrelated separation transfers to the
+    256-bit envelope at the proportionally scaled threshold."""
+    p = ph.PRODUCTION_PARAMS
+
+    def dist(a, b):
+        sa = ph.phash_bands(ph.token_grid_pixels(a, p), p)
+        sb = ph.phash_bands(ph.token_grid_pixels(b, p), p)
+        return sum(bin(x ^ y).count("1") for x, y in zip(sa, sb))
+
+    tau = ph.scaled_max_hamming(p)
+    assert dist(BASE, NEAR) <= tau
+    assert dist(BASE, FAR) > tau
+
+
+def test_production_planted_near_dup_found_by_banded_join(spark):
+    """End-to-end at the PRODUCTION envelope: 16-band candidate join +
+    scaled threshold surfaces exactly the planted pair; the signature
+    crossing stays row-local. (The registry keeps the 64-bit default;
+    this pins the parameterized path the SCALE.md r10 prescription
+    calls for at >=10^6 items/modality.)"""
+    p = ph.PRODUCTION_PARAMS
+    decoys = [
+        f"decoy document number {i} with tokens drawn from vocabulary "
+        f"slice {i % 7} plus padding words alpha beta gamma delta "
+        f"epsilon zeta eta theta iota kappa row{i}"
+        for i in range(20)
+    ]
+    rows = ([(1, BASE), (2, NEAR), (3, FAR)]
+            + [(10 + i, t) for i, t in enumerate(decoys)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = ph.image_phash_signatures(df, "doc_id", "text", params=p)
+    assert sig.columns == ["id"] + p.band_cols
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in ph.phash_candidate_pairs(
+                 sig, max_hamming=ph.scaled_max_hamming(p),
+                 n_bands=p.n_bands).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= ph.scaled_max_hamming(p)
+    assert all(3 not in pr for pr in pairs)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # signatures stay row-local

@@ -308,3 +308,54 @@ def test_sample_avi_frames_rejects_bad_stride():
     with pytest.raises(ValueError, match="every_k"):
         vi.sample_avi_frames(
             vi.encode_avi(vi.frame_token_grids(BASE), ph.GRID, ph.GRID), 0)
+
+
+def test_video_pair_matches_production_envelope(spark):
+    """r11: the 256-bit PRODUCTION envelope threads end-to-end through
+    the video path (32x32 frames -> AVI round trip -> 16-band
+    signatures -> scaled-threshold matching) and finds the planted
+    near-dup without false positives."""
+    p = ph.PRODUCTION_PARAMS
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR)], "doc_id long, text string")
+    sig = vi.video_phash_signatures(docs, "doc_id", "text", params=p)
+    assert sig.columns == ["id", "frame"] + p.band_cols
+    got = {(r["id_a"], r["id_b"]): r
+           for r in vi.video_pair_matches(
+               sig, max_hamming=ph.scaled_max_hamming(p),
+               params=p).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["n_match"] >= vi.DEFAULT_MIN_FRAMES
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_video_pair_matches_rejects_negative_ids(spark):
+    """The composite-id precondition is enforced per-row, not just
+    documented: a negative doc id raises instead of silently
+    mis-grouping (Spark `div` truncates toward zero on negatives)."""
+    import pyspark.errors
+    docs = spark.createDataFrame(
+        [(-1, BASE), (2, NEAR)], "doc_id long, text string")
+    sig = vi.video_phash_signatures(docs, "doc_id", "text")
+    with pytest.raises(pyspark.errors.PySparkException):
+        vi.video_pair_matches(sig).collect()
+
+
+def test_avi_mjpeg_meta_parses_without_decoding():
+    """r11: the container-metadata adapter for the MJPEG branch —
+    parses strh fourcc, dims, and the idx1/avih frame-count invariant
+    without touching JPEG payload bytes; refuses a DIB stream."""
+    frames = [bytes([(x + f * 7) % 256 for x in range(20 * 12)])
+              for f in range(3)]
+    enc = [encode_jpeg(20, 12, fr) for fr in frames]
+    avi = vi.encode_avi(enc, 20, 12, fps=6, codec="MJPG")
+    meta = vi.avi_mjpeg_meta(avi)
+    assert meta["format"] == "avi-mjpg"
+    assert meta["n_bytes"] == 3          # frame COUNT, not bytes
+    assert (meta["width"], meta["height"]) == (20, 12)
+
+    dib = vi.encode_avi(frames, 20, 12)
+    with pytest.raises(ValueError, match="expected MJPG"):
+        vi.avi_mjpeg_meta(dib)
+    with pytest.raises(ValueError, match="empty payload"):
+        vi.avi_mjpeg_meta(b"")

@@ -261,9 +261,30 @@ def video_probe(spark) -> None:
     temporal-offset voting adds only a pair-grain groupBy + window."""
     from training_datawarehouse_spark.operators import video as vd
     from training_datawarehouse_spark.operators.phash import (
-        DEFAULT_MAX_BUCKET, N_BANDS,
+        DEFAULT_MAX_BUCKET, DEFAULT_PARAMS, PRODUCTION_PARAMS,
+        scaled_max_hamming,
     )
     from training_datawarehouse_spark.sources.tables import load_table
+
+    def occupancy(sig, params):
+        comp = sig.select(
+            (F.col("id") * vd.N_FRAMES + F.col("frame")).alias("id"),
+            *params.band_cols)
+        band_structs = F.array(*[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+            for k in range(params.n_bands)
+        ])
+        return (
+            comp.select(F.explode(band_structs).alias("bs"))
+            .groupBy("bs.band", "bs.val").count()
+            .agg(
+                F.max("count").alias("max_bucket"),
+                F.expr("percentile_approx(count, 0.99)").alias("p99"),
+                (F.sum(F.when(F.col("count") > DEFAULT_MAX_BUCKET,
+                              F.col("count")).otherwise(0))
+                 / F.sum("count")).alias("frac_rows_capped"),
+            ).collect()[0]
+        )
 
     for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
         docs = load_table(spark, sf_dir, "documents")
@@ -275,25 +296,7 @@ def video_probe(spark) -> None:
         ).localCheckpoint(eager=True)
         n_sig = sig.count()
         sig_s = round(time.time() - t0, 2)
-
-        comp = sig.select(
-            (F.col("id") * vd.N_FRAMES + F.col("frame")).alias("id"),
-            *[f"b{k}" for k in range(N_BANDS)])
-        band_structs = F.array(*[
-            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
-            for k in range(N_BANDS)
-        ])
-        occ = (
-            comp.select(F.explode(band_structs).alias("bs"))
-            .groupBy("bs.band", "bs.val").count()
-            .agg(
-                F.max("count").alias("max_bucket"),
-                F.expr("percentile_approx(count, 0.99)").alias("p99"),
-                (F.sum(F.when(F.col("count") > DEFAULT_MAX_BUCKET,
-                              F.col("count")).otherwise(0))
-                 / F.sum("count")).alias("frac_rows_capped"),
-            ).collect()[0]
-        )
+        occ = occupancy(sig, DEFAULT_PARAMS)
         t0 = time.time()
         pairs = vd.video_pair_matches(sig).localCheckpoint(eager=True)
         pair_s = round(time.time() - t0, 2)
@@ -303,6 +306,36 @@ def video_probe(spark) -> None:
             f"crossing+ckpt={sig_s}s pairs={n_pairs} match={pair_s}s "
             f"max_bucket={occ['max_bucket']} p99={occ['p99']} "
             f"frac_rows_capped={occ['frac_rows_capped']:.4f}",
+            flush=True,
+        )
+        # r11: the PRODUCTION envelope (16x16 DCT -> 256-bit hash ->
+        # 16 x 16-bit bands) on the SAME corpus — the prescribed fix
+        # for the 64-bit family's measured 16.6 % over-cap band rows
+        # at 2 M frame signatures. Same cap, 4x sparser buckets per
+        # band; the claim under test is frac_rows_capped -> ~0.
+        t0 = time.time()
+        sig256 = vd.video_phash_signatures(
+            docs, "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+            params=PRODUCTION_PARAMS,
+        ).localCheckpoint(eager=True)
+        n_sig256 = sig256.count()
+        sig256_s = round(time.time() - t0, 2)
+        occ256 = occupancy(sig256, PRODUCTION_PARAMS)
+        t0 = time.time()
+        pairs256 = vd.video_pair_matches(
+            sig256,
+            max_hamming=scaled_max_hamming(PRODUCTION_PARAMS),
+            params=PRODUCTION_PARAMS,
+        ).localCheckpoint(eager=True)
+        pair256_s = round(time.time() - t0, 2)
+        n_pairs256 = pairs256.count()
+        print(
+            f"video256[{label}] docs={n} frame_sigs={n_sig256} "
+            f"crossing+ckpt={sig256_s}s pairs={n_pairs256} "
+            f"match={pair256_s}s max_bucket={occ256['max_bucket']} "
+            f"p99={occ256['p99']} "
+            f"frac_rows_capped={occ256['frac_rows_capped']:.4f}",
             flush=True,
         )
 

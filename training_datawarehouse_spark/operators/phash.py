@@ -46,7 +46,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import math
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -81,6 +81,40 @@ N_BITS = DCT_N * DCT_N    # 64-bit fingerprint
 BAND_BITS = 16
 N_BANDS = N_BITS // BAND_BITS
 PIXEL_GAIN = 16           # pixel = min(255, PIXEL_GAIN * token count)
+
+
+class PhashParams(NamedTuple):
+    """Perceptual-hash geometry. The bench/oracle default is the
+    64-bit envelope (8x8 DCT, 4x16-bit bands); ``PRODUCTION_PARAMS``
+    is the >=10^6-items-per-modality envelope the r10 100x video probe
+    prescribed (SCALE.md r10: 16.6 % of 64-bit band rows landed in
+    over-cap buckets at 2 M frame signatures — a 256-bit hash with
+    16x16-bit bands both re-sparsifies the 65 536-value buckets by
+    ~4x per band x 4x more bands and restores the pigeonhole
+    guarantee out to Hamming 15). Fixed-point bound: |F| <=
+    255*4 * dct_n^2 * DCT_SCALE^2 = 2.7e14 at dct_n=16 — inside
+    int64."""
+    grid: int = GRID            # synthesized raster side
+    dct_n: int = DCT_N          # DCT block side (grid == 2*dct_n)
+    band_bits: int = BAND_BITS
+    pixel_gain: int = PIXEL_GAIN
+
+    @property
+    def n_bits(self) -> int:
+        return self.dct_n * self.dct_n
+
+    @property
+    def n_bands(self) -> int:
+        return self.n_bits // self.band_bits
+
+    @property
+    def band_cols(self) -> list[str]:
+        return [f"b{k}" for k in range(self.n_bands)]
+
+
+DEFAULT_PARAMS = PhashParams()
+#: 32x32 raster -> 16x16 DCT -> 256-bit hash -> 16 x 16-bit bands
+PRODUCTION_PARAMS = PhashParams(grid=32, dct_n=16)
 # Calibrated on the synthetic corpus (sf0.001, full pairwise Hamming
 # histogram over banded candidates): true text near-dups land at <= 6
 # bits, while vocabulary-overlap-only pairs form a continuum from ~8
@@ -99,43 +133,58 @@ DEFAULT_MAX_HAMMING = 6
 DEFAULT_MAX_BUCKET = 512
 
 
-def dct_basis_int() -> list[list[int]]:
-    """The integerized 8x8 DCT-II basis C[u][x] = round(cos((2x+1)·u·
-    pi/16) · 1024). Single source of truth: the Spark-side numpy DCT
-    and the generated oracle SQL both read THIS table, so the two
-    engines cannot disagree on the basis."""
+def scaled_max_hamming(params: PhashParams) -> int:
+    """The calibrated 64-bit threshold scaled proportionally to the
+    envelope's bit width (6/64 -> 24/256): the bit-error RATE of a
+    near-dup is geometry-independent, the absolute distance is not.
+    Measured on the calibration corpus: the BASE/NEAR planted pair
+    reads 4/64 and 18/256; the unrelated pair 16/64 and 68/256 — the
+    proportional threshold separates both envelopes identically."""
+    return DEFAULT_MAX_HAMMING * params.n_bits // N_BITS
+
+
+def dct_basis_int(dct_n: int = DCT_N) -> list[list[int]]:
+    """The integerized dct_n x dct_n DCT-II basis C[u][x] =
+    round(cos((2x+1)·u·pi/(2·dct_n)) · 1024). Single source of truth:
+    the Spark-side numpy DCT and the generated oracle SQL both read
+    THIS table, so the two engines cannot disagree on the basis."""
     return [
-        [round(math.cos((2 * x + 1) * u * math.pi / (2 * DCT_N)) * DCT_SCALE)
-         for x in range(DCT_N)]
-        for u in range(DCT_N)
+        [round(math.cos((2 * x + 1) * u * math.pi / (2 * dct_n)) * DCT_SCALE)
+         for x in range(dct_n)]
+        for u in range(dct_n)
     ]
 
 
 @functools.lru_cache(maxsize=1 << 16)
-def _token_cell(tok: str) -> int:
+def _token_cell(tok: str, ncells: int = GRID * GRID) -> int:
     """Grid cell for one token (md5 once per distinct token per
     executor — corpus tokens repeat heavily)."""
     h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-    return h % (GRID * GRID)
+    return h % ncells
 
 
-def token_grid_pixels(text: str) -> bytes:
-    """16x16 grayscale token-histogram image for one document: token
-    -> cell ``int(md5(token)[:15 hex], 16) % 256`` (the engine-portable
-    md5-prefix integer convention of ``dedup.hashed_shingles_portable``
-    — `('0x' || substr(md5(t),1,15))::BIGINT` in the oracle), pixel =
-    min(255, 16·count). Tokenization is a bare split on ' ' to match
+def token_grid_pixels(text: str, params: PhashParams = DEFAULT_PARAMS) -> bytes:
+    """grid x grid grayscale token-histogram image for one document:
+    token -> cell ``int(md5(token)[:15 hex], 16) % grid²`` (the
+    engine-portable md5-prefix integer convention of
+    ``dedup.hashed_shingles_portable`` —
+    `('0x' || substr(md5(t),1,15))::BIGINT` in the oracle), pixel =
+    min(255, gain·count). Tokenization is a bare split on ' ' to match
     DuckDB's ``string_split(text, ' ')``."""
-    counts = [0] * (GRID * GRID)
+    ncells = params.grid * params.grid
+    counts = [0] * ncells
     for tok in text.split(" "):
-        counts[_token_cell(tok)] += 1
-    return bytes(min(255, PIXEL_GAIN * c) for c in counts)
+        counts[_token_cell(tok, ncells)] += 1
+    return bytes(min(255, params.pixel_gain * c) for c in counts)
 
 
-def phash_bands(pixels: bytes) -> list[int]:
-    """64-bit pHash of a 16x16 grayscale raster, returned as 4 x
-    16-bit band integers (band k holds bits [16k, 16k+16), LSB-first
-    within the band). Exact integer math throughout:
+def phash_bands(
+    pixels: bytes, params: PhashParams = DEFAULT_PARAMS
+) -> list[int]:
+    """n_bits-bit pHash of a grid x grid grayscale raster, returned as
+    n_bands x band_bits band integers (band k holds bits
+    [k·bb, (k+1)·bb), LSB-first within the band). Exact integer math
+    throughout:
 
     - 2x2 block SUM (not mean — no division, stays int) -> 8x8,
     - fixed-point DCT  F = C · S · C^T  (int64; |F| <= 1020·64·1024²
@@ -144,43 +193,51 @@ def phash_bands(pixels: bytes) -> list[int]:
       — the lower median, chosen over the averaged median so it is a
       k-th order statistic both engines compute identically on ints.
     """
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(GRID, GRID)
-    s = img.reshape(DCT_N, 2, DCT_N, 2).sum(axis=(1, 3)).astype(np.int64)
-    c = np.array(dct_basis_int(), dtype=np.int64)
-    f = (c @ s @ c.T).reshape(-1)          # f[u*8+v], row u = y-freq
-    med = np.sort(f)[N_BITS // 2 - 1]      # 32nd smallest (0-idx 31)
+    g, n = params.grid, params.dct_n
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(g, g)
+    s = img.reshape(n, 2, n, 2).sum(axis=(1, 3)).astype(np.int64)
+    c = np.array(dct_basis_int(n), dtype=np.int64)
+    f = (c @ s @ c.T).reshape(-1)          # f[u*n+v], row u = y-freq
+    med = np.sort(f)[params.n_bits // 2 - 1]   # lower median
     bits = f > med
     bands = []
-    for k in range(N_BANDS):
+    for k in range(params.n_bands):
         val = 0
-        for j in range(BAND_BITS):
-            if bits[k * BAND_BITS + j]:
+        for j in range(params.band_bits):
+            if bits[k * params.band_bits + j]:
                 val |= 1 << j
         bands.append(val)
     return bands
 
 
-def phash_bands_batch(rasters: np.ndarray) -> np.ndarray:
-    """Vectorized `phash_bands` over a BATCH of rasters: (n, 256)
-    uint8 -> (n, 4) int64 band values, one stacked einsum instead of
-    n small matmuls and n·64 Python bit-shifts. Bit-identical to the
-    scalar path (same integer math; parity-tested) — the batch form
-    exists because per-frame video hashing multiplies the call count
-    by n_frames."""
+def phash_bands_batch(
+    rasters: np.ndarray, params: PhashParams = DEFAULT_PARAMS
+) -> np.ndarray:
+    """Vectorized `phash_bands` over a BATCH of rasters: (n, grid²)
+    uint8 -> (n, n_bands) int64 band values, one stacked einsum
+    instead of n small matmuls and n·n_bits Python bit-shifts.
+    Bit-identical to the scalar path (same integer math;
+    parity-tested) — the batch form exists because per-frame video
+    hashing multiplies the call count by n_frames."""
+    g, dn = params.grid, params.dct_n
     imgs = np.ascontiguousarray(rasters, dtype=np.int64)
-    imgs = imgs.reshape(-1, GRID, GRID)
-    s = imgs.reshape(-1, DCT_N, 2, DCT_N, 2).sum(axis=(2, 4))
-    c = np.array(dct_basis_int(), dtype=np.int64)
-    f = np.einsum("ur,nrc,vc->nuv", c, s, c).reshape(len(imgs), N_BITS)
-    med = np.sort(f, axis=1)[:, N_BITS // 2 - 1]
+    imgs = imgs.reshape(-1, g, g)
+    s = imgs.reshape(-1, dn, 2, dn, 2).sum(axis=(2, 4))
+    c = np.array(dct_basis_int(dn), dtype=np.int64)
+    f = np.einsum("ur,nrc,vc->nuv", c, s, c).reshape(
+        len(imgs), params.n_bits)
+    med = np.sort(f, axis=1)[:, params.n_bits // 2 - 1]
     bits = f > med[:, None]
-    weights = 1 << np.arange(BAND_BITS, dtype=np.int64)
-    return (bits.reshape(-1, N_BANDS, BAND_BITS) * weights).sum(axis=2)
+    weights = 1 << np.arange(params.band_bits, dtype=np.int64)
+    return (bits.reshape(-1, params.n_bands, params.band_bits)
+            * weights).sum(axis=2)
 
 
 def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
-                           parallelism: int | None = None) -> DataFrame:
-    """(id, b0..b3) pHash signatures: synthesize the token-grid image,
+                           parallelism: int | None = None,
+                           params: PhashParams = DEFAULT_PARAMS) -> DataFrame:
+    """(id, b0..b{n_bands-1}) pHash signatures: synthesize the
+    token-grid image,
     round-trip it through the REAL PNG codec (encode with a per-row
     scanline filter so all five filter paths run, then full decode —
     CRCs, inflate, un-filter), and pHash the DECODED raster. One
@@ -196,22 +253,22 @@ def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
     is checkpointed."""
     if parallelism:
         df = df.select(id_col, text_col).repartition(parallelism)
+    band_cols = params.band_cols
     schema = T.StructType(
         [T.StructField("id", T.LongType())]
-        + [T.StructField(f"b{k}", T.IntegerType()) for k in range(N_BANDS)]
+        + [T.StructField(c, T.IntegerType()) for c in band_cols]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                pix = token_grid_pixels(text)
-                png = encode_png(GRID, GRID, pix,
+                pix = token_grid_pixels(text, params)
+                png = encode_png(params.grid, params.grid, pix,
                                  filter_type=len(text) % 5)
                 decoded = decode_png(png)["pixels"]
-                rows.append([did, *phash_bands(decoded)])
-            yield pd.DataFrame(
-                rows, columns=["id"] + [f"b{k}" for k in range(N_BANDS)])
+                rows.append([did, *phash_bands(decoded, params)])
+            yield pd.DataFrame(rows, columns=["id"] + band_cols)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
@@ -219,6 +276,7 @@ def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
 def phash_candidate_pairs(
     sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Hamming-banded near-dup pairs from (id, b0..b3) signatures.
     Returns (id_a, id_b, hamming) with hamming <= max_hamming,
@@ -264,7 +322,7 @@ def phash_candidate_pairs(
     hash -> 16 bands both restores the guarantee (radius 15) and
     re-sparsifies the buckets; the banding/verify shape here is
     band-count-generic (see SCALE.md r9)."""
-    hash_cols = [f"b{k}" for k in range(N_BANDS)]
+    hash_cols = [f"b{k}" for k in range(n_bands)]
     groups = sig.groupBy(*hash_cols).agg(
         F.min("id").alias("gid"),
         F.array_sort(F.collect_list("id")).alias("ids"),
@@ -273,7 +331,7 @@ def phash_candidate_pairs(
 
     band_structs = F.array(*[
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
-        for k in range(N_BANDS)
+        for k in range(n_bands)
     ])
     banded = groups.select(
         "gid", "gn", F.explode(band_structs).alias("bs")
@@ -294,13 +352,13 @@ def phash_candidate_pairs(
 
     ra = groups.select(F.col("gid").alias("ga"),
                        F.col("ids").alias("ids_a"), F.col("gn").alias("gn_a"),
-                       *[F.col(f"b{k}").alias(f"a{k}") for k in range(N_BANDS)])
+                       *[F.col(f"b{k}").alias(f"a{k}") for k in range(n_bands)])
     rb = groups.select(F.col("gid").alias("gb"),
                        F.col("ids").alias("ids_b"),
-                       *[F.col(f"b{k}").alias(f"c{k}") for k in range(N_BANDS)])
+                       *[F.col(f"b{k}").alias(f"c{k}") for k in range(n_bands)])
     ham = sum(
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}")))
-        for k in range(N_BANDS)
+        for k in range(n_bands)
     )
     # NO forced broadcast of rep_pairs (r10 fix): its size is
     # data-dependent (candidate-grain — the r9 image probe measured
@@ -332,7 +390,7 @@ def phash_candidate_pairs(
     return within.unionByName(across)
 
 
-def phash_band_index(sig: DataFrame) -> DataFrame:
+def phash_band_index(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(band, val, id, b0..b3) rows — the persistable perceptual-hash
     index of a corpus (incremental-dedup support, the
     `dedup.lsh_band_index` pattern for the Hamming family).
@@ -347,14 +405,14 @@ def phash_band_index(sig: DataFrame) -> DataFrame:
     content, which for this family would mean re-decoding media."""
     band_structs = F.array(*[
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
-        for k in range(N_BANDS)
+        for k in range(n_bands)
     ])
     return sig.select(
-        "id", *[f"b{k}" for k in range(N_BANDS)],
+        "id", *[f"b{k}" for k in range(n_bands)],
         F.explode(band_structs).alias("bs"),
     ).select(
         F.col("bs.band").alias("band"), F.col("bs.val").alias("val"),
-        "id", *[f"b{k}" for k in range(N_BANDS)],
+        "id", *[f"b{k}" for k in range(n_bands)],
     )
 
 
@@ -362,6 +420,7 @@ def phash_probe_index(
     index: DataFrame, new_sig: DataFrame,
     max_hamming: int = DEFAULT_MAX_HAMMING,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Incremental near-dup pairs for an ingest batch against a stored
     corpus index: (new_id, old_id, hamming) for band-colliding,
@@ -374,10 +433,10 @@ def phash_probe_index(
     Cross-generation Hamming verifies inline from the index's stored
     signatures; in-batch pairs reuse `phash_candidate_pairs` whole
     (rep-grain banding, doc-weighted hot-bucket cap and all)."""
-    probe = phash_band_index(new_sig)
+    probe = phash_band_index(new_sig, n_bands=n_bands)
     ham = sum(
         F.bit_count(F.col(f"n.b{k}").bitwiseXOR(F.col(f"o.b{k}")))
-        for k in range(N_BANDS)
+        for k in range(n_bands)
     )
     vs_corpus = (
         probe.alias("n")
@@ -391,6 +450,7 @@ def phash_probe_index(
     )
     vs_batch = phash_candidate_pairs(
         new_sig, max_hamming=max_hamming, max_bucket=max_bucket,
+        n_bands=n_bands,
     ).select(
         F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"),
         "hamming",

@@ -358,6 +358,17 @@ def pq_adc_scores_residual(
 
 # ------------------------------------------------ scalar quantization
 
+def _bad_vec(vec_col: str, dim: int):
+    """1 for a ragged, wrong-dim, or NULL vector, else 0. The NULL
+    coalesce matters: F.size(NULL) is NULL, so a bare (size != dim)
+    is NULL and F.sum would SKIP it — a null embedding would silently
+    pass training (min/max ignore nulls) and then encode to null
+    codes, diverging from the SQL oracle."""
+    return F.coalesce(
+        (F.size(F.col(vec_col)) != dim).cast("long"), F.lit(1)
+    )
+
+
 def sq_train(
     df: DataFrame, vec_col: str, dim: int
 ) -> tuple[list[float], list[float]]:
@@ -366,14 +377,14 @@ def sq_train(
     uint8 — 4× compression for float32 at near-exact recall, the
     mild sibling of PQ's 64×). One map-side-combinable aggregation;
     2·d doubles return to the driver, the corpus never shuffles.
-    Raises on ragged/wrong-dim vectors (the ``pq_train`` dim-check
-    discipline). The bounds are exact data values (no arithmetic),
+    Raises on ragged, wrong-dim, or NULL vectors (the ``pq_train``
+    dim-check discipline). The bounds are exact data values (no arithmetic),
     so a SQL oracle re-derives them bit-for-bit with min()/max()."""
     v = _as_double(F.col(vec_col))
     # try_element_at: a short vector must reach the __bad counter (and
     # raise below), not blow up ANSI element_at inside the same agg
     row = df.agg(
-        F.sum((F.size(F.col(vec_col)) != dim).cast("long")).alias("__bad"),
+        F.sum(_bad_vec(vec_col, dim)).alias("__bad"),
         *[F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"mn{i}")
           for i in range(dim)],
         *[F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"mx{i}")
@@ -481,10 +492,10 @@ def sq_train_per_list(
     groupBy(list) aggregation, ``2·n_lists·d`` doubles to the driver.
     A list with no members gets degenerate [0, 0] bounds (its codes
     would all be 0 — but an empty list also has nothing to encode).
-    Raises on ragged/wrong-dim vectors."""
+    Raises on ragged, wrong-dim, or NULL vectors."""
     v = _as_double(F.col(vec_col))
     rows = df.groupBy(list_col).agg(
-        F.sum((F.size(F.col(vec_col)) != dim).cast("long")).alias("__bad"),
+        F.sum(_bad_vec(vec_col, dim)).alias("__bad"),
         *[F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"mn{i}")
           for i in range(dim)],
         *[F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"mx{i}")

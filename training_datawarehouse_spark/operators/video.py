@@ -110,11 +110,13 @@ def encode_avi(frames: list[bytes], width: int, height: int,
     frame is pre-encoded JPEG bytes stored in a '00dc' chunk.
     Always writes the 'idx1' index (AVIF_HASINDEX)."""
     if codec == "DIB ":
-        bodies = [_dib_frame(width, height, f) for f in frames]
-        ckid, compression = b"00db", 0
+        # validate BEFORE building bodies: _dib_frame silently
+        # ljust-pads/truncates wrong-size rasters
         for f in frames:
             if len(f) != width * height:
                 raise ValueError("DIB frame raster size mismatch")
+        bodies = [_dib_frame(width, height, f) for f in frames]
+        ckid, compression = b"00db", 0
     elif codec == "MJPG":
         bodies = list(frames)
         ckid = b"00dc"
@@ -316,47 +318,55 @@ def sample_avi_frames(data: bytes, every_k: int = 2) -> list[tuple[int, bytes]]:
 
 # ------------------------------------------------- synthesis + hash
 
-def frame_token_grids(text: str, n_frames: int = N_FRAMES) -> list[bytes]:
-    """Per-frame 16×16 token-histogram rasters: token i (0-based, bare
-    split on ' ' to match DuckDB `string_split`) lands in frame
-    ``i % n_frames``, cell ``md5-prefix(token) % 256``, pixel
-    ``min(255, 16·count)`` — `phash.token_grid_pixels` per frame
+def frame_token_grids(text: str, n_frames: int = N_FRAMES,
+                      params: ph.PhashParams = ph.DEFAULT_PARAMS,
+                      ) -> list[bytes]:
+    """Per-frame grid×grid token-histogram rasters: token i (0-based,
+    bare split on ' ' to match DuckDB `string_split`) lands in frame
+    ``i % n_frames``, cell ``md5-prefix(token) % grid²``, pixel
+    ``min(255, gain·count)`` — `phash.token_grid_pixels` per frame
     subset, so the oracle re-derives every pixel in SQL."""
-    counts = [[0] * (ph.GRID * ph.GRID) for _ in range(n_frames)]
+    ncells = params.grid * params.grid
+    counts = [[0] * ncells for _ in range(n_frames)]
     for i, tok in enumerate(text.split(" ")):
-        counts[i % n_frames][ph._token_cell(tok)] += 1
+        counts[i % n_frames][ph._token_cell(tok, ncells)] += 1
     return [
-        bytes(min(255, ph.PIXEL_GAIN * c) for c in row)
+        bytes(min(255, params.pixel_gain * c) for c in row)
         for row in counts
     ]
 
 
 def video_phash_signatures(df: DataFrame, id_col: str, text_col: str,
                            n_frames: int = N_FRAMES,
-                           parallelism: int | None = None) -> DataFrame:
-    """(id, frame, b0..b3) per-frame pHash signatures: synthesize the
-    frame rasters, round-trip them through the REAL AVI/DIB container
-    codec (lossless => pixel-identity, pinned by pytest), and pHash
-    each DECODED frame. One Arrow crossing, row-local;
-    ``parallelism`` is the CPU-bound-crossing repartition of
-    `phash.image_phash_signatures` (see its docstring)."""
+                           parallelism: int | None = None,
+                           params: ph.PhashParams = ph.DEFAULT_PARAMS,
+                           ) -> DataFrame:
+    """(id, frame, b0..b{n_bands-1}) per-frame pHash signatures:
+    synthesize the frame rasters, round-trip them through the REAL
+    AVI/DIB container codec (lossless => pixel-identity, pinned by
+    pytest), and pHash each DECODED frame. One Arrow crossing,
+    row-local; ``parallelism`` is the CPU-bound-crossing repartition
+    of `phash.image_phash_signatures` (see its docstring); ``params``
+    selects the hash envelope (64-bit bench default vs the 256-bit
+    `phash.PRODUCTION_PARAMS`)."""
     if parallelism:
         df = df.select(id_col, text_col).repartition(parallelism)
+    band_cols = params.band_cols
     schema = T.StructType(
         [T.StructField("id", T.LongType()),
          T.StructField("frame", T.IntegerType())]
-        + [T.StructField(f"b{k}", T.IntegerType())
-           for k in range(ph.N_BANDS)]
+        + [T.StructField(c, T.IntegerType()) for c in band_cols]
     )
 
-    cols = ["id", "frame"] + [f"b{k}" for k in range(ph.N_BANDS)]
+    cols = ["id", "frame"] + band_cols
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, rasters = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                avi = encode_avi(frame_token_grids(text, n_frames),
-                                 ph.GRID, ph.GRID)
+                avi = encode_avi(
+                    frame_token_grids(text, n_frames, params),
+                    params.grid, params.grid)
                 ids.append(did)
                 rasters.extend(decode_avi(avi)["frames"])
             if not ids:
@@ -364,7 +374,7 @@ def video_phash_signatures(df: DataFrame, id_col: str, text_col: str,
                 continue
             # one stacked einsum hashes EVERY frame in the Arrow batch
             bands = ph.phash_bands_batch(
-                np.frombuffer(b"".join(rasters), dtype=np.uint8))
+                np.frombuffer(b"".join(rasters), dtype=np.uint8), params)
             rows = [
                 [did, fno, *bands[j * n_frames + fno]]
                 for j, did in enumerate(ids)
@@ -380,6 +390,7 @@ def video_pair_matches(
     max_hamming: int = ph.DEFAULT_MAX_HAMMING,
     max_bucket: int = ph.DEFAULT_MAX_BUCKET,
     min_frames: int = DEFAULT_MIN_FRAMES,
+    params: ph.PhashParams = ph.DEFAULT_PARAMS,
 ) -> DataFrame:
     """Video-grain near-dup pairs from (id, frame, b0..b3) signatures:
     (id_a, id_b, offset, n_match, score) with id_a < id_b, where
@@ -398,13 +409,24 @@ def video_pair_matches(
     frame-aligned equality) is what makes a trimmed/shifted copy still
     match — the temporal-consistency rule of published video
     fingerprinting. Requires id >= 0 (composite ids must order by
-    (id, frame)); n_frames must exceed the max frame number."""
+    (id, frame); negative ids would silently mis-group composites, and
+    Spark's `div` truncates toward zero where DuckDB's `//` floors —
+    enforced per-row below, not just documented); n_frames must exceed
+    the max frame number."""
     comp = sig.select(
-        (F.col("id") * n_frames + F.col("frame")).alias("id"),
-        *[f"b{k}" for k in range(ph.N_BANDS)],
+        F.when(
+            F.col("id") >= 0, F.col("id") * n_frames + F.col("frame")
+        ).otherwise(
+            F.raise_error(
+                F.lit("video_pair_matches: id must be >= 0 "
+                      "(composite-id grouping)")
+            ).cast("long")
+        ).alias("id"),
+        *params.band_cols,
     )
     fp = ph.phash_candidate_pairs(
-        comp, max_hamming=max_hamming, max_bucket=max_bucket)
+        comp, max_hamming=max_hamming, max_bucket=max_bucket,
+        n_bands=params.n_bands)
     pairs = fp.select(
         F.expr(f"id_a div {n_frames}").alias("va"),
         F.expr(f"id_b div {n_frames}").alias("vb"),
@@ -479,4 +501,39 @@ def avi_decode_meta(payload: bytes) -> dict:
         "width": dec["width"],
         "height": dec["height"],
         "checksum": hashlib.sha256(b"".join(dec["frames"])).hexdigest()[:16],
+    }
+
+
+def avi_mjpeg_meta(payload: bytes) -> dict:
+    """CONTAINER-metadata adapter for the MJPEG ('00dc') path — the
+    r11 oracle-visible coverage of the parser's MJPG branch. Parses
+    headers + the idx1 index and verifies container invariants
+    WITHOUT decoding any JPEG payload (seek-not-scan): the stream
+    fourcc must be MJPG, every idx1 entry must be a '00dc' chunk, and
+    the index entry count must equal the avih frame count.
+
+    ``n_bytes`` carries the parsed FRAME COUNT (container metadata —
+    JPEG chunk byte lengths are entropy-coded, content-dependent, and
+    deliberately not asserted cross-engine; the lossy-path pixel
+    bounds live in pytest). ``format`` is derived from the parsed
+    fourcc, so a mis-attributed strf/strh would surface as a
+    driver-visible format mismatch."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    meta = _parse_headers(payload)
+    if meta["codec"] != "MJPG":
+        raise ValueError(f"expected MJPG stream, got {meta['codec']!r}")
+    bad = [ckid for ckid, _, _ in meta["idx"] if ckid != b"00dc"]
+    if bad:
+        raise ValueError(f"non-00dc chunk ids in an MJPG idx1: {bad[:3]}")
+    if len(meta["idx"]) != meta["n_frames"]:
+        raise ValueError(
+            f"idx1 entries {len(meta['idx'])} != avih frames "
+            f"{meta['n_frames']}")
+    return {
+        "n_bytes": meta["n_frames"],
+        "format": "avi-" + meta["codec"].strip().lower(),
+        "width": meta["width"],
+        "height": meta["height"],
+        "checksum": hashlib.sha256(payload).hexdigest()[:16],
     }

@@ -1471,7 +1471,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str,
 
 def multimodal_meta(spark: SparkSession, sf_dir: str,
                     stages: tuple = ("stub", "png", "wav", "jpeg",
-                                     "webp", "avi")) -> DataFrame:
+                                     "webp", "avi", "avi_mjpg")) -> DataFrame:
     """Binary-column pipeline end-to-end, tagged by stage:
 
     - 'stub': deterministic fake decode of an opaque payload — the
@@ -1498,6 +1498,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str,
       stride padding); ``n_bytes`` is the total decoded raster across
       an md5-derived VARIABLE frame count (2–8), so only a correct
       container parse + every-frame decode matches.
+    - 'avi_mjpg' (round 11): the MJPEG ('00dc') container branch at
+      METADATA grain — real per-frame JPEG encode at synthesis, then
+      a header+idx1 parse with NO JPEG decode; ``n_bytes`` is the
+      parsed frame count, ``format`` the parsed stream fourcc.
 
     Dims/rates derive from the same md5 bytes in every stage, so the
     whole six-codec pipeline shares one exact SQL oracle.
@@ -1570,8 +1574,24 @@ def multimodal_meta(spark: SparkSession, sf_dir: str,
         .groupBy("format").agg(*agg)
         .select(F.lit("avi").alias("stage"), "*")
     )
+    # 'avi_mjpg' (round 11): the parser's '00dc'/MJPG branch under the
+    # driver's eye at CONTAINER-metadata grain — synthesize REAL MJPEG
+    # clips (each frame through the in-tree JPEG encoder), then parse
+    # headers + idx1 WITHOUT decoding any JPEG payload. n_bytes
+    # carries the frame count (entropy-coded chunk lengths are
+    # content-dependent — the lossy pixel bounds stay in pytest);
+    # format carries the parsed stream fourcc.
+    avim = (
+        mm.decode_metadata(
+            vd.synthesize_avi_payload(spread, "doc_id", "text",
+                                      codec="MJPG"),
+            decode_fn=vd.avi_mjpeg_meta,
+        )
+        .groupBy("format").agg(*agg)
+        .select(F.lit("avi_mjpg").alias("stage"), "*")
+    )
     parts = {"stub": stub, "png": png, "wav": wav, "jpeg": jpg,
-             "webp": webp, "avi": avi}
+             "webp": webp, "avi": avi, "avi_mjpg": avim}
     out = None
     for st in stages:
         out = parts[st] if out is None else out.unionByName(parts[st])
@@ -1630,6 +1650,15 @@ UNION ALL
 SELECT 'avi', 'avi', count(*),
        CAST(sum((2 + {_B2} % 7) * (16 + {_B0} % 16) * (16 + {_B1} % 16))
             AS BIGINT),
+       round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
+FROM hx
+UNION ALL
+-- avi_mjpg: CONTAINER-metadata grain for the MJPEG path — n_bytes is
+-- the parsed frame count (2 + byte2 % 7; JPEG chunk byte lengths are
+-- entropy-coded and not asserted cross-engine), format the parsed
+-- stream fourcc, dims the parsed header dims
+SELECT 'avi_mjpg', 'avi-mjpg', count(*),
+       CAST(sum(2 + {_B2} % 7) AS BIGINT),
        round(avg(16 + {_B0} % 16), 4), round(avg(16 + {_B1} % 16), 4)
 FROM hx
 """
