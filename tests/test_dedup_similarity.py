@@ -153,11 +153,18 @@ def test_ann_recall_targets(spark):
             rec.setdefault(r["method"], []).append(r["recall"])
     assert set(rec) == {
         "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
-        "sq8l", "sq8n",
+        "sq8l", "sq8n", "nnd",
     }
     assert all(len(v) == 8 for v in rec.values())
     assert sum(rec["ivf"]) / 8 >= 0.8
     assert sum(rec["signlsh"]) / 8 >= 0.5
+    # r11 NN-descent: structure-free high-dim gaussians are the graph
+    # family's documented adversarial floor (recall degrades with
+    # intrinsic dimension — Dong et al. 2011 §5); the number is
+    # REPORTED here as a non-degeneracy bound, and the family's win
+    # regime (clustered) is gated at 1.0 in
+    # test_ann_recall_on_clustered_vectors
+    assert sum(rec["nnd"]) / 8 >= 0.1
     # normalize-then-quantize ranks by cosine order exactly
     assert sum(rec["sq8n"]) / 8 >= 0.9
     # r10: 8-bit scalar quantization is the mild end of the
@@ -1118,7 +1125,7 @@ def test_ann_recall_on_clustered_vectors(spark):
     mean = {m: sum(v) / len(v) for m, v in rec.items()}
     assert set(mean) == {
         "ivf", "signlsh", "pq", "pq_rr", "ivfpq", "ivfpq_res", "sq8",
-        "sq8l", "sq8n",
+        "sq8l", "sq8n", "nnd",
     }
     # Gates: minimums with margin under the measured values (measured
     # r9: ivf 1.0, signlsh ≥0.7, pq 0.425, pq_rr 1.0, ivfpq 0.425,
@@ -1170,6 +1177,14 @@ def test_ann_recall_on_clustered_vectors(spark):
     # structure-free floor for every compressed method, and residual
     # encoding must keep its edge over raw-vector IVFADC
     assert mean["ivfpq_res"] >= mean["ivfpq"], mean
+    # r11: the GRAPH family (NN-descent) — clusters are where graphs
+    # win (neighbor-of-neighbor expansion stays inside a cluster where
+    # quantizer cells straddle boundaries): measured exactly 1.0 here,
+    # gated at >= ivf (the r10 verdict's done-criterion) with the
+    # quantizer families strictly below it
+    assert mean["nnd"] >= mean["ivf"], mean
+    assert mean["nnd"] >= 0.9, mean
+    assert mean["nnd"] > mean["ivfpq"], mean
 
 
 def test_kmv_sketch_estimates_and_set_ops(spark):

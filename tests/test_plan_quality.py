@@ -208,7 +208,8 @@ SHUFFLE_BUDGET = {
     # family: multimodal — one metadata agg per codec stage
     # (stub/png/wav + jpeg since r4)
     # r10: +1 — the avi container stage's groupBy(format)
-    "ns_multimodal_meta": 6,  # one groupBy(format) per codec stage
+    # one groupBy(format) per codec stage (r11: +1 for avi_mjpg)
+    "ns_multimodal_meta": 7,
     # family: approx aggs — separate agg branches + sketch rollup.
     # r6: +4 in the FINAL plan for the Count-Min stages (per-path
     # probe-estimate and exact-count groupBys; probe/exact/total sides
@@ -244,6 +245,10 @@ SHUFFLE_BUDGET = {
     # costs exactly its rank window + exact-cosine join-back.
     # The corpus embedding column itself shuffles ONLY doc-grain slim
     # rows — never as part of an all-pairs product.
+    # r11: +0 for the NN-descent graph stage — the graph build and its
+    # member-query top-k both materialize at BUILD time (the KMV
+    # discipline); the final plan only scans the ≤ queries·k
+    # checkpointed rows.
     "ns_similarity_ann": 28,
     # family: embedding model fit (r8) — ZERO hash exchanges in the
     # final plan: raw/whitened pair stages are subset-bounded BNL

@@ -912,3 +912,77 @@ def test_streaming_video_ingest_decodes_per_microbatch(spark, tmp_path):
                 vd.synthesize_avi_payload(batch, "doc_id", "text"),
                 decode_fn=vd.avi_decode_meta).collect()}
     assert got == want and len(got) == 40
+
+
+def test_streaming_kmv_sketch_bounded_state_and_batch_parity(spark, tmp_path):
+    """r11: the streaming KMV sketch — (a) STATE BOUND: with 3·K
+    distinct users in one type, every emission's sketch occupancy is
+    exactly <= K (the state array is the emitted cnt by construction,
+    so the bound is the bounded-state contract), and (b) PARITY: the
+    final state equals the batch bottom-K sketch bit-for-bit however
+    the rows were split into micro-batches (bottom-k insertion is a
+    semilattice merge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from training_datawarehouse_spark.streaming.stateful import (
+        streaming_kmv_sketch,
+    )
+
+    K = 16
+    # planted corpus: type 'big' has 3*K distinct users, 'tiny' has 5;
+    # split so 'big' appears in BOTH batches (state must merge)
+    rows = [("big", u) for u in range(3 * K)] + [("tiny", 1000 + u)
+                                                for u in range(5)]
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        papq.write_table(
+            pa.table({"event_type": [r[0] for r in chunk],
+                      "user_id": [r[1] for r in chunk]}),
+            str(src / f"part{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10,
+    ).cast("long")
+    q = (
+        streaming_kmv_sketch(stream.select("event_type", h.alias("h")), K)
+        .writeStream.format("memory").queryName("kmv_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    emissions = spark.sql("select * from kmv_sink").collect()
+    # (a) every emission bounded by K — including the mid-stream one
+    assert all(r["cnt"] <= K for r in emissions)
+    big = sorted((r for r in emissions if r["event_type"] == "big"),
+                 key=lambda r: r["nb"])
+    assert len(big) == 2 and big[0]["cnt"] <= K  # state crossed batches
+    # (b) final state == batch bottom-K sketch, bit-for-bit
+    batch = spark.createDataFrame(rows, "event_type string, user_id long") \
+        .select("event_type", h.alias("h")).distinct()
+    from pyspark.sql import Window
+    wk = Window.partitionBy("event_type").orderBy("h")
+    exact = {
+        r["event_type"]: (r["cnt"], r["hk"])
+        for r in batch.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+        .collect()
+    }
+    final = {}
+    for r in emissions:
+        if r["event_type"] not in final or r["nb"] > final[r["event_type"]][0]:
+            final[r["event_type"]] = (r["nb"], r["cnt"], r["hk"])
+    got = {t: (c, hk) for t, (_, c, hk) in final.items()}
+    assert got == exact
+    assert got["big"][0] == K        # full sketch
+    assert got["tiny"][0] == 5       # not full => exact distinct

@@ -24,6 +24,7 @@ from ..operators import sampling
 from ..operators import sharding
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import nndescent as nnd_op
 from ..operators import video as vd
 from ..operators import wordpiece as wpc
 from ..sources.tables import load_table
@@ -2212,6 +2213,15 @@ _PQ_KSUB = 8      # codes per subspace codebook
 # value every prior round benched, gate-tested below.
 _PQ_RERANK_C = 10
 _PQ_RERANK = _PQ_RERANK_C * _ANN_K
+# NN-descent graph family (r11): degree and fixed iteration count.
+# k=8 / 3 rounds is the smallest config whose clustered-slice
+# recall@5 reaches 1.0 (= IVF's, the regime graphs exist for);
+# structure-free high-dim gaussians are the family's documented
+# adversarial floor (Dong et al. 2011 §5: recall degrades with
+# intrinsic dimension) and its measured number there is reported,
+# not hidden — the mirror image of the quantizer family's story.
+_NND_K = 8
+_NND_ITERS = 3
 
 
 def similarity_pq(spark: SparkSession, sf_dir: str,
@@ -2302,7 +2312,8 @@ def normalized_embeddings(frame: DataFrame) -> DataFrame:
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str,
-                   emb: DataFrame | None = None) -> DataFrame:
+                   emb: DataFrame | None = None,
+                   include_nnd: bool = True) -> DataFrame:
     """The bucketed/compressed ANN scale paths in one entry, tagged by
     stage and method: sign-LSH (hyperplane buckets), IVF (coarse
     quantizer, 2-probe), and (r8) product-quantization ADC detail rows
@@ -2578,6 +2589,36 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         )
     )
 
+    # NN-descent graph ('nnd', r11 — Dong et al. 2011): the GRAPH ANN
+    # family rep. The k-NN graph is built once (deterministic
+    # hash-ring init, 3 local-join rounds, oracle-RETRAINED edge by
+    # edge) and a member query answers from its adjacency list alone
+    # — no scoring pass. The graph family wins on clustered corpora
+    # (neighbor-of-neighbor expansion stays inside a cluster where
+    # quantizer cells straddle boundaries): measured recall 1.0 on
+    # the clustered slice (= ivf) vs the documented structure-free
+    # floor (high intrinsic dimension is the family's published weak
+    # regime — reported, not hidden).
+    nndq = None
+    if include_nnd:
+        graph = nnd_op.nnd_graph(
+            emb, "embedding", "vec_id", k=_NND_K, iters=_NND_ITERS,
+        )
+        try:
+            # queries·k rows — materialize at build (the KMV
+            # discipline: its window never enters the entry's final
+            # plan) and release the graph checkpoint it supersedes
+            nndq = nnd_op.nnd_topk(
+                graph,
+                queries.select(F.col("vec_id").alias("query_id")),
+                _ANN_K,
+            ).select(
+                "query_id", "rank", "neighbor_id",
+                F.col("cos").alias("cosine"),
+            ).localCheckpoint(eager=True)
+        finally:
+            release_local_checkpoint(graph)
+
     ann = (
         lsh.unionByName(ivf)
         .unionByName(pq_raw.withColumn("method", F.lit("pq")))
@@ -2588,6 +2629,8 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
         .unionByName(sq8l.withColumn("method", F.lit("sq8l")))
         .unionByName(sq8n.withColumn("method", F.lit("sq8n")))
     )
+    if nndq is not None:
+        ann = ann.unionByName(nndq.withColumn("method", F.lit("nnd")))
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
     topk = ann.select(
@@ -2622,7 +2665,8 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     )
     methods = spark.createDataFrame(
         [("signlsh",), ("ivf",), ("pq",), ("pq_rr",), ("ivfpq",),
-         ("ivfpq_res",), ("sq8",), ("sq8l",), ("sq8n",)],
+         ("ivfpq_res",), ("sq8",), ("sq8l",), ("sq8n",)]
+        + ([("nnd",)] if nndq is not None else []),
         "method string",
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
@@ -2648,6 +2692,54 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
 
 def _vec_sql(vals: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def _nnd_blocks(k: int, iters: int) -> tuple[str, str]:
+    """SQL twin of ``operators/nndescent.nnd_graph``: RETRAINS the
+    k-NN graph iteration by iteration (the ``_lloyd_blocks``
+    discipline) — hash-ring init over row_number in md5 order, then
+    per round: general neighborhood (UNION ALL of both edge
+    directions), local join on the shared center, rounded cosine on
+    the distinct candidates, and the per-node top-k window. Returns
+    (cte_sql, final_graph_name)."""
+    cosab = ("list_dot_product(x.v, y.v)"
+             " / (sqrt(list_dot_product(x.v, x.v))"
+             " * sqrt(list_dot_product(y.v, y.v)))")
+    blocks = [f"""nperm AS MATERIALIZED (
+  SELECT vec_id AS nid, v,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+  FROM e
+),
+nndg0 AS MATERIALIZED (
+  SELECT x.nid AS src, y.nid AS dst, round({cosab}, 6) AS cos
+  FROM nperm x
+  CROSS JOIN range(1, {k + 1}) jt
+  JOIN nperm y
+    ON y.rn = (x.rn - 1 + jt.range) % (SELECT count(*) FROM e) + 1
+)"""]
+    for i in range(1, iters + 1):
+        p = f"nndg{i - 1}"
+        blocks.append(f""",
+nndu{i} AS (SELECT src AS c, dst AS nid FROM {p}
+            UNION ALL SELECT dst, src FROM {p}),
+nndc{i} AS (SELECT DISTINCT a.nid AS src, b.nid AS dst
+            FROM nndu{i} a JOIN nndu{i} b
+              ON a.c = b.c AND a.nid < b.nid),
+nndd{i} AS (SELECT c.src, c.dst, round({cosab}, 6) AS cos
+            FROM nndc{i} c
+            JOIN nperm x ON x.nid = c.src
+            JOIN nperm y ON y.nid = c.dst),
+nndg{i} AS MATERIALIZED (
+  SELECT src, dst, cos FROM (
+    SELECT src, dst, cos,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst) AS rn
+    FROM (SELECT src, dst, cos FROM {p}
+          UNION SELECT src, dst, cos FROM nndd{i}
+          UNION SELECT dst, src, cos FROM nndd{i})
+  ) WHERE rn <= {k}
+)""")
+    return "".join(blocks), f"nndg{iters}"
 
 
 def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
@@ -2694,6 +2786,7 @@ def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
         for t in range(n_tables)
     )
     lloyd, final_c = _lloyd_blocks(n_lists, _KMEANS_ITERS, dim, prefix="qc")
+    nnd_sql, nnd_final = _nnd_blocks(_NND_K, _NND_ITERS)
 
     dsub = dim // m
     pq_slices, pq_lloyds, pq_assigns, pq_finals = [], [], [], []
@@ -3087,6 +3180,15 @@ sq8l_topk AS (
   JOIN c ON c.neighbor_id = t.neighbor_id
   WHERE t.rank <= {k}
 ),
+{nnd_sql},
+nnd_topk AS (
+  SELECT src AS query_id, rank, dst AS neighbor_id, cos FROM (
+    SELECT src, dst, cos,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos DESC, dst) AS rank
+    FROM {nnd_final} WHERE src < 8
+  ) WHERE rank <= {k}
+),
 ann AS (
   SELECT 'signlsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_topk
   UNION ALL
@@ -3106,6 +3208,8 @@ ann AS (
   SELECT 'sq8l', query_id, rank, neighbor_id, cos FROM sq8l_topk
   UNION ALL
   SELECT 'sq8n', query_id, rank, neighbor_id, cos FROM sqn_topk
+  UNION ALL
+  SELECT 'nnd', query_id, rank, neighbor_id, cos FROM nnd_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -3125,7 +3229,7 @@ grid AS (
         UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr'
         UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_res'
         UNION ALL SELECT 'sq8' UNION ALL SELECT 'sq8l'
-        UNION ALL SELECT 'sq8n') m
+        UNION ALL SELECT 'sq8n' UNION ALL SELECT 'nnd') m
   CROSS JOIN q
 ),
 hits AS (

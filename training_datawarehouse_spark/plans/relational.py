@@ -761,6 +761,79 @@ def stream_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_kmv_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming KMV sketch maintenance under the driver's
+    differential gate (r11 — the r10 verdict's 'sketches ride the
+    streaming path' task): the events file is split into TWO parquet
+    micro-batches (the ``stream_stateful_e2e`` layout, so every
+    event_type's sketch genuinely crosses a state read-merge-write),
+    the md5-prefix hash is computed JVM-side before the shuffle, and
+    ``streaming_kmv_sketch`` maintains the bottom-{KMV_K} state per
+    type. Because bottom-k insertion is a semilattice merge, the
+    final state must equal the BATCH sketch bit-for-bit — the oracle
+    recomputes that batch sketch in SQL, so the stream/batch sketch
+    parity is hash-checked by the driver, not argued.
+
+    Emitted per type: n = the KMV estimate (exact count when the
+    sketch is not full), v = sketch occupancy (min(K, distinct))."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from ..streaming.events_stream import stream_events
+    from ..streaming.stateful import streaming_kmv_sketch
+
+    name = f"op_stream_kmv_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_kmv_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = papq.read_table(f"{sf_dir}/events.parquet")
+        half = t.num_rows // 2
+        papq.write_table(t.slice(0, half), os.path.join(src, "part0.parquet"))
+        papq.write_table(t.slice(half), os.path.join(src, "part1.parquet"))
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long")
+        hashed = stream_events(spark, src).select("event_type", h.alias("h"))
+        q = (
+            streaming_kmv_sketch(hashed, KMV_K)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming KMV drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        final = spark.table(name).groupBy("event_type").agg(
+            F.max_by(F.struct("cnt", "hk"), "nb").alias("s")
+        )
+        est = F.when(
+            F.col("s.cnt") < KMV_K, F.col("s.cnt").cast("double")
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            / (F.col("s.hk").cast("double") / KMV_SPACE)
+        )
+        return final.select(
+            F.col("event_type").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.round(est).cast("long").alias("n"),
+            F.col("s.cnt").cast("double").alias("v"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL micro-batch executions under one tagged entry: the
     tumbling-window aggregation ('windows' stage), the watermarked
@@ -810,9 +883,13 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n"),
         F.col("conversion").alias("v"),
     )
+    skv = stream_kmv_e2e(spark, sf_dir).select(
+        F.lit("skmv").alias("stage"), "k1", "k2", "n", "v",
+    )
     return (
         win.unionByName(join).unionByName(st)
         .unionByName(late).unionByName(ddp).unionByName(sfn)
+        .unionByName(skv)
     )
 
 
@@ -902,6 +979,27 @@ UNION ALL
 SELECT 'sfunnel', CAST(step AS VARCHAR) || '_' || step_name,
        CAST(NULL AS VARCHAR), n_users, conversion
 FROM fnl
+UNION ALL
+-- skmv (r11): the streaming bottom-k sketch's FINAL state must equal
+-- the batch KMV sketch (bottom-k insertion is a semilattice merge —
+-- batching-independent), so the batch sketch recomputed here IS the
+-- streaming parity check; n = the estimate, v = sketch occupancy
+SELECT 'skmv', event_type, CAST(NULL AS VARCHAR),
+       CASE WHEN cnt < {KMV_K} THEN cnt
+            ELSE CAST(round({float(KMV_K - 1)!r}
+                            / (hk::DOUBLE / {KMV_SPACE!r})) AS BIGINT)
+       END,
+       cnt::DOUBLE
+FROM (
+  SELECT event_type, count(*) AS cnt, max(h) AS hk FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM (SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events)
+  ) WHERE rn <= {KMV_K}
+  GROUP BY event_type
+)
 """
 
 

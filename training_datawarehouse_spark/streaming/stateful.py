@@ -181,3 +181,56 @@ def streaming_funnel_progress(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
+    """STREAMING KMV distinct-count sketch per key, maintained across
+    micro-batches (r11 — the r10 verdict's 'sketches ride the
+    streaming path' task). Input is a pre-hashed frame
+    (event_type, h) — the same md5-prefix integer hash the batch
+    ``plans/relational._kmv_stages`` uses, computed JVM-side BEFORE
+    the shuffle so Python only sees (key, long) pairs.
+
+    State per key = the k SMALLEST distinct hashes seen so far plus a
+    batch counter — the bottom-k insertion is a semilattice merge
+    (a value above the current k-th smallest can never re-enter: the
+    k current values all stay present and stay smaller), so the final
+    state is EXACTLY the batch sketch regardless of how rows were
+    split into micro-batches. That order-independence is what makes
+    the parity against the batch oracle a real check, and the ≤ k
+    bound is the bounded-state contract SCALE.md argues: state grows
+    with |keys|·k, never with event volume.
+
+    Update mode re-emits a key's row each batch it appears in; ``nb``
+    (batches seen) is strictly increasing per key, so the caller
+    selects the final state with ``max_by(..., nb)`` (the
+    running_user_totals convention). Emitted per batch:
+    (event_type, nb, cnt, hk) — sketch occupancy and the k-th
+    smallest hash, from which the estimate derives in closed form."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev = state.get
+            hs, nb = list(prev[0]), prev[1]
+        else:
+            hs, nb = [], 0
+        s = set(hs)
+        for pdf in pdfs:
+            s.update(int(h) for h in pdf["h"])
+        hs = sorted(s)[:k]          # bottom-k: state stays <= k longs
+        nb += 1
+        state.update((hs, nb))
+        yield pd.DataFrame({
+            "event_type": [key[0]], "nb": [nb],
+            "cnt": [len(hs)], "hk": [hs[-1] if hs else 0],
+        })
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, nb long, cnt long, hk long",
+        stateStructType="hs array<long>, nb long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
