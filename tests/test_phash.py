@@ -255,10 +255,11 @@ def _ref_phash_params(pixels: bytes, p: ph.PhashParams) -> list[int]:
         for u in range(p.dct_n) for v in range(p.dct_n)
     ]
     med = sorted(f)[p.n_bits // 2 - 1]
+    order = p.bit_order()   # PRODUCTION scatters bits across bands
     bands = [0] * p.n_bands
-    for i, v in enumerate(f):
-        if v > med:
-            bands[i // p.band_bits] |= 1 << (i % p.band_bits)
+    for pos in range(p.n_bits):
+        if f[order[pos]] > med:
+            bands[pos // p.band_bits] |= 1 << (pos % p.band_bits)
     return bands
 
 

@@ -333,11 +333,10 @@ def test_video_pair_matches_rejects_negative_ids(spark):
     """The composite-id precondition is enforced per-row, not just
     documented: a negative doc id raises instead of silently
     mis-grouping (Spark `div` truncates toward zero on negatives)."""
-    import pyspark.errors
     docs = spark.createDataFrame(
         [(-1, BASE), (2, NEAR)], "doc_id long, text string")
     sig = vi.video_phash_signatures(docs, "doc_id", "text")
-    with pytest.raises(pyspark.errors.PySparkException):
+    with pytest.raises(Exception, match="id must be >= 0"):
         vi.video_pair_matches(sig).collect()
 
 

@@ -86,18 +86,31 @@ PIXEL_GAIN = 16           # pixel = min(255, PIXEL_GAIN * token count)
 class PhashParams(NamedTuple):
     """Perceptual-hash geometry. The bench/oracle default is the
     64-bit envelope (8x8 DCT, 4x16-bit bands); ``PRODUCTION_PARAMS``
-    is the >=10^6-items-per-modality envelope the r10 100x video probe
-    prescribed (SCALE.md r10: 16.6 % of 64-bit band rows landed in
-    over-cap buckets at 2 M frame signatures — a 256-bit hash with
-    16x16-bit bands both re-sparsifies the 65 536-value buckets by
-    ~4x per band x 4x more bands and restores the pigeonhole
-    guarantee out to Hamming 15). Fixed-point bound: |F| <=
-    255*4 * dct_n^2 * DCT_SCALE^2 = 2.7e14 at dct_n=16 — inside
-    int64."""
+    is the >=10^6-items-per-modality envelope: 256-bit hash (radius-15
+    pigeonhole guarantee at 16 bands) WITH the scatter partition.
+    NB the r10 prescription ("a wider hash re-sparsifies the
+    buckets") was MEASURED in r11 and refuted: at 2 M frame
+    signatures the 256-bit raster-order envelope read 18.6 % over-cap
+    doc-weight band rows vs 64-bit's 16.6 % — occupancy concentration
+    is DCT sign structure + repeated-content weight, not hash-space
+    saturation, so width alone cannot fix it; the scatter partition
+    (``bit_scatter``) is what does (SCALE.md r11 table). Fixed-point
+    bound: |F| <= 255*4 * dct_n^2 * DCT_SCALE^2 = 2.7e14 at dct_n=16
+    — inside int64."""
     grid: int = GRID            # synthesized raster side
     dct_n: int = DCT_N          # DCT block side (grid == 2*dct_n)
     band_bits: int = BAND_BITS
     pixel_gain: int = PIXEL_GAIN
+    #: assign fingerprint bits to bands via a FIXED md5-derived
+    #: permutation instead of DCT raster order. Any disjoint partition
+    #: of the bits preserves the banding guarantees (total Hamming is
+    #: permutation-invariant; ham < n_bands still pigeonholes a clean
+    #: band) — but DCT sign structure makes raster-order band keys
+    #: collide heavily (alternating patterns like 0x5555 dominate),
+    #: and scattering correlated bits across bands re-sparsifies the
+    #: buckets. Measured at 2 M frame signatures (SCALE.md r11):
+    #: rep-grain over-cap band rows 2.24 % -> 0.66 %.
+    bit_scatter: bool = False
 
     @property
     def n_bits(self) -> int:
@@ -111,10 +124,23 @@ class PhashParams(NamedTuple):
     def band_cols(self) -> list[str]:
         return [f"b{k}" for k in range(self.n_bands)]
 
+    def bit_order(self) -> list[int]:
+        """Bit index consumed by packed position i. Identity in
+        raster order; under ``bit_scatter`` the fixed md5-derived
+        permutation (deterministic — no RNG, same everywhere)."""
+        if not self.bit_scatter:
+            return list(range(self.n_bits))
+        return sorted(
+            range(self.n_bits),
+            key=lambda i: (
+                hashlib.md5(f"phash-bit-{i}".encode()).hexdigest(), i),
+        )
+
 
 DEFAULT_PARAMS = PhashParams()
-#: 32x32 raster -> 16x16 DCT -> 256-bit hash -> 16 x 16-bit bands
-PRODUCTION_PARAMS = PhashParams(grid=32, dct_n=16)
+#: 32x32 raster -> 16x16 DCT -> 256-bit hash -> 16 x 16-bit bands,
+#: scatter-partitioned into bands (see ``bit_scatter``)
+PRODUCTION_PARAMS = PhashParams(grid=32, dct_n=16, bit_scatter=True)
 # Calibrated on the synthetic corpus (sf0.001, full pairwise Hamming
 # histogram over banded candidates): true text near-dups land at <= 6
 # bits, while vocabulary-overlap-only pairs form a continuum from ~8
@@ -200,11 +226,12 @@ def phash_bands(
     f = (c @ s @ c.T).reshape(-1)          # f[u*n+v], row u = y-freq
     med = np.sort(f)[params.n_bits // 2 - 1]   # lower median
     bits = f > med
+    order = params.bit_order()
     bands = []
     for k in range(params.n_bands):
         val = 0
         for j in range(params.band_bits):
-            if bits[k * params.band_bits + j]:
+            if bits[order[k * params.band_bits + j]]:
                 val |= 1 << j
         bands.append(val)
     return bands
@@ -227,7 +254,7 @@ def phash_bands_batch(
     f = np.einsum("ur,nrc,vc->nuv", c, s, c).reshape(
         len(imgs), params.n_bits)
     med = np.sort(f, axis=1)[:, params.n_bits // 2 - 1]
-    bits = f > med[:, None]
+    bits = (f > med[:, None])[:, params.bit_order()]
     weights = 1 << np.arange(params.band_bits, dtype=np.int64)
     return (bits.reshape(-1, params.n_bands, params.band_bits)
             * weights).sum(axis=2)
@@ -317,11 +344,15 @@ def phash_candidate_pairs(
     test pins the behavior on this corpus). Scale sizing: 16-bit band
     keys give 65 536 buckets per band; occupancy grows with DISTINCT
     hashes, and the 100x probe measured 20 % of doc-grain band rows
-    in over-cap buckets at 500 k docs. The production scale-up is a
-    WIDER hash, not a different plan: a 16x16 DCT block -> 256-bit
-    hash -> 16 bands both restores the guarantee (radius 15) and
-    re-sparsifies the buckets; the banding/verify shape here is
-    band-count-generic (see SCALE.md r9)."""
+    in over-cap buckets at 500 k docs. The production scale-up
+    (r11, MEASURED — the r10 "wider hash" hypothesis was refuted at
+    2 M signatures): keep the banding plan, scatter-partition the
+    bits into bands (``PhashParams.bit_scatter`` — rep-grain over-cap
+    2.24 % -> 0.66 %), widen to 256-bit for the radius-15 guarantee,
+    and let the doc-weight cap keep suppressing identical-fingerprint
+    mega-groups (they are exact dups; their quadratic doc expansion
+    is the thing the cap exists to prevent). The banding/verify shape
+    here is band-count-generic (see SCALE.md r9/r11)."""
     hash_cols = [f"b{k}" for k in range(n_bands)]
     groups = sig.groupBy(*hash_cols).agg(
         F.min("id").alias("gid"),
