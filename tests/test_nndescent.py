@@ -224,3 +224,87 @@ def test_beam_search_non_member_queries(spark):
     # deterministic serve: identical rerun
     again = nnd_search(g, corpus, queries, k=5, beam=10, hops=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_beam_search_clustered_needs_navigation_entries(spark):
+    """The clustered-regime serving gate, with the failure mode pinned
+    FIRST: a converged k-NN graph over clustered vectors is
+    near-disconnected across clusters, so the global entry set leaves
+    whole clusters unreachable (recall per cluster is binary). The
+    production composition — per-query entries from the coarse
+    quantizer's probed lists (IVF-entry + graph-refine) — must
+    recover recall 1.0 on the same graph."""
+    from pyspark.sql import functions as F
+
+    from training_datawarehouse_spark.operators import similarity as sim
+    from training_datawarehouse_spark.operators.nndescent import nnd_search
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    base = (load_table(spark, "/root/testdata/sf0.001", "embeddings")
+            .filter(F.col("vec_id") < 8).orderBy("vec_id").collect())
+    centers = np.array([r["embedding"] for r in base], dtype="float64")
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True) * 6.0
+    rng = np.random.RandomState(97)
+    rows, pts = [], {}
+    for c in range(8):
+        p8 = centers[c] + 0.3 * rng.standard_normal((12, 64))
+        for i, p in enumerate(p8):
+            vid = c if i == 0 else 8 + c * 11 + (i - 1)
+            rows.append((vid, [float(x) for x in np.round(p, 6)]))
+            pts[vid] = p
+    mog = spark.createDataFrame(
+        sorted(rows), "vec_id long, embedding array<double>")
+    qrows, qpts = [], {}
+    for c in range(8):
+        qp = centers[c] + 0.3 * rng.standard_normal(64)
+        qrows.append((200 + c, [float(x) for x in np.round(qp, 6)]))
+        qpts[200 + c] = qp
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>")
+    g = nnd_graph(mog, k=8, iters=3)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def mean_recall(result_rows):
+        got = {}
+        for r in result_rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recs = []
+        for qid, qp in qpts.items():
+            sims = {v: round(cos(qp, pts[v]), 6) for v in pts}
+            exact = set(sorted(sims, key=lambda v: (-sims[v], v))[:5])
+            recs.append(len(got.get(qid, set()) & exact) / 5)
+        return sum(recs) / len(recs)
+
+    # (1) the pinned failure: global entries strand most clusters
+    m_global = mean_recall(
+        nnd_search(g, mog, qdf, k=5, beam=10, hops=3).collect())
+    assert m_global <= 0.8, m_global   # measured 0.375 — stuck by design
+
+    # (2) navigation entries: train the coarse quantizer (the registry
+    # init discipline: ids 0..7 as init vectors), probe 2 lists per
+    # query, enter at each probed list's lowest-id member
+    init = [r["embedding"] for r in base]
+    cents, _ = sim.kmeans_fit(
+        mog, "embedding", k=8, iters=4, init_vectors=init, round_dp=6)
+    cassign = mog.select(
+        F.col("vec_id").alias("nid"),
+        sim.nearest_centroid_lists(
+            sim._as_double(F.col("embedding")), cents, 1
+        )[0]["list_id"].alias("list_id"),
+    )
+    reps = cassign.groupBy("list_id").agg(F.min("nid").alias("nid"))
+    qassign = qdf.select(
+        "query_id",
+        F.explode(F.transform(
+            sim.nearest_centroid_lists(
+                sim._as_double(F.col("embedding")), cents, 2),
+            lambda s: s["list_id"],
+        )).alias("list_id"),
+    )
+    entries = qassign.join(reps, "list_id").select("query_id", "nid")
+    m_nav = mean_recall(
+        nnd_search(g, mog, qdf, k=5, beam=10, hops=3,
+                   entry_df=entries).collect())
+    assert m_nav == 1.0, m_nav

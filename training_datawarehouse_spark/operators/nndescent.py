@@ -242,17 +242,33 @@ def nnd_search(
     beam: int = 8,
     hops: int = 3,
     n_entry: int = 4,
+    entry_df: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over the k-NN graph for NON-member queries
     (the graph family's serving path — member queries read their
     adjacency list via ``nnd_topk``; everything else descends the
-    graph): start every query at the same ``n_entry`` deterministic
-    entry nodes (md5-least ids — fixed, no RNG), then per hop expand
+    graph): start every query at its entry nodes, then per hop expand
     the beam by its graph neighbors, score the rounded cosine against
     the query vector, and keep the best ``beam`` per query; after
     ``hops`` rounds return the top ``k``.
 
     Returns (query_id, rank, neighbor_id, cos).
+
+    ENTRY POINTS decide whether descent can reach the answer at all.
+    A CONVERGED k-NN graph over a clustered corpus is near-DISCONNECTED
+    across clusters (every edge is intra-cluster by construction), so
+    with the default global entry set (the same ``n_entry`` md5-least
+    ids for every query) a query whose cluster holds no entry point is
+    unreachable no matter how many hops — measured on the
+    mixture-of-gaussians slice: per-cluster recall is BINARY (1.0 when
+    an entry lands in/near the cluster, 0.0 otherwise; more hops do
+    not help, more entries help only linearly). The production answer
+    is a NAVIGATION LAYER: pass ``entry_df`` (query_id, nid) with
+    per-query entries from a coarse structure — e.g. each query's
+    probed IVF lists' representative members (the published
+    coarse-quantizer-entry + graph-refine composition; gate-tested at
+    recall 1.0 on the clustered slice) — and the global default
+    remains for structure-free corpora, where any entry works.
 
     Plan shape: the frontier is queries·beam rows; each hop is one
     join against the n·k edge list (on the frontier's node ids — a
@@ -272,16 +288,19 @@ def nnd_search(
     q = queries.select(
         F.col("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    entries = (
-        nodes.select(
-            "nid",
-            F.md5(F.col("nid").cast("string")).alias("__h"),
+    if entry_df is not None:
+        frontier = entry_df.select("query_id", "nid")
+    else:
+        entries = (
+            nodes.select(
+                "nid",
+                F.md5(F.col("nid").cast("string")).alias("__h"),
+            )
+            .orderBy("__h", "nid")
+            .limit(n_entry)
+            .select("nid")
         )
-        .orderBy("__h", "nid")
-        .limit(n_entry)
-        .select("nid")
-    )
-    frontier = q.select("query_id").crossJoin(F.broadcast(entries))
+        frontier = q.select("query_id").crossJoin(F.broadcast(entries))
 
     def score_beam(cand: DataFrame) -> DataFrame:
         return (
