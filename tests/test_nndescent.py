@@ -308,3 +308,47 @@ def test_beam_search_clustered_needs_navigation_entries(spark):
         nnd_search(g, mog, qdf, k=5, beam=10, hops=3,
                    entry_df=entries).collect())
     assert m_nav == 1.0, m_nav
+
+
+def test_returned_frames_are_releasable(spark):
+    """r11 review regression gate: the frames nnd_graph/nnd_search
+    RETURN must have the checkpoint as their plan root — a projection
+    on top makes the caller's release_local_checkpoint a silent no-op
+    and leaks the RDD for the session (the defect the review caught:
+    similarity_ann 'released' a projection)."""
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+    from training_datawarehouse_spark.operators.nndescent import nnd_search
+
+    df = _toy(spark, n=30)
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    for g in (nnd_graph(df, k=4, iters=2), nnd_graph(df, k=4, iters=0)):
+        assert g.columns == ["src", "dst", "cos"]
+        assert release_local_checkpoint(g) is True, "projection root"
+    g = nnd_graph(df, k=4, iters=2)
+    qvec = df.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = spark.createDataFrame(
+        [(900, qvec)], "query_id long, embedding array<double>")
+    res = nnd_search(g, df, q, k=3, beam=6, hops=2)
+    assert release_local_checkpoint(res) is True
+    assert release_local_checkpoint(g) is True
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after <= before  # everything created here was released
+
+
+def test_search_rejects_k_wider_than_beam(spark):
+    from training_datawarehouse_spark.operators.nndescent import nnd_search
+
+    df = _toy(spark, n=30)
+    g = nnd_graph(df, k=4, iters=1)
+    qvec = df.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = spark.createDataFrame(
+        [(900, qvec)], "query_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="exceeds beam"):
+        nnd_search(g, df, q, k=10, beam=8)
+    release = __import__(
+        "training_datawarehouse_spark.functions.caching",
+        fromlist=["release_local_checkpoint"]).release_local_checkpoint
+    release(g)

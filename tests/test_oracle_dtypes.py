@@ -74,3 +74,27 @@ def test_every_registry_oracle_has_stable_dtypes(spark, duck):
         for off in dtype_drift(spark_fields, duck_fields):
             offences.append(f"{name}: {off}")
     assert not offences, "\n".join(offences)
+
+
+def test_dtype_drift_flags_both_directions():
+    """Unit gate for the canon dtype rule: the r9/r10 class (Spark
+    integral vs oracle float/HUGEINT) AND the r11-review mirror class
+    (Spark double vs oracle integral) must both flag; agreeing pairs
+    must not."""
+    from training_datawarehouse_spark.canon import dtype_drift
+
+    spark_fields = [
+        ("n", "bigint"), ("v", "double"), ("k", "string"),
+        ("ok_i", "bigint"), ("ok_d", "double"),
+    ]
+    duck_fields = [
+        ("n", "HUGEINT"),      # forward offence (r10 class)
+        ("v", "BIGINT"),       # mirror offence (r11 review)
+        ("k", "VARCHAR"),
+        ("ok_i", "BIGINT"),    # agree
+        ("ok_d", "DOUBLE"),    # agree
+    ]
+    offences = dtype_drift(spark_fields, duck_fields)
+    assert len(offences) == 2
+    assert any(o.startswith("n:") for o in offences)
+    assert any(o.startswith("v:") for o in offences)

@@ -90,7 +90,11 @@ def main() -> None:
                 n_bad += 1
                 print(f"FAIL {name}: {row['err'][:200]}")
                 continue
-            drift = dtype_drift(spark_fields, duck_describe(con, q.oracle))
+            try:
+                drift = dtype_drift(
+                    spark_fields, duck_describe(con, q.oracle))
+            except Exception as e:  # noqa: BLE001 — DESCRIBE binder
+                drift = [f"describe-failed: {type(e).__name__}: {e}"]
             if drift:
                 row["dtype_drift"] = drift
                 n_bad += 1

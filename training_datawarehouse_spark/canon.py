@@ -57,31 +57,46 @@ def values_repr(df: pd.DataFrame) -> list[tuple]:
     return [tuple(cell_str(v) for v in row) for row in df.itertuples(index=False)]
 
 
+#: Spark types whose string canon ALWAYS carries a decimal point.
+SPARK_FLOATY = {"float", "double"}
+
+
 def dtype_drift(spark_fields: list[tuple[str, str]],
                 duck_fields: list[tuple[str, str]]) -> list[str]:
-    """Columns where Spark is integral/boolean but the oracle is not.
+    """Columns whose integral-ness DISAGREES between the engines, in
+    EITHER direction:
+
+    - Spark integral/boolean vs oracle non-integral (the r9/r10 class:
+      HUGEINT/DOUBLE promotion renders '74.0' against Spark's '74');
+    - Spark float/double vs oracle integral (the mirror: a dropped
+      Spark-side cast renders '74.0' against the oracle's '74' —
+      caught by the r11 review as the gap this gate still had).
 
     ``spark_fields``: (name, Spark simpleString type) per column.
     ``duck_fields``: (name, DuckDB type from ``DESCRIBE <sql>``).
     Returns human-readable offence strings; empty means no drift.
 
-    This is a *schema-level* gate: it catches the HUGEINT/DOUBLE
-    promotion class without executing either query's data path.
+    This is a *schema-level* gate: it catches both promotion classes
+    without executing either query's data path.
     """
     duck_by_name = {n.lower(): t for n, t in duck_fields}
     offences = []
     for name, styp in spark_fields:
         base = styp.split("(")[0].lower()
-        if base not in SPARK_INTEGRAL:
-            continue
         dtyp = duck_by_name.get(name.lower())
         if dtyp is None:
             continue  # column-name mismatch is a different gate's job
         dbase = dtyp.split("(")[0].upper()
-        if dbase not in DUCK_INTEGRAL:
+        if base in SPARK_INTEGRAL and dbase not in DUCK_INTEGRAL:
             offences.append(
                 f"{name}: spark={styp} but oracle={dtyp} "
                 f"(stringifies with a decimal point under driver canon)"
+            )
+        elif base in SPARK_FLOATY and dbase in DUCK_INTEGRAL:
+            offences.append(
+                f"{name}: spark={styp} but oracle={dtyp} "
+                f"(spark stringifies with a decimal point, oracle "
+                f"without, under driver canon)"
             )
     return offences
 

@@ -143,7 +143,7 @@ def nnd_graph(
     g = score(ring).withColumn("new", F.lit(True)) \
         .localCheckpoint(eager=True)
     try:
-        for _ in range(iters):
+        for it in range(iters):
             # general neighborhood: neighbors ∪ reverse neighbors.
             # Deliberately NOT deduped — the local join tolerates a
             # multiset (duplicate centers re-derive the same candidate
@@ -191,30 +191,44 @@ def nnd_graph(
                 .filter(F.col("rn") <= k)
                 .drop("rn")
             )
-            # re-derive the NEW flag: an edge is new iff it was not in
-            # the previous round's graph (a broadcast-sized anti probe
-            # at n·k grain)
-            prev = g.select("src", "dst").withColumn("__old", F.lit(True))
-            g2 = (
-                kept.join(prev, ["src", "dst"], "left")
-                .withColumn("new", F.col("__old").isNull())
-                .drop("__old")
-                .localCheckpoint(eager=True)
-            )
+            if it == iters - 1:
+                # final round: the flag has no consumer — checkpoint
+                # the bare (src, dst, cos) frame so the RETURNED plan
+                # root is the checkpoint itself (a projection on top
+                # would make the caller's release_local_checkpoint a
+                # silent no-op and leak the n·k RDD for the session)
+                g2 = kept.localCheckpoint(eager=True)
+            else:
+                # re-derive the NEW flag: an edge is new iff it was
+                # not in the previous round's graph (an n·k-grain
+                # probe)
+                prev = g.select("src", "dst")                     .withColumn("__old", F.lit(True))
+                g2 = (
+                    kept.join(prev, ["src", "dst"], "left")
+                    .withColumn("new", F.col("__old").isNull())
+                    .drop("__old")
+                    .localCheckpoint(eager=True)
+                )
             release_local_checkpoint(g)
             g = g2
     except BaseException:
         release_local_checkpoint(g)
         raise
-    return g.select("src", "dst", "cos")
+    if iters == 0:
+        # drop the flag without leaving a projection over the
+        # checkpoint (same releasability contract as above)
+        out = g.select("src", "dst", "cos").localCheckpoint(eager=True)
+        release_local_checkpoint(g)
+        return out
+    return g
 
 
 def nnd_topk(graph: DataFrame, queries, k: int) -> DataFrame:
     """(query_id, rank, neighbor_id, cos) for MEMBER queries: the
     graph method answers a member query from its adjacency list alone
     — no scoring pass, no scan (the use case a k-NN graph exists for:
-    every corpus point's neighbors are precomputed). ``queries`` is an
-    iterable of ids or a DataFrame with a ``query_id`` column."""
+    every corpus point's neighbors are precomputed). ``queries`` must
+    be a DataFrame with a ``query_id`` column."""
     if not isinstance(queries, DataFrame):
         raise TypeError("queries must be a DataFrame with query_id")
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
@@ -281,7 +295,13 @@ def nnd_search(
 
     Determinism: entry set, cosine rounding (6 dp), and (cos DESC,
     nid) tie-breaks make the search reproducible run-to-run and
-    engine-portable (the `nnd_graph` contract)."""
+    engine-portable (the `nnd_graph` contract). Requires k <= beam
+    (the final top-k reads from the kept beam)."""
+    if k > beam:
+        raise ValueError(
+            f"k={k} exceeds beam={beam}: the final top-k reads from "
+            "the kept beam, so a wider k would silently return only "
+            "beam rows")
     nodes = emb.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -341,9 +361,16 @@ def nnd_search(
     except BaseException:
         release_local_checkpoint(beam_df)
         raise
-    return (
+    # materialize the queries·k result and release the beam frame —
+    # returning a projection over the checkpoint would make the
+    # caller's release_local_checkpoint a silent no-op (the nnd_graph
+    # releasability contract)
+    out = (
         beam_df.withColumn("rank", F.row_number().over(wb))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("nid").alias("neighbor_id"),
                 "cos")
+        .localCheckpoint(eager=True)
     )
+    release_local_checkpoint(beam_df)
+    return out

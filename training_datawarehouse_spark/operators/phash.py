@@ -301,7 +301,7 @@ def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def phash_candidate_pairs(
-    sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
+    sig: DataFrame, max_hamming: int | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
@@ -353,6 +353,12 @@ def phash_candidate_pairs(
     mega-groups (they are exact dups; their quadratic doc expansion
     is the thing the cap exists to prevent). The banding/verify shape
     here is band-count-generic (see SCALE.md r9/r11)."""
+    if max_hamming is None:
+        # scale the calibrated 64-bit threshold to this geometry
+        # (16-bit bands assumed here): a fixed 6 against a 256-bit
+        # envelope would silently drop true near-dups (measured
+        # 18/256 for the planted pair)
+        max_hamming = DEFAULT_MAX_HAMMING * n_bands // N_BANDS
     hash_cols = [f"b{k}" for k in range(n_bands)]
     groups = sig.groupBy(*hash_cols).agg(
         F.min("id").alias("gid"),
@@ -449,7 +455,7 @@ def phash_band_index(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 def phash_probe_index(
     index: DataFrame, new_sig: DataFrame,
-    max_hamming: int = DEFAULT_MAX_HAMMING,
+    max_hamming: int | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
@@ -464,6 +470,8 @@ def phash_probe_index(
     Cross-generation Hamming verifies inline from the index's stored
     signatures; in-batch pairs reuse `phash_candidate_pairs` whole
     (rep-grain banding, doc-weighted hot-bucket cap and all)."""
+    if max_hamming is None:
+        max_hamming = DEFAULT_MAX_HAMMING * n_bands // N_BANDS
     probe = phash_band_index(new_sig, n_bands=n_bands)
     ham = sum(
         F.bit_count(F.col(f"n.b{k}").bitwiseXOR(F.col(f"o.b{k}")))

@@ -387,7 +387,7 @@ def video_phash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def video_pair_matches(
     sig: DataFrame, n_frames: int = N_FRAMES,
-    max_hamming: int = ph.DEFAULT_MAX_HAMMING,
+    max_hamming: int | None = None,
     max_bucket: int = ph.DEFAULT_MAX_BUCKET,
     min_frames: int = DEFAULT_MIN_FRAMES,
     params: ph.PhashParams = ph.DEFAULT_PARAMS,
@@ -412,7 +412,12 @@ def video_pair_matches(
     (id, frame); negative ids would silently mis-group composites, and
     Spark's `div` truncates toward zero where DuckDB's `//` floors —
     enforced per-row below, not just documented); n_frames must exceed
-    the max frame number."""
+    the max frame number. ``max_hamming`` defaults to the threshold
+    SCALED to the envelope's bit width (`phash.scaled_max_hamming` —
+    a fixed 64-bit constant against a 256-bit envelope would silently
+    drop true near-dups, measured at 18/256 for the planted pair)."""
+    if max_hamming is None:
+        max_hamming = ph.scaled_max_hamming(params)
     comp = sig.select(
         F.when(
             F.col("id") >= 0, F.col("id") * n_frames + F.col("frame")
