@@ -986,3 +986,44 @@ def test_streaming_kmv_sketch_bounded_state_and_batch_parity(spark, tmp_path):
     assert got == exact
     assert got["big"][0] == K        # full sketch
     assert got["tiny"][0] == 5       # not full => exact distinct
+
+
+def test_streaming_kmv_sketch_drops_null_users(spark, tmp_path):
+    """A NULL user hashes to NULL in both engines (md5(NULL) is NULL)
+    and belongs to no audience: the streaming sketch must skip it, not
+    crash on int(None), and the surviving sketch must match the
+    non-null distinct count."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from training_datawarehouse_spark.streaming.stateful import (
+        streaming_kmv_sketch,
+    )
+
+    src = tmp_path / "kmvnull_src"
+    src.mkdir()
+    papq.write_table(
+        pa.table({"event_type": ["a"] * 6,
+                  "user_id": pa.array([1, 2, None, 3, None, 2],
+                                      type=pa.int64())}),
+        str(src / "part0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .parquet(str(src))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10,
+    ).cast("long")
+    q = (
+        streaming_kmv_sketch(stream.select("event_type", h.alias("h")), 16)
+        .writeStream.format("memory").queryName("kmvnull_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmvnull"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = spark.sql("select * from kmvnull_sink").collect()
+    assert len(rows) == 1
+    assert rows[0]["cnt"] == 3   # users 1, 2, 3 — NULLs skipped

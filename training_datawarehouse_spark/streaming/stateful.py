@@ -218,7 +218,10 @@ def streaming_kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
             hs, nb = [], 0
         s = set(hs)
         for pdf in pdfs:
-            s.update(int(h) for h in pdf["h"])
+            # a NULL user hashes to NULL in BOTH engines (md5(NULL) is
+            # NULL) and counts toward no audience — drop it here
+            # instead of crashing int(None)
+            s.update(int(h) for h in pdf["h"] if pd.notna(h))
         hs = sorted(s)[:k]          # bottom-k: state stays <= k longs
         nb += 1
         state.update((hs, nb))
