@@ -323,9 +323,15 @@ def nnd_search(
         frontier = q.select("query_id").crossJoin(F.broadcast(entries))
 
     def score_beam(cand: DataFrame) -> DataFrame:
+        # NO forced broadcast of the query-vector frame (r11 advice —
+        # same class as the r10 phash fix): its size is caller-chosen
+        # and this path advertises bulk scoring of millions of queries,
+        # where a forced broadcast OOMs the driver. AQE broadcasts it
+        # when it is actually small and shuffle-joins on query_id when
+        # it is not — the correct plan at either end.
         return (
             cand.join(nodes, "nid")
-            .join(F.broadcast(q), "query_id")
+            .join(q, "query_id")
             .select(
                 "query_id", "nid",
                 F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),

@@ -166,7 +166,19 @@ def scaled_max_hamming(params: PhashParams) -> int:
     Measured on the calibration corpus: the BASE/NEAR planted pair
     reads 4/64 and 18/256; the unrelated pair 16/64 and 68/256 — the
     proportional threshold separates both envelopes identically."""
-    return DEFAULT_MAX_HAMMING * params.n_bits // N_BITS
+    return _scaled_max_hamming_bits(params.n_bits)
+
+
+def _scaled_max_hamming_bits(n_bits: int) -> int:
+    """Single source of the default-threshold scaling for EVERY
+    banding entry point. `phash_candidate_pairs`/`phash_probe_index`
+    used to scale by band COUNT (n_bands/N_BANDS) while
+    `scaled_max_hamming` (the video path) scales by bit WIDTH
+    (n_bits/N_BITS); the two agree only while band_bits == 16, so a
+    PhashParams with a different band width silently applied
+    inconsistent thresholds between the image and video paths for the
+    same geometry (r11 advice). Both now scale by total bit width."""
+    return DEFAULT_MAX_HAMMING * n_bits // N_BITS
 
 
 def dct_basis_int(dct_n: int = DCT_N) -> list[list[int]]:
@@ -304,6 +316,7 @@ def phash_candidate_pairs(
     sig: DataFrame, max_hamming: int | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
     """Hamming-banded near-dup pairs from (id, b0..b3) signatures.
     Returns (id_a, id_b, hamming) with hamming <= max_hamming,
@@ -354,11 +367,11 @@ def phash_candidate_pairs(
     is the thing the cap exists to prevent). The banding/verify shape
     here is band-count-generic (see SCALE.md r9/r11)."""
     if max_hamming is None:
-        # scale the calibrated 64-bit threshold to this geometry
-        # (16-bit bands assumed here): a fixed 6 against a 256-bit
-        # envelope would silently drop true near-dups (measured
-        # 18/256 for the planted pair)
-        max_hamming = DEFAULT_MAX_HAMMING * n_bands // N_BANDS
+        # scale the calibrated 64-bit threshold to this geometry's
+        # total BIT WIDTH (shared with scaled_max_hamming / the video
+        # path): a fixed 6 against a 256-bit envelope would silently
+        # drop true near-dups (measured 18/256 for the planted pair)
+        max_hamming = _scaled_max_hamming_bits(n_bands * band_bits)
     hash_cols = [f"b{k}" for k in range(n_bands)]
     groups = sig.groupBy(*hash_cols).agg(
         F.min("id").alias("gid"),
@@ -458,6 +471,7 @@ def phash_probe_index(
     max_hamming: int | None = None,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     n_bands: int = N_BANDS,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
     """Incremental near-dup pairs for an ingest batch against a stored
     corpus index: (new_id, old_id, hamming) for band-colliding,
@@ -471,7 +485,7 @@ def phash_probe_index(
     signatures; in-batch pairs reuse `phash_candidate_pairs` whole
     (rep-grain banding, doc-weighted hot-bucket cap and all)."""
     if max_hamming is None:
-        max_hamming = DEFAULT_MAX_HAMMING * n_bands // N_BANDS
+        max_hamming = _scaled_max_hamming_bits(n_bands * band_bits)
     probe = phash_band_index(new_sig, n_bands=n_bands)
     ham = sum(
         F.bit_count(F.col(f"n.b{k}").bitwiseXOR(F.col(f"o.b{k}")))
