@@ -653,6 +653,91 @@ def resolve_near_duplicates(
     )
 
 
+def minhash_band_rows_rowlocal(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, sig) LSH band rows computed ENTIRELY ROW-LOCALLY on
+    the engine-portable md5 family — no groupBy, no window, no shuffle
+    of any kind, which makes this the streaming-legal signature kernel:
+    Structured Streaming forbids an aggregation upstream of
+    ``applyInPandasWithState``, so the batch family's
+    shingle-explode → groupBy(id) → k-min plan cannot feed a stateful
+    operator, but a per-row ``aggregate()`` over the document's OWN
+    gram array computes the identical minima (r12 — the streaming
+    near-dup admission stage's input).
+
+    One expression tree per row: grams (``array_distinct`` over the
+    shingle windows, the `_gram_stream` semantics) → (g1, g2)
+    md5-prefix integer pairs via ``transform`` (one md5 per gram,
+    evaluated once — the array is bound to a higher-order-function
+    variable, so CollapseProject cannot duplicate it into each
+    downstream reference, the `minhash_signatures` CSE trap) → a
+    single ``aggregate`` that folds every gram into the
+    ``num_hashes``-vector of running minima via ``zip_with`` against
+    the injected ``lsh_hash_coeffs`` literal arrays → band structs
+    from the bound minima vector → explode. Values are bit-identical
+    to ``lsh_candidate_pairs_portable``'s signatures (same formula
+    h_i = (a_i·(g1%P) + b_i·(g2%P) + i) mod P; the fold's initial
+    value P is an identity because every h_i < P) and to the DuckDB
+    re-derivation (`plans/relational._neardup_admission_oracle`).
+
+    At 100 TB: stateless and embarrassingly row-parallel — the exact
+    shape an ingest stream needs (signatures ride the stream as slim
+    (id, band, sig) rows; nothing waits on a shuffle boundary). Batch
+    pipelines should keep the groupBy kernel (map-side combine beats
+    per-row fold when shingle rows already flow through an exchange).
+
+    Docs with fewer than ``shingle_n`` tokens have no shingles and are
+    filtered out, exactly like the batch kernel."""
+    if num_hashes != bands * rows_per_band:
+        raise ValueError("num_hashes must equal bands * rows_per_band")
+    p = _LSH_P
+    coeffs = lsh_hash_coeffs(num_hashes)
+    arr_a = "array(" + ",".join(str(a) for a, _ in coeffs) + ")"
+    arr_b = "array(" + ",".join(str(b) for _, b in coeffs) + ")"
+    idx = "array(" + ",".join(str(i) for i in range(num_hashes)) + ")"
+    parts = ", ".join(
+        "__tk[i]" if j == 0 else f"__tk[i + {j}]" for j in range(shingle_n)
+    )
+    grams = (
+        f"array_distinct(transform(sequence(0, size(__tk) - {shingle_n}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+    gh = (
+        f"transform({grams}, g -> named_struct("
+        "'g1', CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT), "
+        "'g2', CAST(conv(substring(md5(g), 17, 15), 16, 10) AS BIGINT)))"
+    )
+    mins = (
+        f"aggregate({gh}, array_repeat(CAST({p} AS BIGINT), {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, {idx}, (m, i) -> least(m, "
+        f"((element_at({arr_a}, i + 1) * (s.g1 % {p})) % {p} "
+        f"+ (element_at({arr_b}, i + 1) * (s.g2 % {p})) % {p} + i) % {p})))"
+    )
+    sig_parts = ", ".join(
+        f"CAST(element_at(ms, b * {rows_per_band} + {j} + 1) AS STRING)"
+        for j in range(rows_per_band)
+    )
+    # bind the minima vector once (array(...) -> lambda var ms), so the
+    # whole fold is evaluated once per row however many band structs
+    # read from it
+    banded = (
+        f"explode(flatten(transform(array({mins}), ms -> "
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', CAST(b AS INT), "
+        f"'sig', concat_ws('|', {sig_parts}))))))"
+    )
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__tk"))
+        .filter(F.size("__tk") >= shingle_n)
+        .select(F.col(id_col), F.expr(banded).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
+    )
+
+
 def lsh_band_index(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,

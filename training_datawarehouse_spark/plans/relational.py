@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.caching import release_local_checkpoint
 from ..operators import funnel as _funnel
@@ -842,6 +843,163 @@ def stream_kmv_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming near-dup ADMISSION under the driver's
+    differential gate (r12 — the r11 verdict's top ask): the documents
+    table, sorted by doc_id, is split into TWO parquet micro-batches
+    (mtime-ordered, ``maxFilesPerTrigger=1`` — the batch boundary falls
+    mid-corpus, so cross-batch matches genuinely read bucket state
+    written by an earlier micro-batch), signatures are computed
+    ROW-LOCALLY in-stream (``dedup.minhash_band_rows_rowlocal``, 16
+    md5-portable minhashes -> 4 bands x 4 rows, the streaming-legal
+    kernel), and ``streaming_neardup_admission`` maintains the banded
+    index as (first_id, n) per bucket — two longs, the first-writer-
+    wins decision needs nothing more — emitting per-band match
+    evidence that the post-drain batch step folds to doc grain.
+
+    Because arrival order is id order (sorted split + in-batch sort),
+    the sequential streaming decision equals a pure batch rule — "the
+    earliest doc in any shared band bucket" — which the DuckDB oracle
+    re-derives end-to-end from the text (same md5 shingle integers,
+    same minhash coefficients, same band keys), so the ADMISSION
+    DECISIONS hash-check as values, not merely as row counts.
+
+    Emitted per doc: k2 = matched-cluster id (the earliest collider;
+    NULL -> admitted), n = number of colliding bands (evidence
+    strength, 0..4), v = 1.0 if admitted else 0.0."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from ..operators.dedup import minhash_band_rows_rowlocal
+    from ..streaming.stateful import streaming_neardup_admission
+
+    name = f"op_stream_admit_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_admit_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = papq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+        half = t.num_rows // 2
+        p0 = os.path.join(src, "part0.parquet")
+        p1 = os.path.join(src, "part1.parquet")
+        papq.write_table(t.slice(0, half), p0)
+        papq.write_table(t.slice(half), p1)
+        # the admission contract says batches arrive in id order;
+        # FileStreamSource orders by modification time, so pin it
+        # explicitly instead of trusting sub-millisecond write order
+        now = os.stat(p1).st_mtime
+        os.utime(p0, (now - 10, now - 10))
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ])
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        bands = minhash_band_rows_rowlocal(
+            raw.select("doc_id", "text"), "doc_id", "text",
+            num_hashes=16, bands=4, rows_per_band=4, shingle_n=3,
+        )
+        q = (
+            streaming_neardup_admission(bands)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming admission drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        # each (doc, band) row is emitted exactly once (docs are decided
+        # in their arrival batch), so doc-grain folding needs no max_by
+        per_doc = spark.table(name).groupBy("doc_id").agg(
+            F.min("match_id").alias("mid"),
+            F.count("match_id").alias("nhit"),
+        )
+        return per_doc.select(
+            F.col("doc_id").cast("string").alias("k1"),
+            F.col("mid").cast("string").alias("k2"),
+            F.col("nhit").alias("n"),
+            F.when(F.col("nhit") == 0, 1.0).otherwise(0.0).alias("v"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _neardup_admission_oracle(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> str:
+    """Batch SQL twin of the streaming admission decision: re-derives
+    the md5-portable minhash band keys from the text (the
+    `_lsh_cross_modal_oracle` CTE shape, coefficients injected from
+    ``dedup.lsh_hash_coeffs`` — one source of truth), then per doc the
+    earliest smaller-id doc sharing any band bucket. Aligned to the
+    (k1, k2, n, v) stage shape; prefixed CTE names so it composes into
+    `_stream_e2e_dual_oracle`."""
+    import importlib
+    dd = importlib.import_module(
+        "training_datawarehouse_spark.operators.dedup")
+    p = dd._LSH_P
+    mins = ",\n         ".join(
+        f"min((({a} * (g1 % {p})) % {p} + ({b} * (g2 % {p})) % {p} + {i}) % {p})"
+        f" AS h{i}"
+        for i, (a, b) in enumerate(dd.lsh_hash_coeffs(num_hashes))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"h{b * rows_per_band + j}" for j in range(rows_per_band))
+        + ") AS sig FROM adm_mh"
+        for b in range(bands)
+    )
+    gram = " || ' ' || ".join(f"toks[i + {j}]" if j else "toks[i]"
+                              for j in range(shingle_n))
+    return f"""
+adm_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+adm_g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - {shingle_n - 2}),
+             i -> {gram}))) AS gram
+  FROM adm_t WHERE len(toks) >= {shingle_n}
+),
+adm_gh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g1,
+         ('0x' || substr(md5(gram), 17, 15))::BIGINT AS g2
+  FROM adm_g
+),
+adm_mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM adm_gh GROUP BY doc_id
+),
+adm_bands AS (
+{band_rows}
+),
+adm_m AS (
+  SELECT x.doc_id AS did, x.band, min(y.doc_id) AS bmid
+  FROM adm_bands x
+  LEFT JOIN adm_bands y
+    ON x.band = y.band AND x.sig = y.sig AND y.doc_id < x.doc_id
+  GROUP BY x.doc_id, x.band
+)"""
+
+
 def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL micro-batch executions under one tagged entry: the
     tumbling-window aggregation ('windows' stage), the watermarked
@@ -894,10 +1052,13 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     skv = stream_kmv_e2e(spark, sf_dir).select(
         F.lit("skmv").alias("stage"), "k1", "k2", "n", "v",
     )
+    adm = stream_neardup_e2e(spark, sf_dir).select(
+        F.lit("admit").alias("stage"), "k1", "k2", "n", "v",
+    )
     return (
         win.unionByName(join).unionByName(st)
         .unionByName(late).unionByName(ddp).unionByName(sfn)
-        .unionByName(skv)
+        .unionByName(skv).unionByName(adm)
     )
 
 
@@ -938,6 +1099,7 @@ def _stream_e2e_dual_oracle() -> str:
     return f"""
 WITH win AS ({TUMBLING_ORACLE}),
 ssj AS ({RANGE_JOIN_ORACLE}),
+{_neardup_admission_oracle().strip()},
 {_funnel.funnel_oracle_ctes(FUNNEL_STEPS, FUNNEL_WITHIN_DAYS)}
 SELECT 'windows' AS stage,
        strftime(window_start, '%Y-%m-%d %H:%M:%S') AS k1,
@@ -1008,6 +1170,16 @@ FROM (
   ) WHERE rn <= {KMV_K}
   GROUP BY event_type
 )
+UNION ALL
+-- admit (r12): the STREAMING first-writer-wins near-dup admission
+-- decision must equal the batch rule "earliest smaller-id doc sharing
+-- any band bucket" (arrival order is id order by the e2e harness's
+-- sorted split) — signatures re-derived end-to-end from the text in
+-- the adm_* CTEs, so the decisions hash-check as values
+SELECT 'admit', CAST(did AS VARCHAR), CAST(min(bmid) AS VARCHAR),
+       count(bmid),
+       CASE WHEN count(bmid) = 0 THEN 1.0 ELSE 0.0 END
+FROM adm_m GROUP BY did
 """
 
 
