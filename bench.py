@@ -108,12 +108,18 @@ MANIFEST = [
              "r10/semver-4: + KMV theta-family sketches with SET "
              "OPERATIONS (per-audience distinct + union + intersection "
              "estimates over type pairs, md5-reproducible, exact twins); "
-             "r12/semver-5: the KMV exact-twin differential apparatus "
-             "(distinct-frame self-equi-join, ~57 % of the r11 entry "
-             "time) is stage-flagged OUT of the timed plan — the bench "
-             "times the production sketch-only KMV path; the twins stay "
-             "in the registry builder so the correctness oracle is "
-             "unchanged (use __r11equiv for the twin-bearing lineage)"},
+             "r12/semver-5: (a) the KMV exact-twin differential "
+             "apparatus (distinct-frame self-equi-join, ~57 % of the "
+             "r11 entry time) is stage-flagged OUT of the timed plan — "
+             "the bench times the production sketch-only KMV path; the "
+             "twins stay in the registry builder so the correctness "
+             "oracle grew, not changed (use __r11equiv for the r11 "
+             "lineage); (b) + mergeable QUANTILE sketch stages (the "
+             "fourth sketch family): bottom-K coordinated sample by "
+             "md5(event_id), built direct-with-prefilter AND via "
+             "daily-partial merge (the semilattice law differentially "
+             "checked), p50/p95/p99 estimates hash-checked as exact "
+             "cents + exact-rank twins"},
     {"name": "op_jn_asof", "semver": 1,
      "desc": "as-of join"},
     {"name": "op_jn_range", "semver": 1,
@@ -312,12 +318,13 @@ def _extras() -> list[dict]:
              "builder": lambda s, d: _compat(approx_aggs,
                  s, d, include_kmv=False)},
             {"name": "op_approx_aggs__r11equiv", "semver": 4,
-             "desc": "op_approx_aggs semver-4 plan WITH the KMV "
-                     "exact-twin apparatus — the r10/r11-timed shape, "
-                     "kept for lineage now that the headline times the "
-                     "sketch-only production path (this is also exactly "
-                     "what the correctness oracle still checks)",
-             "builder": lambda s, d: approx_aggs(s, d)},
+             "desc": "op_approx_aggs semver-4 plan: WITH the KMV "
+                     "exact-twin apparatus, WITHOUT the r12 quantile-"
+                     "sketch stages — the r10/r11-timed shape, kept for "
+                     "lineage now that the headline times the sketch-"
+                     "only production path",
+             "builder": lambda s, d: _compat(approx_aggs,
+                 s, d, include_qsk=False)},
             {"name": "ns_similarity_ann", "semver": 2,
              "desc": "ANN composite (correctness-only registry entry, "
                      "timed here for attribution): sign-LSH + trained "

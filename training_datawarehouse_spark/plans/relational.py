@@ -843,6 +843,83 @@ def stream_kmv_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_qsk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming maintenance of the mergeable QUANTILE sketch
+    (r12 — the fourth sketch family rides the streaming path the way
+    'skmv' proved for KMV): two-file micro-batch split, the
+    (h, eid, vc) triple computed JVM-side pre-shuffle,
+    ``streaming_quantile_sketch`` maintaining the bottom-K coordinated
+    sample per event_type. Bottom-k by the fixed (h, eid) total order
+    is a semilattice merge, so the final state equals the BATCH sketch
+    bit-for-bit regardless of micro-batch layout; the oracle recomputes
+    the batch sketch in SQL, so the stream/batch parity — and the
+    quantile estimates themselves — are hash-checked as values.
+
+    Emitted per (type, quantile): k2 the quantile label, n the
+    estimate in exact cents, v the sketch occupancy."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from ..streaming.events_stream import stream_events
+    from ..streaming.stateful import streaming_quantile_sketch
+
+    name = f"op_stream_qsk_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_qsk_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = papq.read_table(f"{sf_dir}/events.parquet")
+        half = t.num_rows // 2
+        papq.write_table(t.slice(0, half), os.path.join(src, "part0.parquet"))
+        papq.write_table(t.slice(half), os.path.join(src, "part1.parquet"))
+        h = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long")
+        rows = stream_events(spark, src).select(
+            "event_type", h.alias("h"),
+            F.col("event_id").alias("eid"),
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        q = (
+            streaming_quantile_sketch(rows, QSK_K)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming quantile-sketch drain did not finish within "
+                f"300 s (query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        final = spark.table(name).groupBy("event_type").agg(
+            F.max_by(F.struct("m", "p50c", "p95c", "p99c"), "nb").alias("s")
+        )
+        parts = [
+            final.select(
+                F.col("event_type").alias("k1"),
+                F.lit(f"p{lbl}").alias("k2"),
+                F.col(f"s.p{lbl}c").alias("n"),
+                F.col("s.m").cast("double").alias("v"),
+            )
+            for lbl, _ in QSK_QS
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming near-dup ADMISSION under the driver's
     differential gate (r12 — the r11 verdict's top ask): the documents
@@ -1055,10 +1132,13 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     adm = stream_neardup_e2e(spark, sf_dir).select(
         F.lit("admit").alias("stage"), "k1", "k2", "n", "v",
     )
+    sqk = stream_qsk_e2e(spark, sf_dir).select(
+        F.lit("sqsk").alias("stage"), "k1", "k2", "n", "v",
+    )
     return (
         win.unionByName(join).unionByName(st)
         .unionByName(late).unionByName(ddp).unionByName(sfn)
-        .unionByName(skv).unionByName(adm)
+        .unionByName(skv).unionByName(adm).unionByName(sqk)
     )
 
 
@@ -1169,6 +1249,32 @@ FROM (
           FROM events WHERE user_id IS NOT NULL)
   ) WHERE rn <= {KMV_K}
   GROUP BY event_type
+)
+UNION ALL
+-- sqsk (r12): the streaming bottom-K coordinated quantile sample's
+-- FINAL state must equal the batch sketch (bottom-k by the fixed
+-- (h, eid) order is a semilattice merge), so the batch sketch
+-- recomputed here IS the streaming parity check; n = the quantile
+-- estimate in exact cents, v = sketch occupancy
+SELECT 'sqsk', event_type, q, est, m::DOUBLE
+FROM (
+  SELECT event_type, q,
+         vs[CAST(ceil(qv * m) AS INT)] AS est, m
+  FROM (
+    SELECT event_type, count(*) AS m, list_sort(list(vc)) AS vs FROM (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, eid) AS rn
+      FROM (SELECT event_type, event_id AS eid,
+                   ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                     AS h,
+                   CAST(round(value * 100) AS BIGINT) AS vc
+            FROM events)
+    ) WHERE rn <= {QSK_K}
+    GROUP BY event_type
+  )
+  CROSS JOIN (VALUES {", ".join(f"('p{lbl}', {qv!r})" for lbl, qv in QSK_QS)})
+       AS qq(q, qv)
 )
 UNION ALL
 -- admit (r12): the STREAMING first-writer-wins near-dup admission
@@ -1329,7 +1435,8 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
                 include_exact: bool = True,
                 include_cms: bool = True,
                 include_kmv: bool = True,
-                include_kmv_exact: bool = True) -> DataFrame:
+                include_kmv_exact: bool = True,
+                include_qsk: bool = True) -> DataFrame:
     """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
     distinct counts and quantile sketches per event_type.
 
@@ -1440,6 +1547,8 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
         out = out.unionByName(
             _kmv_stages(spark, ev, include_exact=include_kmv_exact)
         )
+    if include_qsk:
+        out = out.unionByName(_qsk_stages(spark, ev))
     return out
 
 
@@ -1685,6 +1794,154 @@ def _kmv_build(spark: SparkSession, sk: DataFrame,
     return out.localCheckpoint(eager=True)
 
 
+#: Mergeable quantile sketch size (bottom-K coordinated sample). Rank
+#: error of a quantile estimate from a uniform k-sample is
+#: ~sqrt(q(1-q)/k); 2048 puts 4 sigma at q50 under 4.5 % of rank.
+QSK_K = 2048
+QSK_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
+
+
+def _qsk_stages(spark: SparkSession, ev: DataFrame,
+                k: int = QSK_K) -> DataFrame:
+    """r12: MERGEABLE QUANTILE SKETCH — the fourth sketch family
+    (HLL distinct / CMS frequency / KMV set-ops / now rank-quantiles).
+    A KLL-proper compactor hierarchy cannot be re-derived cross-engine
+    (its compactions flip coins in arrival order); the deterministic
+    mergeable structure with the same role is the BOTTOM-K COORDINATED
+    SAMPLE (Cohen & Kaplan 2007, bottom-k sketches): keep the K rows
+    with the smallest md5-prefix hash of their unique event_id. That
+    set is a uniform K-sample of the population, every value is
+    engine-reproducible, and bottom-k insertion is the SAME semilattice
+    merge the KMV sketch proved — merging any partition of the data
+    (daily partials, streams, shards) yields bit-for-bit the sketch of
+    the union. Quantile estimate = the ceil(q·m)-th smallest sampled
+    value; rank error ~sqrt(q(1-q)/K) (4 sigma at q50 = 4.4 % of rank
+    at K=2048).
+
+    Two Spark plans, one oracle truth:
+    - 'qsk' (direct): per-type hash-threshold PREFILTER (keep
+      h <= 2^60·min(1, 8K/n) — expected 8K survivors, so the rank
+      window sorts 8K rows instead of n; the oracle computes pure
+      bottom-k over ALL rows, so a lossy prefilter would hash-mismatch,
+      making the scale optimization itself differentially checked)
+      then one rank window per type.
+    - 'qsk_merge' (mergeable path): bottom-K per (type, DAY) partials
+      -> union -> re-rank to bottom-K per type. Must equal 'qsk'
+      exactly (the semilattice law) — the oracle emits the same rows
+      under both stage tags, so a broken merge fails the gate.
+
+    Ties on h break by event_id in BOTH engines (at 10^12 rows 60-bit
+    collisions are certain; an undefined cut at the K boundary would
+    diverge the engines). Values ride as exact integer cents.
+
+    Emitted per (type, quantile): n_users = the estimate in cents
+    (hash-checked VALUE), n = the estimate's exact rank
+    count(vc <= est) (exact twin, one broadcast-joined scan), band
+    boolean |rank/N - q| <= 4·sqrt(q(1-q)/m) + 1/N computed
+    identically in both engines.
+
+    100 TB shape: prefilter is a pushed-down scan predicate; the rank
+    window sees ~8K rows/type; daily partials bound every sort by the
+    day's volume; all downstream math runs on <= K-row frames."""
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = ev.select(
+        "event_type",
+        F.col("event_id").alias("eid"),
+        h.alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.to_date("ts").alias("d"),
+    )
+    nt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
+    thr = (
+        F.least(F.lit(1.0), F.lit(8.0 * k) / F.col("N"))
+        * F.lit(float(KMV_SPACE))
+    ).cast("long")
+    wq = Window.partitionBy("event_type").orderBy("h", "eid")
+    direct = (
+        base.join(F.broadcast(nt), "event_type")
+        .filter(F.col("h") <= thr)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "vc")
+    )
+    wd = Window.partitionBy("event_type", "d").orderBy("h", "eid")
+    daily = (
+        base.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h", "eid", "vc")
+    )
+    merged = (
+        daily.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "vc")
+    )
+
+    def ests(sample: DataFrame, stage: str) -> DataFrame:
+        g = sample.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("m"),
+            F.array_sort(F.collect_list("vc")).alias("vs"),
+        )
+        parts = [
+            g.select(
+                F.lit(stage).alias("stage"), "event_type",
+                F.lit(f"p{lbl}").alias("q"), F.lit(qv).alias("qv"), "m",
+                F.element_at(
+                    "vs", F.ceil(F.lit(qv) * F.col("m")).cast("int")
+                ).alias("est"),
+            )
+            for lbl, qv in QSK_QS
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+
+    est_all = (
+        ests(direct, "qsk").unionByName(ests(merged, "qsk_merge"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        # exact-rank twin: ONE broadcast-joined scan serves all 30 rows
+        ranks = (
+            base.join(
+                F.broadcast(
+                    est_all.select("stage", "event_type", "q", "est")
+                ),
+                "event_type",
+            )
+            .filter(F.col("vc") <= F.col("est"))
+            .groupBy("stage", "event_type", "q")
+            .agg(F.count(F.lit(1)).alias("n_rank"))
+        )
+        nb = F.lit(None).cast("boolean")
+        band = (
+            F.abs(F.col("n_rank").cast("double") / F.col("N") - F.col("qv"))
+            <= 4.0 * F.sqrt(F.col("qv") * (1.0 - F.col("qv")) / F.col("m"))
+            + 1.0 / F.col("N")
+        )
+        out = (
+            est_all.join(ranks, ["stage", "event_type", "q"])
+            .join(F.broadcast(nt), "event_type")
+            .select(
+                "stage",
+                F.concat("event_type", F.lit("|"), "q").alias("k"),
+                F.col("est").alias("n_users"),
+                F.col("n_rank").alias("n"),
+                band.alias("hll_in_band"),
+                nb.alias("q50_in_rank_band"), nb.alias("q95_in_rank_band"),
+                nb.alias("q99_in_rank_band"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    except BaseException:
+        release_local_checkpoint(est_all)
+        raise
+    release_local_checkpoint(est_all)
+    return out
+
+
 def _cms_stages(spark: SparkSession, ev: DataFrame) -> DataFrame:
     """r6: Count-Min Sketch frequency estimation, built twice — 'cms'
     in one pass and 'cms_merge' through DAILY partial sketches summed
@@ -1874,6 +2131,39 @@ kmv_p AS (
               ELSE {float(KMV_K - 1)!r} / (t.hk::DOUBLE / {KMV_SPACE!r})
          END AS est_u
   FROM kmv_pt t JOIN kmv_pex x USING (ta, tb)
+),
+-- mergeable quantile sketch (r12): bottom-K coordinated sample by
+-- md5(event_id) hash. ONE pure-bottom-k truth serves both Spark plans
+-- ('qsk' prefiltered direct build, 'qsk_merge' daily-partial merge) —
+-- the semilattice law says they must coincide, so either plan
+-- diverging from this SQL fails the gate
+qsk_base AS MATERIALIZED (
+  SELECT event_type, event_id AS eid,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+qsk_nt AS (SELECT event_type, count(*) AS nn FROM qsk_base GROUP BY 1),
+qsk_g AS (
+  SELECT event_type, count(*) AS m, list_sort(list(vc)) AS vs FROM (
+    SELECT event_type, vc,
+           row_number() OVER (PARTITION BY event_type ORDER BY h, eid) AS rn
+    FROM qsk_base
+  ) WHERE rn <= {QSK_K}
+  GROUP BY event_type
+),
+qsk_e AS (
+  SELECT event_type, q, qv, m,
+         vs[CAST(ceil(qv * m) AS INT)] AS est
+  FROM qsk_g
+  CROSS JOIN (VALUES {", ".join(f"('p{lbl}', {qv!r})" for lbl, qv in QSK_QS)})
+       AS qq(q, qv)
+),
+qsk_r AS (
+  SELECT e.event_type, e.q, e.qv, e.m, e.est, n.nn,
+         (SELECT count(*) FROM qsk_base b
+          WHERE b.event_type = e.event_type AND b.vc <= e.est) AS n_rank
+  FROM qsk_e e JOIN qsk_nt n USING (event_type)
 )
 SELECT 'per_type' AS stage,
        event_type AS k,
@@ -1929,6 +2219,20 @@ SELECT 'kmv_int', ta || '|' || tb,
        CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
        CAST(NULL AS BOOLEAN)
 FROM kmv_p
+UNION ALL
+SELECT 'qsk', event_type || '|' || q, est, n_rank,
+       abs(n_rank::DOUBLE / nn - qv)
+         <= 4.0 * sqrt(qv * (1.0 - qv) / m) + 1.0 / nn,
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN)
+FROM qsk_r
+UNION ALL
+SELECT 'qsk_merge', event_type || '|' || q, est, n_rank,
+       abs(n_rank::DOUBLE / nn - qv)
+         <= 4.0 * sqrt(qv * (1.0 - qv) / m) + 1.0 / nn,
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+       CAST(NULL AS BOOLEAN)
+FROM qsk_r
 """
 
 

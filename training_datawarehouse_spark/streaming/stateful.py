@@ -19,6 +19,7 @@ the driver's synthetic key spaces are small and bounded.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
@@ -311,6 +312,70 @@ def streaming_neardup_admission(band_rows: DataFrame) -> DataFrame:
         update,
         outputStructType="doc_id long, band int, match_id long",
         stateStructType="first_id long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_quantile_sketch(rows: DataFrame, k: int = 2048) -> DataFrame:
+    """STREAMING maintenance of the mergeable quantile sketch (r12 —
+    the bottom-k coordinated sample of `plans/relational._qsk_stages`,
+    maintained across micro-batches the way `streaming_kmv_sketch`
+    maintains the KMV sketch). Input is a pre-hashed frame
+    (event_type, h, eid, vc): md5-prefix hash of the unique event id,
+    integer-cents value — all computed JVM-side before the shuffle.
+
+    State per key = the k rows with the smallest (h, eid) seen so far
+    (hash, id tie-break, value cents — 3 longs per kept row) plus a
+    batch counter. Bottom-k by a fixed total order is a semilattice
+    merge, so the final state equals the batch sketch bit-for-bit
+    regardless of micro-batch layout — the oracle recomputes the batch
+    sketch in SQL and the estimates are hash-checked as exact values.
+    State is bounded at |keys|·k rows by construction.
+
+    Emitted per batch: (event_type, nb, m, p50c, p95c, p99c) — sketch
+    occupancy and the ceil(q·m)-th smallest sampled cents values; the
+    caller selects the final state with max_by(..., nb)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, eids, vcs, nb = state.get
+            triples = list(zip(hs, eids, vcs))
+        else:
+            triples, nb = [], 0
+        for pdf in pdfs:
+            for h, e, v in zip(pdf["h"], pdf["eid"], pdf["vc"]):
+                if pd.notna(h):
+                    triples.append((int(h), int(e), int(v)))
+        triples.sort()
+        triples = triples[:k]
+        nb += 1
+        state.update((
+            [t[0] for t in triples],
+            [t[1] for t in triples],
+            [t[2] for t in triples],
+            nb,
+        ))
+        vs = sorted(t[2] for t in triples)
+        m = len(vs)
+        est = {q: vs[math.ceil(q * m) - 1] if m else 0
+               for q in (0.5, 0.95, 0.99)}
+        yield pd.DataFrame({
+            "event_type": [key[0]], "nb": [nb], "m": [m],
+            "p50c": [est[0.5]], "p95c": [est[0.95]], "p99c": [est[0.99]],
+        })
+
+    return rows.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, nb long, m long, "
+            "p50c long, p95c long, p99c long"
+        ),
+        stateStructType=(
+            "hs array<long>, eids array<long>, vcs array<long>, nb long"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
