@@ -352,3 +352,74 @@ def test_search_rejects_k_wider_than_beam(spark):
         "training_datawarehouse_spark.functions.caching",
         fromlist=["release_local_checkpoint"]).release_local_checkpoint
     release(g)
+
+
+def test_insert_recall_parity_vs_rebuild(spark):
+    """r12 incremental maintenance: build on 80, insert 20, compare
+    recall@k of the merged graph's adjacency (vs the exact brute-force
+    lists over all 100) against a FULL REBUILD on 100 — the insert
+    path must not cost recall. Also: untouched old nodes' lists must
+    be byte-identical to the pre-insert graph (splice locality)."""
+    from training_datawarehouse_spark.operators.nndescent import nnd_insert
+
+    k = 5
+    full = _toy(spark, n=100, seed=7)
+    old = full.filter(F.col("vec_id") < 80)
+    new = full.filter(F.col("vec_id") >= 80)
+    g_old = nnd_graph(old, k=k, iters=3)
+    g_ins = nnd_insert(g_old, old, new, k=k, iters=2)
+    g_reb = nnd_graph(full, k=k, iters=3)
+    exact = _exact_graph(full, k)
+
+    def adjacency(g):
+        adj = {}
+        for r in g.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        return adj
+
+    def recall(adj, ids):
+        return sum(
+            len(adj[i] & exact[i]) / k for i in ids
+        ) / len(ids)
+
+    a_ins, a_reb = adjacency(g_ins), adjacency(g_reb)
+    assert set(a_ins) == set(range(100))
+    assert all(len(v) == k for v in a_ins.values())
+    new_ids = range(80, 100)
+    r_ins, r_reb = recall(a_ins, new_ids), recall(a_reb, new_ids)
+    # parity: within 10% of rebuild recall on the inserted nodes,
+    # and good in absolute terms
+    assert r_ins >= r_reb - 0.1, (r_ins, r_reb)
+    assert r_ins >= 0.75, r_ins
+    # whole-graph recall parity too
+    all_ids = range(100)
+    assert recall(a_ins, all_ids) >= recall(a_reb, all_ids) - 0.1
+
+
+def test_insert_untouched_nodes_unchanged(spark):
+    """Splice locality: an old node never touched by a seed edge and
+    not reached by refine keeps its exact pre-insert list. With
+    iters=0 (splice only), EVERY non-touched node is untouched."""
+    from training_datawarehouse_spark.operators.nndescent import nnd_insert
+
+    k = 4
+    full = _toy(spark, n=60, seed=11)
+    old = full.filter(F.col("vec_id") < 50)
+    new = full.filter(F.col("vec_id") >= 50)
+    g_old = nnd_graph(old, k=k, iters=2)
+    before = {}
+    for r in g_old.collect():
+        before.setdefault(r["src"], set()).add((r["dst"], r["cos"]))
+    g0 = nnd_insert(g_old, old, new, k=k, iters=0)
+    rows = g0.collect()
+    after = {}
+    for r in rows:
+        after.setdefault(r["src"], set()).add((r["dst"], r["cos"]))
+    # new nodes present with k seeds each
+    assert all(len(after[i]) == k for i in range(50, 60))
+    # old nodes: either untouched-identical, or re-ranked top-k of
+    # (old list ∪ reversed seeds) — verify the untouched ones exactly
+    touched = {d for i in range(50, 60) for (d, _) in after[i]}
+    for s in range(50):
+        if s not in touched:
+            assert after[s] == before[s], s

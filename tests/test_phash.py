@@ -330,3 +330,42 @@ def test_production_planted_near_dup_found_by_banded_join(spark):
     assert all(3 not in pr for pr in pairs)
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # signatures stay row-local
+
+
+def test_cap_grain_rep_recovers_mega_group_neighbors(spark):
+    """r12 (r11 probe residual): an identical-fingerprint MEGA-GROUP
+    under the doc-weight cap takes its whole bucket — including its
+    DISTINCT near-dup neighbor — out of the candidate set; under the
+    rep-grain cap the bucket survives, the neighbor pairs with the
+    group's REP, and the group's quadratic C(g,2) doc expansion never
+    materializes (exact dups resolve via the collapse membership)."""
+    mega = [(i, 1, 1, 1, 1) for i in range(30)]     # one fingerprint
+    near = [(100, 1, 1, 1, 3)]                      # Hamming 1, shares b0..b2
+    far = [(200, 21845, 13107, 3855, 255)]          # unrelated
+    sig = spark.createDataFrame(
+        mega + near + far, "id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    doc_pairs = {(r["id_a"], r["id_b"]) for r in ph.phash_candidate_pairs(
+        sig, max_bucket=10).collect()}
+    rep_pairs = {(r["id_a"], r["id_b"]) for r in ph.phash_candidate_pairs(
+        sig, max_bucket=10, cap_grain="rep").collect()}
+    # doc-weight cap: every bucket holding the mega group is over cap
+    # (weight 30 or 31 > 10) -> the true near-dup is lost
+    assert doc_pairs == set()
+    # rep cap: bucket weight is 2 distinct fingerprints -> the rep
+    # (min id 0) pairs with the neighbor; NO within-group pairs
+    assert rep_pairs == {(0, 100)}
+
+
+def test_cap_grain_rep_small_groups_unchanged(spark):
+    """Groups within the cap keep the full doc-grain expansion in rep
+    mode — the guard only bites mega-groups."""
+    sig = spark.createDataFrame(
+        [(1, 7, 7, 7, 7), (2, 7, 7, 7, 7), (3, 7, 7, 7, 5)],
+        "id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    for grain in ("doc", "rep"):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in ph.phash_candidate_pairs(
+                     sig, max_bucket=10, cap_grain=grain).collect()}
+        assert pairs == {(1, 2): 0, (1, 3): 1, (2, 3): 1}, grain

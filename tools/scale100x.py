@@ -249,6 +249,105 @@ def main() -> None:
         quant_probe(spark)
     if "--video" in sys.argv:
         video_probe(spark)
+    if "--nnd-insert" in sys.argv:
+        nnd_probe(spark)
+
+
+def nnd_probe(spark) -> None:
+    """r12 probes #2/#3: incremental NN-descent insert amortization and
+    the graph SERVING path, both at the 200 k-vector replica.
+
+    - build the k=8/3-round graph on the OLDEST 90 % (180 k vectors),
+    - INSERT the newest 10 % (20 k) via seed+splice+2 refine rounds,
+    - recall@8 of the inserted nodes' adjacency vs exact brute force
+      over the full 200 k (sampled new nodes),
+    - SERVE a 2 000-query batch by beam descent on the merged graph:
+      wall-clock (batch + per-query), recall@5 vs exact brute force.
+
+    r11 anchor: the full 200 k build measured 423 s — insert should be
+    a small fraction of that (the amortization claim, measured)."""
+    import numpy as np
+
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_graph, nnd_insert, nnd_search,
+    )
+    from training_datawarehouse_spark.operators.similarity import cosine_topk
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, DST, "embeddings")
+    n = emb.count()
+    # replica vec_ids are copy-shifted (not contiguous): cut at the
+    # actual 90th percentile of the id distribution
+    cut = int(emb.selectExpr(
+        "percentile(vec_id, 0.9)").first()[0])
+    old = emb.filter(F.col("vec_id") < cut).localCheckpoint(eager=True)
+    new = emb.filter(F.col("vec_id") >= cut).localCheckpoint(eager=True)
+    n_old, n_new = old.count(), new.count()
+    print(f"nnd_probe: n={n} old={n_old} new={n_new}", flush=True)
+
+    t0 = time.time()
+    g_old = nnd_graph(old, k=8, iters=3)
+    t_build = time.time() - t0
+    print(f"build(old 90%): {t_build:.1f}s", flush=True)
+
+    t0 = time.time()
+    g_ins = nnd_insert(g_old, old, new, k=8, iters=2)
+    t_insert = time.time() - t0
+    release_local_checkpoint(g_old)
+    print(f"insert(new 10%): {t_insert:.1f}s "
+          f"({t_insert / t_build:.2f}x of the 90% build; r11 full-200k "
+          f"build anchor 423s)", flush=True)
+
+    # recall of inserted nodes vs exact, on a 200-node sample
+    sample_ids = [int(r["vec_id"]) for r in
+                  new.select("vec_id").limit(200).collect()]
+    sampled = emb.filter(F.col("vec_id").isin(sample_ids))
+    exact = cosine_topk(emb, sampled, "vec_id", "embedding", k=8)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adj = {}
+    for r in g_ins.filter(F.col("src").isin(sample_ids)).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    rec = float(np.mean([
+        len(adj.get(i, set()) & ex[i]) / 8 for i in ex
+    ]))
+    print(f"insert recall@8 (200-node sample vs exact): {rec:.3f}",
+          flush=True)
+
+    # serving: 2000 perturbed member vectors as non-member queries
+    qn = 2000
+    qsrc = emb.filter(F.col("vec_id") % F.lit(n // qn) == 0) \
+        .limit(qn) \
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                "embedding", lambda x: F.round(x * 1.01 + 0.003, 6)
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+    nq = qsrc.count()
+    t0 = time.time()
+    served = nnd_search(g_ins, emb, qsrc, k=5, beam=8, hops=3)
+    t_serve = time.time() - t0
+    print(f"serve: {nq} queries in {t_serve:.1f}s "
+          f"({nq / t_serve:.0f} q/s batch throughput, 3 hops)",
+          flush=True)
+    ex2 = {}
+    for r in cosine_topk(emb, qsrc.withColumnRenamed(
+            "query_id", "vec_id"), "vec_id", "embedding", k=5).collect():
+        ex2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    sv = {}
+    for r in served.collect():
+        sv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rec5 = float(np.mean([
+        len(sv.get(i, set()) & ex2[i]) / 5 for i in ex2
+    ]))
+    print(f"serve recall@5 vs exact: {rec5:.3f}", flush=True)
+    for df in (served, g_ins, old, new, qsrc):
+        release_local_checkpoint(df)
 
 
 def video_probe(spark) -> None:
@@ -285,6 +384,40 @@ def video_probe(spark) -> None:
                  / F.sum("count")).alias("frac_rows_capped"),
             ).collect()[0]
         )
+
+    def cap_grain_occupancy(sig, params):
+        """r12 probe: the SAME doc-weight loss metric under both cap
+        grains — what fraction of doc-weighted band rows land in
+        buckets the cap would skip. Claim: under the rep-grain cap
+        (exact-collapse production path) the doc-weight over-cap drops
+        to ~the rep-grain shape, because the 8.4 % residual was
+        identical-fingerprint mega-groups, not hash crowding."""
+        comp = sig.select(
+            (F.col("id") * vd.N_FRAMES + F.col("frame")).alias("id"),
+            *params.band_cols)
+        groups = comp.groupBy(*params.band_cols).agg(
+            F.count(F.lit(1)).alias("gn"))
+        band_structs = F.array(*[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
+            for k in range(params.n_bands)
+        ])
+        buckets = (
+            groups.select("gn", F.explode(band_structs).alias("bs"))
+            .groupBy("bs.band", "bs.val")
+            .agg(F.count(F.lit(1)).alias("n_rep"),
+                 F.sum("gn").alias("w_doc"))
+        )
+        return buckets.agg(
+            (F.sum(F.when(F.col("w_doc") > DEFAULT_MAX_BUCKET,
+                          F.col("w_doc")).otherwise(0))
+             / F.sum("w_doc")).alias("doc_over_doccap"),
+            (F.sum(F.when(F.col("n_rep") > DEFAULT_MAX_BUCKET,
+                          F.col("w_doc")).otherwise(0))
+             / F.sum("w_doc")).alias("doc_over_repcap"),
+            (F.sum(F.when(F.col("n_rep") > DEFAULT_MAX_BUCKET,
+                          F.col("n_rep")).otherwise(0))
+             / F.sum("n_rep")).alias("rep_over_repcap"),
+        ).collect()[0]
 
     for sf_dir, label in ((SRC, "sf0.1"), (DST, "100x")):
         docs = load_table(spark, sf_dir, "documents")
@@ -336,6 +469,25 @@ def video_probe(spark) -> None:
             f"match={pair256_s}s max_bucket={occ256['max_bucket']} "
             f"p99={occ256['p99']} "
             f"frac_rows_capped={occ256['frac_rows_capped']:.4f}",
+            flush=True,
+        )
+        # r12: the exact-collapse production path (cap_grain='rep') —
+        # doc-weight over-cap must collapse to ~the rep-grain shape,
+        # and the end-to-end rep-cap match run must stay pair-bounded
+        cg = cap_grain_occupancy(sig256, PRODUCTION_PARAMS)
+        t0 = time.time()
+        pairs_rep = vd.video_pair_matches(
+            sig256,
+            max_hamming=scaled_max_hamming(PRODUCTION_PARAMS),
+            params=PRODUCTION_PARAMS, cap_grain="rep",
+        ).localCheckpoint(eager=True)
+        pair_rep_s = round(time.time() - t0, 2)
+        n_pairs_rep = pairs_rep.count()
+        print(
+            f"video256rep[{label}] doc_w_over_DOCcap={cg['doc_over_doccap']:.4f} "
+            f"doc_w_over_REPcap={cg['doc_over_repcap']:.4f} "
+            f"rep_over_REPcap={cg['rep_over_repcap']:.4f} "
+            f"pairs_repcap={n_pairs_rep} match={pair_rep_s}s",
             flush=True,
         )
 

@@ -142,6 +142,34 @@ def nnd_graph(
     )
     g = score(ring).withColumn("new", F.lit(True)) \
         .localCheckpoint(eager=True)
+    return _refine(nodes, g, k, iters, incremental, sample)
+
+
+def _refine(
+    nodes: DataFrame, g: DataFrame, k: int, iters: int,
+    incremental: bool, sample: int | None,
+) -> DataFrame:
+    """The NN-descent iteration loop over a flagged (src, dst, cos,
+    new) CHECKPOINTED graph. Takes ownership of ``g`` (releases it);
+    returns the final bare (src, dst, cos) graph as an eager
+    checkpoint. Shared by the full build (ring init) and the r12
+    incremental insert (seed-merge init) — one loop, two entry
+    points."""
+
+    def score(edges: DataFrame) -> DataFrame:
+        return (
+            edges
+            .join(nodes.select(F.col("nid").alias("src"),
+                               F.col("v").alias("__sv")), "src")
+            .join(nodes.select(F.col("nid").alias("dst"),
+                               F.col("v").alias("__dv")), "dst")
+            .select(
+                "src", "dst",
+                F.round(cosine(F.col("__sv"), F.col("__dv")), 6)
+                .alias("cos"),
+            )
+        )
+
     try:
         for it in range(iters):
             # general neighborhood: neighbors ∪ reverse neighbors.
@@ -221,6 +249,111 @@ def nnd_graph(
         release_local_checkpoint(g)
         return out
     return g
+
+
+def nnd_insert(
+    graph: DataFrame,
+    emb: DataFrame,
+    new_emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    beam: int = 8,
+    hops: int = 3,
+    n_entry: int = 4,
+    entry_df: DataFrame | None = None,
+    incremental: bool = True,
+) -> DataFrame:
+    """INCREMENTAL NN-descent maintenance (r12 — the r11 verdict's #2):
+    insert a batch of new vectors into an existing k-NN graph without
+    rebuilding it, so a growing corpus stops paying the full-build cost
+    per ingest (the incremental-pHash-index precedent, r9, applied to
+    the graph family).
+
+    Three steps, all bounded by the BATCH and its touched
+    neighborhoods, never by the corpus:
+
+    1. SEED — each new vector descends the existing graph
+       (``nnd_search``: beam search from global hash entries, or from
+       ``entry_df`` per-query entries — pass the IVF-probed lists'
+       members on clustered corpora, exactly the navigation layer the
+       serving path uses) to its approximate top-k old neighbors;
+       those become the new node's initial adjacency.
+    2. SPLICE — reversed seed edges become candidates for the TOUCHED
+       old nodes only: untouched rows of the old graph pass through
+       via an anti-join without being re-sorted (at 10⁹ nodes this is
+       the difference between a batch-sized job and an n·k re-rank).
+    3. REFINE — the standard incremental local join (`_refine`, the
+       Algorithm-2 flag machinery the full build uses) with ONLY the
+       spliced edges marked new: settled old-old neighborhoods emit no
+       candidates, so scoring volume tracks the batch's neighborhoods.
+       The edge-list shuffle per round remains n·k-grain (the honest
+       fixed cost, measured in SCALE.md); the quadratic part doesn't.
+
+    Accuracy contract: insert-then-refine is NOT bit-identical to a
+    full rebuild (different trajectory); parity is RECALL parity,
+    gate-tested against the exact brute-force lists
+    (`test_nndescent.py::test_insert_recall_parity_vs_rebuild`) and
+    measured at the 200 k probe (`tools/scale100x.py --nnd-insert`).
+
+    Returns the merged (src, dst, cos) graph over old ∪ new ids as an
+    eager checkpoint (caller releases)."""
+    nodes = (
+        emb.select(F.col(id_col).alias("nid"),
+                   _as_double(F.col(vec_col)).alias("v"))
+        .unionByName(
+            new_emb.select(F.col(id_col).alias("nid"),
+                           _as_double(F.col(vec_col)).alias("v")))
+    )
+    seeds = nnd_search(
+        graph, emb,
+        new_emb.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col=vec_col, id_col=id_col,
+        k=k, beam=max(beam, k), hops=hops, n_entry=n_entry,
+        entry_df=entry_df,
+    )
+    try:
+        new_edges = seeds.select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"), "cos",
+        )
+        rev = new_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cos"
+        )
+        touched = rev.select("src").distinct()
+        untouched = graph.join(touched, "src", "left_anti") \
+            .withColumn("new", F.lit(False))
+        wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+        # distinct BEFORE the flag: a seed edge can duplicate an
+        # existing graph edge (identical 6-dp cos), and two flagged
+        # copies of one edge would both survive the rank window
+        spliced_edges = (
+            graph.join(touched, "src", "left_semi")
+            .select("src", "dst", "cos")
+            .union(rev)
+            .distinct()
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        prev = graph.select("src", "dst").withColumn("__old", F.lit(True))
+        spliced = (
+            spliced_edges.join(prev, ["src", "dst"], "left")
+            .withColumn("new", F.col("__old").isNull())
+            .drop("__old")
+        )
+        g0 = (
+            untouched
+            .unionByName(spliced)
+            .unionByName(new_edges.withColumn("new", F.lit(True)))
+            .localCheckpoint(eager=True)
+        )
+    except BaseException:
+        release_local_checkpoint(seeds)
+        raise
+    release_local_checkpoint(seeds)
+    return _refine(nodes, g0, k, iters, incremental, sample=None)
 
 
 def nnd_topk(graph: DataFrame, queries, k: int) -> DataFrame:

@@ -317,6 +317,7 @@ def phash_candidate_pairs(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     n_bands: int = N_BANDS,
     band_bits: int = BAND_BITS,
+    cap_grain: str = "doc",
 ) -> DataFrame:
     """Hamming-banded near-dup pairs from (id, b0..b3) signatures.
     Returns (id_a, id_b, hamming) with hamming <= max_hamming,
@@ -372,6 +373,22 @@ def phash_candidate_pairs(
         # path): a fixed 6 against a 256-bit envelope would silently
         # drop true near-dups (measured 18/256 for the planted pair)
         max_hamming = _scaled_max_hamming_bits(n_bands * band_bits)
+    if cap_grain not in ("doc", "rep"):
+        raise ValueError(f"cap_grain must be 'doc' or 'rep', got {cap_grain!r}")
+    # cap_grain (r12 — the r11 probe's residual finding): the r11
+    # measurement attributed the remaining 8.4 % doc-weight over-cap
+    # band rows (PRODUCTION_PARAMS, 2 M frame signatures) to
+    # identical-fingerprint MEGA-GROUPS — exact dups whose member
+    # count, not hash-space crowding, blows the doc-weight cap and
+    # takes their whole buckets (including their DISTINCT near-dup
+    # neighbors) out of the candidate set. 'rep' caps buckets by
+    # DISTINCT-fingerprint count instead — the bucket stays usable for
+    # the neighbors — and moves the quadratic-expansion guard to where
+    # the quadratic actually lives: groups larger than ``max_bucket``
+    # skip their OWN C(g,2)/cross doc expansion (they are exact dups;
+    # production resolves them through the exact-collapse membership,
+    # min-id rep, not through pair enumeration). 'doc' remains the
+    # registry/oracle default.
     hash_cols = [f"b{k}" for k in range(n_bands)]
     groups = sig.groupBy(*hash_cols).agg(
         F.min("id").alias("gid"),
@@ -387,13 +404,16 @@ def phash_candidate_pairs(
         "gid", "gn", F.explode(band_structs).alias("bs")
     ).select("gid", "gn", F.col("bs.band"), F.col("bs.val"))
 
-    # bucket weight = documents in the bucket (oracle cap parity);
-    # self-pair eligibility = any under-cap bucket containing the
-    # group, which the a <= b expansion below covers with gn > 1
+    # bucket weight: documents in the bucket ('doc', oracle cap
+    # parity) or distinct fingerprints ('rep', production); self-pair
+    # eligibility = any under-cap bucket containing the group, which
+    # the a <= b expansion below covers with gn > 1
+    weight = (F.sum("gn") if cap_grain == "doc"
+              else F.count(F.lit(1)).cast("long"))
     rep_pairs = (
         banded.groupBy("band", "val")
         .agg(F.array_sort(F.collect_list("gid")).alias("gids"),
-             F.sum("gn").alias("w"))
+             weight.alias("w"))
         .filter(F.col("w") <= max_bucket)
         .select(F.explode(_self_incl_pairs_expr("gids")).alias("p"))
         .select(F.col("p.id_a").alias("ga"), F.col("p.id_b").alias("gb"))
@@ -425,6 +445,22 @@ def phash_candidate_pairs(
         .filter((F.col("ga") != F.col("gb")) | (F.col("gn_a") > 1))
     )
 
+    ids_a_exp, ids_b_exp = F.col("ids_a"), F.col("ids_b")
+    if cap_grain == "rep":
+        # group-size guard: an over-cap IDENTICAL-fingerprint group
+        # never enumerates its quadratic doc expansion — its members
+        # resolve through the exact-collapse membership (gid = min id)
+        # and only its REP pairs with distinct near-dup neighbors;
+        # the self-pair (within) of such a group is dropped entirely
+        # (all Hamming-0 — membership already encodes it)
+        verified = verified.filter(
+            (F.col("ga") != F.col("gb"))
+            | (F.col("gn_a") <= max_bucket)
+        )
+        ids_a_exp = F.when(F.col("gn_a") <= max_bucket,
+                           F.col("ids_a")).otherwise(F.array("ga"))
+        ids_b_exp = F.when(F.size("ids_b") <= max_bucket,
+                           F.col("ids_b")).otherwise(F.array("gb"))
     within = (
         verified.filter(F.col("ga") == F.col("gb"))
         .select(F.explode(_pairs_expr("ids_a")).alias("p"), "hamming")
@@ -432,7 +468,8 @@ def phash_candidate_pairs(
     )
     across = (
         verified.filter(F.col("ga") != F.col("gb"))
-        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select(F.explode(ids_a_exp).alias("ia"),
+                ids_b_exp.alias("ids_b"), "hamming")
         .select(F.col("ia"), F.explode("ids_b").alias("ib"), "hamming")
         .select(F.least("ia", "ib").alias("id_a"),
                 F.greatest("ia", "ib").alias("id_b"), "hamming")

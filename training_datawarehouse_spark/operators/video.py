@@ -391,6 +391,7 @@ def video_pair_matches(
     max_bucket: int = ph.DEFAULT_MAX_BUCKET,
     min_frames: int = DEFAULT_MIN_FRAMES,
     params: ph.PhashParams = ph.DEFAULT_PARAMS,
+    cap_grain: str = "doc",
 ) -> DataFrame:
     """Video-grain near-dup pairs from (id, frame, b0..b3) signatures:
     (id_a, id_b, offset, n_match, score) with id_a < id_b, where
@@ -415,7 +416,16 @@ def video_pair_matches(
     the max frame number. ``max_hamming`` defaults to the threshold
     SCALED to the envelope's bit width (`phash.scaled_max_hamming` —
     a fixed 64-bit constant against a 256-bit envelope would silently
-    drop true near-dups, measured at 18/256 for the planted pair)."""
+    drop true near-dups, measured at 18/256 for the planted pair).
+
+    ``cap_grain='rep'`` (r12, the PRODUCTION composition with
+    `PRODUCTION_PARAMS`): buckets cap by DISTINCT-fingerprint count
+    and over-cap identical-fingerprint groups expand through their
+    REP only — the r11 probe measured the residual 8.4 % doc-weight
+    over-cap as exactly these exact-dup mega-groups, which under the
+    doc-weight cap take their whole buckets (and their distinct
+    near-dup neighbors) out of the candidate set. 'doc' stays the
+    registry/oracle default."""
     if max_hamming is None:
         max_hamming = ph.scaled_max_hamming(params)
     comp = sig.select(
@@ -431,7 +441,8 @@ def video_pair_matches(
     )
     fp = ph.phash_candidate_pairs(
         comp, max_hamming=max_hamming, max_bucket=max_bucket,
-        n_bands=params.n_bands)
+        n_bands=params.n_bands, band_bits=params.band_bits,
+        cap_grain=cap_grain)
     pairs = fp.select(
         F.expr(f"id_a div {n_frames}").alias("va"),
         F.expr(f"id_b div {n_frames}").alias("vb"),
