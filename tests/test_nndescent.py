@@ -423,3 +423,87 @@ def test_insert_untouched_nodes_unchanged(spark):
     for s in range(50):
         if s not in touched:
             assert after[s] == before[s], s
+
+
+def test_insert_touched_only_refine_is_result_identical(spark):
+    """The batch-sized refine restriction (touched centers only,
+    changed srcs only) must be a pure optimization: edge-for-edge
+    identical to the unrestricted incremental loop."""
+    from training_datawarehouse_spark.operators.nndescent import nnd_insert
+
+    full = _toy(spark, n=90, seed=5)
+    old = full.filter(F.col("vec_id") < 70)
+    new = full.filter(F.col("vec_id") >= 70)
+    g_old = nnd_graph(old, k=5, iters=2)
+    a = nnd_insert(g_old, old, new, k=5, iters=2,
+                   refine_touched_only=True)
+    b = nnd_insert(g_old, old, new, k=5, iters=2,
+                   refine_touched_only=False)
+    ea = sorted(map(tuple, a.collect()))
+    eb = sorted(map(tuple, b.collect()))
+    assert ea == eb
+
+
+def test_hier_search_beats_flat_on_manifold(spark):
+    """The graph-diameter wall, pinned at test scale (the 200k probe's
+    finding): on a 1-D ring manifold a flat beam search from global
+    entries cannot walk to the target in a few hops; the 2-layer
+    hierarchical descent (sampled coarse graph -> per-query entries)
+    recovers the neighbors. Graphs here are the EXACT adjacency (the
+    test isolates SEARCH from build quality)."""
+    import math as m
+
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_search, nnd_search_hier,
+    )
+
+    n = 400
+    def vec(i):
+        th = 2 * m.pi * i / n
+        return [round(m.cos(th), 6), round(m.sin(th), 6)] + [0.0] * 6
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    def ring_edges(ids, step):
+        rows = []
+        for i in ids:
+            for d in (-2, -1, 1, 2):
+                j = (i + d * step) % n
+                if j in set(ids):
+                    c = round(m.cos(2 * m.pi * d * step / n), 6)
+                    rows.append((i, j, c))
+        return rows
+
+    g0 = spark.createDataFrame(ring_edges(list(range(n)), 1),
+                               "src long, dst long, cos double")
+    layer_ids = list(range(0, n, 10))
+    emb1 = emb.filter(F.col("vec_id") % 10 == 0)
+    g1 = spark.createDataFrame(ring_edges(layer_ids, 10),
+                               "src long, dst long, cos double")
+    queries = spark.createDataFrame(
+        [(i, vec(i)) for i in range(3, n, 40)],   # spread over the ring
+        "query_id long, embedding array<double>",
+    )
+    exact = {
+        i: {(i + d) % n for d in (-2, -1, 1, 2)} | {i}
+        for i in range(3, n, 40)
+    }
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(i, set()) & exact[i]) / 5
+                   for i in exact) / len(exact)
+
+    flat = recall(nnd_search(g0, emb, queries, k=5, beam=8, hops=4)
+                  .collect())
+    hier = recall(nnd_search_hier(
+        g0, emb, g1, emb1, queries, k=5, beam=8, hops0=6, hops1=6,
+        n_entry=4,
+    ).collect())
+    assert flat <= 0.5, flat     # the wall: 4 hops from 4 fixed entries
+    assert hier >= 0.9, hier     # the hierarchy walks the manifold
+    assert hier > flat

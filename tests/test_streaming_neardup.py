@@ -213,3 +213,58 @@ FROM adm_m GROUP BY did
     }
     assert got == want
     assert any(n > 0 for _, n, _ in got.values())  # rejects exist
+
+
+def test_admission_serves_media_phash_bands(spark, tmp_path):
+    """MEDIA signatures ride the SAME admission operator (the verdict
+    ask covers 'documents/media'): in-stream pHash band rows (real PNG
+    encode->decode->DCT inside mapInPandas — stateless, so legal
+    upstream of the stateful op) align onto (band, sig) and the
+    cross-batch near-dup is rejected against the first-seen image."""
+    import training_datawarehouse_spark.operators.phash as ph
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch0 = [(0, base), (1, "utterly different pixels come from "
+                             "utterly different token histograms ok")]
+    batch1 = [(10, base)]  # identical content -> identical pHash
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, docs in enumerate((batch0, batch1)):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": d, "text": t} for d, t in docs],
+                schema=DOC_SCHEMA,
+            ),
+            src / f"part{i}.parquet",
+        )
+    now = os.path.getmtime(src / "part0.parquet")
+    for i in range(2):
+        os.utime(src / f"part{i}.parquet", (now - 30 + 10 * i,) * 2)
+    raw = (
+        spark.readStream.schema(SPARK_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sig = ph.image_phash_signatures(raw, "doc_id", "text")
+    bands = ph.phash_band_index(sig).select(
+        F.col("id").alias("doc_id"), "band",
+        F.col("val").cast("string").alias("sig"),
+    )
+    q = (
+        streaming_neardup_admission(bands)
+        .writeStream.format("memory")
+        .queryName("adm_media")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = {}
+    for r in spark.table("adm_media").collect():
+        got.setdefault(r["doc_id"], set()).add(r["match_id"])
+    # doc 10's image is pixel-identical to doc 0's -> all 4 bands
+    # collide with the batch-0 state; docs 0 and 1 admitted
+    assert got[10] == {0}
+    assert got[0] == {None} and got[1] == {None}

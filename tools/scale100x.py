@@ -277,10 +277,61 @@ def nnd_probe(spark) -> None:
     from training_datawarehouse_spark.operators.similarity import cosine_topk
     from training_datawarehouse_spark.sources.tables import load_table
 
-    emb = load_table(spark, DST, "embeddings")
+    # Corpus choice — measured, not assumed. The LSH replica's
+    # embeddings are the graph family's two published FAILURE regimes
+    # at once, so probing against them measures the data, not the
+    # engine: (a) raw, its 1-of-10 unrotated slice is ~200 groups of
+    # 100 IDENTICAL vectors — disconnected 100-cliques (global-entry
+    # insert recall measured 0.071 at 200 k: r11's binary per-cluster
+    # recall reproduced at scale); (b) exact-collapsed, the remaining
+    # ~122 k rotation products are mutually ~orthogonal — maximal
+    # intrinsic dimension, where NN-descent's own paper documents
+    # recall collapse (measured here: 0.034 even with IVF-entry
+    # seeds). Both numbers are recorded in SCALE.md as the family's
+    # weak-regime floors. The INSTRUMENT for insert/serve cost and
+    # recall is therefore a 200 k MIXTURE in the family's target
+    # regime: 64 clusters × 3 125 DISTINCT mutually-near members
+    # (member = center + amp·rot_c(center), rot ⊥ center ⇒ in-cluster
+    # cosine ≈ 0.98, cross-cluster ≈ 0), quantizer lists ≈ clusters —
+    # the navigation premise the r11 gate test established at 8×.
+    # member = center + 0.15·Σ_j g_j·shift_j(center): the four fixed
+    # coordinate rotations are ~orthogonal to the center and to each
+    # other, and the quasi-random g_j coefficients spread members over
+    # a 4-D ball around the center — in-cluster cosine ≈ 0.98,
+    # cross-cluster ≈ 0, intrinsic dimension 4 (small k-NN-graph
+    # diameter, unlike a ring's 1-D or raw noise's 64-D)
+    dim = 64
+    n_members = 3125
+    base = load_table(spark, SRC, "embeddings") \
+        .orderBy("vec_id").limit(dim) \
+        .select(F.col("vec_id").alias("__cid"), "embedding")
+    copies = spark.range(n_members).select(F.col("id").alias("__c"))
+    mix = base.crossJoin(copies)
+    member = F.col("embedding")
+    for j, (shift, prime) in enumerate(
+            ((16, 4793), (24, 6659), (40, 7919), (48, 9973))):
+        s = F.concat(
+            F.slice("embedding", shift + 1, dim - shift),
+            F.slice("embedding", 1, shift),
+        )
+        g = F.cos(
+            2.0 * 3.141592653589793
+            * F.pmod(F.col("__c") * prime, F.lit(n_members))
+            / F.lit(float(n_members))
+        ) * 0.15
+        member = F.zip_with(member, s, lambda a, b: a + g * b)
+    emb = (
+        mix.select(
+            (F.col("__cid") + F.lit(2000) * F.col("__c")).alias("vec_id"),
+            F.transform(member, lambda v: F.round(v, 6)).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
     n = emb.count()
-    # replica vec_ids are copy-shifted (not contiguous): cut at the
-    # actual 90th percentile of the id distribution
+    print(f"mixture corpus: {dim} clusters x {n_members} members "
+          f"(intrinsic dim 4) = {n} vectors", flush=True)
+    # ids are copy-major: the top decile by id = the newest copies,
+    # uniformly across clusters
     cut = int(emb.selectExpr(
         "percentile(vec_id, 0.9)").first()[0])
     old = emb.filter(F.col("vec_id") < cut).localCheckpoint(eager=True)
@@ -293,15 +344,57 @@ def nnd_probe(spark) -> None:
     t_build = time.time() - t0
     print(f"build(old 90%): {t_build:.1f}s", flush=True)
 
+    # navigation layer (the pinned r11 lesson: this replica is 100
+    # near-identical copies per original = ~2 k tight clusters, the
+    # graph-disconnection regime — global entries strand clusters, so
+    # BOTH seeding and serving go through the IVF-entry composition
+    # the registry ships): train the coarse quantizer on the old
+    # corpus, reps = min id per list, queries enter at their 2 probed
+    # lists' reps
+    from training_datawarehouse_spark.operators import similarity as sim
+
     t0 = time.time()
-    g_ins = nnd_insert(g_old, old, new, k=8, iters=2)
+    init = [r["embedding"] for r in old.orderBy("vec_id").limit(64).collect()]
+    cents, _ = sim.kmeans_fit(
+        old, "embedding", k=64, iters=4, init_vectors=init, round_dp=6)
+    cassign = old.select(
+        F.col("vec_id").alias("nid"),
+        sim.nearest_centroid_lists(
+            sim._as_double(F.col("embedding")), cents, 1
+        )[0]["list_id"].alias("list_id"),
+    )
+    reps = cassign.groupBy("list_id").agg(F.min("nid").alias("nid")) \
+        .localCheckpoint(eager=True)
+    t_quant = time.time() - t0
+
+    def entries_for(qdf):
+        qassign = qdf.select(
+            "query_id",
+            F.explode(F.transform(
+                sim.nearest_centroid_lists(
+                    sim._as_double(F.col("embedding")), cents, 2),
+                lambda s: s["list_id"],
+            )).alias("list_id"),
+        )
+        return qassign.join(F.broadcast(reps), "list_id") \
+            .select("query_id", "nid")
+
+    print(f"quantizer(64 lists, 4 iters on old): {t_quant:.1f}s",
+          flush=True)
+    t0 = time.time()
+    g_ins = nnd_insert(
+        g_old, old, new, k=8, iters=2,
+        entry_df=entries_for(
+            new.select(F.col("vec_id").alias("query_id"), "embedding")),
+    )
     t_insert = time.time() - t0
     release_local_checkpoint(g_old)
-    print(f"insert(new 10%): {t_insert:.1f}s "
+    print(f"insert(new 10%, IVF-entry seeds): {t_insert:.1f}s "
           f"({t_insert / t_build:.2f}x of the 90% build; r11 full-200k "
           f"build anchor 423s)", flush=True)
 
-    # recall of inserted nodes vs exact, on a 200-node sample
+    # recall of inserted nodes vs exact, on a 200-node sample — with
+    # a FULL-REBUILD graph on the same sample as the parity anchor
     sample_ids = [int(r["vec_id"]) for r in
                   new.select("vec_id").limit(200).collect()]
     sampled = emb.filter(F.col("vec_id").isin(sample_ids))
@@ -309,18 +402,31 @@ def nnd_probe(spark) -> None:
     ex = {}
     for r in exact.collect():
         ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    adj = {}
-    for r in g_ins.filter(F.col("src").isin(sample_ids)).collect():
-        adj.setdefault(r["src"], set()).add(r["dst"])
-    rec = float(np.mean([
-        len(adj.get(i, set()) & ex[i]) / 8 for i in ex
-    ]))
-    print(f"insert recall@8 (200-node sample vs exact): {rec:.3f}",
-          flush=True)
+
+    def adj_recall(g):
+        adj = {}
+        for r in g.filter(F.col("src").isin(sample_ids)).collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        return float(np.mean([
+            len(adj.get(i, set()) & ex[i]) / 8 for i in ex
+        ]))
+
+    rec = adj_recall(g_ins)
+    t0 = time.time()
+    g_reb = nnd_graph(emb, k=8, iters=3)
+    t_reb = time.time() - t0
+    rec_reb = adj_recall(g_reb)
+    release_local_checkpoint(g_reb)
+    print(f"insert recall@8 (200-node sample vs exact): {rec:.3f} | "
+          f"full 200k rebuild: {t_reb:.1f}s, same-sample recall "
+          f"{rec_reb:.3f} -> insert is {t_insert / t_reb:.2f}x of "
+          f"rebuild at {rec - rec_reb:+.3f} recall", flush=True)
 
     # serving: 2000 perturbed member vectors as non-member queries
     qn = 2000
-    qsrc = emb.filter(F.col("vec_id") % F.lit(n // qn) == 0) \
+    # modulo a prime spreads the sample across clusters (ids are
+    # cid + 2000*copy; a composite modulus aliases to few clusters)
+    qsrc = emb.filter(F.col("vec_id") % 101 == 0) \
         .limit(qn) \
         .select(
             F.col("vec_id").alias("query_id"),
@@ -329,24 +435,47 @@ def nnd_probe(spark) -> None:
             ).alias("embedding"),
         ).localCheckpoint(eager=True)
     nq = qsrc.count()
-    t0 = time.time()
-    served = nnd_search(g_ins, emb, qsrc, k=5, beam=8, hops=3)
-    t_serve = time.time() - t0
-    print(f"serve: {nq} queries in {t_serve:.1f}s "
-          f"({nq / t_serve:.0f} q/s batch throughput, 3 hops)",
-          flush=True)
     ex2 = {}
     for r in cosine_topk(emb, qsrc.withColumnRenamed(
             "query_id", "vec_id"), "vec_id", "embedding", k=5).collect():
         ex2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    sv = {}
-    for r in served.collect():
-        sv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    rec5 = float(np.mean([
-        len(sv.get(i, set()) & ex2[i]) / 5 for i in ex2
-    ]))
-    print(f"serve recall@5 vs exact: {rec5:.3f}", flush=True)
-    for df in (served, g_ins, old, new, qsrc):
+
+    def serve(label, fn):
+        t0 = time.time()
+        served = fn()
+        t_serve = time.time() - t0
+        sv = {}
+        for r in served.collect():
+            sv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        release_local_checkpoint(served)
+        rec5 = float(np.mean([
+            len(sv.get(i, set()) & ex2[i]) / 5 for i in ex2
+        ]))
+        print(f"serve[{label}]: {nq} queries in {t_serve:.1f}s "
+              f"({nq / t_serve:.0f} q/s batch) "
+              f"recall@5={rec5:.3f}", flush=True)
+
+    serve("flat ivf-entry 3hops", lambda: nnd_search(
+        g_ins, emb, qsrc, k=5, beam=8, hops=3,
+        entry_df=entries_for(qsrc)))
+    serve("flat ivf-entry 8hops", lambda: nnd_search(
+        g_ins, emb, qsrc, k=5, beam=8, hops=8,
+        entry_df=entries_for(qsrc)))
+    # hierarchical (r12): 1/64 sampled coarse layer + its own graph,
+    # per-query coarse winners enter the full graph
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_sample_layer, nnd_search_hier,
+    )
+    t0 = time.time()
+    emb1 = nnd_sample_layer(emb, frac=64).localCheckpoint(eager=True)
+    n1 = emb1.count()
+    g1 = nnd_graph(emb1, k=8, iters=3)
+    t_layer = time.time() - t0
+    print(f"coarse layer: {n1} nodes, graph built in {t_layer:.1f}s",
+          flush=True)
+    serve("hier 6+6hops", lambda: nnd_search_hier(
+        g_ins, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6))
+    for df in (g_ins, g1, emb1, old, new, qsrc, reps, emb):
         release_local_checkpoint(df)
 
 

@@ -148,13 +148,32 @@ def nnd_graph(
 def _refine(
     nodes: DataFrame, g: DataFrame, k: int, iters: int,
     incremental: bool, sample: int | None,
+    touched_only: bool = False,
 ) -> DataFrame:
     """The NN-descent iteration loop over a flagged (src, dst, cos,
     new) CHECKPOINTED graph. Takes ownership of ``g`` (releases it);
     returns the final bare (src, dst, cos) graph as an eager
     checkpoint. Shared by the full build (ring init) and the r12
     incremental insert (seed-merge init) — one loop, two entry
-    points."""
+    points.
+
+    ``touched_only`` (the insert path's cost shape, r12 — measured:
+    without it a 10 % insert cost 0.78× of a full build because every
+    refine round still SHUFFLED AND RE-RANKED the n·k edge frame):
+    RESULT-IDENTICAL restriction of each round's work to the batch's
+    neighborhoods. (a) The local join reads only centers carrying at
+    least one NEW edge — sound because a candidate pair needs a new
+    member (``incremental`` required), and a pair's new member puts a
+    new edge at its center; centers with all-old edges emit nothing.
+    (b) The top-k re-rank runs only for srcs that received scored
+    candidates; every other node's list passes through an anti-join
+    untouched (no sort). Both frames are batch-neighborhood-sized;
+    the n·k frame is only ever SCANNED. Parity-tested edge-for-edge
+    against the unrestricted loop."""
+    if touched_only and not incremental:
+        raise ValueError(
+            "touched_only requires incremental=True (the center "
+            "restriction is justified by the new-member pair filter)")
 
     def score(edges: DataFrame) -> DataFrame:
         return (
@@ -185,6 +204,15 @@ def _refine(
                 g.select(F.col("dst").alias("c"),
                          F.col("src").alias("nid"), "new")
             )
+            if touched_only:
+                tc = (
+                    g.filter(F.col("new"))
+                    .select(F.col("src").alias("c"))
+                    .union(g.filter(F.col("new"))
+                           .select(F.col("dst").alias("c")))
+                    .distinct()
+                )
+                und = und.join(tc, "c", "left_semi")
             if sample is not None:
                 ws = Window.partitionBy("c").orderBy(
                     F.md5(F.concat_ws("|", F.col("c").cast("string"),
@@ -213,12 +241,30 @@ def _refine(
             )
             wk = Window.partitionBy("src").orderBy(
                 F.col("cos").desc(), "dst")
-            kept = (
-                g.select("src", "dst", "cos").union(both).distinct()
-                .withColumn("rn", F.row_number().over(wk))
-                .filter(F.col("rn") <= k)
-                .drop("rn")
-            )
+            if touched_only:
+                # re-rank ONLY the srcs that received candidates; the
+                # rest of the graph passes through an anti-join with
+                # no sort (g is already each src's ranked top-k)
+                changed = both.select("src").distinct()
+                kept_changed = (
+                    g.join(changed, "src", "left_semi")
+                    .select("src", "dst", "cos").union(both).distinct()
+                    .withColumn("rn", F.row_number().over(wk))
+                    .filter(F.col("rn") <= k)
+                    .drop("rn")
+                )
+                kept = (
+                    g.join(changed, "src", "left_anti")
+                    .select("src", "dst", "cos")
+                    .union(kept_changed)
+                )
+            else:
+                kept = (
+                    g.select("src", "dst", "cos").union(both).distinct()
+                    .withColumn("rn", F.row_number().over(wk))
+                    .filter(F.col("rn") <= k)
+                    .drop("rn")
+                )
             if it == iters - 1:
                 # final round: the flag has no consumer — checkpoint
                 # the bare (src, dst, cos) frame so the RETURNED plan
@@ -226,6 +272,24 @@ def _refine(
                 # would make the caller's release_local_checkpoint a
                 # silent no-op and leak the n·k RDD for the session)
                 g2 = kept.localCheckpoint(eager=True)
+            elif touched_only:
+                # untouched rows are old by construction; only the
+                # re-ranked srcs need the prev probe (batch-sized)
+                prev = (
+                    g.join(changed, "src", "left_semi")
+                    .select("src", "dst").withColumn("__old", F.lit(True))
+                )
+                g2 = (
+                    g.join(changed, "src", "left_anti")
+                    .select("src", "dst", "cos")
+                    .withColumn("new", F.lit(False))
+                    .unionByName(
+                        kept_changed.join(prev, ["src", "dst"], "left")
+                        .withColumn("new", F.col("__old").isNull())
+                        .drop("__old")
+                    )
+                    .localCheckpoint(eager=True)
+                )
             else:
                 # re-derive the NEW flag: an edge is new iff it was
                 # not in the previous round's graph (an n·k-grain
@@ -264,6 +328,7 @@ def nnd_insert(
     n_entry: int = 4,
     entry_df: DataFrame | None = None,
     incremental: bool = True,
+    refine_touched_only: bool = True,
 ) -> DataFrame:
     """INCREMENTAL NN-descent maintenance (r12 — the r11 verdict's #2):
     insert a batch of new vectors into an existing k-NN graph without
@@ -353,7 +418,10 @@ def nnd_insert(
         release_local_checkpoint(seeds)
         raise
     release_local_checkpoint(seeds)
-    return _refine(nodes, g0, k, iters, incremental, sample=None)
+    return _refine(
+        nodes, g0, k, iters, incremental, sample=None,
+        touched_only=refine_touched_only and incremental,
+    )
 
 
 def nnd_topk(graph: DataFrame, queries, k: int) -> DataFrame:
@@ -512,4 +580,76 @@ def nnd_search(
         .localCheckpoint(eager=True)
     )
     release_local_checkpoint(beam_df)
+    return out
+
+
+def nnd_sample_layer(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    frac: int = 64,
+) -> DataFrame:
+    """Deterministic 1/``frac`` corpus sample — the COARSE navigation
+    layer for hierarchical serving (r12). Row-local md5 filter (no
+    shuffle, no sampling RNG): a node joins the layer iff
+    md5(id) % frac == 0, so the layer is stable across runs and
+    engines and every node knows its layer membership without an
+    index lookup."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return emb.select(F.col(id_col), F.col(vec_col)) \
+        .filter(F.pmod(h, F.lit(frac)) == 0)
+
+
+def nnd_search_hier(
+    graph0: DataFrame,
+    emb: DataFrame,
+    graph1: DataFrame,
+    emb1: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    beam: int = 8,
+    hops0: int = 4,
+    hops1: int = 4,
+    n_entry: int = 4,
+    entry_df1: DataFrame | None = None,
+) -> DataFrame:
+    """TWO-LAYER beam serving (r12 — the fix the 200 k serving probe
+    demanded): descend a COARSE sampled layer's k-NN graph first, then
+    enter the full graph at the coarse winners.
+
+    Why a second layer, measured not argued: a flat k-NN graph's
+    diameter grows GEOMETRICALLY with corpus structure — on a
+    low-intrinsic-dimension manifold (the regime embedding corpora
+    live in) the beam advances ~k/2 neighborhood steps per hop, so a
+    3 125-member cluster needs hundreds of hops from a fixed entry;
+    entry navigation (IVF lists) fixes WHICH region you land in, not
+    the walk length (200 k mixture probe: recall@5 = 0.006 with
+    IVF entries). A 1/``frac`` sampled layer walks the same manifold
+    with ``frac``× the stride, then hands per-query entries to the
+    full graph — the published hierarchy insight (Malkov & Yashunin,
+    HNSW; DiskANN's medoid+sample entries), applied to the NN-descent
+    family with the layers as plain DataFrames.
+
+    ``graph1``/``emb1`` = the coarse layer (``nnd_sample_layer`` +
+    ``nnd_graph`` over it); ``entry_df1`` optionally navigates the
+    coarse layer itself (IVF reps — composable with the r11 lesson).
+    Returns (query_id, rank, neighbor_id, cos) like ``nnd_search``."""
+    l1 = nnd_search(
+        graph1, emb1, queries, vec_col=vec_col, id_col=id_col,
+        k=min(n_entry, beam), beam=beam, hops=hops1,
+        n_entry=n_entry, entry_df=entry_df1,
+    )
+    try:
+        out = nnd_search(
+            graph0, emb, queries, vec_col=vec_col, id_col=id_col,
+            k=k, beam=beam, hops=hops0,
+            entry_df=l1.select("query_id",
+                               F.col("neighbor_id").alias("nid")),
+        )
+    finally:
+        release_local_checkpoint(l1)
     return out
