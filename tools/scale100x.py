@@ -254,52 +254,44 @@ def main() -> None:
 
 
 def nnd_probe(spark) -> None:
-    """r12 probes #2/#3: incremental NN-descent insert amortization and
-    the graph SERVING path, both at the 200 k-vector replica.
+    """r12 probes #2/#3: NN-descent CONVERGENCE, incremental insert,
+    and the serving path, all at 200 k vectors.
 
-    - build the k=8/3-round graph on the OLDEST 90 % (180 k vectors),
-    - INSERT the newest 10 % (20 k) via seed+splice+2 refine rounds,
-    - recall@8 of the inserted nodes' adjacency vs exact brute force
-      over the full 200 k (sampled new nodes),
-    - SERVE a 2 000-query batch by beam descent on the merged graph:
-      wall-clock (batch + per-query), recall@5 vs exact brute force.
+    Corpus: a 64-cluster x 3 125-member mixture with intrinsic
+    dimension 4 per cluster (member = center + 0.15 * sum of 4
+    quasi-random rotation components) — the family's target regime.
+    The two regime EXTREMES were measured first and recorded in
+    SCALE.md as failure floors, not used as the instrument: the raw
+    LSH replica (identical-copy cliques -> disconnection, insert
+    recall 0.071) and its exact-collapse (mutually orthogonal
+    rotations -> maximal intrinsic dimension, recall 0.034 even with
+    IVF-entry seeds).
 
-    r11 anchor: the full 200 k build measured 423 s — insert should be
-    a small fraction of that (the amortization claim, measured)."""
+    Measurements:
+    - ITERATION SWEEP: build the full-corpus graph at 3/6/10 rounds,
+      adjacency recall@8 vs exact each time — the r11 '423 s at 3
+      rounds' build number carried no recall, and this sweep showed
+      why that matters (3 rounds ~ 0.00 recall at 200 k).
+    - INSERT: build old 90 % at the converged round count, insert the
+      newest 10 % (IVF-entry seeds + touched-only refine), recall vs
+      the full rebuild on the same sampled new nodes, wall-clock vs
+      the rebuild.
+    - SERVE: 2 000-query batch on the converged graph — flat descent
+      (3 and 8 hops, IVF entries) vs the 2-layer hierarchical path.
+    """
     import numpy as np
 
     from training_datawarehouse_spark.functions.caching import (
         release_local_checkpoint,
     )
     from training_datawarehouse_spark.operators.nndescent import (
-        nnd_graph, nnd_insert, nnd_search,
+        nnd_graph, nnd_insert, nnd_sample_layer, nnd_search,
+        nnd_search_hier,
     )
+    from training_datawarehouse_spark.operators import similarity as sim
     from training_datawarehouse_spark.operators.similarity import cosine_topk
     from training_datawarehouse_spark.sources.tables import load_table
 
-    # Corpus choice — measured, not assumed. The LSH replica's
-    # embeddings are the graph family's two published FAILURE regimes
-    # at once, so probing against them measures the data, not the
-    # engine: (a) raw, its 1-of-10 unrotated slice is ~200 groups of
-    # 100 IDENTICAL vectors — disconnected 100-cliques (global-entry
-    # insert recall measured 0.071 at 200 k: r11's binary per-cluster
-    # recall reproduced at scale); (b) exact-collapsed, the remaining
-    # ~122 k rotation products are mutually ~orthogonal — maximal
-    # intrinsic dimension, where NN-descent's own paper documents
-    # recall collapse (measured here: 0.034 even with IVF-entry
-    # seeds). Both numbers are recorded in SCALE.md as the family's
-    # weak-regime floors. The INSTRUMENT for insert/serve cost and
-    # recall is therefore a 200 k MIXTURE in the family's target
-    # regime: 64 clusters × 3 125 DISTINCT mutually-near members
-    # (member = center + amp·rot_c(center), rot ⊥ center ⇒ in-cluster
-    # cosine ≈ 0.98, cross-cluster ≈ 0), quantizer lists ≈ clusters —
-    # the navigation premise the r11 gate test established at 8×.
-    # member = center + 0.15·Σ_j g_j·shift_j(center): the four fixed
-    # coordinate rotations are ~orthogonal to the center and to each
-    # other, and the quasi-random g_j coefficients spread members over
-    # a 4-D ball around the center — in-cluster cosine ≈ 0.98,
-    # cross-cluster ≈ 0, intrinsic dimension 4 (small k-NN-graph
-    # diameter, unlike a ring's 1-D or raw noise's 64-D)
     dim = 64
     n_members = 3125
     base = load_table(spark, SRC, "embeddings") \
@@ -308,17 +300,21 @@ def nnd_probe(spark) -> None:
     copies = spark.range(n_members).select(F.col("id").alias("__c"))
     mix = base.crossJoin(copies)
     member = F.col("embedding")
-    for j, (shift, prime) in enumerate(
-            ((16, 4793), (24, 6659), (40, 7919), (48, 9973))):
+    # per-member coefficients from md5 (uniform in [-0.5, 0.5]) — an
+    # earlier cos(2*pi*c*p/n) scheme was EVEN in c, so members c and
+    # n-c were exact duplicates (measured: cos 1.0 twins + doubled
+    # ties); md5 has no such symmetry
+    for j, shift in enumerate((16, 24, 40, 48)):
         s = F.concat(
             F.slice("embedding", shift + 1, dim - shift),
             F.slice("embedding", 1, shift),
         )
-        g = F.cos(
-            2.0 * 3.141592653589793
-            * F.pmod(F.col("__c") * prime, F.lit(n_members))
-            / F.lit(float(n_members))
-        ) * 0.15
+        g = (
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.col("__c").cast("string"), F.lit(str(j)))),
+                1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60)) - 0.5
+        )
         member = F.zip_with(member, s, lambda a, b: a + g * b)
     emb = (
         mix.select(
@@ -330,28 +326,84 @@ def nnd_probe(spark) -> None:
     n = emb.count()
     print(f"mixture corpus: {dim} clusters x {n_members} members "
           f"(intrinsic dim 4) = {n} vectors", flush=True)
-    # ids are copy-major: the top decile by id = the newest copies,
-    # uniformly across clusters
-    cut = int(emb.selectExpr(
-        "percentile(vec_id, 0.9)").first()[0])
+
+    def exact_sets(sampled, k=8):
+        # ground truth under the GRAPH'S total order (6-dp-rounded
+        # cos DESC, id) — cosine_topk ranks by unrounded cosine, so
+        # fetch extra rows and re-rank by the returned rounded values
+        per = {}
+        for r in cosine_topk(emb, sampled, "vec_id", "embedding",
+                             k=4 * k).collect():
+            per.setdefault(r["query_id"], []).append(
+                (-r["cosine"], r["neighbor_id"]))
+        return {q: {nid for _, nid in sorted(v)[:k]}
+                for q, v in per.items()}
+
+    def adj_recall(g, ex, ids, k=8):
+        adj = {}
+        for r in g.filter(F.col("src").isin(ids)).collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        return float(np.mean([
+            len(adj.get(i, set()) & ex[i]) / k for i in ex
+        ]))
+
+    # ---- (k, rounds) sweep on the full corpus. Two-phase
+    # convergence, measured: rounds to converge grow with corpus AND
+    # cluster size (bootstrap: ~(2k)^2 candidates/node/round hit a
+    # 3125/200k=1.6% in-cluster rate, then fine descent inside the
+    # 3125-member cluster) — the bench-scale calibration (k=8,
+    # iters=3) is nowhere near converged at 200 k. Instruments:
+    # in-cluster edge fraction (phase 1), exact-set recall@8 (strict:
+    # the exact 8 of 3125 siblings), and the similarity RATIO
+    # (mean found-cos / mean exact-top-8-cos — what curation quality
+    # actually depends on).
+    sweep_ids = [int(r["vec_id"]) for r in
+                 emb.filter(F.col("vec_id") % 997 == 0)
+                 .limit(200).collect()]
+    sampled = emb.filter(F.col("vec_id").isin(sweep_ids))
+    ex_sweep = exact_sets(sampled)
+    ex_cos = {}
+    for r in cosine_topk(emb, sampled, "vec_id", "embedding",
+                         k=8).collect():
+        ex_cos.setdefault(r["query_id"], []).append(r["cosine"])
+
+    def sim_ratio(g, ids):
+        found = {}
+        for r in g.filter(F.col("src").isin(ids)).collect():
+            found.setdefault(r["src"], []).append(r["cos"])
+        return float(np.mean([
+            np.mean(found.get(i, [0.0])) / np.mean(ex_cos[i])
+            for i in ex_cos
+        ]))
+
+    def in_cluster_frac(g):
+        return float(g.select(
+            (F.col("src") % 2000 == F.col("dst") % 2000)
+            .cast("int").alias("i")).agg(F.avg("i")).first()[0])
+
+    g_full = t_full = None
+    kk_best = it_best = None
+    for kk, it in ((8, 3), (8, 10)):
+        t0 = time.time()
+        gi = nnd_graph(emb, k=kk, iters=it)
+        ti = time.time() - t0
+        ri = adj_recall(gi, ex_sweep, sweep_ids)
+        icf = in_cluster_frac(gi)
+        sr = sim_ratio(gi, sweep_ids)
+        print(f"build[k={kk}, {it} rounds, 200k]: {ti:.1f}s "
+              f"in_cluster={icf:.3f} recall@8={ri:.3f} "
+              f"sim_ratio={sr:.4f}", flush=True)
+        if g_full is not None:
+            release_local_checkpoint(g_full)
+        g_full, t_full, kk_best, it_best = gi, ti, kk, it
+
+    # ---- insert: old 90% at the converged round count, insert 10%
+    cut = int(emb.selectExpr("percentile(vec_id, 0.9)").first()[0])
     old = emb.filter(F.col("vec_id") < cut).localCheckpoint(eager=True)
     new = emb.filter(F.col("vec_id") >= cut).localCheckpoint(eager=True)
-    n_old, n_new = old.count(), new.count()
-    print(f"nnd_probe: n={n} old={n_old} new={n_new}", flush=True)
-
     t0 = time.time()
-    g_old = nnd_graph(old, k=8, iters=3)
+    g_old = nnd_graph(old, k=kk_best, iters=it_best)
     t_build = time.time() - t0
-    print(f"build(old 90%): {t_build:.1f}s", flush=True)
-
-    # navigation layer (the pinned r11 lesson: this replica is 100
-    # near-identical copies per original = ~2 k tight clusters, the
-    # graph-disconnection regime — global entries strand clusters, so
-    # BOTH seeding and serving go through the IVF-entry composition
-    # the registry ships): train the coarse quantizer on the old
-    # corpus, reps = min id per list, queries enter at their 2 probed
-    # lists' reps
-    from training_datawarehouse_spark.operators import similarity as sim
 
     t0 = time.time()
     init = [r["embedding"] for r in old.orderBy("vec_id").limit(64).collect()]
@@ -366,6 +418,9 @@ def nnd_probe(spark) -> None:
     reps = cassign.groupBy("list_id").agg(F.min("nid").alias("nid")) \
         .localCheckpoint(eager=True)
     t_quant = time.time() - t0
+    print(f"old build[k={kk_best}, {it_best} rounds, 180k]: "
+          f"{t_build:.1f}s; quantizer(64 lists): {t_quant:.1f}s",
+          flush=True)
 
     def entries_for(qdf):
         qassign = qdf.select(
@@ -379,53 +434,35 @@ def nnd_probe(spark) -> None:
         return qassign.join(F.broadcast(reps), "list_id") \
             .select("query_id", "nid")
 
-    print(f"quantizer(64 lists, 4 iters on old): {t_quant:.1f}s",
-          flush=True)
     t0 = time.time()
     g_ins = nnd_insert(
-        g_old, old, new, k=8, iters=2,
+        g_old, old, new, k=kk_best, iters=2,
         entry_df=entries_for(
             new.select(F.col("vec_id").alias("query_id"), "embedding")),
     )
     t_insert = time.time() - t0
     release_local_checkpoint(g_old)
-    print(f"insert(new 10%, IVF-entry seeds): {t_insert:.1f}s "
-          f"({t_insert / t_build:.2f}x of the 90% build; r11 full-200k "
-          f"build anchor 423s)", flush=True)
+    new_ids = [int(r["vec_id"]) for r in
+               new.select("vec_id").limit(200).collect()]
+    sampled_new = emb.filter(F.col("vec_id").isin(new_ids))
+    ex_new = exact_sets(sampled_new)
+    ex_cos.clear()
+    for r in cosine_topk(emb, sampled_new, "vec_id", "embedding",
+                         k=8).collect():
+        ex_cos.setdefault(r["query_id"], []).append(r["cosine"])
+    rec_ins = adj_recall(g_ins, ex_new, new_ids)
+    rec_reb = adj_recall(g_full, ex_new, new_ids)
+    sr_ins = sim_ratio(g_ins, new_ids)
+    sr_reb = sim_ratio(g_full, new_ids)
+    print(f"insert(10%, IVF seeds + touched-only refine, k={kk_best}): "
+          f"{t_insert:.1f}s = {t_insert / t_full:.2f}x of the "
+          f"{t_full:.0f}s full k={kk_best}/{it_best}-round rebuild; "
+          f"new-node recall@8 {rec_ins:.3f} (sim_ratio {sr_ins:.4f}) "
+          f"vs rebuild {rec_reb:.3f} ({sr_reb:.4f})", flush=True)
+    release_local_checkpoint(g_ins)
 
-    # recall of inserted nodes vs exact, on a 200-node sample — with
-    # a FULL-REBUILD graph on the same sample as the parity anchor
-    sample_ids = [int(r["vec_id"]) for r in
-                  new.select("vec_id").limit(200).collect()]
-    sampled = emb.filter(F.col("vec_id").isin(sample_ids))
-    exact = cosine_topk(emb, sampled, "vec_id", "embedding", k=8)
-    ex = {}
-    for r in exact.collect():
-        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-
-    def adj_recall(g):
-        adj = {}
-        for r in g.filter(F.col("src").isin(sample_ids)).collect():
-            adj.setdefault(r["src"], set()).add(r["dst"])
-        return float(np.mean([
-            len(adj.get(i, set()) & ex[i]) / 8 for i in ex
-        ]))
-
-    rec = adj_recall(g_ins)
-    t0 = time.time()
-    g_reb = nnd_graph(emb, k=8, iters=3)
-    t_reb = time.time() - t0
-    rec_reb = adj_recall(g_reb)
-    release_local_checkpoint(g_reb)
-    print(f"insert recall@8 (200-node sample vs exact): {rec:.3f} | "
-          f"full 200k rebuild: {t_reb:.1f}s, same-sample recall "
-          f"{rec_reb:.3f} -> insert is {t_insert / t_reb:.2f}x of "
-          f"rebuild at {rec - rec_reb:+.3f} recall", flush=True)
-
-    # serving: 2000 perturbed member vectors as non-member queries
+    # ---- serve on the CONVERGED full graph
     qn = 2000
-    # modulo a prime spreads the sample across clusters (ids are
-    # cid + 2000*copy; a composite modulus aliases to few clusters)
     qsrc = emb.filter(F.col("vec_id") % 101 == 0) \
         .limit(qn) \
         .select(
@@ -435,10 +472,13 @@ def nnd_probe(spark) -> None:
             ).alias("embedding"),
         ).localCheckpoint(eager=True)
     nq = qsrc.count()
-    ex2 = {}
+    per_q = {}
     for r in cosine_topk(emb, qsrc.withColumnRenamed(
-            "query_id", "vec_id"), "vec_id", "embedding", k=5).collect():
-        ex2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            "query_id", "vec_id"), "vec_id", "embedding", k=20).collect():
+        per_q.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["neighbor_id"]))
+    ex_q = {q: {nid for _, nid in sorted(v)[:5]}
+            for q, v in per_q.items()}
 
     def serve(label, fn):
         t0 = time.time()
@@ -449,33 +489,30 @@ def nnd_probe(spark) -> None:
             sv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         release_local_checkpoint(served)
         rec5 = float(np.mean([
-            len(sv.get(i, set()) & ex2[i]) / 5 for i in ex2
+            len(sv.get(i, set()) & ex_q[i]) / 5 for i in ex_q
         ]))
         print(f"serve[{label}]: {nq} queries in {t_serve:.1f}s "
               f"({nq / t_serve:.0f} q/s batch) "
               f"recall@5={rec5:.3f}", flush=True)
 
     serve("flat ivf-entry 3hops", lambda: nnd_search(
-        g_ins, emb, qsrc, k=5, beam=8, hops=3,
+        g_full, emb, qsrc, k=5, beam=8, hops=3,
         entry_df=entries_for(qsrc)))
     serve("flat ivf-entry 8hops", lambda: nnd_search(
-        g_ins, emb, qsrc, k=5, beam=8, hops=8,
+        g_full, emb, qsrc, k=5, beam=8, hops=8,
         entry_df=entries_for(qsrc)))
-    # hierarchical (r12): 1/64 sampled coarse layer + its own graph,
-    # per-query coarse winners enter the full graph
-    from training_datawarehouse_spark.operators.nndescent import (
-        nnd_sample_layer, nnd_search_hier,
-    )
+    serve("flat global 8hops", lambda: nnd_search(
+        g_full, emb, qsrc, k=5, beam=8, hops=8))
     t0 = time.time()
     emb1 = nnd_sample_layer(emb, frac=64).localCheckpoint(eager=True)
     n1 = emb1.count()
-    g1 = nnd_graph(emb1, k=8, iters=3)
+    g1 = nnd_graph(emb1, k=kk_best, iters=8)
     t_layer = time.time() - t0
     print(f"coarse layer: {n1} nodes, graph built in {t_layer:.1f}s",
           flush=True)
     serve("hier 6+6hops", lambda: nnd_search_hier(
-        g_ins, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6))
-    for df in (g_ins, g1, emb1, old, new, qsrc, reps, emb):
+        g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6))
+    for df in (g_full, g1, emb1, old, new, qsrc, reps, emb):
         release_local_checkpoint(df)
 
 

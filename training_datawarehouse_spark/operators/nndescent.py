@@ -54,6 +54,18 @@ random init wants), similarities are cosine rounded to 6 dp with ties
 broken by the lower neighbor id, and the iteration count is fixed —
 so a DuckDB oracle re-derives the ENTIRE graph, iteration by
 iteration, and every edge hash-checks.
+
+KNOWN RESOLUTION FLOOR (measured, r12 probe): the 6-dp rounding that
+buys oracle portability also SETS THE SIMILARITY RESOLUTION — on a
+corpus whose true nearest-neighbor cosine gaps fall below 1e-6 (ultra-
+tight clusters), candidates tie at the rounded value, descent reaches
+a rounded-cos optimum early (the local join dries up — observed as
+rounds 4..10 costing almost nothing), and "recall" against UNROUNDED
+ground truth reads ~0 while the graph is exactly optimal under its
+own declared total order (rounded cos DESC, id). Evaluate recall
+under the same total order the operator promises, and for corpora
+with sub-1e-6 structure raise the rounding in production (the oracle
+needs 6 dp; production does not).
 """
 from __future__ import annotations
 
@@ -157,11 +169,15 @@ def _refine(
     incremental insert (seed-merge init) — one loop, two entry
     points.
 
-    ``touched_only`` (the insert path's cost shape, r12 — measured:
-    without it a 10 % insert cost 0.78× of a full build because every
-    refine round still SHUFFLED AND RE-RANKED the n·k edge frame):
+    ``touched_only`` (the insert path's cost shape, r12):
     RESULT-IDENTICAL restriction of each round's work to the batch's
-    neighborhoods. (a) The local join reads only centers carrying at
+    neighborhoods. Measured honestly (SCALE.md r12): the win is
+    asymptotic in the BATCH FRACTION — a 10 % batch over a clustered
+    corpus touches essentially every neighborhood, so the restriction
+    saved little there; at production ingest fractions (≤1 %) the
+    restricted frames are genuinely batch-sized, while without the
+    flag every round shuffles and re-ranks the full n·k edge frame
+    regardless of batch size. (a) The local join reads only centers carrying at
     least one NEW edge — sound because a candidate pair needs a new
     member (``incremental`` required), and a pair's new member puts a
     new edge at its center; centers with all-old edges emit nothing.
@@ -360,7 +376,13 @@ def nnd_insert(
     full rebuild (different trajectory); parity is RECALL parity,
     gate-tested against the exact brute-force lists
     (`test_nndescent.py::test_insert_recall_parity_vs_rebuild`) and
-    measured at the 200 k probe (`tools/scale100x.py --nnd-insert`).
+    measured at the 200 k probe (`tools/scale100x.py --nnd-insert`),
+    where the seeded-and-refined new-node lists came out NEAR-OPTIMAL
+    (similarity ratio 0.987 vs the exact top-8) while a same-budget
+    full rebuild's were not (0.806) — at scale the insert path is the
+    quality winner, and its cost scales with the batch (seeding
+    dominates), so amortization holds for ingest-sized fractions
+    (SCALE.md r12 for the full table).
 
     Returns the merged (src, dst, cos) graph over old ∪ new ids as an
     eager checkpoint (caller releases)."""
