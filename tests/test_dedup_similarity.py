@@ -1222,3 +1222,68 @@ def test_kmv_sketch_estimates_and_set_ops(spark):
     # disjoint audiences: zero shared sketch values -> estimate 0
     d = out[("kmv_int", "big|small")]
     assert d["n"] == 0 and d["n_users"] == 0
+
+
+def test_bloom_probe_flags_planted_overlap(spark):
+    """Bloom decontamination (r12): a planted eval 5-gram run must be
+    flagged (Bloom filters have NO false negatives — every exact hit is
+    a bloom hit), and n_bloom_hits >= the exact shared-gram count."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta epsilon zeta closing"),
+            (3, "entirely different tokens about spark shuffle partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(900, eval_text)],
+                                  "doc_id long, text string")
+    bloom = dd.bloom_build(evals, "doc_id", "text", n=5)
+    out = {r["doc_id"]: r
+           for r in dd.bloom_probe(train, "doc_id", "text", bloom,
+                                   n=5).collect()}
+    # doc 1 shares exactly 2 distinct 5-grams with the eval doc
+    assert out[1]["n_bloom_hits"] >= 2
+    assert out[1]["n_grams"] == 6
+    # doc 3 shares nothing; with 4 eval grams in a 65536-bit filter a
+    # false positive would need a 4-way md5 collision (deterministic —
+    # this pins the expected-clean outcome, not a probability)
+    assert out[3]["n_bloom_hits"] == 0
+
+
+def test_bloom_probe_is_map_only(spark):
+    """The probe must not shuffle the corpus: the one-row bitmap rides
+    a broadcast nested-loop join and the whole bit test runs in a
+    projection — no sort-merge join, no corpus-side aggregation."""
+    docs = spark.createDataFrame(
+        [(i, f"token{i} one two three four five six seven") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bloom = dd.bloom_build(docs.limit(2), "doc_id", "text", n=5)
+    plan = (
+        dd.bloom_probe(docs, "doc_id", "text", bloom, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_partition_invariance(spark):
+    """Same filter + same counts under any input partitioning (the
+    build is distinct→bit_or — both order-insensitive)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    a = dd.bloom_probe(tr, "doc_id", "text",
+                       dd.bloom_build(ev, "doc_id", "text", n=5), n=5)
+    b = dd.bloom_probe(tr.repartition(7), "doc_id", "text",
+                       dd.bloom_build(ev.repartition(5), "doc_id", "text",
+                                      n=5), n=5)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert any(r[2] > 0 for r in ra)  # overlap actually present

@@ -895,3 +895,124 @@ def dup_span_coverage(
             F.coalesce("dup_span_frac", F.lit(0.0)).alias("dup_span_frac"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Bloom-filter decontamination — the map-only scale path of
+# ``contamination_pairs``.
+#
+# The pairwise path materializes one row per (train gram hit) and
+# shuffles them into per-pair counts; at 100 TB that is still the right
+# tool for the REPORT (which eval doc leaked where), but the ADMISSION
+# decision ("does this train doc overlap the benchmark at all?") only
+# needs a membership test. A Bloom filter over the eval set's distinct
+# n-grams is a few KB..MB regardless of corpus size, broadcasts to
+# every executor, and turns the decision into a pure projection over
+# the corpus scan: no join, no shuffle, no eval-side re-read —
+# one-sided error only (no false negatives, tunable false positives).
+#
+# Portable hash family: the K bit positions per gram are K disjoint
+# 8-hex-char slices of ONE md5(gram) reduced mod M — the same
+# md5-slice discipline as the portable minhash family above, so the
+# DuckDB oracle re-derives the filter AND the probe bit-for-bit
+# (verified: Spark conv(substring(md5 ..),16,10) == DuckDB
+# ('0x'||substr(md5 ..))::BIGINT on shared inputs). Words pack 32 bits
+# each (masks stay below 2^31: no sign-bit divergence in any engine).
+
+BLOOM_M = 65_536          # filter bits
+BLOOM_WORD_BITS = 32      # bits packed per array element
+BLOOM_WORDS = BLOOM_M // BLOOM_WORD_BITS
+BLOOM_K = 4               # hash functions = disjoint md5 hex slices
+
+
+def _bloom_pos_sql(h: str, i: int) -> str:
+    """Spark-SQL expression: bit position i (0-based) for md5 hex ``h``."""
+    return (
+        f"CAST(conv(substring({h}, {1 + 8 * i}, 8), 16, 10) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+def bloom_build(
+    eval_docs: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Build the Bloom bitmap over the eval set's distinct word
+    n-grams. Returns a ONE-ROW DataFrame with column ``words``:
+    ``array<bigint>`` of length ``BLOOM_WORDS`` (32 bits per word).
+
+    Scale shape: the eval side is benchmark data (MBs); its gram
+    stream reduces to ≤ M distinct bit positions, then to
+    ``BLOOM_WORDS`` packed words via ``bit_or`` — every step is a
+    shrinking aggregation, and the result is a broadcast payload of
+    fixed size chosen by M, independent of corpus size."""
+    g = (
+        _gram_stream(eval_docs, id_col, text_col, n)
+        .select("__gram").distinct()
+    )
+    pos = g.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql("md5(__gram)", i))
+                      for i in range(BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    words = (
+        pos.select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("long").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    spine = eval_docs.sparkSession.range(BLOOM_WORDS).select(
+        F.col("id").alias("w")
+    )
+    return (
+        spine.join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .agg(F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("s"))
+        .select(F.expr("transform(s, x -> x.bits)").alias("words"))
+    )
+
+
+def bloom_probe(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bloom: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Probe every document's distinct word n-grams against a
+    ``bloom_build`` bitmap. Returns (id_col, n_grams, n_bloom_hits)
+    — ``n_bloom_hits`` counts grams whose ``BLOOM_K`` bit tests all
+    pass (a superset of true eval-set membership: Bloom filters have
+    no false negatives).
+
+    Plan shape: ``crossJoin(broadcast(bloom))`` pins the one-row
+    bitmap to every task, then the whole probe — md5, K slice/mod
+    positions, word lookup, shift, mask, count — runs inside a single
+    codegen'd projection over the corpus scan. No shuffle touches the
+    corpus; the operator is embarrassingly scan-parallel at any scale.
+    """
+    tests = " AND ".join(
+        f"(shiftright(element_at(words, "
+        f"CAST({_bloom_pos_sql('h', i)} DIV {BLOOM_WORD_BITS} AS INT) + 1), "
+        f"CAST({_bloom_pos_sql('h', i)} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("__gs"),
+    )
+    return (
+        base.join(F.broadcast(bloom))
+        .select(
+            id_col,
+            F.size("__gs").alias("n_grams"),
+            F.expr(
+                f"size(filter(transform(__gs, g -> md5(g)), h -> {tests}))"
+            ).cast("long").alias("n_bloom_hits"),
+        )
+    )

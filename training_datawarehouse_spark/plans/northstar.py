@@ -850,6 +850,16 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       train/eval-overlap guard every corpus release runs. id_a = train
       doc, id_b = eval doc, jaccard = shared fraction of the train
       doc's grams, n_members = shared distinct-gram count.
+    - 'bloom' (r12): the MAP-ONLY scale path of 'contam' — a Bloom
+      filter (M=65536 bits, K=4 md5-slice hashes, ``dedup.bloom_build``)
+      over the eval set's distinct 5-grams, broadcast and probed in a
+      pure projection over the train scan (``dedup.bloom_probe``); the
+      corpus never shuffles for the decision. One row per train doc the
+      filter flags: id_a = train doc, id_b = its EXACT shared-gram
+      count (0 for a pure false positive — the one-sided-error contract
+      measured in-band), jaccard = flagged fraction of the doc's grams,
+      n_members = flagged gram count. Bloom hits ⊇ exact hits by
+      construction; the oracle re-derives filter AND probe bit-for-bit.
 
     ``pairs`` is localCheckpointed once and feeds the three dedup
     stages, so the quadratic verification runs exactly once; 'contam'
@@ -862,9 +872,37 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dd.connected_components(pairs)
     surv = dd.resolve_near_duplicates(docs, pairs, components=comp)
     label = tx.train_val_test_split(F.col("doc_id"))
+    train_docs = docs.filter(label == "train")
+    eval_docs = docs.filter(label != "train")
     contam = dd.contamination_pairs(
-        docs.filter(label == "train"), docs.filter(label != "train"),
-        "doc_id", "text", n=5,
+        train_docs, eval_docs, "doc_id", "text", n=5,
+    )
+    bloom = dd.bloom_build(eval_docs, "doc_id", "text", n=5)
+    bprobe = dd.bloom_probe(train_docs, "doc_id", "text", bloom, n=5)
+    ev_grams = (
+        eval_docs.select(
+            F.explode(dd.word_shingles(F.col("text"), 5)).alias("g")
+        ).distinct()
+    )
+    bexact = (
+        train_docs.select(
+            "doc_id", F.explode(dd.word_shingles(F.col("text"), 5)).alias("g")
+        )
+        .join(F.broadcast(ev_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    bloom_rows = (
+        bprobe.filter(F.col("n_bloom_hits") > 0)
+        .join(bexact, "doc_id", "left")
+        .select(
+            F.lit("bloom").alias("stage"),
+            F.col("doc_id").alias("id_a"),
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("id_b"),
+            F.round(F.col("n_bloom_hits") / F.col("n_grams"), 6)
+            .alias("jaccard"),
+            F.col("n_bloom_hits").alias("n_members"),
+        )
     )
     nul = lambda: F.lit(None).cast("double")  # noqa: E731
     p = pairs.select(
@@ -886,7 +924,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("train_id").alias("id_a"), F.col("eval_id").alias("id_b"),
         F.col("overlap").alias("jaccard"), F.col("n_shared").alias("n_members"),
     )
-    return p.unionByName(c).unionByName(s).unionByName(x)
+    return (
+        p.unionByName(c).unionByName(s).unionByName(x)
+        .unionByName(bloom_rows)
+    )
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -952,6 +993,56 @@ contam AS (
   JOIN g5 ev ON ev.gram = tr.gram
   JOIN lbl le ON le.doc_id = ev.doc_id AND le.is_eval
   GROUP BY 1, 2
+),
+-- bloom stage: the filter (M=65536 bits / 2048 32-bit words, K=4
+-- disjoint md5-hex-slice hashes) and the probe, re-derived bit-for-bit
+evg AS (
+  SELECT DISTINCT gram FROM g5
+  JOIN lbl ON lbl.doc_id = g5.doc_id AND lbl.is_eval
+),
+bpos AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([('0x'||substr(md5(gram),1,8))::BIGINT % 65536,
+                   ('0x'||substr(md5(gram),9,8))::BIGINT % 65536,
+                   ('0x'||substr(md5(gram),17,8))::BIGINT % 65536,
+                   ('0x'||substr(md5(gram),25,8))::BIGINT % 65536]) AS p
+    FROM evg)
+),
+bwords AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+barr AS (
+  SELECT list(COALESCE(bits, 0) ORDER BY s.w) AS words
+  FROM range(0, 2048) s(w) LEFT JOIN bwords ON bwords.w = s.w
+),
+trl AS (
+  SELECT g5.doc_id, list(md5(gram)) AS hs, count(*) AS n_g FROM g5
+  JOIN lbl ON lbl.doc_id = g5.doc_id AND NOT lbl.is_eval
+  GROUP BY 1
+),
+bprobe AS (
+  SELECT doc_id, n_g,
+    len(list_filter(hs, h ->
+      ((words[CAST((('0x'||substr(h,1,8))::BIGINT % 65536) // 32 AS INT) + 1]
+        >> CAST((('0x'||substr(h,1,8))::BIGINT % 65536) % 32 AS INT)) & 1) = 1
+      AND
+      ((words[CAST((('0x'||substr(h,9,8))::BIGINT % 65536) // 32 AS INT) + 1]
+        >> CAST((('0x'||substr(h,9,8))::BIGINT % 65536) % 32 AS INT)) & 1) = 1
+      AND
+      ((words[CAST((('0x'||substr(h,17,8))::BIGINT % 65536) // 32 AS INT) + 1]
+        >> CAST((('0x'||substr(h,17,8))::BIGINT % 65536) % 32 AS INT)) & 1) = 1
+      AND
+      ((words[CAST((('0x'||substr(h,25,8))::BIGINT % 65536) // 32 AS INT) + 1]
+        >> CAST((('0x'||substr(h,25,8))::BIGINT % 65536) % 32 AS INT)) & 1) = 1
+    )) AS n_hits
+  FROM trl, barr
+),
+bexact AS (
+  SELECT g5.doc_id, count(*) AS n_exact FROM g5
+  JOIN lbl ON lbl.doc_id = g5.doc_id AND NOT lbl.is_eval
+  JOIN evg ON evg.gram = g5.gram
+  GROUP BY 1
 )
 SELECT 'pairs' AS stage, id_a, id_b, jaccard, NULL::BIGINT AS n_members
 FROM pairs
@@ -962,6 +1053,11 @@ SELECT 'survivor', survivor, component, NULL, n_members FROM surv
 UNION ALL
 SELECT 'contam', train_id, eval_id, round(n_shared / s.n_g, 6), n_shared
 FROM contam JOIN g5sizes s ON s.doc_id = train_id
+UNION ALL
+SELECT 'bloom', p.doc_id, COALESCE(e.n_exact, 0),
+       round(p.n_hits / p.n_g, 6), p.n_hits
+FROM bprobe p LEFT JOIN bexact e ON e.doc_id = p.doc_id
+WHERE p.n_hits > 0
 """
 
 
