@@ -24,6 +24,7 @@ from ..operators import sampling
 from ..operators import sharding
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import graph as gr
 from ..operators import nndescent as nnd_op
 from ..operators import video as vd
 from ..operators import wordpiece as wpc
@@ -254,6 +255,34 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cm = tx.c4_measurements(c4_text)
 
+    # r12 link-graph centrality stage (operators/graph.py): the corpus
+    # carries no hyperlinks, so — the PII-stage pattern — a
+    # deterministic synthetic link graph is derived from doc_id alone:
+    # each doc gets (doc_id % 4) out-slots, slot j targeting
+    # md5(doc_id||'#'||j) % N (self-loops/dups dropped by the
+    # operator; %4==0 docs are dangling). Fixed-point integer PageRank
+    # (5 iterations, d=0.85, SCALE=1e12) is bit-exact in both engines —
+    # no float agg, no rounding contract. pr_rank is the document's
+    # link-quality prior in 1e-12 units.
+    cntd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    edges = (
+        docs.select("doc_id").crossJoin(F.broadcast(cntd))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.expr(
+                "CASE WHEN doc_id % 4 = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+                "ELSE transform(sequence(0, CAST(doc_id % 4 AS INT) - 1), "
+                "j -> CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+                " '#', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % n_docs) END"
+            )).alias("dst"),
+        )
+    )
+    pr = gr.pagerank_fixed(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        iterations=5, damping_pct=85,
+    )
+
     out = docs.select(
         "doc_id",
         lp.alias("lang_pred"),
@@ -279,7 +308,65 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "url_dups",
         F.count(F.lit(1)).over(Window.partitionBy("url_norm")),
-    )
+    ).join(pr, "doc_id")
+
+
+def _pagerank_oracle(iterations: int = 5, d: int = 85,
+                     scale: int = 10**12) -> str:
+    """DuckDB twin of the lang_quality PageRank stage: the same
+    deterministic link-graph synthesis and the same integer recurrence,
+    unrolled to ``iterations`` CTE generations. Pure BIGINT arithmetic
+    (``//`` == Spark ``DIV`` for non-negative operands) — bit-exact, no
+    float column anywhere."""
+    dd = 100
+    its = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        its.append(f"""
+prdang{k} AS (
+  SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dang FROM pr{p}
+  LEFT JOIN prdeg ON pr{p}.node = prdeg.src WHERE deg IS NULL
+),
+prin{k} AS (
+  SELECT e.dst, CAST(sum({d} * p.r // ({dd} * g.deg)) AS BIGINT) AS inmass
+  FROM pred e
+  JOIN pr{p} p ON p.node = e.src
+  JOIN prdeg g ON g.src = e.src
+  GROUP BY 1
+),
+pr{k} AS (
+  SELECT n0.node,
+         CAST(({dd - d} * {scale}) // ({dd} * nn.n_docs)
+         + {d} * dk.dang // ({dd} * nn.n_docs)
+         + COALESCE(c.inmass, 0) AS BIGINT) AS r
+  FROM pr0 n0
+  LEFT JOIN prin{k} c ON c.dst = n0.node
+  CROSS JOIN prn nn
+  CROSS JOIN prdang{k} dk
+)""")
+    return f"""
+WITH prn AS (SELECT count(*) AS n_docs FROM documents),
+pre_raw AS (
+  SELECT d.doc_id AS src,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || j::VARCHAR), 1, 8)
+         )::BIGINT % n.n_docs AS dst
+  FROM documents d, prn n, range(0, 3) t(j)
+  WHERE j < d.doc_id % 4
+),
+pred AS (SELECT DISTINCT src, dst FROM pre_raw WHERE src != dst),
+prdeg AS (SELECT src, count(*) AS deg FROM pred GROUP BY 1),
+prind AS (SELECT dst, count(*) AS ind FROM pred GROUP BY 1),
+pr0 AS (
+  SELECT doc_id AS node, CAST({scale} // n.n_docs AS BIGINT) AS r
+  FROM documents, prn n
+),{','.join(its)}
+SELECT p.node AS doc_id, p.r AS pr_rank,
+       COALESCE(g.deg, 0) AS pr_out_deg,
+       COALESCE(i.ind, 0) AS pr_in_deg
+FROM pr{iterations} p
+LEFT JOIN prdeg g ON g.src = p.node
+LEFT JOIN prind i ON i.dst = p.node
+"""
 
 
 _SW_EN = "('the','and','of','to','in','is','that','it','was','for')"
@@ -345,12 +432,14 @@ SELECT sw.*, cg.lang_pred AS lang_pred_ngram, cg.n_en, cg.n_fr, cg.n_de,
        cq.c4_has_brace, cq.c4_drop,
        p.n_emails, p.n_urls, p.n_phones, p.clean_fp,
        ud.url_host, ud.url_domain, ud.url_path_depth, ud.n_tracking,
-       ud.url_norm, ud.url_dups
+       ud.url_norm, ud.url_dups,
+       prq.pr_rank, prq.pr_out_deg, prq.pr_in_deg
 FROM sw JOIN ({{CHAR_NGRAM}}) cg USING (doc_id)
 JOIN (@@GOPHER@@) gq USING (doc_id)
 JOIN (@@C4@@) cq USING (doc_id)
 JOIN (@@PII@@) p USING (doc_id)
 JOIN ud USING (doc_id)
+JOIN (@@PAGERANK@@) prq USING (doc_id)
 """
 
 # PII stage oracle: identical dirty-text derivation + the same three
@@ -583,7 +672,8 @@ FROM cx
 LANG_QUALITY_ORACLE = LANG_QUALITY_ORACLE.format(
     CHAR_NGRAM=LANG_CHAR_NGRAM_ORACLE
 ).replace("@@PII@@", _PII_ORACLE).replace(
-    "@@GOPHER@@", _GOPHER_ORACLE).replace("@@C4@@", _C4_ORACLE)
+    "@@GOPHER@@", _GOPHER_ORACLE).replace("@@C4@@", _C4_ORACLE).replace(
+    "@@PAGERANK@@", _pagerank_oracle())
 
 
 # ------------------------------------------------------- fingerprint
