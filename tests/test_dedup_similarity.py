@@ -1287,3 +1287,25 @@ def test_bloom_partition_invariance(spark):
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
     assert any(r[2] > 0 for r in ra)  # overlap actually present
+
+
+def test_bloom_probe_lit_matches_join_form(spark):
+    """The literal-bitmap production seam is bit-identical to the
+    registry's join form (same filter, same counts)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 5 + j) % 19}" for j in range(11)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") % 4 == 0)
+    tr = docs.filter(F.col("doc_id") % 4 != 0)
+    bloom = dd.bloom_build(ev, "doc_id", "text", n=5)
+    words = list(bloom.collect()[0]["words"])
+    a = sorted(map(tuple, dd.bloom_probe(
+        tr, "doc_id", "text",
+        spark.createDataFrame([(words,)], "words array<bigint>"),
+        n=5).collect()))
+    b = sorted(map(tuple, dd.bloom_probe_lit(
+        tr, "doc_id", "text", words, n=5).collect()))
+    assert a == b
+    assert any(r[2] > 0 for r in b)

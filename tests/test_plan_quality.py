@@ -198,7 +198,11 @@ SHUFFLE_BUDGET = {
     # broadcast; the merge-training pair/symbol-count jobs run at
     # build time on the driver fast path).
     "ns_text_profile": 10,
-    "ns_lang_quality": 1,
+    # r12: +2 for the PageRank stage — the iteration chain itself is
+    # checkpointed at build time (the KMV discipline), so the final
+    # plan pays only the out/in-degree groupBys over the checkpointed
+    # edge set; the rank join-back rides the doc_id sort-merge.
+    "ns_lang_quality": 3,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,
     # family: splits/sampling — threshold path scan-only; quota branch
@@ -294,6 +298,12 @@ def test_no_cartesian_and_nested_loops_only_where_bounded(plans):
         "op_stream_windows_batch",   # funnel step-1 denominator: 1-row cross
         "op_stream_e2e",             # r9 sfunnel stage: same 1-row
                                      # step-1 denominator cross
+        "ns_ngram_jaccard",          # r12 bloom stage: 1-row bitmap
+                                     # broadcast cross (the map-only
+                                     # probe's designed shape)
+        "ns_lang_quality",           # r12 pagerank: 1-row n_docs +
+                                     # per-iteration dangling-sum
+                                     # broadcast crosses
     }
     offenders = [
         n for n, p in plans.items()

@@ -925,33 +925,39 @@ BLOOM_WORDS = BLOOM_M // BLOOM_WORD_BITS
 BLOOM_K = 4               # hash functions = disjoint md5 hex slices
 
 
-def _bloom_pos_sql(h: str, i: int) -> str:
+def _bloom_pos_sql(h: str, i: int, m_bits: int = BLOOM_M) -> str:
     """Spark-SQL expression: bit position i (0-based) for md5 hex ``h``."""
     return (
         f"CAST(conv(substring({h}, {1 + 8 * i}, 8), 16, 10) AS BIGINT)"
-        f" % {BLOOM_M}"
+        f" % {m_bits}"
     )
 
 
 def bloom_build(
-    eval_docs: DataFrame, id_col: str, text_col: str, n: int = 5
+    eval_docs: DataFrame, id_col: str, text_col: str, n: int = 5,
+    m_bits: int = BLOOM_M,
 ) -> DataFrame:
     """Build the Bloom bitmap over the eval set's distinct word
     n-grams. Returns a ONE-ROW DataFrame with column ``words``:
-    ``array<bigint>`` of length ``BLOOM_WORDS`` (32 bits per word).
+    ``array<bigint>`` of length ``m_bits / 32`` (32 bits per word).
 
     Scale shape: the eval side is benchmark data (MBs); its gram
-    stream reduces to ≤ M distinct bit positions, then to
-    ``BLOOM_WORDS`` packed words via ``bit_or`` — every step is a
-    shrinking aggregation, and the result is a broadcast payload of
-    fixed size chosen by M, independent of corpus size."""
+    stream reduces to ≤ M distinct bit positions, then to packed
+    words via ``bit_or`` — every step is a shrinking aggregation, and
+    the result is a broadcast payload of fixed size chosen by M,
+    independent of corpus size. SIZE M TO THE EVAL SET: with K=4,
+    fp ≈ (1 - e^(-K·n_grams/M))^K — M ≈ 16·n_grams gives ~2e-3;
+    the registry default (65536) suits the sf-scale fixture, a real
+    benchmark suite wants 2^23+ (still ~1 MB broadcast)."""
+    if m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError("m_bits must be a multiple of 32")
     g = (
         _gram_stream(eval_docs, id_col, text_col, n)
         .select("__gram").distinct()
     )
     pos = g.select(
         F.explode(
-            F.array(*[F.expr(_bloom_pos_sql("md5(__gram)", i))
+            F.array(*[F.expr(_bloom_pos_sql("md5(__gram)", i, m_bits))
                       for i in range(BLOOM_K)])
         ).alias("p")
     ).distinct()
@@ -966,7 +972,7 @@ def bloom_build(
         .groupBy("w")
         .agg(F.bit_or("m").alias("bits"))
     )
-    spine = eval_docs.sparkSession.range(BLOOM_WORDS).select(
+    spine = eval_docs.sparkSession.range(m_bits // BLOOM_WORD_BITS).select(
         F.col("id").alias("w")
     )
     return (
@@ -983,6 +989,7 @@ def bloom_probe(
     text_col: str,
     bloom: DataFrame,
     n: int = 5,
+    m_bits: int = BLOOM_M,
 ) -> DataFrame:
     """Probe every document's distinct word n-grams against a
     ``bloom_build`` bitmap. Returns (id_col, n_grams, n_bloom_hits)
@@ -998,8 +1005,10 @@ def bloom_probe(
     """
     tests = " AND ".join(
         f"(shiftright(element_at(words, "
-        f"CAST({_bloom_pos_sql('h', i)} DIV {BLOOM_WORD_BITS} AS INT) + 1), "
-        f"CAST({_bloom_pos_sql('h', i)} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+        f"CAST({_bloom_pos_sql('h', i, m_bits)} DIV {BLOOM_WORD_BITS} AS INT)"
+        f" + 1), "
+        f"CAST({_bloom_pos_sql('h', i, m_bits)} % {BLOOM_WORD_BITS} AS INT))"
+        f" & 1) = 1"
         for i in range(BLOOM_K)
     )
     base = docs.select(
@@ -1015,4 +1024,64 @@ def bloom_probe(
                 f"size(filter(transform(__gs, g -> md5(g)), h -> {tests}))"
             ).cast("long").alias("n_bloom_hits"),
         )
+    )
+
+
+def bloom_probe_lit(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: list,
+    n: int = 5,
+    m_bits: int = BLOOM_M,
+) -> DataFrame:
+    """``bloom_probe`` with the bitmap riding the EXPRESSION TREE as an
+    array literal (one constant per task) instead of a joined column.
+
+    Why it exists (measured, 100× probe): the join variant concatenates
+    the build row into every probe row, so a large bitmap is copied
+    per ROW — at m=2^23 (256 k longs, ~2 MB) that took the 500 k-doc
+    probe from 6 s to 36 s while the m=65536 bitmap showed no cost.
+    Embedding the bitmap as a ``lit`` array keeps it a per-task
+    constant; the registry keeps the join form (tiny M, fully lazy —
+    no driver action inside the plan builder), production probes with
+    benchmark-suite-sized filters take this seam:
+    ``bloom_probe_lit(docs, ..., bloom_build(...).collect()[0]["words"],
+    m_bits=...)``. Semantics are identical bit-for-bit (pytest parity).
+    """
+    from functools import reduce
+
+    lw = F.lit([int(w) for w in words])
+
+    def pos(h, i):
+        return (
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % m_bits
+        )
+
+    def test(h, i):
+        p = pos(h, i)
+        word = F.element_at(lw, (p / BLOOM_WORD_BITS).cast("int") + 1)
+        return (
+            F.call_function(
+                "shiftright", word, (p % BLOOM_WORD_BITS).cast("int")
+            ).bitwiseAND(F.lit(1)) == 1
+        )
+
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("__gs"),
+    )
+    return base.select(
+        id_col,
+        F.size("__gs").alias("n_grams"),
+        F.size(
+            F.filter(
+                F.transform("__gs", lambda g: F.md5(g)),
+                lambda h: reduce(
+                    lambda a, b: a & b,
+                    [test(h, i) for i in range(BLOOM_K)],
+                ),
+            )
+        ).cast("long").alias("n_bloom_hits"),
     )
