@@ -817,6 +817,53 @@ def graph_probe(spark) -> None:
               f"mass {stats['mass']/gr.PR_SCALE:.6f}  "
               f"max {stats['mx']/gr.PR_SCALE:.2e}", flush=True)
 
+    # warm-start maintenance study: grow the graph 10 % (new nodes wire
+    # by the same md5 rule against the GROWN N; old edges unchanged —
+    # production graphs don't re-wire on ingest), then compare cold
+    # restarts vs warm starts from the OLD graph's 5-iteration ranks
+    # against a 20-iteration converged reference on the grown graph.
+    n_new = n_docs // 10
+    newnodes = spark.range(n_docs, n_docs + n_new).select(
+        F.col("id").alias("doc_id"))
+    allnodes = docs.select("doc_id").unionByName(newnodes)
+    new_edges = newnodes.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+            "ELSE transform(sequence(0, CAST(doc_id % 4 AS INT) - 1), "
+            "j -> CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+            " '#', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {n_docs + n_new}) END"
+        )).alias("dst"),
+    )
+    grown = edges.unionByName(new_edges).localCheckpoint(eager=True)
+    prev = gr.pagerank_fixed(docs.select("doc_id"), edges,
+                             node_col="doc_id", iterations=5
+                             ).localCheckpoint(eager=True)
+    ref = gr.pagerank_fixed(allnodes, grown, node_col="doc_id",
+                            iterations=20
+                            ).select("doc_id", F.col("pr_rank").alias("ref")
+                                     ).localCheckpoint(eager=True)
+
+    def l1(pr_df):
+        return (pr_df.join(ref, "doc_id")
+                .agg(F.sum(F.abs(F.col("pr_rank") - F.col("ref"))))
+                .collect()[0][0] / gr.PR_SCALE)
+
+    cases = (("cold2", 2, None, False), ("cold5", 5, None, False),
+             ("warm1", 1, prev, False), ("warm2", 2, prev, False),
+             ("warm3", 3, prev, False),
+             ("warm1n", 1, prev, True), ("warm2n", 2, prev, True),
+             ("warm3n", 3, prev, True))
+    for lbl, iters, init, renorm in cases:
+        t0 = time.time()
+        pr = gr.pagerank_fixed(allnodes, grown, node_col="doc_id",
+                               iterations=iters, init_ranks=init,
+                               renormalize_init=renorm)
+        dist = l1(pr)
+        print(f"pr-maint {lbl}: {time.time() - t0:6.1f}s  "
+              f"L1-to-converged {dist:.6f}", flush=True)
+
 
 def _time_noop(df) -> float:
     best = float("inf")
