@@ -268,3 +268,35 @@ def test_admission_serves_media_phash_bands(spark, tmp_path):
     # collide with the batch-0 state; docs 0 and 1 admitted
     assert got[10] == {0}
     assert got[0] == {None} and got[1] == {None}
+
+
+def test_stream_bloomgate_matches_batch_probe(spark):
+    """The streaming decontamination gate is stateless, so its
+    decisions must equal the batch bloom probe on the same corpus —
+    micro-batching can have no effect."""
+    from pyspark.sql import functions as F
+
+    from training_datawarehouse_spark.operators import dedup as dd
+    from training_datawarehouse_spark.operators import text as tx
+    from training_datawarehouse_spark.plans.relational import (
+        stream_bloomgate_e2e,
+    )
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["k1"]: (r["k2"], r["n"])
+           for r in stream_bloomgate_e2e(spark, sf).collect()}
+
+    docs = load_table(spark, sf, "documents")
+    label = tx.train_val_test_split(F.col("doc_id"))
+    words = list(dd.bloom_build(docs.filter(label != "train"),
+                                "doc_id", "text", n=5)
+                 .collect()[0]["words"])
+    batch = dd.bloom_probe_lit(docs.filter(label == "train"),
+                               "doc_id", "text", words, n=5)
+    want = {str(r["doc_id"]): ("reject" if r["n_bloom_hits"] > 0
+                               else "admit", r["n_bloom_hits"])
+            for r in batch.filter(F.col("n_grams") >= 1).collect()}
+    assert got == want
+    assert any(v[0] == "reject" for v in want.values())
+    assert any(v[0] == "admit" for v in want.values())

@@ -1135,10 +1135,14 @@ def stream_e2e_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqk = stream_qsk_e2e(spark, sf_dir).select(
         F.lit("sqsk").alias("stage"), "k1", "k2", "n", "v",
     )
+    bgt = stream_bloomgate_e2e(spark, sf_dir).select(
+        F.lit("bgate").alias("stage"), "k1", "k2", "n", "v",
+    )
     return (
         win.unionByName(join).unionByName(st)
         .unionByName(late).unionByName(ddp).unionByName(sfn)
         .unionByName(skv).unionByName(adm).unionByName(sqk)
+        .unionByName(bgt)
     )
 
 
@@ -1180,6 +1184,7 @@ def _stream_e2e_dual_oracle() -> str:
 WITH win AS ({TUMBLING_ORACLE}),
 ssj AS ({RANGE_JOIN_ORACLE}),
 {_neardup_admission_oracle().strip()},
+{_bloomgate_oracle_ctes().strip()},
 {_funnel.funnel_oracle_ctes(FUNNEL_STEPS, FUNNEL_WITHIN_DAYS)}
 SELECT 'windows' AS stage,
        strftime(window_start, '%Y-%m-%d %H:%M:%S') AS k1,
@@ -1286,7 +1291,164 @@ SELECT 'admit', CAST(did AS VARCHAR), CAST(min(bmid) AS VARCHAR),
        count(bmid),
        CASE WHEN count(bmid) = 0 THEN 1.0 ELSE 0.0 END
 FROM adm_m GROUP BY did
+UNION ALL
+-- bgate (r12): the streaming decontamination gate is STATELESS, so
+-- batching cannot change decisions — the batch re-derivation of the
+-- bloom filter + probe (bg_* CTEs) IS the per-doc decision oracle
+SELECT 'bgate', CAST(doc_id AS VARCHAR),
+       CASE WHEN n_hits > 0 THEN 'reject' ELSE 'admit' END,
+       n_hits, round(n_hits / n_g, 6)
+FROM bg_probe
 """
+
+
+def stream_bloomgate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark-decontamination gate ('bgate' stage, r12 —
+    the deployment composition of the ``ns_ngram_jaccard`` bloom
+    stage): the Bloom bitmap (M=65536, K=4 md5-slice hashes,
+    ``dedup.bloom_build``) is trained BATCH-side over the eval split's
+    distinct word-5-grams and collected ONCE; the document stream then
+    gates incoming train-split docs with ``dedup.bloom_probe_lit`` — a
+    STATELESS codegen'd projection (the bitmap rides the expression
+    tree as a literal), i.e. the filter-before-store ingest gate every
+    corpus release runs, with zero state store and per-micro-batch
+    cost equal to the scan. Two mtime-ordered parquet micro-batches
+    (``maxFilesPerTrigger=1``) prove per-batch operation; because the
+    gate is stateless, batching cannot change decisions — the batch
+    SQL oracle re-derives filter AND probe bit-for-bit, so the
+    admission decisions hash-check as values.
+
+    Emitted per train doc carrying ≥1 five-gram: k2 = 'reject' if any
+    gram bloom-flags else 'admit', n = flagged-gram count, v =
+    round(flagged fraction, 6)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as papq
+
+    from ..operators import dedup as dd
+    from ..operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = tx.train_val_test_split(F.col("doc_id"))
+    words = list(
+        dd.bloom_build(docs.filter(label != "train"), "doc_id", "text",
+                       n=5).collect()[0]["words"]
+    )
+
+    name = f"op_stream_bgate_sink_{next(_STREAM_SEQ)}"
+    work = tempfile.mkdtemp(prefix="stream_bgate_")
+    try:
+        src = os.path.join(work, "src")
+        os.mkdir(src)
+        t = papq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+        half = t.num_rows // 2
+        p0 = os.path.join(src, "part0.parquet")
+        p1 = os.path.join(src, "part1.parquet")
+        papq.write_table(t.slice(0, half), p0)
+        papq.write_table(t.slice(half), p1)
+        now = os.stat(p1).st_mtime
+        os.utime(p0, (now - 10, now - 10))
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ])
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        tr = raw.filter(
+            tx.train_val_test_split(F.col("doc_id")) == "train"
+        ).select("doc_id", "text")
+        gated = dd.bloom_probe_lit(tr, "doc_id", "text", words, n=5).filter(
+            F.col("n_grams") >= 1
+        )
+        q = (
+            gated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming bloom gate drain did not finish within 300 s "
+                f"(query {name!r}); memory sink would be partial"
+            )
+        q.stop()
+        out = spark.table(name)
+        return out.select(
+            F.col("doc_id").cast("string").alias("k1"),
+            F.when(F.col("n_bloom_hits") > 0, F.lit("reject"))
+            .otherwise(F.lit("admit")).alias("k2"),
+            F.col("n_bloom_hits").alias("n"),
+            F.round(F.col("n_bloom_hits") / F.col("n_grams"), 6).alias("v"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _bloomgate_oracle_ctes() -> str:
+    """Batch SQL twin of the streaming bloom gate: re-derives the eval
+    split (b0(md5(doc_id)) buckets, ``text.train_val_test_split``'s SQL
+    form), the 65536-bit/4-hash filter, and the per-train-doc probe —
+    the same md5-slice arithmetic as the ``ns_ngram_jaccard`` bloom
+    stage oracle, prefixed ``bg_`` so it composes into
+    ``_stream_e2e_dual_oracle``."""
+    b0 = ("((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1))"
+          " - 1) * 16 + strpos('0123456789abcdef',"
+          " substr(md5(doc_id::VARCHAR), 2, 1)) - 1)")
+    test = " AND ".join(
+        f"((words[CAST((('0x'||substr(h,{1 + 8 * i},8))::BIGINT % 65536)"
+        f" // 32 AS INT) + 1]"
+        f" >> CAST((('0x'||substr(h,{1 + 8 * i},8))::BIGINT % 65536) % 32"
+        f" AS INT)) & 1) = 1"
+        for i in range(4)
+    )
+    return f"""
+bg_t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         {b0} % 256 < 26 AS is_eval
+  FROM documents
+),
+bg_g AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+  FROM bg_t WHERE len(toks) >= 5
+),
+bg_pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([('0x'||substr(md5(gram),1,8))::BIGINT % 65536,
+                   ('0x'||substr(md5(gram),9,8))::BIGINT % 65536,
+                   ('0x'||substr(md5(gram),17,8))::BIGINT % 65536,
+                   ('0x'||substr(md5(gram),25,8))::BIGINT % 65536]) AS p
+    FROM (SELECT DISTINCT gram FROM bg_g WHERE is_eval))
+),
+bg_words AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM bg_pos GROUP BY 1
+),
+bg_arr AS (
+  SELECT list(COALESCE(bits, 0) ORDER BY s.w) AS words
+  FROM range(0, 2048) s(w) LEFT JOIN bg_words ON bg_words.w = s.w
+),
+bg_probe AS (
+  SELECT doc_id, n_g,
+    len(list_filter(hs, h -> {test})) AS n_hits
+  FROM (
+    SELECT doc_id, list(md5(gram)) AS hs, count(*) AS n_g FROM bg_g
+    WHERE NOT is_eval GROUP BY 1
+  ), bg_arr
+)"""
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
