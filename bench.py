@@ -120,8 +120,10 @@ MANIFEST = [
              "daily-partial merge (the semilattice law differentially "
              "checked), p50/p95/p99 estimates hash-checked as exact "
              "cents + exact-rank twins"},
-    {"name": "op_jn_asof", "semver": 1,
-     "desc": "as-of join"},
+    {"name": "op_jn_asof", "semver": 2,
+     "desc": "as-of join (v2: + forward-direction and 1-hour-tolerance "
+             "stages — the full merge_asof surface, each a one-shuffle "
+             "union-and-carry plan; use __r11equiv for the v1 anchor)"},
     {"name": "op_jn_range", "semver": 1,
      "desc": "range join"},
     {"name": "op_agg_event_profile", "semver": 1,
@@ -206,6 +208,9 @@ def _extras() -> list[dict]:
         from training_datawarehouse_spark.plans.relational import (
             FUNNEL_STEPS, FUNNEL_WITHIN_DAYS, approx_aggs, windowed_batch,
         )
+        from training_datawarehouse_spark.plans.relational import (
+            asof_join_q as _asof_q,
+        )
         from training_datawarehouse_spark.sources.tables import load_table
 
         extras += [
@@ -248,6 +253,12 @@ def _extras() -> list[dict]:
              "builder": lambda s, d: _compat(approx_aggs,
                  s, d, include_weekly=False, include_exact=False,
                  include_cms=False)},
+            {"name": "op_jn_asof__r11equiv", "semver": 1,
+             "desc": "op_jn_asof semver-1 sub-plan (backward stage only — "
+                     "the r1..r11 semantics; the dir tag column is the "
+                     "only delta and costs nothing)",
+             "builder": lambda s, d: _compat(_asof_q, s, d,
+                                             dirs=("bwd",))},
             {"name": "op_stream_windows_batch__r8equiv", "semver": 1,
              "desc": "windows+funnel semver-1 sub-plan (no time-to-"
                      "convert percentile rows)",

@@ -1309,3 +1309,46 @@ def test_bloom_probe_lit_matches_join_form(spark):
         tr, "doc_id", "text", words, n=5).collect()))
     assert a == b
     assert any(r[2] > 0 for r in b)
+
+
+def test_asof_join_directions_and_tolerance_vs_pandas(spark):
+    """asof_join's backward/forward/tolerance semantics differentially
+    checked against pandas.merge_asof on a planted grid (gaps, exact
+    ties, multiple keys, no-match edges)."""
+    import pandas as pd
+
+    from training_datawarehouse_spark.operators.joins import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "ts": [10.0, 20.0, 30.0, 5.0, 50.0, 7.0],
+        "lv": [1, 2, 3, 4, 5, 6],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2, 2, 4],
+        "ts": [12.0, 20.0, 4.0, 49.0, 1.0],
+        "rv": [100, 200, 300, 400, 500],
+    })
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward"):
+        for tol in (None, 2.0):
+            got = (
+                asof_join(ldf, rdf, keys=["k"], left_ts="ts",
+                          right_ts="ts", value_cols=["rv"],
+                          direction=direction, tolerance=tol)
+                .orderBy("k", "ts").toPandas()
+            )
+            want = pd.merge_asof(
+                left.sort_values("ts"), right.sort_values("ts"),
+                on="ts", by="k", direction=direction,
+                suffixes=("", "_r"),
+                **({"tolerance": tol} if tol is not None else {}),
+            ).sort_values(["k", "ts"]).reset_index(drop=True)
+            got_pairs = list(zip(got["lv"], got["rv_asof"].astype("float")))
+            want_pairs = list(zip(want["lv"], want["rv"].astype("float")))
+            assert [
+                (a, (None if pd.isna(b) else b)) for a, b in got_pairs
+            ] == [
+                (a, (None if pd.isna(b) else b)) for a, b in want_pairs
+            ], (direction, tol)

@@ -1,9 +1,11 @@
-"""Join operators Spark lacks as built-ins: as-of (nearest-prior) join.
+"""Join operators Spark lacks as built-ins: as-of join (backward /
+forward, optional tolerance — the pandas ``merge_asof`` surface).
 
-An as-of join attaches, to each left row, the most recent right row at
-or before the left row's timestamp, per key — the canonical shape for
-"state as of event time" in training-data pipelines (sensor readings,
-price marks, feature snapshots).
+An as-of join attaches, to each left row, the nearest right row at or
+before (backward) / at or after (forward) the left row's timestamp,
+per key — the canonical shape for "state as of event time" in
+training-data pipelines (sensor readings, price marks, feature
+snapshots).
 
 Spark has no ASOF JOIN; the naive formulation (range join + per-key
 max) explodes quadratically. Implementation here is the scalable
@@ -38,15 +40,29 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join (left ts >= right ts), per key.
+    """Inclusive as-of join per key — the full merge_asof surface:
+
+    - ``direction="backward"`` (default): most recent right row with
+      right ts <= left ts.
+    - ``direction="forward"``: nearest following right row with
+      right ts >= left ts — the SAME union-and-carry plan with the
+      window sort reversed (still one shuffle, no row explosion).
+    - ``tolerance``: maximum |left ts − matched ts| in the units of
+      ``ts.cast("double")`` (epoch SECONDS for timestamps); a match
+      farther away than the tolerance nulls out, exactly pandas
+      ``merge_asof(tolerance=...)`` semantics.
 
     Returns every left row plus ``<value_col><suffix>`` columns from
-    the matched right row (null when no prior right row exists).
-    Ties on (key, ts) between right rows resolve to the last in the
-    union sort — make right (key, ts) unique upstream when exact tie
-    determinism matters.
+    the matched right row (null when no match). Ties on (key, ts)
+    between right rows resolve to the last in the union sort — make
+    right (key, ts) unique upstream when exact tie determinism
+    matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = list(keys)
     out_cols = list(left.columns)
 
@@ -57,13 +73,33 @@ def asof_join(
         *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
     ).withColumn("__is_left", F.lit(0))
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    if tolerance is not None:
+        r = r.withColumn("__rts", F.col("__ts"))
+        carried = carried + ["__rts"]
 
     u = l.unionByName(r, allowMissingColumns=True)
+    order = (
+        [F.col("__ts"), F.col("__is_left")]
+        if direction == "backward"
+        # forward: scan time DESCENDING so "unbounded preceding" means
+        # "everything at-or-after me"; right (0) still sorts before
+        # left (1) at equal ts, keeping the join inclusive
+        else [F.col("__ts").desc(), F.col("__is_left")]
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for cc in carried:
         u = u.withColumn(cc, F.last(cc, ignorenulls=True).over(w))
-    return u.filter(F.col("__is_left") == 1).select(*out_cols, *carried)
+    out = u.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double") - F.col("__rts").cast("double")
+        )
+        keep = F.col("__rts").isNotNull() & (gap <= F.lit(float(tolerance)))
+        carried = carried[:-1]
+        for cc in carried:
+            out = out.withColumn(cc, F.when(keep, F.col(cc)))
+    return out.select(*out_cols, *carried)

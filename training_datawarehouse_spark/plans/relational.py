@@ -2516,10 +2516,19 @@ WINDOW w AS (PARTITION BY activity ORDER BY date)
 """
 
 
-def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-JN-ASOF: attach to each click event the most recent prior
-    purchase (value + time) by the same user — union-and-carry as-of
-    join, one shuffle (see operators/joins.py)."""
+def asof_join_q(spark: SparkSession, sf_dir: str,
+                dirs: tuple = ("bwd", "fwd", "tol")) -> DataFrame:
+    """OP-JN-ASOF, tagged by ``dir`` stage (r12 widened to the full
+    merge_asof surface — operators/joins.py):
+
+    - 'bwd': most recent prior purchase per click (the r1 semantics).
+    - 'fwd': nearest FOLLOWING purchase — same union-and-carry plan
+      with the window sort reversed; DuckDB oracles it as
+      ``ASOF LEFT JOIN ... ON l.ts <= r.ts``.
+    - 'tol': backward within a 1-hour tolerance — matches farther than
+      3600 s null out (pandas ``merge_asof(tolerance=...)``
+      semantics); the oracle post-filters its ASOF match by epoch gap.
+    """
     from ..operators.joins import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -2529,16 +2538,28 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.round("value", 6).alias("purchase_value")
     )
-    out = asof_join(
-        clicks, purchases,
-        keys=["user_id"], left_ts="ts", right_ts="ts",
-        value_cols=["purchase_value", "ts"],
-    )
-    return out.select(
-        "event_id", "user_id", "click_value",
-        "purchase_value_asof",
-        F.col("ts_asof").cast("timestamp").alias("purchase_ts"),
-    )
+
+    def run(direction, tolerance, tag):
+        out = asof_join(
+            clicks, purchases,
+            keys=["user_id"], left_ts="ts", right_ts="ts",
+            value_cols=["purchase_value", "ts"],
+            direction=direction, tolerance=tolerance,
+        )
+        return out.select(
+            F.lit(tag).alias("dir"),
+            "event_id", "user_id", "click_value",
+            "purchase_value_asof",
+            F.col("ts_asof").cast("timestamp").alias("purchase_ts"),
+        )
+
+    spec = {"bwd": ("backward", None), "fwd": ("forward", None),
+            "tol": ("backward", 3600.0)}
+    frames = [run(*spec[t], t) for t in dirs]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 # DuckDB has native ASOF JOIN (backward, inclusive). Spark reads the
@@ -2557,9 +2578,26 @@ purchases AS (
   SELECT user_id, ts, round(value, 6) AS purchase_value
   FROM ev WHERE event_type = 'purchase'
 )
-SELECT c.event_id, c.user_id, c.click_value,
+SELECT 'bwd' AS dir, c.event_id, c.user_id, c.click_value,
        p.purchase_value AS purchase_value_asof,
        p.ts AS purchase_ts
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+UNION ALL
+SELECT 'fwd', c.event_id, c.user_id, c.click_value,
+       p.purchase_value, p.ts
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+UNION ALL
+-- tol: backward within 1 hour — DuckDB's ASOF finds the nearest prior
+-- match unconditionally, then the epoch gap filter nulls far matches
+-- (pandas merge_asof tolerance semantics, same as the Spark side)
+SELECT 'tol', c.event_id, c.user_id, c.click_value,
+       CASE WHEN epoch(c.ts) - epoch(p.ts) <= 3600
+            THEN p.purchase_value END,
+       CASE WHEN epoch(c.ts) - epoch(p.ts) <= 3600 THEN p.ts END
 FROM clicks c
 ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
