@@ -1352,3 +1352,42 @@ def test_asof_join_directions_and_tolerance_vs_pandas(spark):
             ] == [
                 (a, (None if pd.isna(b) else b)) for a, b in want_pairs
             ], (direction, tol)
+
+
+def test_connected_components_incremental_equals_rebuild(spark):
+    """Folding a second edge batch into an existing labeling must equal
+    the full rebuild over all edges — including cluster merges, new
+    singleton chains, and edges inside one old component."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    all_edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    all_edges = [e for e in all_edges if e[0] != e[1]]
+    batch1, batch2 = all_edges[:30], all_edges[30:]
+    # plus edges touching brand-new nodes (60..69)
+    batch2 += [(59, 61), (61, 62), (65, 66)]
+    e1 = spark.createDataFrame(batch1, "id_a long, id_b long")
+    e2 = spark.createDataFrame(batch2, "id_a long, id_b long")
+    eall = spark.createDataFrame(batch1 + batch2, "id_a long, id_b long")
+
+    full = {r["node"]: r["component"]
+            for r in dd.connected_components(eall).collect()}
+    old = dd.connected_components(e1)
+    incr = {r["node"]: r["component"]
+            for r in dd.connected_components_incremental(old, e2).collect()}
+    assert incr == full
+
+
+def test_connected_components_incremental_no_bridges(spark):
+    """A batch whose edges all fall inside existing components (or are
+    fully new singleton clusters) must not change any old label."""
+    e1 = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                               "id_a long, id_b long")
+    old = dd.connected_components(e1)
+    # in-component edge + disjoint brand-new pair
+    e2 = spark.createDataFrame([(1, 3), (100, 101)],
+                               "id_a long, id_b long")
+    incr = {r["node"]: r["component"]
+            for r in dd.connected_components_incremental(old, e2).collect()}
+    assert incr == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 100: 100, 101: 100}

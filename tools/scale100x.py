@@ -253,6 +253,8 @@ def main() -> None:
         nnd_probe(spark)
     if "--graph" in sys.argv:
         graph_probe(spark)
+    if "--cc" in sys.argv:
+        cc_probe(spark)
 
 
 def nnd_probe(spark) -> None:
@@ -863,6 +865,54 @@ def graph_probe(spark) -> None:
         dist = l1(pr)
         print(f"pr-maint {lbl}: {time.time() - t0:6.1f}s  "
               f"L1-to-converged {dist:.6f}", flush=True)
+
+
+def cc_probe(spark) -> None:
+    """r12: incremental connected-components maintenance at probe
+    scale — 500 k nodes / ~400 k base edges in power-law-ish clusters,
+    then a 10 % ingest batch folded in. Claim under test: the
+    incremental fold's iterative work runs on the BRIDGE CONTRACTION
+    (batch-sized), so maintenance costs a fraction of the rebuild
+    while being label-identical (equality asserted here, not assumed).
+    """
+    from training_datawarehouse_spark.operators import dedup as dd
+
+    n = 500_000
+    # chain-within-cluster wiring (the SCALE.md "boilerplate chain"
+    # shape pointer-jumping exists for): id -> id+1 inside 1000-node
+    # clusters, ~14 % of links dropped so clusters split into several
+    # components of varying length
+    base = spark.range(n).filter(
+        "id % 1000 != 999 AND id % 7 != 0"
+    ).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"),
+    ).localCheckpoint(eager=True)
+    batch = spark.range(n, n + n // 10).select(
+        F.col("id").alias("id_a"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {n + n // 10}"
+        ).alias("id_b"),
+    ).filter("id_a != id_b").localCheckpoint(eager=True)
+
+    t0 = time.time()
+    old = dd.connected_components(base).localCheckpoint(eager=True)
+    t_base = time.time() - t0
+    t0 = time.time()
+    full = dd.connected_components(
+        base.unionByName(batch)).localCheckpoint(eager=True)
+    t_full = time.time() - t0
+    t0 = time.time()
+    incr = dd.connected_components_incremental(old, batch)
+    n_incr = incr.count()
+    t_incr = time.time() - t0
+    diff = (
+        incr.withColumnRenamed("component", "ci")
+        .join(full, "node").filter(F.col("ci") != F.col("component")).count()
+    )
+    print(f"cc base build {t_base:6.1f}s  full rebuild {t_full:6.1f}s  "
+          f"incremental fold {t_incr:6.1f}s  rows {n_incr}  "
+          f"label diffs vs rebuild {diff}", flush=True)
 
 
 def _time_noop(df) -> float:

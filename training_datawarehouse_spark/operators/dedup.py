@@ -1085,3 +1085,66 @@ def bloom_probe_lit(
             )
         ).cast("long").alias("n_bloom_hits"),
     )
+
+
+def connected_components_incremental(
+    old_components: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Incremental connected-components maintenance (r12 — the dedup-
+    cluster member of the incremental suite next to the r9 pHash band
+    index, `nnd_insert`, and the PageRank warm start): fold a batch of
+    NEW edges into an existing labeling without re-running CC over the
+    corpus.
+
+    Method: relabel each new edge's endpoints by their OLD component
+    label (an endpoint never seen before labels itself), keep only the
+    BRIDGE edges (endpoints in different old components), run the
+    batch ``connected_components`` on that CONTRACTED graph — one node
+    per touched component, so its size is bounded by the ingest batch,
+    not the corpus — and remap. Labels are min node ids, which are
+    hierarchical (the min over merged labels IS the min over merged
+    node sets), so the result is IDENTICAL to a full rebuild over
+    old ∪ new edges — pytest-pinned, not assumed.
+
+    Returns (node, component) covering every previously-labeled node
+    plus every endpoint of ``new_edges``. Scale shape: two broadcast-
+    able hash joins against the old labeling (at 100 TB the labeling
+    is a bucketed table and these are co-located joins), one CC on the
+    bridge contraction, one remap join. A daily ingest pays for its
+    batch; only cluster-merging edges cost iteration."""
+    oc = old_components.select(
+        F.col("node").alias("__on"), F.col("component").alias("__oc")
+    )
+    e = new_edges.select(F.col(src).alias("__ea"), F.col(dst).alias("__eb"))
+    relabeled = (
+        e.join(oc.withColumnRenamed("__on", "__ea"), "__ea", "left")
+        .select(
+            F.coalesce("__oc", F.col("__ea")).alias("__ca"), "__eb"
+        )
+        .join(oc.withColumnRenamed("__on", "__eb"), "__eb", "left")
+        .select("__ca", F.coalesce("__oc", F.col("__eb")).alias("__cb"))
+    )
+    bridges = relabeled.filter(F.col("__ca") != F.col("__cb"))
+    new_nodes = (
+        e.select(F.col("__ea").alias("__on"))
+        .union(e.select(F.col("__eb").alias("__on")))
+        .distinct()
+        .join(oc, "__on", "left_anti")
+        .select("__on", F.col("__on").alias("__oc"))
+    )
+    mapping = oc.unionByName(new_nodes)
+    if bridges.isEmpty():
+        return mapping.select(
+            F.col("__on").alias("node"), F.col("__oc").alias("component")
+        )
+    merged = connected_components(bridges, "__ca", "__cb", max_iter).select(
+        F.col("node").alias("__oc"), F.col("component").alias("__mc")
+    )
+    return mapping.join(merged, "__oc", "left").select(
+        F.col("__on").alias("node"),
+        F.coalesce("__mc", F.col("__oc")).alias("component"),
+    )
