@@ -1391,3 +1391,41 @@ def test_connected_components_incremental_no_bridges(spark):
     incr = {r["node"]: r["component"]
             for r in dd.connected_components_incremental(old, e2).collect()}
     assert incr == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 100: 100, 101: 100}
+
+
+def test_blocked_fuzzy_linkage_resolution(spark):
+    """Record linkage (operators/linkage.py): typo'd names resolve to
+    their source entity within the threshold, scrambles miss, and the
+    (dist, id) argmin tie-break is deterministic."""
+    from training_datawarehouse_spark.operators import linkage as lk
+
+    clean = spark.createDataFrame(
+        [(1, "Acme Corp 001"), (2, "Acme Corp 101"), (3, "Zeta LLC 001")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "Acme Xorp 001"),   # 1 sub -> cid 1 (dist 1); cid 2 dist 2
+         (11, "QQQQQQQQQ 001"),   # scramble: no candidate within 2
+         (12, "acme-corp 101")],  # normalization-only: exact, dist 0
+        "did long, dname string",
+    )
+    pairs = lk.blocked_fuzzy_pairs(dirty, clean, "did", "cid",
+                                   "dname", "cname", max_dist=2)
+    best = {r["did"]: (r["cid"], r["dist"])
+            for r in lk.resolve_best_match(pairs, "did", "cid").collect()}
+    assert best[10] == (1, 1)
+    assert 11 not in best
+    assert best[12] == (2, 0)
+    # tie case: equal distance to two candidates -> smallest id wins
+    tie = spark.createDataFrame([(20, "Acme Corp 001x")],
+                                "did long, dname string")
+    cl2 = spark.createDataFrame(
+        [(5, "Acme Corp 001xy"), (4, "Acme Corp 001xz")],
+        "cid long, cname string",
+    )
+    p2 = lk.blocked_fuzzy_pairs(
+        tie, cl2, "did", "cid", "dname", "cname",
+        block=F.substring(F.col("__nm"), 1, 4), max_dist=2)
+    b2 = {r["did"]: (r["cid"], r["dist"])
+          for r in lk.resolve_best_match(p2, "did", "cid").collect()}
+    assert b2[20] == (4, 1)

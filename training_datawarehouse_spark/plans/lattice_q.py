@@ -413,7 +413,51 @@ def dim_source_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "stage string, key string, val string, detail string, flag string"
     )
 
-    return cat.unionByName(scd).unionByName(fmt_df)
+    # r12 'linkage' stage: blocked fuzzy entity resolution
+    # (operators/linkage.py) over the customer dimension. The corpus
+    # has no dirty names, so — the PII-stage pattern — a deterministic
+    # dirty directory is synthesized from c_custkey residues:
+    # %9==0 a delete+substitute twin (dist 2), else %3==0 one
+    # substitution (dist 1), %3==1 a 5-char scramble (dist 5 — the
+    # planted MISS, pinning that the threshold rejects). Blocking on
+    # the last-3 normalized chars (digits the typos never touch);
+    # best match resolves by (dist, id). The oracle re-derives dirty
+    # names, blocks, levenshtein scores, and the argmin.
+    from ..operators import linkage as lk
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("d_id"),
+        F.lower(F.regexp_replace(F.col("c_name"), "[^a-zA-Z0-9]", ""))
+        .alias("nm"),
+    ).filter(F.col("d_id") % 3 < 2)
+    did = F.col("d_id")
+    dn = (
+        F.when(did % 9 == 0,
+               F.concat(F.expr("substring(nm, 1, 3)"),
+                        F.expr("substring(nm, 5, 1)"), F.lit("x"),
+                        F.expr("substring(nm, 7)")))
+        .when(did % 3 == 0,
+              F.concat(F.expr("substring(nm, 1, 3)"), F.lit("x"),
+                       F.expr("substring(nm, 5)")))
+        .otherwise(F.concat(F.lit("zzzzz"), F.expr("substring(nm, 6)")))
+    )
+    dirty = base.select("d_id", dn.alias("d_name"))
+    best = lk.resolve_best_match(
+        lk.blocked_fuzzy_pairs(dirty, cust, "d_id", "c_custkey",
+                               "d_name", "c_name", max_dist=2),
+        "d_id", "c_custkey",
+    )
+    link = dirty.join(best, "d_id", "left").select(
+        F.lit("linkage").alias("stage"),
+        F.col("d_id").cast("string").alias("key"),
+        F.col("c_custkey").cast("string").alias("val"),
+        F.col("dist").cast("string").alias("detail"),
+        F.when(F.col("c_custkey").isNull(), F.lit("miss"))
+        .otherwise(F.lit("hit")).alias("flag"),
+    )
+
+    return cat.unionByName(scd).unionByName(fmt_df).unionByName(link)
 
 
 DIM_SOURCE_ORACLE = f"""
@@ -423,7 +467,30 @@ WITH src AS (
          {_EQUIP_SQL} AS equipment
   FROM lineitem
 ),
-c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+lk_nm AS (
+  SELECT c_custkey AS k,
+         lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) AS nm
+  FROM customer
+),
+lk_dirty AS (
+  SELECT k, CASE
+      WHEN k % 9 = 0 THEN substr(nm,1,3) || substr(nm,5,1) || 'x' || substr(nm,7)
+      WHEN k % 3 = 0 THEN substr(nm,1,3) || 'x' || substr(nm,5)
+      ELSE 'zzzzz' || substr(nm,6) END AS dn
+  FROM lk_nm WHERE k % 3 < 2
+),
+lk_best AS (
+  SELECT dk, ck, dist FROM (
+    SELECT dk, ck, dist,
+           row_number() OVER (PARTITION BY dk ORDER BY dist, ck) AS rn
+    FROM (
+      SELECT d.k AS dk, c2.k AS ck, levenshtein(d.dn, c2.nm) AS dist
+      FROM lk_dirty d JOIN lk_nm c2 ON right(d.dn, 3) = right(c2.nm, 3)
+      WHERE levenshtein(d.dn, c2.nm) <= 2
+    )
+  ) WHERE rn = 1
+)
 SELECT DISTINCT 'catalog' AS stage, activity AS key, activity_type AS val,
        replace(equipment, ' ', '') AS detail,
        'Day' || '_' || activity || '_' || activity_type || '_'
@@ -471,6 +538,13 @@ UNION ALL
 SELECT 'quarantine', 'bad', CAST(count(*) AS VARCHAR),
        CAST(sum(s_suppkey) AS VARCHAR), ''
 FROM supplier WHERE s_suppkey % 5 = 0
+UNION ALL
+-- linkage: blocked fuzzy entity resolution — dirty names, blocks,
+-- edit distances, and the (dist, id) argmin all re-derived here
+SELECT 'linkage', CAST(d.k AS VARCHAR), CAST(b.ck AS VARCHAR),
+       CAST(b.dist AS VARCHAR),
+       CASE WHEN b.ck IS NULL THEN 'miss' ELSE 'hit' END
+FROM lk_dirty d LEFT JOIN lk_best b ON b.dk = d.k
 """
 
 
