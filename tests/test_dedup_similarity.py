@@ -1429,3 +1429,29 @@ def test_blocked_fuzzy_linkage_resolution(spark):
     b2 = {r["did"]: (r["cid"], r["dist"])
           for r in lk.resolve_best_match(p2, "did", "cid").collect()}
     assert b2[20] == (4, 1)
+
+
+def test_blocked_fuzzy_linkage_block_seam_and_cap(spark):
+    """The block expression is a seam (phonetic soundex key works) and
+    max_block skips hot blocks instead of going quadratic."""
+    from training_datawarehouse_spark.operators import linkage as lk
+
+    clean = spark.createDataFrame(
+        [(1, "Smith 77"), (2, "Smyth 77"), (3, "Jones 77")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame([(10, "Smithh 77")],
+                                  "did long, dname string")
+    pairs = lk.blocked_fuzzy_pairs(
+        dirty, clean, "did", "cid", "dname", "cname",
+        block=F.soundex(F.col("__nm")), max_dist=3)
+    got = {(r["did"], r["cid"]) for r in pairs.collect()}
+    # soundex('smithh77')==soundex('smith77')==soundex('smyth77')
+    assert (10, 1) in got and (10, 2) in got and (10, 3) not in got
+    # cap: the clean side's 'h77' suffix block (smith77, smyth77) has
+    # size 2 > max_block=1 -> skipped; the dirty row's only block is
+    # 'h77', so no candidates survive
+    capped = lk.blocked_fuzzy_pairs(
+        dirty, clean, "did", "cid", "dname", "cname",
+        max_dist=3, max_block=1)
+    assert capped.count() == 0

@@ -46,11 +46,20 @@ def blocked_fuzzy_pairs(
     clean_name: str,
     block: Column | None = None,
     max_dist: int = 2,
+    max_block: int | None = None,
 ) -> DataFrame:
     """(dirty_id, clean_id, dist) for every in-block pair within
     ``max_dist`` edits of each other (normalized names). ``block``
     is a Column computed from the NORMALIZED name (exposed as ``__nm``
-    while it is evaluated); default: last 3 characters."""
+    while it is evaluated); default: last 3 characters — swap in
+    ``F.soundex(F.col("__nm"))`` or a sorted-token prefix per corpus.
+
+    ``max_block`` caps the CLEAN-side block size (None = off): a hot
+    block (a very common suffix/phonetic key) is the same quadratic
+    hazard as a hot LSH bucket and takes the same treatment — skip it
+    and surface those entities to an exact/manual path. The registry
+    stage runs uncapped (its planted blocks are ≤ a few rows); set the
+    cap in production."""
     if block is None:
         block = F.substring(F.col("__nm"), -3, 3)
     d = dirty.select(
@@ -61,6 +70,12 @@ def blocked_fuzzy_pairs(
         F.col(clean_id).alias("__ci"),
         normalize_name(F.col(clean_name)).alias("__nm"),
     ).select("__ci", F.col("__nm").alias("__cn"), block.alias("__blk"))
+    if max_block is not None:
+        keep = (
+            c.groupBy("__blk").agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_block).select("__blk")
+        )
+        c = c.join(F.broadcast(keep), "__blk")
     return (
         d.join(c, "__blk")
         .select(
