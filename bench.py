@@ -100,7 +100,7 @@ MANIFEST = [
              "idx1-verified chunk walk); r11/semver-6: + MJPEG "
              "container-metadata stage (real per-frame JPEG encode at "
              "synthesis, '00dc'/strh/idx1 parse with no JPEG decode)"},
-    {"name": "op_approx_aggs", "semver": 5,
+    {"name": "op_approx_aggs", "semver": 6,
      "desc": "r3: added mergeable HLL sketch rollup stage "
              "(daily hll_sketch_agg -> weekly hll_union_agg + exact twin); "
              "r6: + Count-Min Sketch stages (direct AND daily-merged "
@@ -119,7 +119,16 @@ MANIFEST = [
              "md5(event_id), built direct-with-prefilter AND via "
              "daily-partial merge (the semilattice law differentially "
              "checked), p50/p95/p99 estimates hash-checked as exact "
-             "cents + exact-rank twins"},
+             "cents + exact-rank twins; r12b/semver-6: measured "
+             "decomposition showed the REMAINING exact twins (exact "
+             "countDistinct, exact 5-rank percentile sort, weekly "
+             "exact, quantile exact-rank fan-out) were the actual "
+             "cost, so the headline now times sketch_only=True — "
+             "every family's ESTIMATE with no exact twin anywhere "
+             "(CMS's pushed-down 8-key exact probe excepted); the "
+             "registry plan still carries every twin and band for "
+             "the oracle (use __r12equiv for the semver-5 shape, "
+             "__r11equiv for r11)"},
     {"name": "op_jn_asof", "semver": 2,
      "desc": "as-of join (v2: + forward-direction and 1-hour-tolerance "
              "stages — the full merge_asof surface, each a one-shuffle "
@@ -159,12 +168,17 @@ def _headline_overrides() -> dict:
     _extras for old-worktree attribution runs."""
     try:
         from training_datawarehouse_spark.plans.relational import approx_aggs
+
+        def _try_sketch_only(fn, s, d):
+            try:
+                return fn(s, d, sketch_only=True)
+            except TypeError:  # older code state (attribution worktrees)
+                return fn(s, d, include_kmv_exact=False)
         import inspect
         if "include_kmv_exact" not in inspect.signature(approx_aggs).parameters:
             return {}
         return {
-            "op_approx_aggs": lambda s, d: approx_aggs(
-                s, d, include_kmv_exact=False),
+            "op_approx_aggs": lambda s, d: _try_sketch_only(approx_aggs, s, d),
         }
     except ImportError:
         return {}
@@ -328,6 +342,14 @@ def _extras() -> list[dict]:
              "desc": "op_approx_aggs semver-3 sub-plan (no KMV stages)",
              "builder": lambda s, d: _compat(approx_aggs,
                  s, d, include_kmv=False)},
+            {"name": "op_approx_aggs__r12equiv", "semver": 5,
+             "desc": "op_approx_aggs semver-5 plan: KMV exact twins "
+                     "OFF (the r12a trim) but the quantile-sketch "
+                     "exact-rank twin still timed — the shape the "
+                     "first r12 bench ran, kept for lineage now that "
+                     "the headline is sketch-only on BOTH families",
+             "builder": lambda s, d: _compat(approx_aggs,
+                 s, d, include_kmv_exact=False)},
             {"name": "op_approx_aggs__r11equiv", "semver": 4,
              "desc": "op_approx_aggs semver-4 plan: WITH the KMV "
                      "exact-twin apparatus, WITHOUT the r12 quantile-"

@@ -1598,7 +1598,9 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
                 include_cms: bool = True,
                 include_kmv: bool = True,
                 include_kmv_exact: bool = True,
-                include_qsk: bool = True) -> DataFrame:
+                include_qsk: bool = True,
+                include_qsk_exact: bool = True,
+                sketch_only: bool = False) -> DataFrame:
     """Approximate aggregates (SURVEY §2.2 'free in Spark'): HLL++
     distinct counts and quantile sketches per event_type.
 
@@ -1633,7 +1635,25 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
     differential-check machinery production never runs); bench.py
     times THIS sub-plan under the headline name (semver 5), while the
     registry builder keeps the twins so the correctness oracle is
-    byte-identical to r11's."""
+    byte-identical to r11's. ``include_qsk_exact=False`` (r12b) does
+    the same for the quantile-sketch stage's exact-rank twin (a 10×
+    fan-out broadcast-join scan; estimates keep their hash-checked
+    values, the rank twin and its band ride only the registry plan).
+
+    ``sketch_only=True`` (r12b, bench semver 6) is the consistent
+    endpoint of that discipline — measured decomposition showed the
+    REMAINING exact twins were the actual cost (base with kmv/qsk
+    twins off: 5.4 s at sf0.1; the kmv twin itself ≈ 0 after its r11
+    one-pass rework): per_type's exact countDistinct + exact
+    5-rank percentile sort and the weekly exact countDistinct are
+    differential apparatus too. Sketch-only emits every family's
+    ESTIMATE (HLL, merged-weekly HLL, CMS — whose cheap pushed-down
+    8-key exact probe stays — KMV, quantile) and nulls the exact/band
+    columns. The registry plan is untouched: every exact twin and
+    band still rides the correctness oracle."""
+    if sketch_only:
+        include_kmv_exact = False
+        include_qsk_exact = False
     ev = load_table(spark, sf_dir, "events")
     if not include_exact:
         return ev.groupBy("event_type").agg(
@@ -1648,31 +1668,45 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
     # distinct-rewrite Expand triples the rows under the sort-based
     # percentile buffers — 4.7 s vs 1.3 s at sf0.1). Exact percentiles
     # use the array form: one shared sort buffer for all five ranks.
-    counts = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("__au"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n"),
-    )
     qa = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    qe = F.percentile(
-        "value",
-        F.array(*[F.lit(x) for x in (0.45, 0.55, 0.90, 0.97, 1.0)]),
-    )
-    pct = ev.groupBy("event_type").agg(qa.alias("__qa"), qe.alias("__qe"))
+    nb0 = F.lit(None).cast("boolean")
+    if sketch_only:
+        per_type = ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("__au"),
+            F.count(F.lit(1)).alias("n"),
+            qa.alias("__qa"),
+        ).select(
+            F.lit("per_type").alias("stage"),
+            F.col("event_type").alias("k"),
+            F.col("__au").alias("n_users"), "n",
+            nb0.alias("hll_in_band"), nb0.alias("q50_in_rank_band"),
+            nb0.alias("q95_in_rank_band"), nb0.alias("q99_in_rank_band"),
+        )
+    else:
+        counts = ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("__au"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        qe = F.percentile(
+            "value",
+            F.array(*[F.lit(x) for x in (0.45, 0.55, 0.90, 0.97, 1.0)]),
+        )
+        pct = ev.groupBy("event_type").agg(qa.alias("__qa"), qe.alias("__qe"))
 
-    def band(v, lo, hi):
-        return (v >= lo) & (v <= hi)
+        def band(v, lo, hi):
+            return (v >= lo) & (v <= hi)
 
-    qa_, qe_ = F.col("__qa"), F.col("__qe")
-    per_type = counts.join(F.broadcast(pct), "event_type").select(
-        F.lit("per_type").alias("stage"),
-        F.col("event_type").alias("k"), "n_users", "n",
-        (F.abs(F.col("__au") - F.col("n_users"))
-         <= 0.08 * F.col("n_users")).alias("hll_in_band"),
-        band(qa_[0], qe_[0], qe_[1]).alias("q50_in_rank_band"),
-        band(qa_[1], qe_[2], qe_[4]).alias("q95_in_rank_band"),
-        band(qa_[2], qe_[3], qe_[4]).alias("q99_in_rank_band"),
-    )
+        qa_, qe_ = F.col("__qa"), F.col("__qe")
+        per_type = counts.join(F.broadcast(pct), "event_type").select(
+            F.lit("per_type").alias("stage"),
+            F.col("event_type").alias("k"), "n_users", "n",
+            (F.abs(F.col("__au") - F.col("n_users"))
+             <= 0.08 * F.col("n_users")).alias("hll_in_band"),
+            band(qa_[0], qe_[0], qe_[1]).alias("q50_in_rank_band"),
+            band(qa_[1], qe_[2], qe_[4]).alias("q95_in_rank_band"),
+            band(qa_[2], qe_[3], qe_[4]).alias("q99_in_rank_band"),
+        )
 
     # Mergeable-sketch rollup — the pattern that makes approximate
     # distincts work at 100 TB: daily HLL sketches (map-side partial)
@@ -1693,15 +1727,25 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
     nb = F.lit(None).cast("boolean")
     if not include_weekly:
         return per_type
-    weekly = weekly_exact.join(F.broadcast(weekly_est), "wk").select(
-        F.lit("weekly_merge").alias("stage"),
-        F.col("wk").cast("string").alias("k"), "n_users", "n",
-        (F.abs(F.col("__est") - F.col("n_users"))
-         <= 0.08 * F.col("n_users")).alias("hll_in_band"),
-        nb.alias("q50_in_rank_band"),
-        nb.alias("q95_in_rank_band"),
-        nb.alias("q99_in_rank_band"),
-    )
+    if sketch_only:
+        weekly = weekly_est.select(
+            F.lit("weekly_merge").alias("stage"),
+            F.col("wk").cast("string").alias("k"),
+            F.col("__est").cast("long").alias("n_users"),
+            F.lit(None).cast("long").alias("n"),
+            nb.alias("hll_in_band"), nb.alias("q50_in_rank_band"),
+            nb.alias("q95_in_rank_band"), nb.alias("q99_in_rank_band"),
+        )
+    else:
+        weekly = weekly_exact.join(F.broadcast(weekly_est), "wk").select(
+            F.lit("weekly_merge").alias("stage"),
+            F.col("wk").cast("string").alias("k"), "n_users", "n",
+            (F.abs(F.col("__est") - F.col("n_users"))
+             <= 0.08 * F.col("n_users")).alias("hll_in_band"),
+            nb.alias("q50_in_rank_band"),
+            nb.alias("q95_in_rank_band"),
+            nb.alias("q99_in_rank_band"),
+        )
     out = per_type.unionByName(weekly)
     if include_cms:
         out = out.unionByName(_cms_stages(spark, ev))
@@ -1710,7 +1754,9 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
             _kmv_stages(spark, ev, include_exact=include_kmv_exact)
         )
     if include_qsk:
-        out = out.unionByName(_qsk_stages(spark, ev))
+        out = out.unionByName(
+            _qsk_stages(spark, ev, include_exact=include_qsk_exact)
+        )
     return out
 
 
@@ -1964,7 +2010,7 @@ QSK_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
 
 
 def _qsk_stages(spark: SparkSession, ev: DataFrame,
-                k: int = QSK_K) -> DataFrame:
+                k: int = QSK_K, include_exact: bool = True) -> DataFrame:
     """r12: MERGEABLE QUANTILE SKETCH — the fourth sketch family
     (HLL distinct / CMS frequency / KMV set-ops / now rank-quantiles).
     A KLL-proper compactor hierarchy cannot be re-derived cross-engine
@@ -2064,6 +2110,22 @@ def _qsk_stages(spark: SparkSession, ev: DataFrame,
         ests(direct, "qsk").unionByName(ests(merged, "qsk_merge"))
         .localCheckpoint(eager=True)
     )
+    if not include_exact:
+        # sketch-only production path (the KMV-trim discipline, r12):
+        # the exact-rank twin below broadcast-joins 10 estimate rows
+        # per type onto EVERY base row — a 10× fan-out scan that is
+        # pure differential apparatus. bench times this sub-plan; the
+        # registry keeps the twin so the oracle is unchanged.
+        nb = F.lit(None).cast("boolean")
+        return est_all.select(
+            "stage",
+            F.concat("event_type", F.lit("|"), "q").alias("k"),
+            F.col("est").alias("n_users"),
+            F.lit(None).cast("long").alias("n"),
+            nb.alias("hll_in_band"),
+            nb.alias("q50_in_rank_band"), nb.alias("q95_in_rank_band"),
+            nb.alias("q99_in_rank_band"),
+        )
     try:
         # exact-rank twin: ONE broadcast-joined scan serves all 30 rows
         ranks = (
