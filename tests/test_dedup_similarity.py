@@ -1455,3 +1455,18 @@ def test_blocked_fuzzy_linkage_block_seam_and_cap(spark):
         dirty, clean, "did", "cid", "dname", "cname",
         max_dist=3, max_block=1)
     assert capped.count() == 0
+
+
+def test_bloom_and_asof_argument_validation(spark):
+    import pytest as _pt
+
+    from training_datawarehouse_spark.operators.joins import asof_join
+
+    docs = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+    with _pt.raises(ValueError):
+        dd.bloom_build(docs, "doc_id", "text", m_bits=100)  # not %32
+    with _pt.raises(ValueError):
+        asof_join(docs, docs, keys=["doc_id"], left_ts="doc_id",
+                  right_ts="doc_id", value_cols=["text"],
+                  direction="nearest")

@@ -116,3 +116,12 @@ def test_pagerank_warm_start_renormalized_removes_mass_bias(spark):
     ren_mass = sum(r["pr_rank"] for r in init_ren.collect())
     assert raw_mass > gr.PR_SCALE * 105 // 100   # old mass + 2 new uniforms
     assert gr.PR_SCALE * 999 // 1000 <= ren_mass <= gr.PR_SCALE
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    import pytest as _pt
+
+    n = spark.createDataFrame([(1,)], "node long")
+    e = spark.createDataFrame([], "src long, dst long")
+    with _pt.raises(ValueError):
+        gr.pagerank_fixed(n, e, damping_pct=100)
