@@ -129,10 +129,12 @@ MANIFEST = [
              "registry plan still carries every twin and band for "
              "the oracle (use __r12equiv for the semver-5 shape, "
              "__r11equiv for r11)"},
-    {"name": "op_jn_asof", "semver": 2,
+    {"name": "op_jn_asof", "semver": 3,
      "desc": "as-of join (v2: + forward-direction and 1-hour-tolerance "
-             "stages — the full merge_asof surface, each a one-shuffle "
-             "union-and-carry plan; use __r11equiv for the v1 anchor)"},
+             "stages; v3/r13: + nearest-direction stage — both carries "
+             "over one union, one exchange + two sorts — and the "
+             "struct-atomic right-row carry; use __r12equiv for the v2 "
+             "anchor, __r11equiv for v1)"},
     {"name": "op_jn_range", "semver": 1,
      "desc": "range join"},
     {"name": "op_agg_event_profile", "semver": 1,
@@ -273,6 +275,12 @@ def _extras() -> list[dict]:
                      "only delta and costs nothing)",
              "builder": lambda s, d: _compat(_asof_q, s, d,
                                              dirs=("bwd",))},
+            {"name": "op_jn_asof__r12equiv", "semver": 2,
+             "desc": "op_jn_asof semver-2 sub-plan (bwd+fwd+tol stages, "
+                     "no nearest — the r12 semantics on the r13 "
+                     "struct-carry operator)",
+             "builder": lambda s, d: _compat(_asof_q, s, d,
+                                             dirs=("bwd", "fwd", "tol"))},
             {"name": "op_stream_windows_batch__r8equiv", "semver": 1,
              "desc": "windows+funnel semver-1 sub-plan (no time-to-"
                      "convert percentile rows)",

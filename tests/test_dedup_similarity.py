@@ -1331,7 +1331,7 @@ def test_asof_join_directions_and_tolerance_vs_pandas(spark):
     })
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tol in (None, 2.0):
             got = (
                 asof_join(ldf, rdf, keys=["k"], left_ts="ts",
@@ -1352,6 +1352,34 @@ def test_asof_join_directions_and_tolerance_vs_pandas(spark):
             ] == [
                 (a, (None if pd.isna(b) else b)) for a, b in want_pairs
             ], (direction, tol)
+
+
+def test_asof_join_null_value_carry_is_atomic(spark):
+    """The r12 advice finding: with tolerance set, a NULL value column
+    on the MATCHED right row must stay NULL — it must not tear through
+    to an older (possibly out-of-tolerance) right row. The right row is
+    carried as one struct, so every carried column comes from the same
+    matched row."""
+    from training_datawarehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100.0)], "k long, ts double")
+    # old row (ts=10, v=7.0) is far outside tolerance; the nearest row
+    # (ts=99) matches but its v is NULL
+    right = spark.createDataFrame(
+        [(1, 10.0, 7.0), (1, 99.0, None)], "k long, ts double, v double")
+    row = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v", "ts"], tolerance=5.0,
+    ).collect()[0]
+    assert row["ts_asof"] == 99.0     # the in-tolerance row matched
+    assert row["v_asof"] is None      # ... and its NULL did not tear
+    # and without tolerance the same atomicity holds (DuckDB ASOF
+    # semantics: the nearest row's value, even when NULL)
+    row = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v", "ts"],
+    ).collect()[0]
+    assert row["ts_asof"] == 99.0 and row["v_asof"] is None
 
 
 def test_connected_components_incremental_equals_rebuild(spark):
@@ -1467,6 +1495,7 @@ def test_bloom_and_asof_argument_validation(spark):
     with _pt.raises(ValueError):
         dd.bloom_build(docs, "doc_id", "text", m_bits=100)  # not %32
     with _pt.raises(ValueError):
+        # 'nearest' became a real direction in r13; 'sideways' never will
         asof_join(docs, docs, keys=["doc_id"], left_ts="doc_id",
                   right_ts="doc_id", value_cols=["text"],
-                  direction="nearest")
+                  direction="sideways")

@@ -2579,9 +2579,10 @@ WINDOW w AS (PARTITION BY activity ORDER BY date)
 
 
 def asof_join_q(spark: SparkSession, sf_dir: str,
-                dirs: tuple = ("bwd", "fwd", "tol")) -> DataFrame:
-    """OP-JN-ASOF, tagged by ``dir`` stage (r12 widened to the full
-    merge_asof surface — operators/joins.py):
+                dirs: tuple = ("bwd", "fwd", "tol", "nst")) -> DataFrame:
+    """OP-JN-ASOF, tagged by ``dir`` stage (r12 widened to
+    backward/forward/tolerance; r13 completes the merge_asof surface
+    with 'nearest' — operators/joins.py):
 
     - 'bwd': most recent prior purchase per click (the r1 semantics).
     - 'fwd': nearest FOLLOWING purchase — same union-and-carry plan
@@ -2590,6 +2591,9 @@ def asof_join_q(spark: SparkSession, sf_dir: str,
     - 'tol': backward within a 1-hour tolerance — matches farther than
       3600 s null out (pandas ``merge_asof(tolerance=...)``
       semantics); the oracle post-filters its ASOF match by epoch gap.
+    - 'nst': nearest on either side, equidistant ties → backward
+      (pandas' rule); the oracle runs BOTH DuckDB ASOF directions and
+      re-derives the gap argmin with the same tie-break.
     """
     from ..operators.joins import asof_join
 
@@ -2616,7 +2620,7 @@ def asof_join_q(spark: SparkSession, sf_dir: str,
         )
 
     spec = {"bwd": ("backward", None), "fwd": ("forward", None),
-            "tol": ("backward", 3600.0)}
+            "tol": ("backward", 3600.0), "nst": ("nearest", None)}
     frames = [run(*spec[t], t) for t in dirs]
     out = frames[0]
     for f in frames[1:]:
@@ -2663,6 +2667,25 @@ SELECT 'tol', c.event_id, c.user_id, c.click_value,
 FROM clicks c
 ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+UNION ALL
+-- nst: both ASOF directions, then the gap argmin with pandas'
+-- equidistant tie -> backward rule (gap_b <= gap_f picks backward)
+SELECT 'nst', c.event_id, c.user_id, c.click_value,
+       CASE WHEN b.ts IS NOT NULL
+                 AND (f.ts IS NULL
+                      OR epoch(c.ts) - epoch(b.ts)
+                         <= epoch(f.ts) - epoch(c.ts))
+            THEN b.purchase_value ELSE f.purchase_value END,
+       CASE WHEN b.ts IS NOT NULL
+                 AND (f.ts IS NULL
+                      OR epoch(c.ts) - epoch(b.ts)
+                         <= epoch(f.ts) - epoch(c.ts))
+            THEN b.ts ELSE f.ts END
+FROM clicks c
+ASOF LEFT JOIN purchases b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+ASOF LEFT JOIN purchases f
+  ON c.user_id = f.user_id AND c.ts <= f.ts
 """
 
 
