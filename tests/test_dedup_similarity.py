@@ -1499,3 +1499,51 @@ def test_bloom_and_asof_argument_validation(spark):
         asof_join(docs, docs, keys=["doc_id"], left_ts="doc_id",
                   right_ts="doc_id", value_cols=["text"],
                   direction="sideways")
+
+
+def test_bloom_fill_autosize_and_saturation_guard(spark):
+    """r13 (verdict #2 + r12 advice): bloom_build exposes its fill
+    factor in-band, auto-sizes M from the eval gram count when
+    m_bits=None (floored at the registry default, next power of two
+    >= 16*n_grams), and bloom_probe_lit raises LOUDLY on a saturated
+    bitmap instead of silently flagging everything."""
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(40)))
+             for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    b = dd.bloom_build(docs, "doc_id", "text", n=5).collect()[0]
+    assert b["m_bits"] == dd.BLOOM_M
+    # fill matches the popcount of the returned bitmap exactly
+    want_fill = sum(int(w).bit_count() for w in b["words"]) / dd.BLOOM_M
+    assert abs(b["fill"] - want_fill) < 1e-12
+    assert 0.0 < b["fill"] < 0.5
+
+    # auto mode on a small eval set floors at the registry default
+    auto = dd.bloom_build(docs, "doc_id", "text", n=5,
+                          m_bits=None).collect()[0]
+    assert auto["m_bits"] == dd.BLOOM_M
+    assert auto["words"] == b["words"]
+
+    # a tiny pinned M saturates -> the literal probe path refuses
+    sat = dd.bloom_build(docs, "doc_id", "text", n=5,
+                         m_bits=64).collect()[0]
+    assert sat["fill"] >= 0.8
+    with pytest.raises(ValueError, match="saturated"):
+        dd.bloom_probe_lit(docs, "doc_id", "text",
+                           list(sat["words"]), n=5, m_bits=64)
+    # ... unless saturation is explicitly accepted (the registry's
+    # pinned-M seam)
+    out = dd.bloom_probe_lit(docs, "doc_id", "text",
+                             list(sat["words"]), n=5, m_bits=64,
+                             max_fill=1.0)
+    assert out.count() == 40
+
+    # auto-sizing is the documented fix: same corpus, bigger gram set
+    big = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{j}" for j in range(300)))
+         for i in range(60)], "doc_id long, text string")
+    grown = dd.bloom_build(big, "doc_id", "text", n=5,
+                           m_bits=None).collect()[0]
+    assert grown["m_bits"] > dd.BLOOM_M          # outgrew the floor
+    assert grown["m_bits"] & (grown["m_bits"] - 1) == 0   # power of 2
+    assert grown["fill"] < 0.5                   # and not saturated

@@ -507,3 +507,94 @@ def test_hier_search_beats_flat_on_manifold(spark):
     assert flat <= 0.5, flat     # the wall: 4 hops from 4 fixed entries
     assert hier >= 0.9, hier     # the hierarchy walks the manifold
     assert hier > flat
+
+
+def _clustered(spark, n_clusters=12, members=40, dim=16, seed=5,
+               spread=0.3):
+    """Well-separated gaussian clusters — the regime where ring-init
+    descent is round-hungry (in-cluster candidate rate =
+    members/n per round 1) and IVF seeding starts converged-adjacent."""
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 5.0
+    rows = []
+    for c in range(n_clusters):
+        for m in range(members):
+            v = centers[c] + spread * rng.standard_normal(dim)
+            rows.append((c * 1000 + m,
+                         [float(x) for x in np.round(v, 6)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_seeded_build_converges_where_ring_init_lags(spark):
+    """The r13 convergence fix, pinned at test scale: on a clustered
+    corpus, the IVF-seeded build (nnd_graph_ivf — coarse-cell rings as
+    init) reaches near-exact adjacency in 2 rounds, while the same
+    2-round budget from the random hash-ring init is still navigating
+    (the 200 k probe's two-phase finding). Also: shape invariants and
+    deterministic rebuild hold for the seeded path."""
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_graph_ivf,
+    )
+
+    df = _clustered(spark)
+    exact = _exact_graph(df, 6)
+
+    def match(g):
+        got = {}
+        for r in g.collect():
+            got.setdefault(r["src"], set()).add(r["dst"])
+        return sum(len(got.get(s, set()) & exact[s])
+                   for s in exact) / (len(exact) * 6)
+
+    ring = nnd_graph(df, k=6, iters=2)
+    g_ivf, cents = nnd_graph_ivf(df, k=6, iters=2, n_lists=12,
+                                 kmeans_iters=3)
+    assert len(cents) == 12
+    m_ring, m_ivf = match(ring), match(g_ivf)
+    assert m_ivf > m_ring, (m_ivf, m_ring)   # seeding buys rounds
+    assert m_ivf >= 0.9, m_ivf               # near-exact in 2 rounds
+    # shape invariants on the seeded path
+    rows = g_ivf.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], set()).add(r["dst"])
+    assert all(len(v) == 6 for v in per_src.values())
+    # deterministic rebuild (trained centroids + md5 order, no RNG)
+    g2, _ = nnd_graph_ivf(df, k=6, iters=2, n_lists=12, kmeans_iters=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, g2.collect()))
+
+
+def test_ivf_init_edges_shape_and_in_cell_bias(spark):
+    """ivf_init_edges contract: no self-loops, distinct pairs, every
+    node present as a src, and the seed edges are dominated by
+    same-cluster pairs (the whole point — round 1 starts in-cluster);
+    the ring_mix global edges keep the init connected across cells."""
+    from training_datawarehouse_spark.operators.nndescent import (
+        ivf_init_edges, nnd_graph_ivf,
+    )
+    from training_datawarehouse_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    df = _clustered(spark, n_clusters=6, members=30)
+    init = [r[1] for r in
+            df.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(6).collect()]
+    cents, _ = kmeans_fit(df, "embedding", k=6, iters=3,
+                          init_vectors=init, round_dp=6)
+    edges = ivf_init_edges(df, cents, k=6, nprobe=2, ring_mix=2)
+    rows = edges.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    assert len(rows) == len({(r["src"], r["dst"]) for r in rows})
+    srcs = {r["src"] for r in rows}
+    assert len(srcs) == 180                  # every node seeds
+    in_cluster = [r["src"] // 1000 == r["dst"] // 1000 for r in rows]
+    assert sum(in_cluster) / len(in_cluster) >= 0.5
+    # ring_mix=0 drops the global ring; edges shrink, still no loops
+    bare = ivf_init_edges(df, cents, k=6, nprobe=2, ring_mix=0)
+    assert bare.count() < len(rows)
+    # nprobe must be >= 1
+    with pytest.raises(ValueError):
+        nnd_graph_ivf(df, k=6, n_lists=500)  # fewer vectors than lists

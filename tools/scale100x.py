@@ -759,22 +759,27 @@ def graph_probe(spark) -> None:
     print(f"\n--- graph probe: {n_docs} docs, eval distinct 5-grams "
           f"{n_ev_grams}", flush=True)
 
-    for m_bits in (dd.BLOOM_M, 1 << 23):
+    # r13: None = the AUTO default (sizes itself from the eval gram
+    # count — the verdict-#2 fix; the saturated pinned-M rows stay as
+    # the measured hazard the auto mode exists to prevent)
+    for m_bits in (dd.BLOOM_M, 1 << 23, None):
         t0 = time.time()
         bloom = dd.bloom_build(ev, "doc_id", "text", n=5, m_bits=m_bits)
         row = bloom.collect()[0]
         t_build = time.time() - t0
-        set_bits = sum(bin(w & 0xFFFFFFFF).count("1") for w in row["words"])
-        fill = set_bits / m_bits
+        m_used = row["m_bits"]
+        fill = row["fill"]
         bloomed = spark.createDataFrame([row], bloom.schema)
         probe = dd.bloom_probe(tr, "doc_id", "text", bloomed, n=5,
-                               m_bits=m_bits)
+                               m_bits=m_used)
         t_probe = _time_noop(probe)
         lit = dd.bloom_probe_lit(tr, "doc_id", "text",
-                                 list(row["words"]), n=5, m_bits=m_bits)
+                                 list(row["words"]), n=5, m_bits=m_used,
+                                 max_fill=1.0)
         t_lit = _time_noop(lit)
         flagged = probe.filter(F.col("n_bloom_hits") > 0).count()
-        print(f"bloom m={m_bits:>9d} build {t_build:6.1f}s "
+        tag = "auto" if m_bits is None else "pin "
+        print(f"bloom {tag} m={m_used:>9d} build {t_build:6.1f}s "
               f"fill {fill:6.3f} probe(noop) {t_probe:6.1f}s "
               f"lit(noop) {t_lit:6.1f}s "
               f"flagged {flagged}/{tr.count()}", flush=True)

@@ -933,28 +933,49 @@ def _bloom_pos_sql(h: str, i: int, m_bits: int = BLOOM_M) -> str:
     )
 
 
+BLOOM_M_CAP = 1 << 27     # auto-sizing cap: 2^27 bits = 16 MB bitmap
+
+
 def bloom_build(
     eval_docs: DataFrame, id_col: str, text_col: str, n: int = 5,
-    m_bits: int = BLOOM_M,
+    m_bits: int | None = BLOOM_M,
 ) -> DataFrame:
     """Build the Bloom bitmap over the eval set's distinct word
-    n-grams. Returns a ONE-ROW DataFrame with column ``words``:
-    ``array<bigint>`` of length ``m_bits / 32`` (32 bits per word).
+    n-grams. Returns a ONE-ROW DataFrame with columns ``words``
+    (``array<bigint>`` of length ``m_bits / 32``, 32 bits per word),
+    ``m_bits``, and ``fill`` — the set-bit fraction, IN-BAND, so a
+    saturated filter is detectable from the build output instead of
+    only from the docstring's sizing note (r12 advice + verdict #2:
+    the 100× probe measured the old fixed default at fill 1.000,
+    flagging every train doc — a silently useless filter).
+
+    ``m_bits=None`` AUTO-SIZES from the eval set: the next power of
+    two ≥ 16·n_grams (K=4 → fp ≈ 2e-3), floored at the registry
+    default and capped at 2^27 (a 16 MB bitmap — still a cheap
+    broadcast; beyond that the eval set is large enough that the
+    pairwise report path is the right tool anyway). Auto mode runs
+    ONE count action over the eval gram stream — the eval side is
+    benchmark data (MBs), and the build already aggregates exactly
+    this stream; pinned-M callers (the registry, whose plan builders
+    must stay action-free) pass the explicit value and keep a fully
+    lazy build.
 
     Scale shape: the eval side is benchmark data (MBs); its gram
     stream reduces to ≤ M distinct bit positions, then to packed
     words via ``bit_or`` — every step is a shrinking aggregation, and
     the result is a broadcast payload of fixed size chosen by M,
     independent of corpus size. SIZE M TO THE EVAL SET: with K=4,
-    fp ≈ (1 - e^(-K·n_grams/M))^K — M ≈ 16·n_grams gives ~2e-3;
-    the registry default (65536) suits the sf-scale fixture, a real
-    benchmark suite wants 2^23+ (still ~1 MB broadcast)."""
-    if m_bits % BLOOM_WORD_BITS != 0:
-        raise ValueError("m_bits must be a multiple of 32")
+    fp ≈ (1 - e^(-K·n_grams/M))^K — M ≈ 16·n_grams gives ~2e-3."""
     g = (
         _gram_stream(eval_docs, id_col, text_col, n)
         .select("__gram").distinct()
     )
+    if m_bits is None:
+        n_grams = g.count()
+        m_bits = max(BLOOM_M, 1 << max(0, (16 * n_grams - 1).bit_length()))
+        m_bits = min(m_bits, BLOOM_M_CAP)
+    if m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError("m_bits must be a multiple of 32")
     pos = g.select(
         F.explode(
             F.array(*[F.expr(_bloom_pos_sql("md5(__gram)", i, m_bits))
@@ -979,7 +1000,12 @@ def bloom_build(
         spine.join(words, "w", "left")
         .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
         .agg(F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("s"))
-        .select(F.expr("transform(s, x -> x.bits)").alias("words"))
+        .select(
+            F.expr("transform(s, x -> x.bits)").alias("words"),
+            F.lit(m_bits).alias("m_bits"),
+            (F.expr("aggregate(s, 0L, (a, x) -> a + bit_count(x.bits))")
+             / F.lit(float(m_bits))).alias("fill"),
+        )
     )
 
 
@@ -1034,6 +1060,7 @@ def bloom_probe_lit(
     words: list,
     n: int = 5,
     m_bits: int = BLOOM_M,
+    max_fill: float = 0.8,
 ) -> DataFrame:
     """``bloom_probe`` with the bitmap riding the EXPRESSION TREE as an
     array literal (one constant per task) instead of a joined column.
@@ -1048,9 +1075,25 @@ def bloom_probe_lit(
     benchmark-suite-sized filters take this seam:
     ``bloom_probe_lit(docs, ..., bloom_build(...).collect()[0]["words"],
     m_bits=...)``. Semantics are identical bit-for-bit (pytest parity).
+
+    SATURATION GUARD (r13, verdict #2): the bitmap is already on the
+    driver here, so its fill factor is free to compute — a fill ≥
+    ``max_fill`` means the filter flags (nearly) everything and the
+    probe result is useless noise; that is a LOUD error, not a silent
+    degrade (the 100× probe measured M=65536 at 500 k docs reaching
+    fill 1.000 and flagging all 448 800 train docs). Re-build with
+    ``bloom_build(..., m_bits=None)`` (auto-sized) or pass
+    ``max_fill=1.0`` to explicitly accept a saturated probe.
     """
     from functools import reduce
 
+    fill = sum(int(w).bit_count() for w in words) / max(1, m_bits)
+    if max_fill < 1.0 and fill >= max_fill:   # max_fill=1.0 disables
+        raise ValueError(
+            f"bloom filter saturated: fill={fill:.3f} >= {max_fill} "
+            f"at m_bits={m_bits} — the probe would flag (nearly) "
+            "every document; re-build with bloom_build(m_bits=None) "
+            "to auto-size, or pass max_fill=1.0 to accept")
     lw = F.lit([int(w) for w in words])
 
     def pos(h, i):

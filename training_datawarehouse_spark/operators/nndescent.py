@@ -72,7 +72,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.caching import release_local_checkpoint
-from .similarity import _as_double, cosine
+from .similarity import _as_double, cosine, nearest_centroid_lists
 
 
 def nnd_graph(
@@ -83,6 +83,7 @@ def nnd_graph(
     iters: int = 3,
     incremental: bool = True,
     sample: int | None = None,
+    init_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Directed k-NN graph (src, dst, cos) after ``iters`` NN-descent
     rounds from the deterministic hash-ring init. ``cos`` is cosine
@@ -107,7 +108,21 @@ def nnd_graph(
     ``md5(center‖node)`` — a deterministic stand-in for the paper's
     random sampling, so runs are reproducible. Cuts the per-center
     join fan-out from (2k)² to sample²; an APPROXIMATION (unlike
-    ``incremental``), priced by the recall test, default off."""
+    ``incremental``), priced by the recall test, default off.
+
+    ``init_edges`` (r13 — the convergence fix the 200 k probe
+    demanded): a caller-provided (src, dst) frame replacing the
+    hash-ring init. The r12 probe measured WHY this lever exists:
+    random init spends every early round on coarse navigation
+    (candidates hit a node's true cluster at rate cluster/n — 1.6 %
+    at the 200 k mixture — so 10 rounds left exact-set recall ≈ 0.01),
+    while the insert path's IVF-seeded nodes reached sim-ratio 0.9868
+    in 2 refine rounds because their lists STARTED in-cluster. Pass
+    ``ivf_init_edges`` (each node's within-coarse-cell ring) and every
+    descent round is fine refinement from the first local join. Edges
+    are scored, self-loops dropped, and each src trimmed to its k best
+    before round 1, so the loop's fan-out invariant ((2k)² per center)
+    holds regardless of the init's per-node degree."""
     nodes = emb.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -131,6 +146,22 @@ def nnd_graph(
             )
         )
 
+    if init_edges is not None:
+        wk0 = Window.partitionBy("src").orderBy(F.col("cos").desc(),
+                                                "dst")
+        g = (
+            score(
+                init_edges.select("src", "dst")
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            .withColumn("rn", F.row_number().over(wk0))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .withColumn("new", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+        return _refine(nodes, g, k, iters, incremental, sample)
     # Init: ring in md5 order. The global row_number window is an
     # init-only, build-time cost over (id, hash) — at warehouse scale
     # the same permutation comes from a distributed sort +
@@ -155,6 +186,302 @@ def nnd_graph(
     g = score(ring).withColumn("new", F.lit(True)) \
         .localCheckpoint(eager=True)
     return _refine(nodes, g, k, iters, incremental, sample)
+
+
+def ivf_init_edges(
+    emb: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    nprobe: int = 2,
+    ring_mix: int = 2,
+) -> DataFrame:
+    """(src, dst) init edges for ``nnd_graph(init_edges=...)``: each
+    node's ``k // nprobe`` md5-ring successors WITHIN each of its
+    ``nprobe`` cosine-nearest coarse cells, plus ``ring_mix`` global
+    md5-ring successors for cross-cell connectivity.
+
+    Why this is the convergence fix (measured, r12 probe): NN-descent
+    from random init is TWO-PHASE at scale — candidates reach a node's
+    true cluster at rate cluster/n, so every early round is coarse
+    navigation and fine descent only starts after the transition. The
+    trained coarse quantizer (``kmeans_fit`` — the exact structure the
+    IVF family already maintains) answers the navigation phase in ONE
+    assignment pass: a node's initial neighbors are already drawn from
+    its own cell, so round 1's neighbor-of-neighbor candidates are
+    in-cluster at rate ~1 instead of cluster/n. ``nprobe=2`` seeds
+    from the second-nearest cell too, bridging clusters that straddle
+    a cell boundary; the ``ring_mix`` global edges (2·n rows — noise
+    in the edge budget) keep the init graph connected so descent can
+    repair arbitrary mis-assignment.
+
+    Plan shape: one broadcast-literal centroid assignment over the
+    corpus (no shuffle), one per-cell window pair (row_number + count
+    share the sort), one equi-join on (cell, rank) — all cell-grain;
+    cells are ~n/n_lists rows, and n_lists grows as √n in the IVF
+    sizing this repo ships, so the per-cell sort stays partition-sized
+    at any corpus. The global ring reuses the documented init-only
+    permutation cost. Deterministic end to end: trained centroids +
+    md5 order, no RNG."""
+    nodes = emb.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    member = nodes.select(
+        "nid",
+        F.explode(F.transform(
+            nearest_centroid_lists(F.col("v"), cents, nprobe),
+            lambda s: s["list_id"],
+        )).alias("cell"),
+    )
+    wcell = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("nid").cast("string")), "nid")
+    perm = member.select(
+        "cell", "nid",
+        F.row_number().over(wcell).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("cnt"),
+    )
+    per = max(1, k // max(1, nprobe))
+    edges = (
+        perm.select(
+            "cell", "nid", "rn", "cnt",
+            F.explode(F.array(*[F.lit(j) for j in range(1, per + 1)]))
+            .alias("j"),
+        )
+        .select(
+            "cell", "nid",
+            ((F.col("rn") - 1 + F.col("j")) % F.col("cnt") + 1)
+            .alias("rn2"),
+        )
+        .join(
+            perm.select("cell", F.col("nid").alias("dst"),
+                        F.col("rn").alias("rn2")),
+            ["cell", "rn2"],
+        )
+        .select(F.col("nid").alias("src"), "dst")
+    )
+    if ring_mix > 0:
+        n = nodes.count()
+        wrk = Window.orderBy(F.md5(F.col("nid").cast("string")), "nid")
+        gperm = nodes.select("nid", F.row_number().over(wrk).alias("rn"))
+        gring = (
+            gperm.select(
+                "nid", "rn",
+                F.explode(F.array(*[F.lit(j)
+                                    for j in range(1, ring_mix + 1)]))
+                .alias("j"),
+            )
+            .select("nid",
+                    ((F.col("rn") - 1 + F.col("j")) % n + 1).alias("rn2"))
+            .join(gperm.select(F.col("nid").alias("dst"),
+                               F.col("rn").alias("rn2")), "rn2")
+            .select(F.col("nid").alias("src"), "dst")
+        )
+        edges = edges.union(gring)
+    return edges.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def nnd_graph_ivf(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 4,
+    n_lists: int = 64,
+    kmeans_iters: int = 4,
+    nprobe: int = 2,
+    ring_mix: int = 2,
+    centroids: list[list[float]] | None = None,
+    incremental: bool = True,
+    sample: int | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """One-call IVF-seeded NN-descent build: train the coarse
+    quantizer (deterministic ``kmeans_fit`` — init = first ``n_lists``
+    vectors in id order, 6-dp centroid rounding, the oracle-portable
+    recipe the probes use), seed every node's list from its coarse
+    cells (``ivf_init_edges``), then run descent as pure refinement.
+
+    Returns (graph, centroids) — the centroids are the SAME trained
+    quantizer the serving path wants for per-query IVF entries
+    (``nnd_search(entry_df=...)``), so one training pass feeds both
+    build and serve. Pass ``centroids`` to reuse an existing
+    quantizer and skip the fit."""
+    if centroids is None:
+        from .similarity import kmeans_fit
+        # md5-order init = a deterministic pseudo-random sample of
+        # n_lists vectors (engine-portable, no RNG). Id-order would be
+        # a correlated sample — cluster-major id schemes would seed
+        # every centroid inside ONE cluster and Lloyd's would never
+        # recover the separation the seeding step depends on.
+        init = [r[1] for r in
+                emb.select(id_col, vec_col)
+                .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+                .limit(n_lists).collect()]
+        if len(init) < n_lists:
+            raise ValueError(
+                f"need at least n_lists={n_lists} vectors, "
+                f"got {len(init)}")
+        centroids, _ = kmeans_fit(
+            emb, vec_col, k=n_lists, iters=kmeans_iters,
+            init_vectors=init, round_dp=6)
+    seeds = ivf_init_edges(
+        emb, centroids, vec_col=vec_col, id_col=id_col,
+        k=k, nprobe=nprobe, ring_mix=ring_mix)
+    g = nnd_graph(
+        emb, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+        incremental=incremental, sample=sample, init_edges=seeds)
+    return g, centroids
+
+
+def _level(id_expr, core_frac: int):
+    """Deterministic HNSW-style level: trailing-zero count of
+    md5(id) mod core_frac (a power of two). Level log2(core_frac) —
+    hash ≡ 0 — is the CORE (1/core_frac of nodes, the same set
+    ``nnd_sample_layer`` selects); level j < log2(core_frac) holds
+    2^(L−1−j)/core_frac of nodes, so inserting levels in descending
+    order DOUBLES the graph per wave."""
+    h = F.conv(
+        F.substring(F.md5(id_expr.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    v = F.pmod(h, F.lit(core_frac))
+    L = core_frac.bit_length() - 1
+    lvl = F.lit(L)
+    # trailing zeros of v, computed as a when-chain (v==0 -> L)
+    for j in range(L - 1, -1, -1):
+        lvl = F.when(F.pmod(v, F.lit(1 << (j + 1))) == (1 << j),
+                     F.lit(j)).otherwise(lvl)
+    return lvl
+
+
+def nnd_graph_recursive(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    core_frac: int = 64,
+    core_iters: int = 8,
+    refine_iters: int = 2,
+    beam: int = 8,
+    hops_core: int = 4,
+    hops: int = 3,
+    n_entry: int = 4,
+    n_lists: int = 64,
+    kmeans_iters: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """RECURSIVE NN-descent build: converge a small CORE layer's
+    graph, then insert everyone else in DOUBLING WAVES (r13 — the
+    build recipe the r12 probe's arithmetic demanded).
+
+    Why not more descent rounds: descent's fine phase moves a list a
+    bounded number of neighborhood steps per round, so
+    rounds-to-converge grow with cluster population — at the 200 k
+    probe (3 125-member clusters, k=8) neither random-ring init
+    (coarse navigation eats the budget) nor IVF-seeded init (random
+    IN-cell seeds still start a cluster-diameter away) converged in 10
+    rounds. The one configuration that reached near-optimal lists was
+    the INSERT path: nodes seeded by BEAM SEARCH hit sim-ratio 0.9868
+    after 2 refine rounds, because beam seeds are already approximate
+    top-k. So the build makes every node an insert.
+
+    Why DOUBLING waves and not one bulk insert: inserting m nodes
+    into a graph of g members lands m·k/g reverse seed edges on the
+    average old node — one 63/64-of-corpus insert would give every
+    core node a ~500-entry general neighborhood and a quadratic local
+    join (the measured k=24 grind, reborn). With batch ≈ graph size,
+    reverse fan-in stays ~k and every wave's local join keeps the
+    (2k)²-per-center budget. log2(core_frac) waves total; the wave
+    schedule is the md5 trailing-zero level (`_level`) — HNSW's
+    geometric level assignment (Malkov & Yashunin 2018), derandomized.
+
+    Wave seeding is HIERARCHICAL (the `nnd_search_hier` insight,
+    applied at build time): each wave's queries first descend the
+    CONVERGED core graph (IVF-entry navigation, ``hops_core`` hops on
+    1/core_frac-sized frames — cheap), and those core hits become the
+    per-query entries for the beam search over the CURRENT graph
+    (``hops`` local hops). Entry navigation is solved once by the
+    core; the per-wave walk is local.
+
+    1/core_frac of the build (the core itself) still relies on
+    IVF-seeded descent (``nnd_graph_ivf``) — at n/core_frac the
+    cluster populations shrink by core_frac so ``core_iters`` rounds
+    genuinely converge, and the trained quantizer is returned for the
+    serving path to reuse.
+
+    Returns (graph over all ids, trained centroids). Deterministic
+    end to end: md5 levels, trained centroids, md5 rings, fixed round
+    counts — no RNG anywhere."""
+    if core_frac & (core_frac - 1) or core_frac < 2:
+        raise ValueError("core_frac must be a power of two >= 2")
+    L = core_frac.bit_length() - 1
+    lvl = _level(F.col(id_col), core_frac)
+    levels = emb.select(
+        F.col(id_col), F.col(vec_col), lvl.alias("__lvl")
+    ).localCheckpoint(eager=True)
+    core = levels.filter(F.col("__lvl") == L).drop("__lvl")
+    g_core, cents = nnd_graph_ivf(
+        core, vec_col=vec_col, id_col=id_col, k=k,
+        iters=core_iters, n_lists=n_lists,
+        kmeans_iters=kmeans_iters, centroids=centroids)
+    reps = (
+        core.select(
+            F.col(id_col).alias("nid"),
+            nearest_centroid_lists(
+                _as_double(F.col(vec_col)), cents, 1
+            )[0]["list_id"].alias("cell"),
+        )
+        .groupBy("cell").agg(F.min("nid").alias("nid"))
+        .localCheckpoint(eager=True)
+    )
+    g = g_core
+    try:
+        for wave in range(L - 1, -1, -1):
+            batch = levels.filter(F.col("__lvl") == wave).drop("__lvl")
+            if batch.isEmpty():   # small corpora can skip a level
+                continue
+            members = levels.filter(F.col("__lvl") > wave).drop("__lvl")
+            queries = batch.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col))
+            ivf_entries = (
+                queries.select(
+                    "query_id",
+                    F.explode(F.transform(
+                        nearest_centroid_lists(
+                            _as_double(F.col(vec_col)), cents, 2),
+                        lambda s: s["list_id"],
+                    )).alias("cell"),
+                )
+                .join(F.broadcast(reps), "cell")
+                .select("query_id", "nid")
+            )
+            core_hits = nnd_search(
+                g_core, core, queries, vec_col=vec_col, id_col=id_col,
+                k=min(n_entry, beam), beam=beam, hops=hops_core,
+                entry_df=ivf_entries,
+            )
+            try:
+                g_next = nnd_insert(
+                    g, members, batch, vec_col=vec_col, id_col=id_col,
+                    k=k, iters=refine_iters, beam=beam, hops=hops,
+                    entry_df=core_hits.select(
+                        "query_id", F.col("neighbor_id").alias("nid")),
+                )
+            finally:
+                release_local_checkpoint(core_hits)
+            if g is not g_core:
+                release_local_checkpoint(g)
+            g = g_next
+    except BaseException:
+        if g is not g_core:
+            release_local_checkpoint(g)
+        release_local_checkpoint(g_core)
+        release_local_checkpoint(reps)
+        release_local_checkpoint(levels)
+        raise
+    release_local_checkpoint(g_core)
+    release_local_checkpoint(reps)
+    release_local_checkpoint(levels)
+    return g, cents
 
 
 def _refine(
