@@ -271,17 +271,18 @@ def nnd_probe(spark) -> None:
     rotations -> maximal intrinsic dimension, recall 0.034 even with
     IVF-entry seeds).
 
-    Measurements:
-    - ITERATION SWEEP: build the full-corpus graph at 3/6/10 rounds,
-      adjacency recall@8 vs exact each time — the r11 '423 s at 3
-      rounds' build number carried no recall, and this sweep showed
-      why that matters (3 rounds ~ 0.00 recall at 200 k).
-    - INSERT: build old 90 % at the converged round count, insert the
-      newest 10 % (IVF-entry seeds + touched-only refine), recall vs
-      the full rebuild on the same sampled new nodes, wall-clock vs
-      the rebuild.
-    - SERVE: 2 000-query batch on the converged graph — flat descent
-      (3 and 8 hops, IVF entries) vs the 2-layer hierarchical path.
+    Measurements (r13 — the convergence round):
+    - BUILDS: IVF-seeded flat descent (8 rounds; the r12 verdict's
+      named lever — converts coarse navigation but random in-cell
+      seeds still start a cluster-diameter out) vs the RECURSIVE
+      build (converged core + doubling-wave beam-seeded inserts —
+      the recipe the r12 insert measurement implied: beam seeds are
+      approximate top-k already). r12 ring baselines stay recorded
+      in SCALE.md (k8/3r: recall 0.00; k8/10r: 131 s, recall 0.008).
+    - SERVE: 2 000-query batch on the converged recursive graph —
+      flat descent (3/8 hops, IVF entries; global entries) vs the
+      2-layer hierarchical path at two hop budgets; r12's serve
+      numbers were ceilinged by the unconverged base graph.
     """
     import numpy as np
 
@@ -289,8 +290,8 @@ def nnd_probe(spark) -> None:
         release_local_checkpoint,
     )
     from training_datawarehouse_spark.operators.nndescent import (
-        nnd_graph, nnd_insert, nnd_sample_layer, nnd_search,
-        nnd_search_hier,
+        nnd_graph_ivf, nnd_graph_recursive, nnd_sample_layer,
+        nnd_search, nnd_search_hier,
     )
     from training_datawarehouse_spark.operators import similarity as sim
     from training_datawarehouse_spark.operators.similarity import cosine_topk
@@ -385,35 +386,36 @@ def nnd_probe(spark) -> None:
             (F.col("src") % 2000 == F.col("dst") % 2000)
             .cast("int").alias("i")).agg(F.avg("i")).first()[0])
 
-    g_full = t_full = None
-    kk_best = it_best = None
-    for kk, it in ((8, 3), (8, 10)):
-        t0 = time.time()
-        gi = nnd_graph(emb, k=kk, iters=it)
-        ti = time.time() - t0
-        ri = adj_recall(gi, ex_sweep, sweep_ids)
-        icf = in_cluster_frac(gi)
-        sr = sim_ratio(gi, sweep_ids)
-        print(f"build[k={kk}, {it} rounds, 200k]: {ti:.1f}s "
-              f"in_cluster={icf:.3f} recall@8={ri:.3f} "
-              f"sim_ratio={sr:.4f}", flush=True)
-        if g_full is not None:
-            release_local_checkpoint(g_full)
-        g_full, t_full, kk_best, it_best = gi, ti, kk, it
-
-    # ---- insert: old 90% at the converged round count, insert 10%
-    cut = int(emb.selectExpr("percentile(vec_id, 0.9)").first()[0])
-    old = emb.filter(F.col("vec_id") < cut).localCheckpoint(eager=True)
-    new = emb.filter(F.col("vec_id") >= cut).localCheckpoint(eager=True)
+    # ---- r13 builds: IVF-seeded flat descent (the r12 verdict's
+    # named lever) vs the RECURSIVE build (core + doubling-wave beam
+    # inserts — the recipe the r12 insert measurement implied). The
+    # r12 baselines stay recorded in SCALE.md: ring k=8/3 rounds 49 s
+    # recall 0.00; ring k=8/10 rounds 131 s recall 0.008.
+    kk = 8
+    g_full = None
     t0 = time.time()
-    g_old = nnd_graph(old, k=kk_best, iters=it_best)
-    t_build = time.time() - t0
+    g_ivf, _ = nnd_graph_ivf(emb, k=kk, iters=8, n_lists=64,
+                             kmeans_iters=4)
+    t_ivf = time.time() - t0
+    print(f"build[ivf-seeded k={kk}, 8 rounds, 200k]: {t_ivf:.1f}s "
+          f"in_cluster={in_cluster_frac(g_ivf):.3f} "
+          f"recall@8={adj_recall(g_ivf, ex_sweep, sweep_ids):.3f} "
+          f"sim_ratio={sim_ratio(g_ivf, sweep_ids):.4f}", flush=True)
+    release_local_checkpoint(g_ivf)
 
     t0 = time.time()
-    init = [r["embedding"] for r in old.orderBy("vec_id").limit(64).collect()]
-    cents, _ = sim.kmeans_fit(
-        old, "embedding", k=64, iters=4, init_vectors=init, round_dp=6)
-    cassign = old.select(
+    g_full, cents = nnd_graph_recursive(
+        emb, k=kk, core_frac=64, core_iters=8, refine_iters=2,
+        n_lists=64, kmeans_iters=4)
+    t_full = time.time() - t0
+    print(f"build[recursive core64 k={kk}, 200k]: {t_full:.1f}s "
+          f"in_cluster={in_cluster_frac(g_full):.3f} "
+          f"recall@8={adj_recall(g_full, ex_sweep, sweep_ids):.3f} "
+          f"sim_ratio={sim_ratio(g_full, sweep_ids):.4f}", flush=True)
+
+    # IVF entry plumbing for serving (reps over the FULL corpus — any
+    # member is a valid entry into the final graph)
+    cassign = emb.select(
         F.col("vec_id").alias("nid"),
         sim.nearest_centroid_lists(
             sim._as_double(F.col("embedding")), cents, 1
@@ -421,10 +423,6 @@ def nnd_probe(spark) -> None:
     )
     reps = cassign.groupBy("list_id").agg(F.min("nid").alias("nid")) \
         .localCheckpoint(eager=True)
-    t_quant = time.time() - t0
-    print(f"old build[k={kk_best}, {it_best} rounds, 180k]: "
-          f"{t_build:.1f}s; quantizer(64 lists): {t_quant:.1f}s",
-          flush=True)
 
     def entries_for(qdf):
         qassign = qdf.select(
@@ -438,34 +436,8 @@ def nnd_probe(spark) -> None:
         return qassign.join(F.broadcast(reps), "list_id") \
             .select("query_id", "nid")
 
-    t0 = time.time()
-    g_ins = nnd_insert(
-        g_old, old, new, k=kk_best, iters=2,
-        entry_df=entries_for(
-            new.select(F.col("vec_id").alias("query_id"), "embedding")),
-    )
-    t_insert = time.time() - t0
-    release_local_checkpoint(g_old)
-    new_ids = [int(r["vec_id"]) for r in
-               new.select("vec_id").limit(200).collect()]
-    sampled_new = emb.filter(F.col("vec_id").isin(new_ids))
-    ex_new = exact_sets(sampled_new)
-    ex_cos.clear()
-    for r in cosine_topk(emb, sampled_new, "vec_id", "embedding",
-                         k=8).collect():
-        ex_cos.setdefault(r["query_id"], []).append(r["cosine"])
-    rec_ins = adj_recall(g_ins, ex_new, new_ids)
-    rec_reb = adj_recall(g_full, ex_new, new_ids)
-    sr_ins = sim_ratio(g_ins, new_ids)
-    sr_reb = sim_ratio(g_full, new_ids)
-    print(f"insert(10%, IVF seeds + touched-only refine, k={kk_best}): "
-          f"{t_insert:.1f}s = {t_insert / t_full:.2f}x of the "
-          f"{t_full:.0f}s full k={kk_best}/{it_best}-round rebuild; "
-          f"new-node recall@8 {rec_ins:.3f} (sim_ratio {sr_ins:.4f}) "
-          f"vs rebuild {rec_reb:.3f} ({sr_reb:.4f})", flush=True)
-    release_local_checkpoint(g_ins)
-
-    # ---- serve on the CONVERGED full graph
+    # ---- serve on the (finally) CONVERGED graph — re-pricing the r12
+    # serve table, whose recall was ceilinged by the unconverged base
     qn = 2000
     qsrc = emb.filter(F.col("vec_id") % 101 == 0) \
         .limit(qn) \
@@ -510,13 +482,16 @@ def nnd_probe(spark) -> None:
     t0 = time.time()
     emb1 = nnd_sample_layer(emb, frac=64).localCheckpoint(eager=True)
     n1 = emb1.count()
-    g1 = nnd_graph(emb1, k=kk_best, iters=8)
+    g1, _ = nnd_graph_ivf(emb1, k=kk, iters=8, n_lists=64,
+                          kmeans_iters=4, centroids=cents)
     t_layer = time.time() - t0
     print(f"coarse layer: {n1} nodes, graph built in {t_layer:.1f}s",
           flush=True)
     serve("hier 6+6hops", lambda: nnd_search_hier(
         g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6))
-    for df in (g_full, g1, emb1, old, new, qsrc, reps, emb):
+    serve("hier 3+4hops", lambda: nnd_search_hier(
+        g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=3, hops1=4))
+    for df in (g_full, g1, emb1, qsrc, reps, emb):
         release_local_checkpoint(df)
 
 
