@@ -1547,3 +1547,14 @@ def test_bloom_fill_autosize_and_saturation_guard(spark):
     assert grown["m_bits"] > dd.BLOOM_M          # outgrew the floor
     assert grown["m_bits"] & (grown["m_bits"] - 1) == 0   # power of 2
     assert grown["fill"] < 0.5                   # and not saturated
+
+
+def test_connected_components_incremental_rejects_foreign_labels(spark):
+    """r12 advice: the fold's correctness depends on min-node-id
+    labels; a labeling from any other scheme must be REJECTED on the
+    touched slice, not silently merged wrong."""
+    old = spark.createDataFrame(
+        [(1, 99), (2, 99)], "node long, component long")  # 99 > members
+    e2 = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="min-node-id"):
+        dd.connected_components_incremental(old, e2)

@@ -255,6 +255,55 @@ def main() -> None:
         graph_probe(spark)
     if "--cc" in sys.argv:
         cc_probe(spark)
+    if "--qsk" in sys.argv:
+        qsk_probe(spark)
+
+
+def qsk_probe(spark) -> None:
+    """r13 (verdict #5): the quantile sketch's REALIZED accuracy curve
+    at 100× events (10 M rows) for K ∈ {256, 2048, 16384} — so the
+    documented ~8× accuracy-per-byte gap vs KLL is a measured table
+    users can size K against, not an estimate. Per (K, type,
+    quantile): the estimate's exact rank (the twin the registry
+    carries), realized |rank/N − q|, and the 4σ prediction
+    4·sqrt(q(1−q)/K). Also wall-clock per K — the prefilter keeps the
+    sort ~8K rows, so build cost should move far less than K does."""
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+    from training_datawarehouse_spark.plans.relational import _qsk_stages
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, DST, "events")
+    n_by_type = {r["event_type"]: r["n"] for r in
+                 ev.groupBy("event_type").agg(
+                     F.count(F.lit(1)).alias("n")).collect()}
+    print(f"\n--- qsk probe: {sum(n_by_type.values())} events, "
+          f"{len(n_by_type)} types", flush=True)
+    print(f"{'K':>6s} {'build_s':>8s} {'q':>4s} "
+          f"{'mean|err|':>10s} {'max|err|':>9s} {'4sigma':>8s} "
+          f"{'in_band':>8s}", flush=True)
+    qv = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    for k in (256, 2048, 16384):
+        t0 = time.time()
+        out = _qsk_stages(spark, ev, k=k)
+        rows = [r for r in out.collect() if r["stage"] == "qsk"]
+        t_build = time.time() - t0
+        for lbl, q in sorted(qv.items()):
+            errs = []
+            n_in = 0
+            for r in rows:
+                t, l2 = r["k"].split("|")
+                if l2 != lbl:
+                    continue
+                err = abs(r["n"] / n_by_type[t] - q)
+                errs.append(err)
+                n_in += bool(r["hll_in_band"])
+            sig4 = 4.0 * (q * (1 - q) / k) ** 0.5
+            print(f"{k:>6d} {t_build:8.1f} {lbl:>4s} "
+                  f"{sum(errs) / len(errs):10.5f} {max(errs):9.5f} "
+                  f"{sig4:8.5f} {n_in:>3d}/{len(errs)}", flush=True)
+        release_local_checkpoint(out)
 
 
 def nnd_probe(spark) -> None:

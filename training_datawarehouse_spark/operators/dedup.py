@@ -1163,6 +1163,26 @@ def connected_components_incremental(
         F.col("node").alias("__on"), F.col("component").alias("__oc")
     )
     e = new_edges.select(F.col(src).alias("__ea"), F.col(dst).alias("__eb"))
+    # Contract check (r12 advice): correctness REQUIRES min-node-id
+    # (hierarchical) labels, as connected_components produces — any
+    # other labeling scheme would silently merge wrong. Validate the
+    # TOUCHED slice only (batch-sized — the same endpoints⋈labeling
+    # join the fold performs anyway; a full-labeling scan per ingest
+    # would not be "cheap" at corpus scale): a min-id label is never
+    # greater than its member's node id.
+    bad = (
+        e.select(F.col("__ea").alias("__on"))
+        .union(e.select(F.col("__eb").alias("__on")))
+        .distinct()
+        .join(oc, "__on")
+        .filter(F.col("__oc") > F.col("__on"))
+    )
+    if not bad.isEmpty():
+        raise ValueError(
+            "old_components is not a min-node-id labeling (found a "
+            "component label greater than a member node id on the "
+            "batch's touched slice); connected_components_incremental "
+            "requires labels produced by connected_components")
     relabeled = (
         e.join(oc.withColumnRenamed("__on", "__ea"), "__ea", "left")
         .select(

