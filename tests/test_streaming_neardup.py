@@ -303,19 +303,20 @@ def test_stream_bloomgate_matches_batch_probe(spark):
 
 
 def test_admission_ttl_evicts_idle_buckets_and_readmits(spark, tmp_path):
-    """r13 TTL variant (verdict #3): with ttl_ms set, a bucket idle
-    past the horizon is EVICTED at the next trigger that brings it no
-    data (state count drops), and a later duplicate of its ancient
-    first member is re-admitted (match NULL) — the stated time-horizon
-    semantics. Within-horizon behavior is unchanged (same-cycle
-    duplicates still reject). Three trigger cycles share one
-    checkpoint so state genuinely persists and expires across runs."""
+    """r13 TTL variant (verdict #3): with ttl_ms set, buckets idle past
+    the horizon are EVICTED (state count drops to zero on the live
+    query's progress), and a later duplicate of the evicted bucket's
+    ancient first member is RE-ADMITTED (match NULL) — the stated
+    time-horizon semantics. Within-horizon behavior is unchanged
+    (same-batch duplicates still reject). One long-lived
+    processingTime-trigger query (the TTL deployment shape — with
+    AvailableNow the engine keeps scheduling timeout-check batches and
+    never self-terminates, per the operator docstring), files dropped
+    while it runs."""
     import json as _json
     import time as _time
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    other = "unrelated content about something else entirely here now"
-    novel = "fresh novel text with no overlap to anything prior ok"
     src = tmp_path / "src"
     src.mkdir()
 
@@ -328,56 +329,62 @@ def test_admission_ttl_evicts_idle_buckets_and_readmits(spark, tmp_path):
             src / f"part{i}.parquet",
         )
 
-    def run_cycle(name):
-        raw = (
-            spark.readStream.schema(SPARK_DOC_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(src))
-        )
-        bands = dd.minhash_band_rows_rowlocal(
-            raw, "doc_id", "text", num_hashes=16, bands=4,
-            rows_per_band=4, shingle_n=3,
-        )
-        q = (
-            streaming_neardup_admission(bands, ttl_ms=2000)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(600)
-        q.stop()
-        state_rows = max(
-            (op["numRowsTotal"]
-             for p in q.recentProgress
-             for op in _json.loads(p.json)["stateOperators"]),
-            default=0,
-        )
+    def state_rows(q):
+        lp = q.lastProgress
+        ops = (_json.loads(lp.json)["stateOperators"]
+               if lp is not None else [])
+        return ops[0]["numRowsTotal"] if ops else None
+
+    def wait_for(pred, timeout_s=240):
+        t0 = _time.time()
+        while _time.time() - t0 < timeout_s:
+            if pred():
+                return True
+            _time.sleep(1)
+        return False
+
+    def sink():
         return {
             (r["doc_id"], r["band"]): r["match_id"]
-            for r in spark.table(name).collect()
-        }, state_rows
+            for r in spark.table("adm_ttl").collect()
+        }
 
-    # cycle 1: open the base buckets; a same-cycle near-dup rejects
     write_batch(0, [(0, base), (1, base + " extra")])
-    got1, state1 = run_cycle("adm_ttl_c1")
-    assert {got1[k] for k in got1 if k[0] == 0} == {None}
-    assert {got1[k] for k in got1 if k[0] == 1} - {None} == {0}
-    assert state1 >= 4            # base buckets (+ any unshared ones)
+    raw = (
+        spark.readStream.schema(SPARK_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    bands = dd.minhash_band_rows_rowlocal(
+        raw, "doc_id", "text", num_hashes=16, bands=4,
+        rows_per_band=4, shingle_n=3,
+    )
+    q = (
+        streaming_neardup_admission(bands, ttl_ms=3000)
+        .writeStream.format("memory")
+        .queryName("adm_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # phase 1: both docs decided; same-batch near-dup rejects
+        assert wait_for(lambda: len({k[0] for k in sink()}) == 2)
+        got = sink()
+        assert {got[k] for k in got if k[0] == 0} == {None}
+        assert {got[k] for k in got if k[0] == 1} - {None} == {0}
+        assert wait_for(lambda: (state_rows(q) or 0) >= 4)
 
-    # cycle 2, after the horizon: an unrelated doc triggers the batch;
-    # the idle base buckets are evicted (state shrinks to the new
-    # doc's buckets only)
-    _time.sleep(4)                # > ttl_ms
-    write_batch(1, [(2, other)])
-    got2, state2 = run_cycle("adm_ttl_c2")
-    assert {got2[k] for k in got2 if k[0] == 2} == {None}
-    assert state2 == 4, state2    # ONLY doc 2's buckets survive
+        # phase 2: idle past the horizon -> the engine's timeout
+        # batches evict every bucket (STATE COUNT DROPS — the gate)
+        assert wait_for(lambda: state_rows(q) == 0), state_rows(q)
 
-    # cycle 3: the ancient near-dup of doc 0 arrives — its buckets
-    # were evicted, so it is RE-ADMITTED (the documented trade)
-    write_batch(2, [(10, base)])
-    got3, _ = run_cycle("adm_ttl_c3")
-    assert {got3[k] for k in got3 if k[0] == 10} == {None}
+        # phase 3: the ancient near-dup arrives after eviction and is
+        # RE-ADMITTED (its buckets were forgotten — the stated trade)
+        write_batch(1, [(10, base)])
+        assert wait_for(lambda: 10 in {k[0] for k in sink()})
+        got = sink()
+        assert {got[k] for k in got if k[0] == 10} == {None}
+    finally:
+        q.stop()

@@ -368,6 +368,7 @@ def nnd_graph_recursive(
     n_lists: int = 64,
     kmeans_iters: int = 4,
     centroids: list[list[float]] | None = None,
+    sample: int | None = -1,
 ) -> tuple[DataFrame, list[list[float]]]:
     """RECURSIVE NN-descent build: converge a small CORE layer's
     graph, then insert everyone else in DOUBLING WAVES (r13 — the
@@ -408,11 +409,21 @@ def nnd_graph_recursive(
     genuinely converge, and the trained quantizer is returned for the
     serving path to reuse.
 
+    ``sample`` (default -1 = auto: 4·k) caps each refine center's
+    general neighborhood, rotated per round — REQUIRED at scale for
+    this builder: wave seeds tie-break toward low ids on tight
+    clusters, concentrating reverse edges on a few old nodes per
+    cluster whose (degree)² local joins otherwise grind the wave (the
+    r12 'k=24 grind', reproduced and fixed at the r13 200 k probe).
+    Pass None to uncap (test-scale parity checks).
+
     Returns (graph over all ids, trained centroids). Deterministic
     end to end: md5 levels, trained centroids, md5 rings, fixed round
     counts — no RNG anywhere."""
     if core_frac & (core_frac - 1) or core_frac < 2:
         raise ValueError("core_frac must be a power of two >= 2")
+    if sample == -1:
+        sample = 4 * k
     L = core_frac.bit_length() - 1
     lvl = _level(F.col(id_col), core_frac)
     levels = emb.select(
@@ -465,6 +476,7 @@ def nnd_graph_recursive(
                     k=k, iters=refine_iters, beam=beam, hops=hops,
                     entry_df=core_hits.select(
                         "query_id", F.col("neighbor_id").alias("nid")),
+                    sample=sample,
                 )
             finally:
                 release_local_checkpoint(core_hits)
@@ -557,9 +569,15 @@ def _refine(
                 )
                 und = und.join(tc, "c", "left_semi")
             if sample is not None:
+                # the round index rotates the sample (the paper's
+                # fresh ρ-sample per iteration): a FIXED per-center
+                # sample would stay blind to the same excluded pairs
+                # every round, so capped hot centers could never try
+                # them; rotation restores eventual coverage
                 ws = Window.partitionBy("c").orderBy(
                     F.md5(F.concat_ws("|", F.col("c").cast("string"),
-                                      F.col("nid").cast("string"))),
+                                      F.col("nid").cast("string"),
+                                      F.lit(str(it)))),
                     "nid",
                 )
                 und = (
@@ -672,6 +690,7 @@ def nnd_insert(
     entry_df: DataFrame | None = None,
     incremental: bool = True,
     refine_touched_only: bool = True,
+    sample: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL NN-descent maintenance (r12 — the r11 verdict's #2):
     insert a batch of new vectors into an existing k-NN graph without
@@ -710,6 +729,16 @@ def nnd_insert(
     quality winner, and its cost scales with the batch (seeding
     dominates), so amortization holds for ingest-sized fractions
     (SCALE.md r12 for the full table).
+
+    ``sample`` passes through to the refine loop's per-center
+    general-neighborhood cap (rotated per round). It matters when the
+    BATCH is large relative to the graph: beam seeds tie-break toward
+    low ids on tight clusters, so thousands of co-inserted near-dup
+    queries can concentrate their reverse seed edges onto a few old
+    nodes, whose (degree)² local joins then dominate the round (the
+    r12 'k=24 grind', reproduced at the r13 200 k recursive-build
+    probe). The cap bounds every center at sample² candidate pairs —
+    the LSH hot-bucket treatment, applied to descent centers.
 
     Returns the merged (src, dst, cos) graph over old ∪ new ids as an
     eager checkpoint (caller releases)."""
@@ -768,7 +797,7 @@ def nnd_insert(
         raise
     release_local_checkpoint(seeds)
     return _refine(
-        nodes, g0, k, iters, incremental, sample=None,
+        nodes, g0, k, iters, incremental, sample=sample,
         touched_only=refine_touched_only and incremental,
     )
 

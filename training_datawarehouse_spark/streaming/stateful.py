@@ -298,7 +298,13 @@ def streaming_neardup_admission(
     is removed at the next TRIGGER in which it receives no data — a
     duplicate arriving in that same trigger still matches
     (conservative-keep: late eviction never causes a false admit,
-    only delays the re-admission window)."""
+    only delays the re-admission window). Run TTL gates with a
+    continuous trigger (e.g. ``processingTime``): with
+    ``Trigger.AvailableNow`` the engine keeps scheduling timeout-check
+    batches and the query never self-terminates while a timeout conf
+    is registered (observed on Spark 4.1.2 — the gate test stops the
+    query explicitly), which suits a month-scale always-on gate but
+    not drain-and-exit batch jobs."""
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
