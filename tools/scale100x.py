@@ -342,6 +342,29 @@ def nnd_probe(spark) -> None:
         nnd_graph_ivf, nnd_graph_recursive, nnd_sample_layer,
         nnd_search, nnd_search_hier,
     )
+
+    # Two session knobs the iterative graph family NEEDS at scale
+    # (both diagnosed by jstack + a per-checkpoint plan instrument at
+    # the r13 probe; production guidance in operators/nndescent.py):
+    # 1. localCheckpoint leaves carry NO stats, so Catalyst assumes
+    #    defaultSizeInBytes = Long.MaxValue per leaf; size products
+    #    through a 40-join/50-union wave plan become BigIntegers with
+    #    thousands of digits and the OPTIMIZER, not the job, burns
+    #     20+ driver-minutes in BigInteger.multiply (observed live).
+    #    A realistic default (64 MB — still safely above the 10 MB
+    #    autoBroadcast line, so no spurious broadcasts) bounds every
+    #    product.
+    # 2. The family's shuffles carry slim (id, id, cos) rows but the
+    #    map work per row is a 64-dim cosine — AQE's coalescing sees
+    #    ~2 MB of shuffle bytes and squeezes the stage to 1-3 tasks,
+    #    serializing the expensive scoring (measured: same-plan hop
+    #    checkpoints growing 1.5 s -> 23 s across waves). A small
+    #    minPartitionSize keeps parallelismFirst coalescing at
+    #    defaultParallelism width.
+    spark.conf.set("spark.sql.defaultSizeInBytes",
+                   str(64 * 1024 * 1024))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     from training_datawarehouse_spark.operators import similarity as sim
     from training_datawarehouse_spark.operators.similarity import cosine_topk
     from training_datawarehouse_spark.sources.tables import load_table

@@ -55,6 +55,26 @@ broken by the lower neighbor id, and the iteration count is fixed —
 so a DuckDB oracle re-derives the ENTIRE graph, iteration by
 iteration, and every edge hash-checks.
 
+SESSION TUNING AT SCALE (measured, r13 probe — two knobs this
+iterative, checkpoint-heavy family needs on big corpora):
+
+- ``spark.sql.defaultSizeInBytes`` ≈ 64 MB. Checkpoint leaves
+  (``LogicalRDD``) carry no stats, so Catalyst assumes
+  Long.MaxValue bytes per leaf; size-estimate PRODUCTS through a
+  wave plan's ~40 joins / ~50 unions become BigIntegers with
+  thousands of digits, and the driver burns tens of minutes inside
+  ``BigInteger.multiply`` during optimization (observed via jstack
+  at the 200 k probe). Any realistic default above the 10 MB
+  autoBroadcast line bounds the products without causing spurious
+  broadcasts.
+- ``spark.sql.adaptive.coalescePartitions.minPartitionSize`` ≈ 64k.
+  The family's shuffles carry slim (id, id, cos) rows but each
+  mapped row costs a d-dim cosine; AQE's byte-based coalescing sees
+  ~2 MB shuffles and squeezes scoring stages to 1-3 tasks
+  (measured: same-plan hop checkpoints growing 1.5 s → 23 s across
+  recursive-build waves). A small floor keeps parallelism-first
+  coalescing at defaultParallelism width.
+
 KNOWN RESOLUTION FLOOR (measured, r12 probe): the 6-dp rounding that
 buys oracle portability also SETS THE SIMILARITY RESOLUTION — on a
 corpus whose true nearest-neighbor cosine gaps fall below 1e-6 (ultra-
@@ -596,10 +616,22 @@ def _refine(
                 F.col("A.nid").alias("src"), F.col("B.nid").alias("dst")
             ).distinct()
             sc = score(cand)
+            # CHECKPOINT the scored candidates (r13): `both` embeds
+            # sc's subtree twice, and the touched path re-embeds
+            # `both` three more times (changed / kept_changed / the
+            # prev probe). Tree-expanded, one round's plan reached
+            # ~44 joins, and Catalyst's size-estimate PRODUCTS over
+            # the duplicated stat-less LogicalRDD leaves became
+            # BigIntegers large enough that the DRIVER spent tens of
+            # minutes inside BigInteger.multiply per wave at the
+            # 200 k probe (caught by jstack). One eager checkpoint of
+            # the candidate-grain (src, dst, cos) frame — rows the
+            # round materializes anyway — turns every downstream
+            # reference into a leaf; released before the next round.
             both = sc.union(
                 sc.select(F.col("dst").alias("src"),
                           F.col("src").alias("dst"), "cos")
-            )
+            ).localCheckpoint(eager=True)
             wk = Window.partitionBy("src").orderBy(
                 F.col("cos").desc(), "dst")
             if touched_only:
@@ -620,48 +652,19 @@ def _refine(
                     .union(kept_changed)
                 )
             else:
+                changed = kept_changed = None
                 kept = (
                     g.select("src", "dst", "cos").union(both).distinct()
                     .withColumn("rn", F.row_number().over(wk))
                     .filter(F.col("rn") <= k)
                     .drop("rn")
                 )
-            if it == iters - 1:
-                # final round: the flag has no consumer — checkpoint
-                # the bare (src, dst, cos) frame so the RETURNED plan
-                # root is the checkpoint itself (a projection on top
-                # would make the caller's release_local_checkpoint a
-                # silent no-op and leak the n·k RDD for the session)
-                g2 = kept.localCheckpoint(eager=True)
-            elif touched_only:
-                # untouched rows are old by construction; only the
-                # re-ranked srcs need the prev probe (batch-sized)
-                prev = (
-                    g.join(changed, "src", "left_semi")
-                    .select("src", "dst").withColumn("__old", F.lit(True))
-                )
-                g2 = (
-                    g.join(changed, "src", "left_anti")
-                    .select("src", "dst", "cos")
-                    .withColumn("new", F.lit(False))
-                    .unionByName(
-                        kept_changed.join(prev, ["src", "dst"], "left")
-                        .withColumn("new", F.col("__old").isNull())
-                        .drop("__old")
-                    )
-                    .localCheckpoint(eager=True)
-                )
-            else:
-                # re-derive the NEW flag: an edge is new iff it was
-                # not in the previous round's graph (an n·k-grain
-                # probe)
-                prev = g.select("src", "dst")                     .withColumn("__old", F.lit(True))
-                g2 = (
-                    kept.join(prev, ["src", "dst"], "left")
-                    .withColumn("new", F.col("__old").isNull())
-                    .drop("__old")
-                    .localCheckpoint(eager=True)
-                )
+            try:
+                g2 = _round_out(
+                    g, kept, it, iters, touched_only,
+                    changed, kept_changed)
+            finally:
+                release_local_checkpoint(both)
             release_local_checkpoint(g)
             g = g2
     except BaseException:
@@ -674,6 +677,49 @@ def _refine(
         release_local_checkpoint(g)
         return out
     return g
+
+
+def _round_out(
+    g: DataFrame, kept: DataFrame, it: int, iters: int,
+    touched_only: bool, changed, kept_changed,
+) -> DataFrame:
+    """One refine round's output checkpoint — the final bare frame or
+    the NEW-flagged frame for the next round (factored from `_refine`
+    so the round's `both` checkpoint can be released in one place)."""
+    if it == iters - 1:
+        # final round: the flag has no consumer — checkpoint
+        # the bare (src, dst, cos) frame so the RETURNED plan
+        # root is the checkpoint itself (a projection on top
+        # would make the caller's release_local_checkpoint a
+        # silent no-op and leak the n·k RDD for the session)
+        return kept.localCheckpoint(eager=True)
+    if touched_only:
+        # untouched rows are old by construction; only the
+        # re-ranked srcs need the prev probe (batch-sized)
+        prev = (
+            g.join(changed, "src", "left_semi")
+            .select("src", "dst").withColumn("__old", F.lit(True))
+        )
+        return (
+            g.join(changed, "src", "left_anti")
+            .select("src", "dst", "cos")
+            .withColumn("new", F.lit(False))
+            .unionByName(
+                kept_changed.join(prev, ["src", "dst"], "left")
+                .withColumn("new", F.col("__old").isNull())
+                .drop("__old")
+            )
+            .localCheckpoint(eager=True)
+        )
+    # re-derive the NEW flag: an edge is new iff it was
+    # not in the previous round's graph (an n·k-grain probe)
+    prev = g.select("src", "dst").withColumn("__old", F.lit(True))
+    return (
+        kept.join(prev, ["src", "dst"], "left")
+        .withColumn("new", F.col("__old").isNull())
+        .drop("__old")
+        .localCheckpoint(eager=True)
+    )
 
 
 def nnd_insert(
