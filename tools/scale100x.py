@@ -365,6 +365,15 @@ def nnd_probe(spark) -> None:
                    str(64 * 1024 * 1024))
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    # 3. InjectRuntimeFilter re-walks size stats for every join of
+    #    every freshly-copied plan tree (no stats cache across rule
+    #    applications), and on checkpoint-leaf iterative plans it can
+    #    NEVER fire anyway (runtime bloom filters push into file
+    #    scans; these plans have none — every leaf is an in-memory
+    #    RDD). Both observed driver grinds bottomed out in this rule;
+    #    off for the graph-family session.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     from training_datawarehouse_spark.operators import similarity as sim
     from training_datawarehouse_spark.operators.similarity import cosine_topk
     from training_datawarehouse_spark.sources.tables import load_table
@@ -549,6 +558,9 @@ def nnd_probe(spark) -> None:
     serve("flat ivf-entry 8hops", lambda: nnd_search(
         g_full, emb, qsrc, k=5, beam=8, hops=8,
         entry_df=entries_for(qsrc)))
+    serve("flat ivf-entry 8hops beam16", lambda: nnd_search(
+        g_full, emb, qsrc, k=5, beam=16, hops=8,
+        entry_df=entries_for(qsrc)))
     serve("flat global 8hops", lambda: nnd_search(
         g_full, emb, qsrc, k=5, beam=8, hops=8))
     t0 = time.time()
@@ -559,11 +571,46 @@ def nnd_probe(spark) -> None:
     t_layer = time.time() - t0
     print(f"coarse layer: {n1} nodes, graph built in {t_layer:.1f}s",
           flush=True)
-    serve("hier 6+6hops", lambda: nnd_search_hier(
+    # coarse-layer IVF reps: entries into the LAYER graph must be
+    # layer members (the r12 lesson, applied at the layer: the coarse
+    # graph is cluster-disconnected like any converged k-NN graph, so
+    # global hash entries strand coarse descent in wrong clusters —
+    # measured: hier w/ global coarse entries 0.050 vs flat-ivf 0.284)
+    reps1 = (
+        emb1.select(
+            F.col("vec_id").alias("nid"),
+            sim.nearest_centroid_lists(
+                sim._as_double(F.col("embedding")), cents, 1
+            )[0]["list_id"].alias("list_id"),
+        )
+        .groupBy("list_id").agg(F.min("nid").alias("nid"))
+        .localCheckpoint(eager=True)
+    )
+
+    def entries_for1(qdf):
+        qassign = qdf.select(
+            "query_id",
+            F.explode(F.transform(
+                sim.nearest_centroid_lists(
+                    sim._as_double(F.col("embedding")), cents, 2),
+                lambda s: s["list_id"],
+            )).alias("list_id"),
+        )
+        return qassign.join(F.broadcast(reps1), "list_id") \
+            .select("query_id", "nid")
+
+    serve("hier 6+6hops global", lambda: nnd_search_hier(
         g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6))
-    serve("hier 3+4hops", lambda: nnd_search_hier(
-        g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=3, hops1=4))
-    for df in (g_full, g1, emb1, qsrc, reps, emb):
+    serve("hier ivf 4+4hops", lambda: nnd_search_hier(
+        g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=4, hops1=4,
+        entry_df1=entries_for1(qsrc)))
+    serve("hier ivf 6+6hops", lambda: nnd_search_hier(
+        g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6,
+        entry_df1=entries_for1(qsrc)))
+    serve("hier ivf 4+4hops beam16", lambda: nnd_search_hier(
+        g_full, emb, g1, emb1, qsrc, k=5, beam=16, hops0=4, hops1=4,
+        entry_df1=entries_for1(qsrc)))
+    for df in (g_full, g1, emb1, qsrc, reps, reps1, emb):
         release_local_checkpoint(df)
 
 

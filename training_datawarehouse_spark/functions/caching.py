@@ -16,6 +16,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with the ORIGIN-STATS
+    INHERITANCE BROKEN (r13).
+
+    Spark 4's ``Dataset.localCheckpoint`` copies the origin plan's
+    size-estimate into the resulting ``LogicalRDD`` (SPARK-39900's
+    stats preservation). For ITERATIVE operators that checkpoint one
+    generation per round this is a time bomb: Catalyst's
+    size-in-bytes join estimate is a PRODUCT of child sizes, so each
+    generation's estimate is roughly the product of the previous
+    generation's (squaring per self-join), and after tens of
+    checkpointed generations the estimates are BigIntegers with
+    MILLIONS of digits — every stats-reading rule (join selection,
+    runtime-filter injection) then grinds the driver inside
+    ``BigInteger.multiply`` for minutes per round (measured live at
+    the r13 200 k NN-descent probe; verified mechanism: 12000 →
+    1.15e8 → 1.1e16 across three checkpointed self-joins).
+
+    Fix: checkpoint eagerly, then REWRAP the materialized rows in a
+    fresh ``LogicalRDD`` via ``internalCreateDataFrame`` (Scala
+    ``private[sql]`` — public in bytecode, so reachable from py4j,
+    the same level ``release_local_checkpoint`` already works at).
+    The new leaf carries NO origin stats and estimates fall back to
+    ``spark.sql.defaultSizeInBytes`` — constant per generation, no
+    compounding. The checkpoint frame rides along as
+    ``_graft_ck_source`` so ``release_local_checkpoint`` still frees
+    the persisted blocks. Falls back to the plain checkpoint if the
+    internal API is unavailable (stats inheritance accepted, never a
+    correctness issue)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        # the CONCRETE DataFrame class (pyspark 4 splits the facade
+        # from pyspark.sql.classic; the facade is not constructible)
+        from pyspark.sql.classic.dataframe import (
+            DataFrame as _ClassicDataFrame,
+        )
+
+        jdf = ck._jdf
+        jspark = df.sparkSession._jsparkSession
+        out_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        out = _ClassicDataFrame(out_jdf, df.sparkSession)
+        out._graft_ck_source = ck
+        return out
+    except Exception:
+        return ck
+
+
 def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     """Free the persisted RDD behind a ``localCheckpoint``'ed frame.
 
@@ -31,7 +79,15 @@ def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     NEVER call this while a successor still needs to materialize
     through ``df``: the checkpoint truncated the lineage, so the
     persisted blocks are the only copy of the data.
+
+    Frames produced by ``eager_checkpoint`` release through their
+    remembered checkpoint source (the rewrapped ``LogicalRDD`` holds
+    a derived RDD whose unpersist would not free the original
+    blocks).
     """
+    src = getattr(df, "_graft_ck_source", None)
+    if src is not None:
+        return release_local_checkpoint(src, blocking)
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRDD":

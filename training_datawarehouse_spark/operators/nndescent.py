@@ -74,6 +74,12 @@ iterative, checkpoint-heavy family needs on big corpora):
   (measured: same-plan hop checkpoints growing 1.5 s → 23 s across
   recursive-build waves). A small floor keeps parallelism-first
   coalescing at defaultParallelism width.
+- ``spark.sql.optimizer.runtime.bloomFilter.enabled`` = false.
+  InjectRuntimeFilter re-walks size statistics for every join of
+  every freshly-copied plan tree, and on these checkpoint-leaf
+  plans it can never fire (runtime bloom filters push into FILE
+  scans; every leaf here is an in-memory RDD) — pure optimizer tax,
+  the dominant term of the driver grind above.
 
 KNOWN RESOLUTION FLOOR (measured, r12 probe): the 6-dp rounding that
 buys oracle portability also SETS THE SIMILARITY RESOLUTION — on a
@@ -91,7 +97,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.caching import release_local_checkpoint
+from ..functions.caching import (eager_checkpoint,
+                                 release_local_checkpoint)
 from .similarity import _as_double, cosine, nearest_centroid_lists
 
 
@@ -179,7 +186,7 @@ def nnd_graph(
             .filter(F.col("rn") <= k)
             .drop("rn")
             .withColumn("new", F.lit(True))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         return _refine(nodes, g, k, iters, incremental, sample)
     # Init: ring in md5 order. The global row_number window is an
@@ -204,7 +211,7 @@ def nnd_graph(
         .select(F.col("nid").alias("src"), "dst")
     )
     g = score(ring).withColumn("new", F.lit(True)) \
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     return _refine(nodes, g, k, iters, incremental, sample)
 
 
@@ -448,7 +455,7 @@ def nnd_graph_recursive(
     lvl = _level(F.col(id_col), core_frac)
     levels = emb.select(
         F.col(id_col), F.col(vec_col), lvl.alias("__lvl")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     core = levels.filter(F.col("__lvl") == L).drop("__lvl")
     g_core, cents = nnd_graph_ivf(
         core, vec_col=vec_col, id_col=id_col, k=k,
@@ -462,7 +469,7 @@ def nnd_graph_recursive(
             )[0]["list_id"].alias("cell"),
         )
         .groupBy("cell").agg(F.min("nid").alias("nid"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     g = g_core
     try:
@@ -631,7 +638,7 @@ def _refine(
             both = sc.union(
                 sc.select(F.col("dst").alias("src"),
                           F.col("src").alias("dst"), "cos")
-            ).localCheckpoint(eager=True)
+            ).transform(eager_checkpoint)
             wk = Window.partitionBy("src").orderBy(
                 F.col("cos").desc(), "dst")
             if touched_only:
@@ -673,7 +680,7 @@ def _refine(
     if iters == 0:
         # drop the flag without leaving a projection over the
         # checkpoint (same releasability contract as above)
-        out = g.select("src", "dst", "cos").localCheckpoint(eager=True)
+        out = g.select("src", "dst", "cos").transform(eager_checkpoint)
         release_local_checkpoint(g)
         return out
     return g
@@ -692,7 +699,7 @@ def _round_out(
         # root is the checkpoint itself (a projection on top
         # would make the caller's release_local_checkpoint a
         # silent no-op and leak the n·k RDD for the session)
-        return kept.localCheckpoint(eager=True)
+        return kept.transform(eager_checkpoint)
     if touched_only:
         # untouched rows are old by construction; only the
         # re-ranked srcs need the prev probe (batch-sized)
@@ -709,7 +716,7 @@ def _round_out(
                 .withColumn("new", F.col("__old").isNull())
                 .drop("__old")
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     # re-derive the NEW flag: an edge is new iff it was
     # not in the previous round's graph (an n·k-grain probe)
@@ -718,7 +725,7 @@ def _round_out(
         kept.join(prev, ["src", "dst"], "left")
         .withColumn("new", F.col("__old").isNull())
         .drop("__old")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
 
 
@@ -836,7 +843,7 @@ def nnd_insert(
             untouched
             .unionByName(spliced)
             .unionByName(new_edges.withColumn("new", F.lit(True)))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     except BaseException:
         release_local_checkpoint(seeds)
@@ -969,7 +976,7 @@ def nnd_search(
         .withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= beam)
         .drop("rn")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     try:
         for _ in range(hops):
@@ -985,7 +992,7 @@ def nnd_search(
                 .withColumn("rn", F.row_number().over(wb))
                 .filter(F.col("rn") <= beam)
                 .drop("rn")
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             release_local_checkpoint(beam_df)
             beam_df = nxt
@@ -1001,7 +1008,7 @@ def nnd_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("nid").alias("neighbor_id"),
                 "cos")
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     release_local_checkpoint(beam_df)
     return out
