@@ -257,6 +257,8 @@ def main() -> None:
         cc_probe(spark)
     if "--qsk" in sys.argv:
         qsk_probe(spark)
+    if "--ttl" in sys.argv:
+        ttl_probe(spark)
 
 
 def qsk_probe(spark) -> None:
@@ -343,37 +345,15 @@ def nnd_probe(spark) -> None:
         nnd_search, nnd_search_hier,
     )
 
-    # Two session knobs the iterative graph family NEEDS at scale
-    # (both diagnosed by jstack + a per-checkpoint plan instrument at
-    # the r13 probe; production guidance in operators/nndescent.py):
-    # 1. localCheckpoint leaves carry NO stats, so Catalyst assumes
-    #    defaultSizeInBytes = Long.MaxValue per leaf; size products
-    #    through a 40-join/50-union wave plan become BigIntegers with
-    #    thousands of digits and the OPTIMIZER, not the job, burns
-    #     20+ driver-minutes in BigInteger.multiply (observed live).
-    #    A realistic default (64 MB — still safely above the 10 MB
-    #    autoBroadcast line, so no spurious broadcasts) bounds every
-    #    product.
-    # 2. The family's shuffles carry slim (id, id, cos) rows but the
-    #    map work per row is a 64-dim cosine — AQE's coalescing sees
-    #    ~2 MB of shuffle bytes and squeezes the stage to 1-3 tasks,
-    #    serializing the expensive scoring (measured: same-plan hop
-    #    checkpoints growing 1.5 s -> 23 s across waves). A small
-    #    minPartitionSize keeps parallelismFirst coalescing at
-    #    defaultParallelism width.
-    spark.conf.set("spark.sql.defaultSizeInBytes",
-                   str(64 * 1024 * 1024))
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-    # 3. InjectRuntimeFilter re-walks size stats for every join of
-    #    every freshly-copied plan tree (no stats cache across rule
-    #    applications), and on checkpoint-leaf iterative plans it can
-    #    NEVER fire anyway (runtime bloom filters push into file
-    #    scans; these plans have none — every leaf is an in-memory
-    #    RDD). Both observed driver grinds bottomed out in this rule;
-    #    off for the graph-family session.
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    # The three measured r13 session knobs the iterative graph family
+    # needs at scale (jstack-diagnosed; full rationale in the helper's
+    # docstring — promoted out of probe-only code per r13 verdict #5):
+    # realistic defaultSizeInBytes for stat-less checkpoint leaves,
+    # small AQE minPartitionSize for slim-row/expensive-map shuffles,
+    # runtime bloom-filter injection off.
+    from training_datawarehouse_spark.session import tune_for_iterative
+
+    tune_for_iterative(spark)
     from training_datawarehouse_spark.operators import similarity as sim
     from training_datawarehouse_spark.operators.similarity import cosine_topk
     from training_datawarehouse_spark.sources.tables import load_table
@@ -1012,6 +992,157 @@ def cc_probe(spark) -> None:
     print(f"cc base build {t_base:6.1f}s  full rebuild {t_full:6.1f}s  "
           f"incremental fold {t_incr:6.1f}s  rows {n_incr}  "
           f"label diffs vs rebuild {diff}", flush=True)
+
+
+def ttl_probe(spark) -> None:
+    """r14 (r13 verdict #6, the missing half of r12 #3's "done" bar):
+    TTL admission state-vs-horizon. A multi-wave replay through ONE
+    long-lived processingTime-trigger admission gate with ``ttl_ms``
+    set, measuring (a) the stateful operator's numRowsTotal after
+    every wave vs the CUMULATIVE distinct-bucket count a no-TTL gate
+    would hold — the boundedness claim — and (b) the decision rates
+    per arrival class: fresh docs (expect admit), duplicates of the
+    PREVIOUS wave (inside the horizon — expect reject), duplicates of
+    THREE waves ago (idle past the horizon — expect state evicted and
+    the doc RE-ADMITTED, the stated time-horizon trade).
+
+    Wave cadence is wall-clock (sleep between waves) because
+    ProcessingTimeTimeout is wall-clock; the measured cadence is
+    printed so the horizon/idle arithmetic in SCALE.md is honest.
+    """
+    import hashlib
+    import json as _json
+    import shutil as _shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.operators import dedup as dd
+    from training_datawarehouse_spark.streaming.stateful import (
+        streaming_neardup_admission,
+    )
+
+    n_wave, n_waves = 2000, 6
+    n_prev_dup, n_old_dup = 300, 300      # per wave (from wave 1 / 3 on)
+    ttl_ms = 15_000
+    gap_s = 6.0                           # idle sleep after each wave
+    work = tempfile.mkdtemp(prefix="ttl_probe_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def fresh_text(w, i):
+        return " ".join(
+            hashlib.md5(f"{w}-{i}-{j}".encode()).hexdigest()[:8]
+            for j in range(8))
+
+    def wave_docs(w):
+        docs = []
+        n_fresh = n_wave
+        if w >= 1:
+            n_fresh -= n_prev_dup
+        if w >= 3:
+            n_fresh -= n_old_dup
+        for i in range(n_fresh):
+            docs.append((w * 1_000_000 + i, fresh_text(w, i), "fresh"))
+        if w >= 1:   # dup of the PREVIOUS wave's fresh docs
+            for i in range(n_prev_dup):
+                docs.append((w * 1_000_000 + n_fresh + i,
+                             fresh_text(w - 1, i), "prev_dup"))
+        if w >= 3:   # dup of a wave idle 3 cadences — past the horizon
+            for i in range(n_old_dup):
+                docs.append((w * 1_000_000 + n_fresh + n_prev_dup + i,
+                             fresh_text(w - 3, n_prev_dup + i),
+                             "old_dup"))
+        return docs
+
+    def state_rows(q):
+        lp = q.lastProgress
+        ops = (_json.loads(lp.json)["stateOperators"]
+               if lp is not None else [])
+        return ops[0]["numRowsTotal"] if ops else None
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    raw = (
+        spark.readStream
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bands = dd.minhash_band_rows_rowlocal(
+        raw, "doc_id", "text", num_hashes=16, bands=4,
+        rows_per_band=4, shingle_n=3)
+    q = (
+        streaming_neardup_admission(bands, ttl_ms=ttl_ms)
+        .writeStream.format("memory").queryName("ttl_probe")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    print(f"\n--- ttl probe: {n_waves} waves x {n_wave} docs, "
+          f"ttl={ttl_ms}ms, idle gap={gap_s}s "
+          f"(state = (band,sig) buckets, 2 longs each)", flush=True)
+    print(f"{'wave':>4s} {'cadence_s':>9s} {'state_rows':>10s} "
+          f"{'cum_buckets':>11s} {'bound_x':>8s}", flush=True)
+    classes = {}
+    all_batch = []
+    try:
+        t_prev = time.time()
+        for w in range(n_waves):
+            docs = wave_docs(w)
+            classes.update({d: c for d, _, c in docs})
+            all_batch.extend(docs)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"doc_id": d, "text": t} for d, t, _ in docs],
+                    schema=schema),
+                os.path.join(src, f"wave{w}.parquet"))
+            want = {d for d, _, _ in docs}
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                got = {r["doc_id"]
+                       for r in spark.table("ttl_probe").collect()
+                       if r["doc_id"] in want}
+                if got == want:
+                    break
+                time.sleep(0.5)
+            else:
+                raise RuntimeError(f"wave {w} never fully decided")
+            time.sleep(gap_s)   # idle: ProcessingTimeTimeout clock runs
+            cadence = time.time() - t_prev
+            t_prev = time.time()
+            # the no-TTL counterfactual: cumulative distinct buckets
+            cum = (
+                dd.minhash_band_rows_rowlocal(
+                    spark.createDataFrame(
+                        [(d, t) for d, t, _ in all_batch],
+                        "doc_id long, text string"),
+                    "doc_id", "text", num_hashes=16, bands=4,
+                    rows_per_band=4, shingle_n=3)
+                .select("band", "sig").distinct().count()
+            )
+            st = state_rows(q)
+            print(f"{w:>4d} {cadence:9.1f} {st!s:>10s} {cum:>11d} "
+                  f"{(st or 0) / cum:8.2f}", flush=True)
+        # decision per doc: admit iff every band's match_id is NULL
+        per_doc = {}
+        for r in spark.table("ttl_probe").collect():
+            per_doc.setdefault(r["doc_id"], []).append(r["match_id"])
+        rates = {}
+        for cls in ("fresh", "prev_dup", "old_dup"):
+            ids = [d for d, c in classes.items() if c == cls]
+            admitted = sum(
+                all(m is None for m in per_doc[d]) for d in ids)
+            rates[cls] = (admitted, len(ids))
+            print(f"class {cls:9s}: {admitted}/{len(ids)} admitted "
+                  f"({admitted / len(ids):.3f})", flush=True)
+        print("expected: fresh ~1.0 admitted, prev_dup ~0.0 (inside "
+              "horizon), old_dup ~1.0 (evicted -> re-admitted)",
+              flush=True)
+    finally:
+        q.stop()
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 def _time_noop(df) -> float:

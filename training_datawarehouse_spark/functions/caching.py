@@ -13,10 +13,42 @@ storage is O(1) generations, not O(rounds).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 
+#: Count of ``eager_checkpoint`` calls that fell back to the plain
+#: stats-inheriting checkpoint because the ``internalCreateDataFrame``
+#: seam was unavailable. Probes (tools/scale100x.py) and the regression
+#: test read this so the degradation is observable, never silent
+#: (r13 verdict #7): on a Spark where the private seam moved, the
+#: BigInteger estimate-compounding this helper exists to prevent would
+#: otherwise return with no signal.
+FALLBACK_COUNT = 0
+_warned = False
 
-def eager_checkpoint(df: DataFrame) -> DataFrame:
+
+def _rewrap_statless(ck: DataFrame, origin: DataFrame) -> DataFrame:
+    """Rewrap a checkpointed frame in a fresh stats-less LogicalRDD.
+
+    Separated from ``eager_checkpoint`` so tests can force the
+    fallback path by monkeypatching this seam."""
+    # the CONCRETE DataFrame class (pyspark 4 splits the facade
+    # from pyspark.sql.classic; the facade is not constructible)
+    from pyspark.sql.classic.dataframe import (
+        DataFrame as _ClassicDataFrame,
+    )
+
+    jdf = ck._jdf
+    jspark = origin.sparkSession._jsparkSession
+    out_jdf = jspark.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    out = _ClassicDataFrame(out_jdf, origin.sparkSession)
+    out._graft_ck_source = ck
+    return out
+
+
+def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint(eager=True)`` with the ORIGIN-STATS
     INHERITANCE BROKEN (r13).
 
@@ -44,23 +76,33 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     ``_graft_ck_source`` so ``release_local_checkpoint`` still frees
     the persisted blocks. Falls back to the plain checkpoint if the
     internal API is unavailable (stats inheritance accepted, never a
-    correctness issue)."""
-    ck = df.localCheckpoint(eager=True)
-    try:
-        # the CONCRETE DataFrame class (pyspark 4 splits the facade
-        # from pyspark.sql.classic; the facade is not constructible)
-        from pyspark.sql.classic.dataframe import (
-            DataFrame as _ClassicDataFrame,
-        )
+    correctness issue) — warning once and counting in
+    ``FALLBACK_COUNT`` so the degradation is diagnosable (r13
+    verdict #7).
 
-        jdf = ck._jdf
-        jspark = df.sparkSession._jsparkSession
-        out_jdf = jspark.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False)
-        out = _ClassicDataFrame(out_jdf, df.sparkSession)
-        out._graft_ck_source = ck
-        return out
-    except Exception:
+    ``eager=False`` defers materialization exactly like
+    ``localCheckpoint(eager=False)`` — the rewrap only re-labels the
+    leaf, it runs no job — for loops (BPE/unigram/WordPiece training)
+    that piggyback each generation's materialization on the next
+    round's aggregate job."""
+    global FALLBACK_COUNT, _warned
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        return _rewrap_statless(ck, df)
+    except Exception as exc:
+        FALLBACK_COUNT += 1
+        if not _warned:
+            _warned = True
+            warnings.warn(
+                "eager_checkpoint: stat-less LogicalRDD rewrap "
+                f"unavailable ({exc!r}); falling back to the plain "
+                "localCheckpoint. Origin-stats inheritance is back: "
+                "long checkpointed-self-join chains may compound "
+                "size estimates (driver BigInteger grind at high "
+                "iteration counts).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
 
 

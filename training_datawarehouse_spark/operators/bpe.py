@@ -56,7 +56,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.caching import release_local_checkpoint
+from ..functions.caching import eager_checkpoint, release_local_checkpoint
 
 EOW = "</w>"
 WORD_RE = "^[a-z]+$"
@@ -198,9 +198,15 @@ def train_bpe(
     # cluster deployment with executor churn would use reliable
     # checkpointing or land each generation to a scratch table
     # instead (localCheckpoint storage dies with its executor).
-    words = counts_df.withColumn(
+    # eager_checkpoint (stat-less leaves), not plain localCheckpoint:
+    # each generation's plan reads the previous generation's leaf, so
+    # origin-stats inheritance compounds the size estimate per merge —
+    # at thousands of merges the same BigInteger optimizer grind
+    # diagnosed on NN-descent (r13 verdict #5). eager=False keeps the
+    # materialize-with-next-job shape documented below.
+    words = eager_checkpoint(counts_df.withColumn(
         "syms", F.concat(chars, F.array(F.lit(EOW)))
-    ).localCheckpoint(eager=False)
+    ), eager=False)
 
     merges: list[tuple[str, str, int]] = []
     prev: DataFrame | None = None
@@ -261,9 +267,9 @@ def train_bpe(
             # scale is job launch latency, not data). The FINAL
             # generation is eager so its predecessor can be released
             # before returning.
-            words = words.select(
+            words = eager_checkpoint(words.select(
                 "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-            ).localCheckpoint(eager=it == num_merges - 1)
+            ), eager=it == num_merges - 1)
     except BaseException:
         # error-path release (r8 ADVICE): when the corpus-exhausts-
         # pairs ValueError (or any job failure) fires mid-loop, the

@@ -36,16 +36,22 @@ K-iteration computation is a single declarative DAG.
 Scale shape (100 TB / billions of edges): each iteration is one
 shuffle of (dst, contribution) pairs into a sum — the minimal cost of
 distributed PageRank — plus two broadcast one-row joins. Ranks are
-``localCheckpoint``ed per iteration so iteration t+1 reads a
-materialized t instead of re-deriving the whole chain (2^K blowup
-otherwise); on a real cluster, checkpoint to reliable storage and
-pre-partition ``edges`` by ``src`` so the rank join is co-located.
+checkpointed per iteration through ``eager_checkpoint`` (stat-less
+leaves — iteration t+1 reads t twice, contrib + dangling, so
+origin-stats inheritance would compound size estimates per
+generation; r13 verdict #5) and each superseded generation's blocks
+are released, so peak storage is O(1) generations. On a real
+cluster, checkpoint to reliable storage, pre-partition ``edges`` by
+``src`` so the rank join is co-located, and apply
+``session.tune_for_iterative`` at high iteration counts.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.caching import eager_checkpoint, release_local_checkpoint
 
 PR_SCALE = 10**12
 
@@ -110,9 +116,9 @@ def pagerank_fixed(
     # each use re-derives the whole upstream chain (2^K plan blowup)
     uniform = F.expr(f"CAST({scale} AS BIGINT) DIV __nodecnt")
     if init_ranks is None:
-        ranks = base.select(
+        ranks = eager_checkpoint(base.select(
             "__n", "__nodecnt", uniform.alias("__r")
-        ).localCheckpoint(eager=True)
+        ))
     else:
         iv = init_ranks.select(
             F.col(node_col).alias("__n"),
@@ -134,7 +140,7 @@ def pagerank_fixed(
                     f" DIV __tot AS BIGINT)"
                 ).alias("__r"),
             )
-        ranks = warm.localCheckpoint(eager=True)
+        ranks = eager_checkpoint(warm)
     for _ in range(iterations):
         ranked_edges = e.join(
             ranks.select(F.col("__n").alias("__s"), "__r"), "__s"
@@ -152,7 +158,7 @@ def pagerank_fixed(
             .agg(F.coalesce(F.sum("__r"), F.lit(0)).cast("long")
                  .alias("__dang"))
         )
-        ranks = (
+        new_ranks = eager_checkpoint(
             base.join(contrib, base["__n"] == contrib["__d"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -164,8 +170,12 @@ def pagerank_fixed(
                     + F.coalesce(F.col("__in"), F.lit(0).cast("long"))
                 ).alias("__r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # generation t is fully materialized into t+1 (eager) — free
+        # its blocks so peak storage is O(1) generations, not
+        # O(iterations) (the CC/BPE release discipline).
+        release_local_checkpoint(ranks)
+        ranks = new_ranks
     in_deg = e.groupBy("__d").agg(F.count(F.lit(1)).alias("__ind"))
     return (
         ranks.join(deg, ranks["__n"] == deg["__s"], "left")

@@ -55,8 +55,11 @@ broken by the lower neighbor id, and the iteration count is fixed —
 so a DuckDB oracle re-derives the ENTIRE graph, iteration by
 iteration, and every edge hash-checks.
 
-SESSION TUNING AT SCALE (measured, r13 probe — two knobs this
-iterative, checkpoint-heavy family needs on big corpora):
+SESSION TUNING AT SCALE (measured, r13 probe): apply
+``tune_for_iterative(spark)`` (re-exported here; defined in
+``session.py``) before building at scale — it sets the three knobs
+below, promoted out of this prose per the r13 ADVICE so direct
+library users don't transcribe a docstring:
 
 - ``spark.sql.defaultSizeInBytes`` ≈ 64 MB. Checkpoint leaves
   (``LogicalRDD``) carry no stats, so Catalyst assumes
@@ -99,6 +102,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.caching import (eager_checkpoint,
                                  release_local_checkpoint)
+from ..session import tune_for_iterative  # noqa: F401  (re-export: the
+#   graph family's scale knobs live next to the operators — r13 ADVICE)
 from .similarity import _as_double, cosine, nearest_centroid_lists
 
 
@@ -517,7 +522,12 @@ def nnd_graph_recursive(
         release_local_checkpoint(reps)
         release_local_checkpoint(levels)
         raise
-    release_local_checkpoint(g_core)
+    # r13 ADVICE: when every non-core wave batch was empty (tiny
+    # corpus where all ids hash to the core level) g IS g_core —
+    # releasing it here would unpersist the blocks behind the
+    # returned graph.
+    if g is not g_core:
+        release_local_checkpoint(g_core)
     release_local_checkpoint(reps)
     release_local_checkpoint(levels)
     return g, cents

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.caching import release_local_checkpoint
+from ..functions.caching import eager_checkpoint, release_local_checkpoint
 from .bpe import WORD_RE, _trainable_words
 
 CONT = "##"
@@ -168,7 +168,11 @@ def train_wordpiece(
         chars,
         lambda ch, i: F.when(i == 0, ch).otherwise(F.concat(F.lit(CONT), ch)),
     )
-    words = counts_df.withColumn("syms", init).localCheckpoint(eager=False)
+    # stat-less generation leaves, lazy materialization — see the BPE
+    # loop's note (r13 verdict #5: per-merge origin-stats inheritance
+    # would compound size estimates across thousands of generations)
+    words = eager_checkpoint(
+        counts_df.withColumn("syms", init), eager=False)
     merges: list[tuple[str, str, int]] = []
     prev: DataFrame | None = None
     try:
@@ -227,9 +231,9 @@ def train_wordpiece(
             if prev is not None:
                 release_local_checkpoint(prev)
             prev = words
-            words = words.select(
+            words = eager_checkpoint(words.select(
                 "w", "cnt", _merge_fold(F.col("syms"), a, b).alias("syms")
-            ).localCheckpoint(eager=it == num_merges - 1)
+            ), eager=it == num_merges - 1)
     except BaseException:
         for frame in (prev, words):
             if frame is not None:

@@ -51,3 +51,44 @@ def tune_for_queries(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
     return spark
+
+
+def tune_for_iterative(spark: SparkSession) -> SparkSession:
+    """Session knobs for the ITERATIVE operator family (NN-descent,
+    PageRank, connected components, tokenizer training) — the three
+    measured r13 settings, promoted out of docstring prose so library
+    users don't transcribe them by hand (r13 verdict #5 / ADVICE).
+
+    These operators checkpoint one generation per round through
+    ``functions.caching.eager_checkpoint``, whose stat-less LogicalRDD
+    leaves stop Catalyst's size-estimate compounding (the per-
+    generation squaring that ground the driver in BigInteger.multiply
+    at the r13 200 k NN-descent probe). Stat-less leaves then need:
+
+    1. ``spark.sql.defaultSizeInBytes`` at a realistic value (64 MB —
+       safely above the 10 MB autoBroadcast line, so no spurious
+       broadcasts): otherwise every leaf estimates Long.MaxValue and
+       size PRODUCTS through a 40-join/50-union wave plan are
+       BigIntegers with thousands of digits — the OPTIMIZER, not the
+       job, burns driver-minutes (jstack-diagnosed, r13).
+    2. A small AQE ``minPartitionSize`` (64k): the family's shuffles
+       carry slim (id, id, cos) rows whose map work is a 64-dim
+       cosine; byte-based coalescing sees ~2 MB and squeezes stages
+       to 1-3 tasks, serializing the scoring (measured: same-plan hop
+       checkpoints growing 1.5 s -> 23 s across waves).
+    3. Runtime bloom-filter injection OFF: InjectRuntimeFilter
+       re-walks size stats for every join of every freshly-copied
+       plan tree and can never fire on these plans anyway (runtime
+       bloom filters push into FILE scans; every leaf here is an
+       in-memory RDD). Both observed driver grinds bottomed out in
+       this rule.
+
+    Safe (and measured cost-neutral at bench scale) for mixed
+    sessions: AQE re-plans joins from REAL shuffle sizes at runtime,
+    so relational plans keep their broadcasts."""
+    spark.conf.set("spark.sql.defaultSizeInBytes", str(64 * 1024 * 1024))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    return spark
