@@ -259,6 +259,8 @@ def main() -> None:
         qsk_probe(spark)
     if "--ttl" in sys.argv:
         ttl_probe(spark)
+    if "--ckstats" in sys.argv:
+        ckstats_probe(spark)
 
 
 def qsk_probe(spark) -> None:
@@ -992,6 +994,89 @@ def cc_probe(spark) -> None:
     print(f"cc base build {t_base:6.1f}s  full rebuild {t_full:6.1f}s  "
           f"incremental fold {t_incr:6.1f}s  rows {n_incr}  "
           f"label diffs vs rebuild {diff}", flush=True)
+
+
+def ckstats_probe(spark) -> None:
+    """r14: the checkpoint-stats time bomb, QUANTIFIED (the measured
+    companion to tests/test_caching.py's shape assertions and the r13
+    commit-13b2295 diagnosis). One self-joining generation loop — the
+    CC pointer-jump / descent local-join / PageRank double-read
+    shape — run twice on identical 100 k-row data: plain
+    ``localCheckpoint`` (origin-stats inheritance) vs
+    ``eager_checkpoint`` (stat-less rewrap). Per generation: the
+    DIGIT COUNT of Catalyst's size-in-bytes estimate for the next
+    join (the compounding observable) and the full wall-clock of the
+    generation (job + optimize). The plain path's estimate digits
+    roughly double per generation — BigInteger arithmetic inside
+    every stats-reading rule — while the helper's stay constant."""
+    import sys as _sys
+
+    from pyspark.sql import functions as FF
+
+    from training_datawarehouse_spark.functions.caching import (
+        eager_checkpoint, release_local_checkpoint,
+    )
+
+    _sys.set_int_max_str_digits(50_000_000)  # py4j BigInt round-trip
+    n_rows, gens = 100_000, 24
+
+    def digits(df):
+        # instrumentation only (read OUTSIDE the timed window): the
+        # py4j BigInteger->int conversion is itself quadratic in
+        # digits, so stop reading once the point is made
+        return len(str(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()))
+
+    def run(mode):
+        base = spark.range(n_rows).select(
+            "id", (FF.col("id") % 97).alias("v"))
+        ck = (eager_checkpoint if mode == "rewrap"
+              else lambda d: d.localCheckpoint(eager=True))
+        g = ck(base)
+        out = []
+        prev = None
+        read_digits = True
+        for i in range(gens):
+            t0 = time.time()
+            j = (
+                g.alias("l")
+                .join(g.alias("r"), FF.col("l.id") == FF.col("r.id"))
+                .select(FF.col("l.id").alias("id"),
+                        (FF.col("l.v") + FF.col("r.v")).alias("v"))
+            )
+            g_next = ck(j)
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev, g = g, g_next
+            dt = round(time.time() - t0, 2)
+            d = digits(j) if read_digits else -1
+            if d > 100_000:
+                read_digits = False
+            out.append((i, d, dt))
+            if dt > 120:
+                print(f"  [{mode}] aborting at generation {i}: "
+                      f"{dt:.0f}s/generation (the grind, "
+                      f"demonstrated)", flush=True)
+                break
+        for f in (prev, g):
+            if f is not None:
+                release_local_checkpoint(f)
+        return out
+
+    print(f"\n--- ckstats probe: {n_rows} rows, {gens} self-joining "
+          f"checkpointed generations, plain vs rewrap", flush=True)
+    plain = run("plain")
+    rewrap = run("rewrap")
+    print(f"{'gen':>4s} {'plain_digits':>12s} {'plain_s':>8s} "
+          f"{'rewrap_digits':>13s} {'rewrap_s':>9s}", flush=True)
+    for i in range(max(len(plain), len(rewrap))):
+        dp, tp = (plain[i][1], plain[i][2]) if i < len(plain) else ("-", "-")
+        dr, tr = (rewrap[i][1], rewrap[i][2]) if i < len(rewrap) else ("-", "-")
+        print(f"{i:>4d} {dp!s:>12s} {tp!s:>8s} {dr!s:>13s} {tr!s:>9s}",
+              flush=True)
+    print(f"total: plain {sum(t for _, _, t in plain):.1f}s  "
+          f"rewrap {sum(t for _, _, t in rewrap):.1f}s", flush=True)
 
 
 def ttl_probe(spark) -> None:
