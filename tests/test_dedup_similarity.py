@@ -1558,3 +1558,30 @@ def test_connected_components_incremental_rejects_foreign_labels(spark):
     e2 = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="min-node-id"):
         dd.connected_components_incremental(old, e2)
+
+
+def test_connected_components_incremental_validate_flag(spark):
+    """r13 advice: validate=False keeps the operator purely
+    plan-building for hot ingest loops that trust their labeling
+    provenance — result identical on a VALID labeling, and (the
+    documented trade) a foreign labeling is NOT caught."""
+    e1 = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    e2 = spark.createDataFrame([(2, 10), (20, 21)], "id_a long, id_b long")
+    old = dd.connected_components(e1)
+    with_check = {r["node"]: r["component"]
+                  for r in dd.connected_components_incremental(
+                      old, e2).collect()}
+    without = {r["node"]: r["component"]
+               for r in dd.connected_components_incremental(
+                   old, e2, validate=False).collect()}
+    assert without == with_check == {
+        1: 1, 2: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+    # the skip really skips: the foreign labeling that raises under
+    # validate=True flows through silently (necessary-but-not-
+    # sufficient check, explicitly waived by the caller)
+    foreign = spark.createDataFrame(
+        [(1, 99), (2, 99)], "node long, component long")
+    e3 = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    out = dd.connected_components_incremental(
+        foreign, e3, validate=False).collect()
+    assert len(out) == 3  # built a plan and ran; no contract error

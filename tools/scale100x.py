@@ -261,6 +261,8 @@ def main() -> None:
         ttl_probe(spark)
     if "--ckstats" in sys.argv:
         ckstats_probe(spark)
+    if "--nnd-500k" in sys.argv:
+        nnd_scale_probe(spark)
 
 
 def qsk_probe(spark) -> None:
@@ -308,6 +310,47 @@ def qsk_probe(spark) -> None:
                   f"{sum(errs) / len(errs):10.5f} {max(errs):9.5f} "
                   f"{sig4:8.5f} {n_in:>3d}/{len(errs)}", flush=True)
         release_local_checkpoint(out)
+
+
+def _nnd_mixture(spark, n_members: int = 3125, dim: int = 64):
+    """The graph family's target-regime corpus (see nnd_probe
+    docstring): ``dim`` clusters x ``n_members`` members, intrinsic
+    dimension 4 per cluster (member = center + 0.15-scale md5-uniform
+    mix of 4 rotation components — an earlier cos(2*pi*c*p/n) scheme
+    was EVEN in c, so members c and n-c were exact duplicates;
+    md5 has no such symmetry). Returns (checkpointed frame, count);
+    cluster identity = vec_id % 2000."""
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    base = load_table(spark, SRC, "embeddings") \
+        .orderBy("vec_id").limit(dim) \
+        .select(F.col("vec_id").alias("__cid"), "embedding")
+    copies = spark.range(n_members).select(F.col("id").alias("__c"))
+    mix = base.crossJoin(copies)
+    member = F.col("embedding")
+    for j, shift in enumerate((16, 24, 40, 48)):
+        s = F.concat(
+            F.slice("embedding", shift + 1, dim - shift),
+            F.slice("embedding", 1, shift),
+        )
+        g = (
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.col("__c").cast("string"), F.lit(str(j)))),
+                1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60)) - 0.5
+        )
+        member = F.zip_with(member, s, lambda a, b: a + g * b)
+    emb = (
+        mix.select(
+            (F.col("__cid") + F.lit(2000) * F.col("__c")).alias("vec_id"),
+            F.transform(member, lambda v: F.round(v, 6)).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    print(f"mixture corpus: {dim} clusters x {n_members} members "
+          f"(intrinsic dim 4) = {n} vectors", flush=True)
+    return emb, n
 
 
 def nnd_probe(spark) -> None:
@@ -362,38 +405,7 @@ def nnd_probe(spark) -> None:
 
     dim = 64
     n_members = 3125
-    base = load_table(spark, SRC, "embeddings") \
-        .orderBy("vec_id").limit(dim) \
-        .select(F.col("vec_id").alias("__cid"), "embedding")
-    copies = spark.range(n_members).select(F.col("id").alias("__c"))
-    mix = base.crossJoin(copies)
-    member = F.col("embedding")
-    # per-member coefficients from md5 (uniform in [-0.5, 0.5]) — an
-    # earlier cos(2*pi*c*p/n) scheme was EVEN in c, so members c and
-    # n-c were exact duplicates (measured: cos 1.0 twins + doubled
-    # ties); md5 has no such symmetry
-    for j, shift in enumerate((16, 24, 40, 48)):
-        s = F.concat(
-            F.slice("embedding", shift + 1, dim - shift),
-            F.slice("embedding", 1, shift),
-        )
-        g = (
-            F.conv(F.substring(F.md5(F.concat_ws(
-                "|", F.col("__c").cast("string"), F.lit(str(j)))),
-                1, 15), 16, 10).cast("double")
-            / F.lit(float(1 << 60)) - 0.5
-        )
-        member = F.zip_with(member, s, lambda a, b: a + g * b)
-    emb = (
-        mix.select(
-            (F.col("__cid") + F.lit(2000) * F.col("__c")).alias("vec_id"),
-            F.transform(member, lambda v: F.round(v, 6)).alias("embedding"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    n = emb.count()
-    print(f"mixture corpus: {dim} clusters x {n_members} members "
-          f"(intrinsic dim 4) = {n} vectors", flush=True)
+    emb, n = _nnd_mixture(spark, n_members=n_members, dim=dim)
 
     def exact_sets(sampled, k=8):
         # ground truth under the GRAPH'S total order (6-dp-rounded
@@ -994,6 +1006,67 @@ def cc_probe(spark) -> None:
     print(f"cc base build {t_base:6.1f}s  full rebuild {t_full:6.1f}s  "
           f"incremental fold {t_incr:6.1f}s  rows {n_incr}  "
           f"label diffs vs rebuild {diff}", flush=True)
+
+
+def nnd_scale_probe(spark) -> None:
+    """r14: does the r13 recursive-build recipe HOLD at 2.5x — 500 k
+    vectors with 2.5x bigger clusters (64 x 7 812, the harder
+    direction: in-cluster convergence cost grows with cluster size)?
+    Build-only (the 200 k serve matrix already prices serving; this
+    probe answers whether the GRAPH is still converged when both the
+    corpus and the per-cluster population grow), same instruments as
+    nnd_probe: in-cluster fraction, strict exact-set recall@8 under
+    the operator's total order, similarity ratio."""
+    import numpy as np
+
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_graph_recursive,
+    )
+    from training_datawarehouse_spark.operators.similarity import cosine_topk
+    from training_datawarehouse_spark.session import tune_for_iterative
+
+    tune_for_iterative(spark)
+    kk = 8
+    emb, n = _nnd_mixture(spark, n_members=7812)
+    sweep_ids = [int(r["vec_id"]) for r in
+                 emb.filter(F.col("vec_id") % 2497 == 0)
+                 .limit(200).collect()]
+    sampled = emb.filter(F.col("vec_id").isin(sweep_ids))
+    per = {}
+    for r in cosine_topk(emb, sampled, "vec_id", "embedding",
+                         k=4 * kk).collect():
+        per.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["neighbor_id"]))
+    ex = {q: {nid for _, nid in sorted(v)[:kk]}
+          for q, v in per.items()}
+    ex_cos = {q: [-c for c, _ in sorted(v)[:kk]]
+              for q, v in per.items()}
+
+    t0 = time.time()
+    g, cents = nnd_graph_recursive(
+        emb, k=kk, core_frac=64, core_iters=8, refine_iters=2,
+        n_lists=64, kmeans_iters=4)
+    t_build = time.time() - t0
+    in_cluster = float(g.select(
+        (F.col("src") % 2000 == F.col("dst") % 2000)
+        .cast("int").alias("i")).agg(F.avg("i")).first()[0])
+    adj, found = {}, {}
+    for r in g.filter(F.col("src").isin(sweep_ids)).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        found.setdefault(r["src"], []).append(r["cos"])
+    recall = float(np.mean([
+        len(adj.get(i, set()) & ex[i]) / kk for i in ex]))
+    sim_ratio = float(np.mean([
+        np.mean(found.get(i, [0.0])) / np.mean(ex_cos[i])
+        for i in ex_cos]))
+    print(f"build[recursive core64 k={kk}, {n}]: {t_build:.1f}s "
+          f"in_cluster={in_cluster:.3f} recall@8={recall:.3f} "
+          f"sim_ratio={sim_ratio:.4f}", flush=True)
+    for df in (g, emb):
+        release_local_checkpoint(df)
 
 
 def ckstats_probe(spark) -> None:
