@@ -261,7 +261,7 @@ def main() -> None:
         ttl_probe(spark)
     if "--ckstats" in sys.argv:
         ckstats_probe(spark)
-    if "--nnd-500k" in sys.argv:
+    if "--nnd-500k" in sys.argv or "--nnd-refine3" in sys.argv:
         nnd_scale_probe(spark)
 
 
@@ -1030,7 +1030,12 @@ def nnd_scale_probe(spark) -> None:
 
     tune_for_iterative(spark)
     kk = 8
-    emb, n = _nnd_mixture(spark, n_members=7812)
+    # --nnd-refine3: the 200 k corpus with refine_iters=3 — prices the
+    # "buy recall back with one more wave-refine round" knob the 500 k
+    # row names. Default (--nnd-500k): 2.5x corpus, refine_iters=2.
+    refine3 = "--nnd-refine3" in sys.argv
+    n_members, refine_iters = (3125, 3) if refine3 else (7812, 2)
+    emb, n = _nnd_mixture(spark, n_members=n_members)
     sweep_ids = [int(r["vec_id"]) for r in
                  emb.filter(F.col("vec_id") % 2497 == 0)
                  .limit(200).collect()]
@@ -1047,8 +1052,8 @@ def nnd_scale_probe(spark) -> None:
 
     t0 = time.time()
     g, cents = nnd_graph_recursive(
-        emb, k=kk, core_frac=64, core_iters=8, refine_iters=2,
-        n_lists=64, kmeans_iters=4)
+        emb, k=kk, core_frac=64, core_iters=8,
+        refine_iters=refine_iters, n_lists=64, kmeans_iters=4)
     t_build = time.time() - t0
     in_cluster = float(g.select(
         (F.col("src") % 2000 == F.col("dst") % 2000)
@@ -1062,9 +1067,9 @@ def nnd_scale_probe(spark) -> None:
     sim_ratio = float(np.mean([
         np.mean(found.get(i, [0.0])) / np.mean(ex_cos[i])
         for i in ex_cos]))
-    print(f"build[recursive core64 k={kk}, {n}]: {t_build:.1f}s "
-          f"in_cluster={in_cluster:.3f} recall@8={recall:.3f} "
-          f"sim_ratio={sim_ratio:.4f}", flush=True)
+    print(f"build[recursive core64 k={kk} refine{refine_iters}, {n}]: "
+          f"{t_build:.1f}s in_cluster={in_cluster:.3f} "
+          f"recall@8={recall:.3f} sim_ratio={sim_ratio:.4f}", flush=True)
     for df in (g, emb):
         release_local_checkpoint(df)
 
