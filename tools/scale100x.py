@@ -353,6 +353,43 @@ def _nnd_mixture(spark, n_members: int = 3125, dim: int = 64):
     return emb, n
 
 
+def _cell_reps(nodes, cents):
+    """IVF serving plumbing: one representative (min id) per trained
+    cell, over whatever node set may legally enter the target graph
+    (full corpus for the base graph; LAYER MEMBERS ONLY for a coarse
+    layer — the r12 lesson: global entries strand descent in wrong
+    clusters)."""
+    from training_datawarehouse_spark.operators import similarity as sim
+
+    return (
+        nodes.select(
+            F.col("vec_id").alias("nid"),
+            sim.nearest_centroid_lists(
+                sim._as_double(F.col("embedding")), cents, 1
+            )[0]["list_id"].alias("list_id"),
+        )
+        .groupBy("list_id").agg(F.min("nid").alias("nid"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _cell_entries(qdf, cents, reps, n_probe: int = 2):
+    """Per-query entry nodes: reps of the query's n_probe nearest
+    trained cells."""
+    from training_datawarehouse_spark.operators import similarity as sim
+
+    qassign = qdf.select(
+        "query_id",
+        F.explode(F.transform(
+            sim.nearest_centroid_lists(
+                sim._as_double(F.col("embedding")), cents, n_probe),
+            lambda s: s["list_id"],
+        )).alias("list_id"),
+    )
+    return qassign.join(F.broadcast(reps), "list_id") \
+        .select("query_id", "nid")
+
+
 def nnd_probe(spark) -> None:
     """r12 probes #2/#3: NN-descent CONVERGENCE, incremental insert,
     and the serving path, all at 200 k vectors.
@@ -399,9 +436,7 @@ def nnd_probe(spark) -> None:
     from training_datawarehouse_spark.session import tune_for_iterative
 
     tune_for_iterative(spark)
-    from training_datawarehouse_spark.operators import similarity as sim
     from training_datawarehouse_spark.operators.similarity import cosine_topk
-    from training_datawarehouse_spark.sources.tables import load_table
 
     dim = 64
     n_members = 3125
@@ -490,26 +525,10 @@ def nnd_probe(spark) -> None:
 
     # IVF entry plumbing for serving (reps over the FULL corpus — any
     # member is a valid entry into the final graph)
-    cassign = emb.select(
-        F.col("vec_id").alias("nid"),
-        sim.nearest_centroid_lists(
-            sim._as_double(F.col("embedding")), cents, 1
-        )[0]["list_id"].alias("list_id"),
-    )
-    reps = cassign.groupBy("list_id").agg(F.min("nid").alias("nid")) \
-        .localCheckpoint(eager=True)
+    reps = _cell_reps(emb, cents)
 
     def entries_for(qdf):
-        qassign = qdf.select(
-            "query_id",
-            F.explode(F.transform(
-                sim.nearest_centroid_lists(
-                    sim._as_double(F.col("embedding")), cents, 2),
-                lambda s: s["list_id"],
-            )).alias("list_id"),
-        )
-        return qassign.join(F.broadcast(reps), "list_id") \
-            .select("query_id", "nid")
+        return _cell_entries(qdf, cents, reps)
 
     # ---- serve on the (finally) CONVERGED graph — re-pricing the r12
     # serve table, whose recall was ceilinged by the unconverged base
@@ -570,28 +589,10 @@ def nnd_probe(spark) -> None:
     # graph is cluster-disconnected like any converged k-NN graph, so
     # global hash entries strand coarse descent in wrong clusters —
     # measured: hier w/ global coarse entries 0.050 vs flat-ivf 0.284)
-    reps1 = (
-        emb1.select(
-            F.col("vec_id").alias("nid"),
-            sim.nearest_centroid_lists(
-                sim._as_double(F.col("embedding")), cents, 1
-            )[0]["list_id"].alias("list_id"),
-        )
-        .groupBy("list_id").agg(F.min("nid").alias("nid"))
-        .localCheckpoint(eager=True)
-    )
+    reps1 = _cell_reps(emb1, cents)
 
     def entries_for1(qdf):
-        qassign = qdf.select(
-            "query_id",
-            F.explode(F.transform(
-                sim.nearest_centroid_lists(
-                    sim._as_double(F.col("embedding")), cents, 2),
-                lambda s: s["list_id"],
-            )).alias("list_id"),
-        )
-        return qassign.join(F.broadcast(reps1), "list_id") \
-            .select("query_id", "nid")
+        return _cell_entries(qdf, cents, reps1)
 
     serve("hier 6+6hops global", lambda: nnd_search_hier(
         g_full, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6))
@@ -1070,7 +1071,64 @@ def nnd_scale_probe(spark) -> None:
     print(f"build[recursive core64 k={kk} refine{refine_iters}, {n}]: "
           f"{t_build:.1f}s in_cluster={in_cluster:.3f} "
           f"recall@8={recall:.3f} sim_ratio={sim_ratio:.4f}", flush=True)
-    for df in (g, emb):
+
+    # ---- serving on this graph: the two 200 k-matrix headliners
+    # (flat IVF-entry 8 hops; hier+IVF 4+4 — the measured winner), so
+    # the serve story has a row at every build point, not just 200 k
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_sample_layer, nnd_search, nnd_search_hier,
+    )
+
+    qsrc = emb.filter(F.col("vec_id") % 101 == 0) \
+        .limit(2000) \
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                "embedding", lambda x: F.round(x * 1.01 + 0.003, 6)
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+    nq = qsrc.count()
+    per_q = {}
+    for r in cosine_topk(emb, qsrc.withColumnRenamed(
+            "query_id", "vec_id"), "vec_id", "embedding", k=20).collect():
+        per_q.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["neighbor_id"]))
+    ex_q = {q: {nid for _, nid in sorted(v)[:5]}
+            for q, v in per_q.items()}
+    reps = _cell_reps(emb, cents)
+    t0 = time.time()
+    emb1 = nnd_sample_layer(emb, frac=64).localCheckpoint(eager=True)
+    n1 = emb1.count()
+    from training_datawarehouse_spark.operators.nndescent import (
+        nnd_graph_ivf,
+    )
+    g1, _ = nnd_graph_ivf(emb1, k=kk, iters=8, n_lists=64,
+                          kmeans_iters=4, centroids=cents)
+    print(f"coarse layer: {n1} nodes, built in {time.time()-t0:.1f}s",
+          flush=True)
+    reps1 = _cell_reps(emb1, cents)
+
+    def serve(label, fn):
+        t0 = time.time()
+        served = fn()
+        t_serve = time.time() - t0
+        sv = {}
+        for r in served.collect():
+            sv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        release_local_checkpoint(served)
+        rec5 = float(np.mean([
+            len(sv.get(i, set()) & ex_q[i]) / 5 for i in ex_q]))
+        print(f"serve[{label}]: {nq} queries in {t_serve:.1f}s "
+              f"({nq / t_serve:.0f} q/s batch) recall@5={rec5:.3f}",
+              flush=True)
+
+    serve("flat ivf-entry 8hops", lambda: nnd_search(
+        g, emb, qsrc, k=5, beam=8, hops=8,
+        entry_df=_cell_entries(qsrc, cents, reps)))
+    serve("hier ivf 4+4hops", lambda: nnd_search_hier(
+        g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=4, hops1=4,
+        entry_df1=_cell_entries(qsrc, cents, reps1)))
+    for df in (g, g1, emb1, qsrc, reps, reps1, emb):
         release_local_checkpoint(df)
 
 
