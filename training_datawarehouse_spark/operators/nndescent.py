@@ -84,6 +84,19 @@ library users don't transcribe a docstring:
   scans; every leaf here is an in-memory RDD) — pure optimizer tax,
   the dominant term of the driver grind above.
 
+SERVING GUIDANCE (measured, r14 — SCALE.md 200 k/500 k serve
+matrices): serve through ``nnd_search_hier`` with IVF-rep entries
+INTO THE COARSE LAYER (layer members only — global hash entries
+strand coarse descent in wrong clusters); 4+4 hops at beam 8 is the
+measured knee (200 k: recall@5 0.648 at ~135 q/s vs 0.284 for flat
+8-hop at the same cost). Past convergence serving is
+NAVIGATION-limited, not graph-limited — a better-refined graph
+(recall@8 0.903 vs 0.886) serves identically, so spend serving
+budget on hops/entries and build refinement only when the consumer
+reads the adjacency itself (near-dup mining). The coarse layer's
+value GROWS with corpus size (500 k: hier 3.8× flat's recall vs
+2.3× at 200 k).
+
 KNOWN RESOLUTION FLOOR (measured, r12 probe): the 6-dp rounding that
 buys oracle portability also SETS THE SIMILARITY RESOLUTION — on a
 corpus whose true nearest-neighbor cosine gaps fall below 1e-6 (ultra-
