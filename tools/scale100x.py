@@ -1128,6 +1128,9 @@ def nnd_scale_probe(spark) -> None:
     serve("hier ivf 4+4hops", lambda: nnd_search_hier(
         g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=4, hops1=4,
         entry_df1=_cell_entries(qsrc, cents, reps1)))
+    serve("hier ivf 6+6hops", lambda: nnd_search_hier(
+        g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6,
+        entry_df1=_cell_entries(qsrc, cents, reps1)))
     for df in (g, g1, emb1, qsrc, reps, reps1, emb):
         release_local_checkpoint(df)
 
