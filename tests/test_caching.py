@@ -63,8 +63,18 @@ def test_plain_checkpoint_chain_compounds_stats(spark):
         frames.append(g)
     # strictly compounding: every generation's join estimate is at
     # least the square-ish of the last (allow slack — row-width
-    # accounting differs per version; the SHAPE is what we pin)
-    assert ests[1] > 4 * ests[0]
+    # accounting differs per version; the SHAPE is what we pin).
+    # Gated on the OBSERVED inheritance (ADVICE r14): this pins
+    # Spark-internal behavior (SPARK-39900 stats preservation), and a
+    # future Spark that drops it makes the disease impossible — the
+    # library then degrades to correct-by-construction, and only the
+    # fix-side tests below stay load-bearing.
+    if not ests[1] > 4 * ests[0]:
+        for f in frames:
+            release_local_checkpoint(f)
+        pytest.skip(
+            "this Spark does not inherit origin stats through "
+            "localCheckpoint; the compounding disease cannot occur")
     assert ests[2] > 4 * ests[1]
     for f in frames:
         release_local_checkpoint(f)
@@ -111,6 +121,13 @@ def test_eager_checkpoint_fallback_warns_once_and_counts(spark, monkeypatch):
         warnings.simplefilter("error")  # second call must NOT warn again
         ck2 = eager_checkpoint(df)
     assert caching.FALLBACK_COUNT == before + 2
+    # r14 verdict #6: the count must also be readable OFF-process —
+    # a spark-submit'd job checks the session conf post-run instead
+    # of grepping executor logs for the once-per-process warning.
+    try:
+        assert spark.conf.get(caching.FALLBACK_CONF_KEY) == str(before + 2)
+    finally:
+        spark.conf.unset(caching.FALLBACK_CONF_KEY)
     for f in (ck1, ck2):
         release_local_checkpoint(f)
 
@@ -198,3 +215,40 @@ def test_recursive_build_survives_all_core_corpus(spark):
     assert len(rows) == 24 * 4
     assert all(r["src"] != r["dst"] for r in rows)
     release_local_checkpoint(g)
+
+
+def test_iterative_tuning_scoped_restores_confs(spark):
+    """r14 verdict #3: the context-manager form must put every knob
+    back on exit — including on exception — so a mixed session that
+    builds a graph keeps runtime bloom-filter injection (a feature
+    test_plan_quality.py proves cuts fact scans) for the relational
+    queries that follow."""
+    from training_datawarehouse_spark.session import (
+        ITERATIVE_CONFS, iterative_tuning,
+    )
+
+    before = {k: spark.conf.get(k) for k in ITERATIVE_CONFS}
+    # runtime bloom filters are ON before (the default this scoping
+    # exists to protect)
+    assert before["spark.sql.optimizer.runtime.bloomFilter.enabled"] == "true"
+    with iterative_tuning(spark):
+        for k, v in ITERATIVE_CONFS.items():
+            assert spark.conf.get(k) == v
+    assert {k: spark.conf.get(k) for k in ITERATIVE_CONFS} == before
+
+    # exception-safe: the finally must still restore
+    with pytest.raises(RuntimeError, match="boom"):
+        with iterative_tuning(spark):
+            raise RuntimeError("boom")
+    assert {k: spark.conf.get(k) for k in ITERATIVE_CONFS} == before
+
+    # nesting a user-set prior value: restore to the USER's value,
+    # not the Spark default
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    spark.conf.set(key, "2m")
+    try:
+        with iterative_tuning(spark):
+            assert spark.conf.get(key) == "64k"
+        assert spark.conf.get(key) == "2m"
+    finally:
+        spark.conf.set(key, before[key])

@@ -391,6 +391,16 @@ def _cell_entries(qdf, cents, reps, n_probe: int = 2):
 
 
 def nnd_probe(spark) -> None:
+    # Scoped iterative confs (r14 verdict #3): probe flags chain in
+    # ONE session, so the relational probes that may follow must get
+    # their runtime bloom filters back on exit.
+    from training_datawarehouse_spark.session import iterative_tuning
+
+    with iterative_tuning(spark):
+        _nnd_probe_body(spark)
+
+
+def _nnd_probe_body(spark) -> None:
     """r12 probes #2/#3: NN-descent CONVERGENCE, incremental insert,
     and the serving path, all at 200 k vectors.
 
@@ -427,15 +437,6 @@ def nnd_probe(spark) -> None:
         nnd_search, nnd_search_hier,
     )
 
-    # The three measured r13 session knobs the iterative graph family
-    # needs at scale (jstack-diagnosed; full rationale in the helper's
-    # docstring — promoted out of probe-only code per r13 verdict #5):
-    # realistic defaultSizeInBytes for stat-less checkpoint leaves,
-    # small AQE minPartitionSize for slim-row/expensive-map shuffles,
-    # runtime bloom-filter injection off.
-    from training_datawarehouse_spark.session import tune_for_iterative
-
-    tune_for_iterative(spark)
     from training_datawarehouse_spark.operators.similarity import cosine_topk
 
     dim = 64
@@ -1010,6 +1011,13 @@ def cc_probe(spark) -> None:
 
 
 def nnd_scale_probe(spark) -> None:
+    from training_datawarehouse_spark.session import iterative_tuning
+
+    with iterative_tuning(spark):
+        _nnd_scale_probe_body(spark)
+
+
+def _nnd_scale_probe_body(spark) -> None:
     """r14: does the r13 recursive-build recipe HOLD at 2.5x — 500 k
     vectors with 2.5x bigger clusters (64 x 7 812, the harder
     direction: in-cluster convergence cost grows with cluster size)?
@@ -1027,9 +1035,7 @@ def nnd_scale_probe(spark) -> None:
         nnd_graph_recursive,
     )
     from training_datawarehouse_spark.operators.similarity import cosine_topk
-    from training_datawarehouse_spark.session import tune_for_iterative
 
-    tune_for_iterative(spark)
     kk = 8
     # --nnd-refine3: the 200 k corpus with refine_iters=3 — prices the
     # "buy recall back with one more wave-refine round" knob the 500 k
@@ -1156,7 +1162,10 @@ def ckstats_probe(spark) -> None:
         eager_checkpoint, release_local_checkpoint,
     )
 
-    _sys.set_int_max_str_digits(50_000_000)  # py4j BigInt round-trip
+    # py4j BigInt round-trip needs a huge digit limit; restore the
+    # process-wide quadratic-int-str guard after (ADVICE r14)
+    _prev_digits = _sys.get_int_max_str_digits()
+    _sys.set_int_max_str_digits(50_000_000)
     n_rows, gens = 100_000, 24
 
     def digits(df):
@@ -1205,8 +1214,11 @@ def ckstats_probe(spark) -> None:
 
     print(f"\n--- ckstats probe: {n_rows} rows, {gens} self-joining "
           f"checkpointed generations, plain vs rewrap", flush=True)
-    plain = run("plain")
-    rewrap = run("rewrap")
+    try:
+        plain = run("plain")
+        rewrap = run("rewrap")
+    finally:
+        _sys.set_int_max_str_digits(_prev_digits)
     print(f"{'gen':>4s} {'plain_digits':>12s} {'plain_s':>8s} "
           f"{'rewrap_digits':>13s} {'rewrap_s':>9s}", flush=True)
     for i in range(max(len(plain), len(rewrap))):

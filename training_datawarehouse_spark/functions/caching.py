@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame
 FALLBACK_COUNT = 0
 _warned = False
 
+#: Session-conf key mirroring ``FALLBACK_COUNT`` (r14 verdict #6):
+#: module globals are invisible to a spark-submit'd job's operator —
+#: post-run, callers read ``spark.conf.get(FALLBACK_CONF_KEY, "0")``
+#: and alarm on silent stats-inheritance return. Set on every
+#: fallback; absent means zero fallbacks this session.
+FALLBACK_CONF_KEY = "spark_graft.eager_checkpoint.fallbacks"
+
 
 def _rewrap_statless(ck: DataFrame, origin: DataFrame) -> DataFrame:
     """Rewrap a checkpointed frame in a fresh stats-less LogicalRDD.
@@ -74,11 +81,24 @@ def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     ``spark.sql.defaultSizeInBytes`` — constant per generation, no
     compounding. The checkpoint frame rides along as
     ``_graft_ck_source`` so ``release_local_checkpoint`` still frees
-    the persisted blocks. Falls back to the plain checkpoint if the
+    the persisted blocks.
+
+    Trade, stated where it is made: the rewrap also drops the
+    outputPartitioning/outputOrdering that Spark 4's checkpoint
+    LogicalRDD preserves — the stat-less leaf reports
+    UnknownPartitioning, so a post-checkpoint join may re-shuffle
+    rows the origin had already hash-distributed on the join key.
+    Measured net-neutral-to-positive at bench scale
+    (BENCH_ATTRIBUTION.md r14 addendum: every iterative-family host
+    entry moved DOWN with the rewrap on the hot path — the shuffles
+    these slim (id, id, score) generations pay are cheap next to the
+    driver-side BigInteger grind the rewrap prevents). Revisit only
+    if a future generation shape carries wide payload rows. Falls back to the plain checkpoint if the
     internal API is unavailable (stats inheritance accepted, never a
-    correctness issue) — warning once and counting in
-    ``FALLBACK_COUNT`` so the degradation is diagnosable (r13
-    verdict #7).
+    correctness issue) — warning once, counting in
+    ``FALLBACK_COUNT``, and echoing the count into the session conf
+    ``FALLBACK_CONF_KEY`` so a spark-submit'd job can alarm post-run
+    without grepping executor logs (r13 verdict #7, r14 verdict #6).
 
     ``eager=False`` defers materialization exactly like
     ``localCheckpoint(eager=False)`` — the rewrap only re-labels the
@@ -90,7 +110,15 @@ def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     try:
         return _rewrap_statless(ck, df)
     except Exception as exc:
+        # Diagnostic-only counter; unsynchronized on purpose — a lost
+        # increment under concurrent driver threads costs an off-by-
+        # one in a signal whose only load-bearing reading is zero vs
+        # non-zero (ADVICE r14).
         FALLBACK_COUNT += 1
+        try:
+            df.sparkSession.conf.set(FALLBACK_CONF_KEY, str(FALLBACK_COUNT))
+        except Exception:
+            pass  # conf echo is best-effort; the warning still fires
         if not _warned:
             _warned = True
             warnings.warn(

@@ -98,13 +98,17 @@ def pagerank_fixed(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     n = nodes.select(F.col(node_col).alias("__n")).distinct()
-    e = (
+    # eager_checkpoint, not plain localCheckpoint: one-shot, so no
+    # per-generation compounding of ITS OWN estimate — but the
+    # inherited origin estimate would multiply into every iteration's
+    # contrib join (the edge set is read once per round). Stat-less
+    # leaf keeps the family consistent (r14 verdict #1).
+    e = eager_checkpoint(
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .filter(F.col("__s") != F.col("__d"))
         .distinct()
         .join(n.withColumnRenamed("__n", "__s"), "__s")
         .join(n.withColumnRenamed("__n", "__d"), "__d")
-        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     cnt = n.agg(F.count(F.lit(1)).alias("__nodecnt"))

@@ -12,6 +12,7 @@ ship on a 1000-executor cluster, scaled down for local[N]:
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -83,12 +84,63 @@ def tune_for_iterative(spark: SparkSession) -> SparkSession:
        in-memory RDD). Both observed driver grinds bottomed out in
        this rule.
 
-    Safe (and measured cost-neutral at bench scale) for mixed
-    sessions: AQE re-plans joins from REAL shuffle sizes at runtime,
-    so relational plans keep their broadcasts."""
-    spark.conf.set("spark.sql.defaultSizeInBytes", str(64 * 1024 * 1024))
-    spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    Measured cost-neutral at bench scale for mixed sessions on the
+    JOIN side (AQE re-plans joins from REAL shuffle sizes at runtime,
+    so relational plans keep their broadcasts) — but knob 3 is a
+    PERMANENT loss for a long-lived session: runtime bloom-filter
+    injection materially cuts fact-table scans on selective dim
+    joins (tests/test_plan_quality.py pins the effect), and this
+    function switches it off with no restore. Prefer the scoped
+    ``iterative_tuning`` context manager for sessions that mix
+    iterative builds with relational queries (r14 verdict #3); this
+    unscoped form remains for dedicated iterative jobs where the
+    session ends with the build."""
+    for key, value in ITERATIVE_CONFS.items():
+        spark.conf.set(key, value)
     return spark
+
+
+#: The three measured r13 iterative-family settings (rationale in
+#: ``tune_for_iterative``'s docstring) as data, so the scoped and
+#: unscoped forms can never drift apart.
+ITERATIVE_CONFS = {
+    "spark.sql.defaultSizeInBytes": str(64 * 1024 * 1024),
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+}
+
+
+@contextlib.contextmanager
+def iterative_tuning(spark: SparkSession):
+    """Scoped ``tune_for_iterative``: applies the three iterative-
+    family confs on entry and RESTORES the prior values on exit
+    (r14 verdict #3).
+
+    The unscoped function permanently disables runtime bloom-filter
+    injection — a feature that measurably cuts fact-table scans
+    (tests/test_plan_quality.py) — so a long-lived 100 TB session
+    that once built an ANN graph would pay on every subsequent
+    relational query. This form snapshots the EFFECTIVE value of each
+    knob (Spark-default or user-set — restoring the effective default
+    explicitly is behavior-identical to never having touched it) and
+    puts it back even if the build raises::
+
+        with iterative_tuning(spark):
+            graph = nnd_graph_recursive(emb, ...)
+        # relational queries here keep their runtime bloom filters
+    """
+    prior: dict[str, str | None] = {}
+    for key in ITERATIVE_CONFS:
+        try:
+            prior[key] = spark.conf.get(key)
+        except Exception:
+            prior[key] = None  # unset and no Spark-side default
+    tune_for_iterative(spark)
+    try:
+        yield spark
+    finally:
+        for key, value in prior.items():
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)
