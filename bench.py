@@ -366,13 +366,23 @@ def _extras() -> list[dict]:
                      "only production path",
              "builder": lambda s, d: _compat(approx_aggs,
                  s, d, include_qsk=False)},
-            {"name": "ns_similarity_ann", "semver": 2,
+            {"name": "ns_similarity_ann", "semver": 3,
              "desc": "ANN composite (correctness-only registry entry, "
                      "timed here for attribution): sign-LSH + trained "
                      "IVF + PQ/ADC/IVFADC + SQ8 + recall@5 columns; "
                      "r11/semver-2: + NN-descent graph stage (oracle "
-                     "retrains the graph round by round)",
+                     "retrains the graph round by round); r15/semver-3: "
+                     "+ 'nnd_serve' hierarchical beam-serving stage "
+                     "(coarse-layer graph + two-layer descent at the "
+                     "measured 4+4 knee, oracle re-derives both "
+                     "descents hop by hop)",
              "builder": lambda s, d: similarity_ann(s, d)},
+            {"name": "ns_similarity_ann__r14equiv", "semver": 2,
+             "desc": "ANN composite semver-2 sub-plan (nnd build stage, "
+                     "no r15 'nnd_serve' hierarchical serving stage) — "
+                     "prices the serve-stage addition",
+             "builder": lambda s, d: _compat(similarity_ann,
+                 s, d, include_serve=False)},
             {"name": "ns_similarity_ann__r10equiv", "semver": 1,
              "desc": "ANN composite semver-1 sub-plan (no NN-descent "
                      "graph stage) — prices the r11 'nnd' stage "

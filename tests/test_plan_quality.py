@@ -202,7 +202,16 @@ SHUFFLE_BUDGET = {
     # checkpointed at build time (the KMV discipline), so the final
     # plan pays only the out/in-degree groupBys over the checkpointed
     # edge set; the rank join-back rides the doc_id sort-merge.
-    "ns_lang_quality": 3,
+    # r15: +1 — the edge set now routes through eager_checkpoint
+    # (stat-less leaf, the iterative-family consistency fix), so the
+    # static planner no longer inherits the origin's small estimate
+    # and plans the final rank⋈edges joins as SMJ instead of
+    # broadcasting the edge set. That static default is the
+    # 100 TB-correct one (an edge set is corpus-sized; broadcasting
+    # it is only right when it happens to be small) and AQE converts
+    # back to broadcast at runtime from REAL shuffle sizes when it
+    # is. Measured at sf0.1: no wall-clock movement (~3.5 s warm).
+    "ns_lang_quality": 4,
     # family: chunk/pack — two-level prefix scan, no global window
     "ns_chunk_pack": 5,
     # family: splits/sampling — threshold path scan-only; quota branch
@@ -253,6 +262,9 @@ SHUFFLE_BUDGET = {
     # member-query top-k both materialize at BUILD time (the KMV
     # discipline); the final plan only scans the ≤ queries·k
     # checkpointed rows.
+    # r15: +0 for the 'nnd_serve' hierarchical-serving stage — the
+    # coarse-layer graph and both beam descents also materialize at
+    # build time; the final plan scans the ≤ queries·k serve rows.
     "ns_similarity_ann": 28,
     # family: embedding model fit (r8) — ZERO hash exchanges in the
     # final plan: raw/whitened pair stages are subset-bounded BNL

@@ -2416,6 +2416,18 @@ _PQ_RERANK = _PQ_RERANK_C * _ANN_K
 # not hidden — the mirror image of the quantizer family's story.
 _NND_K = 8
 _NND_ITERS = 3
+# Hierarchical SERVING on the NN-descent graph (r15 — the r14 verdict's
+# #1: the path SCALE.md steers users to, held to the same hash bar as
+# the build). The operating point is the measured 200 k knee
+# (SCALE.md serve matrix): beam 8, 4 coarse + 4 full hops, 4 entries
+# handed down, IVF-navigated coarse layer. frac=8 keeps the bench-scale
+# coarse layer meaningful (~n/8 members) — production uses the build's
+# core_frac (64); the DESCENT SEMANTICS hash-checked here are
+# frac-independent.
+_SERVE_FRAC = 8
+_SERVE_BEAM = 8
+_SERVE_HOPS = 4      # per layer: the measured 4+4 knee
+_SERVE_NENTRY = 4
 
 
 def similarity_pq(spark: SparkSession, sf_dir: str,
@@ -2507,7 +2519,8 @@ def normalized_embeddings(frame: DataFrame) -> DataFrame:
 
 def similarity_ann(spark: SparkSession, sf_dir: str,
                    emb: DataFrame | None = None,
-                   include_nnd: bool = True) -> DataFrame:
+                   include_nnd: bool = True,
+                   include_serve: bool = True) -> DataFrame:
     """The bucketed/compressed ANN scale paths in one entry, tagged by
     stage and method: sign-LSH (hyperplane buckets), IVF (coarse
     quantizer, 2-probe), and (r8) product-quantization ADC detail rows
@@ -2794,6 +2807,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     # floor (high intrinsic dimension is the family's published weak
     # regime — reported, not hidden).
     nndq = None
+    serveq = None
     if include_nnd:
         graph = nnd_op.nnd_graph(
             emb, "embedding", "vec_id", k=_NND_K, iters=_NND_ITERS,
@@ -2810,6 +2824,65 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
                 "query_id", "rank", "neighbor_id",
                 F.col("cos").alias("cosine"),
             ).localCheckpoint(eager=True)
+
+            if include_serve:
+                # 'nnd_serve' (r15): the RECOMMENDED serving path
+                # (``nnd_search_hier`` — SCALE.md serve matrix,
+                # ``operators/nndescent.py`` docstring guidance) held
+                # to the same hash bar as the build: a 1/frac
+                # md5-sampled coarse layer gets its own NN-descent
+                # graph, the already-trained IVF quantizer navigates
+                # queries to per-cell layer representatives (coarse
+                # entries), and the two-layer beam descent runs at the
+                # measured knee (4+4 hops, beam 8). The oracle
+                # re-derives layer, coarse graph, entries, and BOTH
+                # descents hop by hop.
+                layer = nnd_op.nnd_sample_layer(
+                    emb, "embedding", "vec_id", frac=_SERVE_FRAC)
+                g1 = nnd_op.nnd_graph(
+                    layer, "embedding", "vec_id",
+                    k=_NND_K, iters=_NND_ITERS)
+                try:
+                    reps = (
+                        cassign.join(
+                            layer.select(
+                                F.col("vec_id").alias("neighbor_id")),
+                            "neighbor_id",
+                        )
+                        .groupBy("list_id")
+                        .agg(F.min("neighbor_id").alias("nid"))
+                    )
+                    entries1 = (
+                        qassign.join(F.broadcast(reps), "list_id")
+                        .select("query_id", "nid")
+                        .distinct()
+                    )
+                    served = nnd_op.nnd_search_hier(
+                        graph, emb, g1, layer,
+                        queries.select(
+                            F.col("vec_id").alias("query_id"),
+                            "embedding"),
+                        k=_SERVE_BEAM, beam=_SERVE_BEAM,
+                        hops0=_SERVE_HOPS, hops1=_SERVE_HOPS,
+                        n_entry=_SERVE_NENTRY, entry_df1=entries1,
+                    )
+                finally:
+                    release_local_checkpoint(g1)
+                # member queries find themselves at cos 1.0 — drop the
+                # self-match and re-rank so recall compares against the
+                # same self-excluded exact top-k every other method uses
+                wsv = Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), "neighbor_id")
+                serveq = (
+                    served.filter(
+                        F.col("neighbor_id") != F.col("query_id"))
+                    .withColumn("rank", F.row_number().over(wsv))
+                    .filter(F.col("rank") <= _ANN_K)
+                    .select("query_id", "rank", "neighbor_id",
+                            F.col("cos").alias("cosine"))
+                    .localCheckpoint(eager=True)
+                )
+                release_local_checkpoint(served)
         finally:
             release_local_checkpoint(graph)
 
@@ -2825,6 +2898,9 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     )
     if nndq is not None:
         ann = ann.unionByName(nndq.withColumn("method", F.lit("nnd")))
+    if serveq is not None:
+        ann = ann.unionByName(
+            serveq.withColumn("method", F.lit("nnd_serve")))
     exact = sim.cosine_topk(emb, queries, "vec_id", "embedding", k=_ANN_K)
 
     topk = ann.select(
@@ -2860,7 +2936,8 @@ def similarity_ann(spark: SparkSession, sf_dir: str,
     methods = spark.createDataFrame(
         [("signlsh",), ("ivf",), ("pq",), ("pq_rr",), ("ivfpq",),
          ("ivfpq_res",), ("sq8",), ("sq8l",), ("sq8n",)]
-        + ([("nnd",)] if nndq is not None else []),
+        + ([("nnd",)] if nndq is not None else [])
+        + ([("nnd_serve",)] if serveq is not None else []),
         "method string",
     )
     grid = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
@@ -2888,52 +2965,149 @@ def _vec_sql(vals: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
 
 
-def _nnd_blocks(k: int, iters: int) -> tuple[str, str]:
+def _nnd_blocks(k: int, iters: int, tag: str = "",
+                src: str = "e") -> tuple[str, str]:
     """SQL twin of ``operators/nndescent.nnd_graph``: RETRAINS the
     k-NN graph iteration by iteration (the ``_lloyd_blocks``
     discipline) — hash-ring init over row_number in md5 order, then
     per round: general neighborhood (UNION ALL of both edge
     directions), local join on the shared center, rounded cosine on
     the distinct candidates, and the per-node top-k window. Returns
-    (cte_sql, final_graph_name)."""
+    (cte_sql, final_graph_name). ``tag``/``src`` (r15) build the same
+    graph over an alternate corpus CTE exposing (vec_id, v) — the
+    serve oracle's 1/frac coarse layer — without CTE-name collisions;
+    the defaults are byte-identical to the r11 shape."""
     cosab = ("list_dot_product(x.v, y.v)"
              " / (sqrt(list_dot_product(x.v, x.v))"
              " * sqrt(list_dot_product(y.v, y.v)))")
-    blocks = [f"""nperm AS MATERIALIZED (
+    blocks = [f"""n{tag}perm AS MATERIALIZED (
   SELECT vec_id AS nid, v,
          row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
-  FROM e
+  FROM {src}
 ),
-nndg0 AS MATERIALIZED (
+nnd{tag}g0 AS MATERIALIZED (
   SELECT x.nid AS src, y.nid AS dst, round({cosab}, 6) AS cos
-  FROM nperm x
+  FROM n{tag}perm x
   CROSS JOIN range(1, {k + 1}) jt
-  JOIN nperm y
-    ON y.rn = (x.rn - 1 + jt.range) % (SELECT count(*) FROM e) + 1
+  JOIN n{tag}perm y
+    ON y.rn = (x.rn - 1 + jt.range) % (SELECT count(*) FROM {src}) + 1
 )"""]
     for i in range(1, iters + 1):
-        p = f"nndg{i - 1}"
+        p = f"nnd{tag}g{i - 1}"
         blocks.append(f""",
-nndu{i} AS (SELECT src AS c, dst AS nid FROM {p}
+nnd{tag}u{i} AS (SELECT src AS c, dst AS nid FROM {p}
             UNION ALL SELECT dst, src FROM {p}),
-nndc{i} AS (SELECT DISTINCT a.nid AS src, b.nid AS dst
-            FROM nndu{i} a JOIN nndu{i} b
+nnd{tag}c{i} AS (SELECT DISTINCT a.nid AS src, b.nid AS dst
+            FROM nnd{tag}u{i} a JOIN nnd{tag}u{i} b
               ON a.c = b.c AND a.nid < b.nid),
-nndd{i} AS (SELECT c.src, c.dst, round({cosab}, 6) AS cos
-            FROM nndc{i} c
-            JOIN nperm x ON x.nid = c.src
-            JOIN nperm y ON y.nid = c.dst),
-nndg{i} AS MATERIALIZED (
+nnd{tag}d{i} AS (SELECT c.src, c.dst, round({cosab}, 6) AS cos
+            FROM nnd{tag}c{i} c
+            JOIN n{tag}perm x ON x.nid = c.src
+            JOIN n{tag}perm y ON y.nid = c.dst),
+nnd{tag}g{i} AS MATERIALIZED (
   SELECT src, dst, cos FROM (
     SELECT src, dst, cos,
            row_number() OVER (PARTITION BY src
                               ORDER BY cos DESC, dst) AS rn
     FROM (SELECT src, dst, cos FROM {p}
-          UNION SELECT src, dst, cos FROM nndd{i}
-          UNION SELECT dst, src, cos FROM nndd{i})
+          UNION SELECT src, dst, cos FROM nnd{tag}d{i}
+          UNION SELECT dst, src, cos FROM nnd{tag}d{i})
   ) WHERE rn <= {k}
 )""")
-    return "".join(blocks), f"nndg{iters}"
+    return "".join(blocks), f"nnd{tag}g{iters}"
+
+
+def _beam_blocks(pref: str, graph: str, src: str, entry: str,
+                 hops: int, beam: int) -> str:
+    """SQL twin of ``operators/nndescent.nnd_search``'s beam descent
+    over ONE graph (r15): score the entry frontier, then per hop
+    expand by graph neighbors (UNION the kept beam, DISTINCT — the
+    Spark ``expanded`` shape), re-score the rounded cosine against the
+    query vector, and keep the best ``beam`` per query by
+    (cos DESC, nid). ``src`` is the corpus CTE (vec_id, v) legal for
+    this graph's nodes; ``entry`` supplies (query_id, nid). The final
+    kept beam is ``{pref}b{hops}``."""
+    sc = ("round(list_dot_product(q.qv, x.v)"
+          " / (sqrt(list_dot_product(q.qv, q.qv))"
+          " * sqrt(list_dot_product(x.v, x.v))), 6)")
+    score = f"""  SELECT query_id, nid, cos FROM (
+    SELECT query_id, nid, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, nid) AS rn
+    FROM (SELECT en.query_id, en.nid, {sc} AS cos
+          FROM {{frontier}} en
+          JOIN {src} x ON x.vec_id = en.nid
+          JOIN q ON q.query_id = en.query_id)
+  ) WHERE rn <= {beam}"""
+    blocks = [f"""{pref}b0 AS MATERIALIZED (
+{score.format(frontier=entry)}
+)"""]
+    for i in range(1, hops + 1):
+        blocks.append(f""",
+{pref}e{i} AS (
+  SELECT DISTINCT query_id, nid FROM (
+    SELECT b.query_id, g.dst AS nid
+    FROM {pref}b{i - 1} b JOIN {graph} g ON g.src = b.nid
+    UNION ALL SELECT query_id, nid FROM {pref}b{i - 1})
+),
+{pref}b{i} AS MATERIALIZED (
+{score.format(frontier=f'{pref}e{i}')}
+)""")
+    return "".join(blocks)
+
+
+def _serve_blocks(nnd_final: str, k: int = _ANN_K,
+                  gk: int = _NND_K, giters: int = _NND_ITERS,
+                  beam: int = _SERVE_BEAM, hops: int = _SERVE_HOPS,
+                  n_entry: int = _SERVE_NENTRY,
+                  frac: int = _SERVE_FRAC) -> str:
+    """SQL twin of the 'nnd_serve' method — ``nnd_search_hier`` end to
+    end: the 1/frac md5-sampled coarse layer (``nnd_sample_layer``'s
+    15-hex-digit conv), its OWN retrained NN-descent graph
+    (``_nnd_blocks`` tag 'c'), IVF-navigated coarse entries (the
+    shared trained quantizer's cassign/qassign, min-id rep per cell
+    among LAYER members), ``hops`` beam hops on the coarse graph, the
+    top-``n_entry`` coarse winners handed down as full-graph entries,
+    ``hops`` more hops on the full graph, then the self-match dropped
+    and the top-``k`` re-ranked (member queries find themselves at
+    cos 1.0; every method's recall compares against the same
+    self-excluded exact top-k)."""
+    cg_sql, cg_final = _nnd_blocks(gk, giters, tag="c", src="slay")
+    coarse = _beam_blocks("sc", cg_final, "slay", "sentry", hops, beam)
+    full = _beam_blocks("sf", nnd_final, "e", "sl1", hops, beam)
+    return f"""slay AS MATERIALIZED (
+  SELECT vec_id, v FROM e
+  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+        % {frac} = 0
+),
+{cg_sql},
+sreps AS (
+  SELECT ca.list_id, min(ca.neighbor_id) AS nid
+  FROM cassign ca JOIN slay l ON l.vec_id = ca.neighbor_id
+  GROUP BY ca.list_id
+),
+sentry AS (
+  SELECT DISTINCT qa.query_id, r.nid
+  FROM qassign qa JOIN sreps r USING (list_id)
+),
+{coarse},
+sl1 AS (
+  SELECT query_id, nid FROM (
+    SELECT query_id, nid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, nid) AS rk
+    FROM scb{hops}
+  ) WHERE rk <= {n_entry}
+),
+{full},
+serve_topk AS (
+  SELECT query_id, rank, nid AS neighbor_id, cos FROM (
+    SELECT query_id, nid, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, nid) AS rank
+    FROM sfb{hops} WHERE nid <> query_id
+  ) WHERE rank <= {k}
+)"""
 
 
 def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
@@ -2981,6 +3155,7 @@ def _ann_oracle(k: int = _ANN_K, n_planes: int = _ANN_PLANES,
     )
     lloyd, final_c = _lloyd_blocks(n_lists, _KMEANS_ITERS, dim, prefix="qc")
     nnd_sql, nnd_final = _nnd_blocks(_NND_K, _NND_ITERS)
+    serve_sql = _serve_blocks(nnd_final, k=k)
 
     dsub = dim // m
     pq_slices, pq_lloyds, pq_assigns, pq_finals = [], [], [], []
@@ -3383,6 +3558,7 @@ nnd_topk AS (
     FROM {nnd_final} WHERE src < 8
   ) WHERE rank <= {k}
 ),
+{serve_sql},
 ann AS (
   SELECT 'signlsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_topk
   UNION ALL
@@ -3404,6 +3580,8 @@ ann AS (
   SELECT 'sq8n', query_id, rank, neighbor_id, cos FROM sqn_topk
   UNION ALL
   SELECT 'nnd', query_id, rank, neighbor_id, cos FROM nnd_topk
+  UNION ALL
+  SELECT 'nnd_serve', query_id, rank, neighbor_id, cos FROM serve_topk
 ),
 exact_topk AS (
   SELECT query_id, neighbor_id FROM (
@@ -3423,7 +3601,8 @@ grid AS (
         UNION ALL SELECT 'pq' UNION ALL SELECT 'pq_rr'
         UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfpq_res'
         UNION ALL SELECT 'sq8' UNION ALL SELECT 'sq8l'
-        UNION ALL SELECT 'sq8n' UNION ALL SELECT 'nnd') m
+        UNION ALL SELECT 'sq8n' UNION ALL SELECT 'nnd'
+        UNION ALL SELECT 'nnd_serve') m
   CROSS JOIN q
 ),
 hits AS (
