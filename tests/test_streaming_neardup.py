@@ -388,3 +388,136 @@ def test_admission_ttl_evicts_idle_buckets_and_readmits(spark, tmp_path):
         assert {got[k] for k in got if k[0] == 10} == {None}
     finally:
         q.stop()
+
+
+def test_admission_event_ttl_horizon_is_data_defined(spark, tmp_path):
+    """r15 EventTimeTimeout variant (r14 verdict #2): the horizon is
+    defined by the DATA's timestamps, not trigger cadence — the exact
+    failure the r14 wall-clock probe measured (a 16.9 s cold-start
+    cadence blew a 15 s ttl_ms and re-admitted within-horizon dups)
+    cannot happen here. The test replays a 5-minute event-time
+    timeline in a few wall-clock seconds: a duplicate arriving 30
+    EVENT-seconds after its bucket opened still rejects against a
+    60 s event horizon (wall-clock elapsed is ~2 s — irrelevant),
+    buckets whose last arrival trails the advancing WATERMARK by more
+    than the horizon are evicted (state count drops on the live
+    query's progress), and a later duplicate of the evicted bucket's
+    first member is re-admitted — the same stated time-horizon trade,
+    now replay-stable."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    ts_schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ])
+    spark_ts_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(i, docs):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": d, "text": t, "ts": t0 + timedelta(seconds=dt)}
+                 for d, t, dt in docs],
+                schema=ts_schema,
+            ),
+            src / f"part{i}.parquet",
+        )
+
+    def state_rows(q):
+        lp = q.lastProgress
+        ops = (json.loads(lp.json)["stateOperators"]
+               if lp is not None else [])
+        return ops[0]["numRowsTotal"] if ops else None
+
+    def wait_for(pred, timeout_s=240):
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            if pred():
+                return True
+            _time.sleep(1)
+        return False
+
+    def sink():
+        return {
+            (r["doc_id"], r["band"]): r["match_id"]
+            for r in spark.table("adm_ettl").collect()
+        }
+
+    write_batch(0, [(0, base, 0), (1, base + " extra", 0)])
+    raw = (
+        spark.readStream.schema(spark_ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 second")
+    )
+    bands = dd.minhash_band_rows_rowlocal(
+        raw, "doc_id", "text", num_hashes=16, bands=4,
+        rows_per_band=4, shingle_n=3, keep_cols=("ts",),
+    )
+    q = (
+        streaming_neardup_admission(bands, event_ttl_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("adm_ettl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # phase 1: bucket opens at event T+0; same-batch dup rejects
+        assert wait_for(lambda: len({k[0] for k in sink()}) == 2)
+        got = sink()
+        assert {got[k] for k in got if k[0] == 0} == {None}
+        assert {got[k] for k in got if k[0] == 1} - {None} == {0}
+
+        # phase 2: a dup 30 EVENT-seconds later — inside the 60 s
+        # event horizon, so it REJECTS no matter how much or little
+        # wall clock elapsed between the files (the r14 probe's
+        # cadence failure is impossible by construction)
+        write_batch(1, [(2, base + " extra", 30)])
+        assert wait_for(lambda: 2 in {k[0] for k in sink()})
+        got = sink()
+        # matches are per-band first writers: buckets shared with doc
+        # 0's base text carry 0, buckets of the identical "extra"
+        # text carry 1 — any non-NULL match is a rejection
+        m2 = {got[k] for k in got if k[0] == 2} - {None}
+        assert m2 and m2 <= {0, 1}
+        n_before = state_rows(q)
+        assert n_before and n_before >= 4
+
+        # phase 3: an unrelated doc at event T+300 s advances the
+        # watermark past every open bucket's (last arrival + 60 s) —
+        # the engine's next timeout batch evicts them; only the new
+        # doc's own buckets remain
+        write_batch(2, [(3, other, 300)])
+        assert wait_for(lambda: 3 in {k[0] for k in sink()})
+        assert wait_for(lambda: (state_rows(q) or 99) <= 4), state_rows(q)
+
+        # phase 4: a dup of the evicted bucket's first member
+        # RE-ADMITS (the stated horizon trade, event-time edition)
+        write_batch(3, [(10, base, 310)])
+        assert wait_for(lambda: 10 in {k[0] for k in sink()})
+        got = sink()
+        assert {got[k] for k in got if k[0] == 10} == {None}
+    finally:
+        q.stop()
+
+
+def test_admission_ttl_modes_mutually_exclusive(spark):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        streaming_neardup_admission(
+            spark.range(1).select(
+                F.col("id").alias("doc_id"),
+                F.lit(0).alias("band"), F.lit("s").alias("sig"),
+            ),
+            ttl_ms=1000, event_ttl_ms=1000,
+        )

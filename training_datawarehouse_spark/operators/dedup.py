@@ -660,7 +660,7 @@ def resolve_near_duplicates(
 def minhash_band_rows_rowlocal(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
-    shingle_n: int = 3,
+    shingle_n: int = 3, keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, band, sig) LSH band rows computed ENTIRELY ROW-LOCALLY on
     the engine-portable md5 family — no groupBy, no window, no shuffle
@@ -694,7 +694,12 @@ def minhash_band_rows_rowlocal(
     per-row fold when shingle rows already flow through an exchange).
 
     Docs with fewer than ``shingle_n`` tokens have no shingles and are
-    filtered out, exactly like the batch kernel."""
+    filtered out, exactly like the batch kernel.
+
+    ``keep_cols`` (r15) passes extra row-local columns through beside
+    (id, band, sig) — the event-time column an EventTimeTimeout
+    admission gate needs must survive the kernel so the watermark can
+    propagate into the stateful operator."""
     if num_hashes != bands * rows_per_band:
         raise ValueError("num_hashes must equal bands * rows_per_band")
     p = _LSH_P
@@ -733,11 +738,13 @@ def minhash_band_rows_rowlocal(
         f"'band', CAST(b AS INT), "
         f"'sig', concat_ws('|', {sig_parts}))))))"
     )
+    keep = [F.col(c) for c in keep_cols]
     return (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__tk"))
+        df.select(F.col(id_col), *keep,
+                  F.split(F.col(text_col), " ").alias("__tk"))
         .filter(F.size("__tk") >= shingle_n)
-        .select(F.col(id_col), F.expr(banded).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"),
+        .select(F.col(id_col), *keep, F.expr(banded).alias("bs"))
+        .select(id_col, *keep_cols, F.col("bs.band").alias("band"),
                 F.col("bs.sig").alias("sig"))
     )
 

@@ -241,7 +241,8 @@ def streaming_kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
 
 
 def streaming_neardup_admission(
-    band_rows: DataFrame, ttl_ms: int | None = None
+    band_rows: DataFrame, ttl_ms: int | None = None,
+    event_ttl_ms: int | None = None, event_time_col: str = "ts",
 ) -> DataFrame:
     """STREAMING near-dup admission (r12 — the r11 verdict's top ask):
     probe each micro-batch's new document signatures against the
@@ -304,12 +305,38 @@ def streaming_neardup_admission(
     batches and the query never self-terminates while a timeout conf
     is registered (observed on Spark 4.1.2 — the gate test stops the
     query explicitly), which suits a month-scale always-on gate but
-    not drain-and-exit batch jobs."""
+    not drain-and-exit batch jobs.
+
+    ``event_ttl_ms`` (r15 — the r14 probe's own lesson): the SAME
+    eviction semantics keyed to EVENT TIME instead of wall clock. The
+    wall-clock horizon measured its failure mode live (SCALE.md r14:
+    a 16.9 s cold-start trigger cadence blew a 15 s ``ttl_ms`` and
+    re-admitted within-horizon duplicates) — the horizon a month-scale
+    ingest wants is defined by the DATA's timestamps, not by trigger
+    scheduling. A bucket expires when the stream's WATERMARK passes
+    (last arrival's event time + horizon): slow triggers, backfill
+    bursts, and replay at any speed all preserve the decision
+    sequence, because watermark and timestamps replay with the data
+    (``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp``). Requirements: ``band_rows`` must
+    carry ``event_time_col`` (pass it through the signature kernel
+    via ``minhash_band_rows_rowlocal(keep_cols=(...,))``) and the
+    caller must set ``withWatermark`` on that column upstream —
+    EventTimeTimeout without a watermark is rejected by the engine.
+    The timeout is clamped to (watermark + 1 ms) when a late batch's
+    max timestamp already trails the watermark past the horizon, so
+    the bucket still evicts at the next opportunity instead of
+    crashing the query. Mutually exclusive with ``ttl_ms``."""
+    if ttl_ms is not None and event_ttl_ms is not None:
+        raise ValueError(
+            "ttl_ms (wall-clock horizon) and event_ttl_ms (event-time "
+            "horizon) are mutually exclusive")
+    has_ttl = ttl_ms is not None or event_ttl_ms is not None
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if ttl_ms is not None and state.hasTimedOut:
+        if has_ttl and state.hasTimedOut:
             state.remove()   # idle past the horizon: forget the bucket
             return
         if state.exists:
@@ -317,8 +344,15 @@ def streaming_neardup_admission(
         else:
             fid, n = None, 0
         ids: list[int] = []
+        max_ts_ms = None
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf["doc_id"])
+            if event_ttl_ms is not None and len(pdf):
+                # .value = ns since epoch (tz-safe); horizon anchors to
+                # the bucket's LATEST arrival in this batch
+                mx = int(pd.Timestamp(pdf[event_time_col].max()).value
+                         // 1_000_000)
+                max_ts_ms = mx if max_ts_ms is None else max(max_ts_ms, mx)
         if not ids:  # data-less invocation: nothing to decide
             return
         ids.sort()
@@ -332,6 +366,10 @@ def streaming_neardup_admission(
         state.update((int(fid), n))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
+        elif event_ttl_ms is not None:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + event_ttl_ms, wm + 1))
         yield pd.DataFrame({
             "doc_id": out_id,
             "band": [key[0]] * len(out_id),
@@ -345,7 +383,10 @@ def streaming_neardup_admission(
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None else GroupStateTimeout.NoTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.EventTimeTimeout
+            if event_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
         ),
     )
 
