@@ -257,11 +257,14 @@ def main() -> None:
         cc_probe(spark)
     if "--qsk" in sys.argv:
         qsk_probe(spark)
+    if "--ttl-event" in sys.argv:
+        ttl_event_probe(spark)
     if "--ttl" in sys.argv:
         ttl_probe(spark)
     if "--ckstats" in sys.argv:
         ckstats_probe(spark)
-    if "--nnd-500k" in sys.argv or "--nnd-refine3" in sys.argv:
+    if ("--nnd-500k" in sys.argv or "--nnd-refine3" in sys.argv
+            or "--nnd-1m" in sys.argv):
         nnd_scale_probe(spark)
 
 
@@ -1040,8 +1043,15 @@ def _nnd_scale_probe_body(spark) -> None:
     # --nnd-refine3: the 200 k corpus with refine_iters=3 — prices the
     # "buy recall back with one more wave-refine round" knob the 500 k
     # row names. Default (--nnd-500k): 2.5x corpus, refine_iters=2.
+    # --nnd-1m (r15, verdict #5): the THIRD serve scale point — 64 x
+    # 15 625 = 1 M vectors — pinning the log-hop law with 4+4 / 6+6 /
+    # 8+8 rows and the heap-per-corpus-byte sizing (run with
+    # SPARK_DRIVER_MEM sized ~3 bytes/corpus-byte per the 500 k row).
     refine3 = "--nnd-refine3" in sys.argv
-    n_members, refine_iters = (3125, 3) if refine3 else (7812, 2)
+    if "--nnd-1m" in sys.argv:
+        n_members, refine_iters = 15625, 2
+    else:
+        n_members, refine_iters = (3125, 3) if refine3 else (7812, 2)
     emb, n = _nnd_mixture(spark, n_members=n_members)
     sweep_ids = [int(r["vec_id"]) for r in
                  emb.filter(F.col("vec_id") % 2497 == 0)
@@ -1136,6 +1146,9 @@ def _nnd_scale_probe_body(spark) -> None:
         entry_df1=_cell_entries(qsrc, cents, reps1)))
     serve("hier ivf 6+6hops", lambda: nnd_search_hier(
         g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=6, hops1=6,
+        entry_df1=_cell_entries(qsrc, cents, reps1)))
+    serve("hier ivf 8+8hops", lambda: nnd_search_hier(
+        g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=8, hops1=8,
         entry_df1=_cell_entries(qsrc, cents, reps1)))
     for df in (g, g1, emb1, qsrc, reps, reps1, emb):
         release_local_checkpoint(df)
@@ -1393,6 +1406,169 @@ def ttl_probe(spark) -> None:
         print("expected: fresh ~1.0 admitted, prev_dup ~0.0 (inside "
               "horizon), old_dup ~1.0 (evicted -> re-admitted)",
               flush=True)
+    finally:
+        q.stop()
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+def ttl_event_probe(spark) -> None:
+    """r15 (r14 verdict #2): the EVENT-TIME admission horizon,
+    state-vs-horizon. Same wave structure as ``ttl_probe`` — fresh /
+    previous-wave dup / three-waves-old dup arrival classes — but the
+    horizon is keyed to the DATA's timestamps (EventTimeTimeout +
+    watermark), so the replay compresses a 6-minute event timeline
+    into seconds of wall clock and the decisions must not change:
+    fresh admit ~1.0, dup-of-60-event-seconds-ago ~0.0 (inside the
+    90 s event horizon), dup-of-180-event-seconds-ago ~1.0 (bucket
+    evicted once the watermark passed last-arrival + horizon). The
+    r14 wall-clock probe's failure mode — trigger cadence exceeding
+    the horizon — is impossible by construction; the printed wall
+    cadence vs the fixed 60 s EVENT cadence is the evidence."""
+    import hashlib
+    import json as _json
+    import shutil as _shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.operators import dedup as dd
+    from training_datawarehouse_spark.streaming.stateful import (
+        streaming_neardup_admission,
+    )
+
+    n_wave, n_waves = 2000, 6
+    n_prev_dup, n_old_dup = 300, 300
+    event_ttl_ms = 90_000           # event horizon
+    wave_event_gap_s = 60           # event time between waves
+    gap_s = 2.0                     # WALL clock between waves (tiny)
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    work = tempfile.mkdtemp(prefix="ttl_event_probe_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def fresh_text(w, i):
+        return " ".join(
+            hashlib.md5(f"{w}-{i}-{j}".encode()).hexdigest()[:8]
+            for j in range(8))
+
+    def wave_docs(w):
+        docs = []
+        n_fresh = n_wave - (n_prev_dup if w >= 1 else 0) \
+            - (n_old_dup if w >= 3 else 0)
+        for i in range(n_fresh):
+            docs.append((w * 1_000_000 + i, fresh_text(w, i), "fresh"))
+        if w >= 1:
+            for i in range(n_prev_dup):
+                docs.append((w * 1_000_000 + n_fresh + i,
+                             fresh_text(w - 1, i), "prev_dup"))
+        if w >= 3:
+            for i in range(n_old_dup):
+                docs.append((w * 1_000_000 + n_fresh + n_prev_dup + i,
+                             fresh_text(w - 3, n_prev_dup + i),
+                             "old_dup"))
+        return docs
+
+    def state_rows(q):
+        lp = q.lastProgress
+        ops = (_json.loads(lp.json)["stateOperators"]
+               if lp is not None else [])
+        return ops[0]["numRowsTotal"] if ops else None
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("ts", pa.timestamp("us"))])
+    raw = (
+        spark.readStream
+        .schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 second")
+    )
+    bands = dd.minhash_band_rows_rowlocal(
+        raw, "doc_id", "text", num_hashes=16, bands=4,
+        rows_per_band=4, shingle_n=3, keep_cols=("ts",))
+    q = (
+        streaming_neardup_admission(bands, event_ttl_ms=event_ttl_ms)
+        .writeStream.format("memory").queryName("ttl_event_probe")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    print(f"\n--- ttl-event probe: {n_waves} waves x {n_wave} docs, "
+          f"event_ttl={event_ttl_ms}ms, event gap=60s, "
+          f"wall gap={gap_s}s", flush=True)
+    print(f"{'wave':>4s} {'wall_s':>7s} {'event_s':>8s} "
+          f"{'state_rows':>10s} {'cum_buckets':>11s} {'bound_x':>8s}",
+          flush=True)
+    classes = {}
+    all_batch = []
+    try:
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": 900_000_000 + i, "text": fresh_text(999, i),
+                  "ts": t0 - timedelta(seconds=600)}
+                 for i in range(100)],
+                schema=schema),
+            os.path.join(src, "warmup.parquet"))
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if len(spark.table("ttl_event_probe").collect()) >= 100:
+                break
+            time.sleep(0.5)
+        t_prev = time.time()
+        for w in range(n_waves):
+            docs = wave_docs(w)
+            classes.update({d: c for d, _, c in docs})
+            all_batch.extend(docs)
+            ts_w = t0 + timedelta(seconds=w * wave_event_gap_s)
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{"doc_id": d, "text": t, "ts": ts_w}
+                     for d, t, _ in docs],
+                    schema=schema),
+                os.path.join(src, f"wave{w}.parquet"))
+            want = {d for d, _, _ in docs}
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                got = {r["doc_id"]
+                       for r in spark.table("ttl_event_probe").collect()
+                       if r["doc_id"] in want}
+                if got == want:
+                    break
+                time.sleep(0.5)
+            else:
+                raise RuntimeError(f"wave {w} never fully decided")
+            time.sleep(gap_s)   # a couple of timeout-check triggers
+            cadence = time.time() - t_prev
+            t_prev = time.time()
+            cum = (
+                dd.minhash_band_rows_rowlocal(
+                    spark.createDataFrame(
+                        [(d, t) for d, t, _ in all_batch],
+                        "doc_id long, text string"),
+                    "doc_id", "text", num_hashes=16, bands=4,
+                    rows_per_band=4, shingle_n=3)
+                .select("band", "sig").distinct().count()
+            )
+            st = state_rows(q)
+            print(f"{w:>4d} {cadence:7.1f} {w * 60:>8d} "
+                  f"{st!s:>10s} {cum:>11d} {(st or 0) / cum:8.2f}",
+                  flush=True)
+        per_doc = {}
+        for r in spark.table("ttl_event_probe").collect():
+            per_doc.setdefault(r["doc_id"], []).append(r["match_id"])
+        for cls in ("fresh", "prev_dup", "old_dup"):
+            ids = [d for d, c in classes.items() if c == cls]
+            admitted = sum(
+                all(m is None for m in per_doc[d]) for d in ids)
+            print(f"class {cls:9s}: {admitted}/{len(ids)} admitted "
+                  f"({admitted / len(ids):.3f})", flush=True)
+        print("expected: fresh ~1.0, prev_dup ~0.0 (60 event-s < 90 s "
+              "horizon), old_dup ~1.0 (180 event-s > horizon -> "
+              "evicted, re-admitted); wall cadence is seconds — the "
+              "horizon is data-defined", flush=True)
     finally:
         q.stop()
         _shutil.rmtree(work, ignore_errors=True)

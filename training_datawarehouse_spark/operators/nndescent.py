@@ -1091,7 +1091,14 @@ def nnd_search_hier(
     ``graph1``/``emb1`` = the coarse layer (``nnd_sample_layer`` +
     ``nnd_graph`` over it); ``entry_df1`` optionally navigates the
     coarse layer itself (IVF reps — composable with the r11 lesson).
-    Returns (query_id, rank, neighbor_id, cos) like ``nnd_search``."""
+    Returns (query_id, rank, neighbor_id, cos) like ``nnd_search``.
+
+    This exact composition (IVF coarse entries, beam 8, 4+4 hops) is
+    oracle-hashed in the registry's ``ns_similarity_ann`` 'nnd_serve'
+    method (r15): a DuckDB oracle re-derives the sampled layer,
+    retrains the coarse graph, and replays both descents hop by hop —
+    the serving path carries the same differential-correctness grade
+    as the build."""
     l1 = nnd_search(
         graph1, emb1, queries, vec_col=vec_col, id_col=id_col,
         k=min(n_entry, beam), beam=beam, hops=hops1,
