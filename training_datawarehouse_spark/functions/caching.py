@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame
 #: test read this so the degradation is observable, never silent
 #: (r13 verdict #7): on a Spark where the private seam moved, the
 #: BigInteger estimate-compounding this helper exists to prevent would
-#: otherwise return with no signal.
+#: otherwise return with no signal. Deliberately unsynchronized:
+#: the counter is diagnostic-only, and concurrent driver threads
+#: racing an increment (losing a count or warning twice) costs
+#: nothing — a Lock on the checkpoint hot path would.
 FALLBACK_COUNT = 0
 _warned = False
 
@@ -83,17 +86,25 @@ def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     ``_graft_ck_source`` so ``release_local_checkpoint`` still frees
     the persisted blocks.
 
-    Trade, stated where it is made: the rewrap also drops the
-    outputPartitioning/outputOrdering that Spark 4's checkpoint
-    LogicalRDD preserves — the stat-less leaf reports
-    UnknownPartitioning, so a post-checkpoint join may re-shuffle
-    rows the origin had already hash-distributed on the join key.
-    Measured net-neutral-to-positive at bench scale
-    (BENCH_ATTRIBUTION.md r14 addendum: every iterative-family host
-    entry moved DOWN with the rewrap on the hot path — the shuffles
-    these slim (id, id, score) generations pay are cheap next to the
-    driver-side BigInteger grind the rewrap prevents). Revisit only
-    if a future generation shape carries wide payload rows. Falls back to the plain checkpoint if the
+    Partitioning/ordering, measured rather than assumed (r15, from
+    the r14 ADVICE concern): on Spark 4.1.2 the PLAIN
+    ``localCheckpoint``'s LogicalRDD itself already reports
+    UnknownPartitioning — ``df.repartition(8, "id")
+    .localCheckpoint()`` followed by ``groupBy("id")`` pays one
+    exchange on both the plain and the rewrapped path, identically —
+    so the rewrap forfeits no partitioning this build preserves. On
+    a future Spark that does propagate physical partitioning through
+    checkpoint leaves, the rewrap would drop it; re-measure there
+    (the bench evidence that the rewrap is net-neutral-to-positive on
+    the iterative family is in BENCH_ATTRIBUTION.md r14 addendum).
+
+    What the stat-less leaf DOES change in static plans: joins
+    against it no longer inherit the origin's small size estimate,
+    so without ``tune_for_iterative`` the static planner defaults to
+    shuffle joins where it previously broadcast the checkpointed
+    frame; AQE converts back to broadcast at runtime from real
+    shuffle sizes (measured on the PageRank edge set:
+    BENCH_ATTRIBUTION.md r15 addendum, zero wall-clock movement). Falls back to the plain checkpoint if the
     internal API is unavailable (stats inheritance accepted, never a
     correctness issue) — warning once, counting in
     ``FALLBACK_COUNT``, and echoing the count into the session conf

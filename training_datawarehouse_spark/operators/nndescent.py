@@ -115,8 +115,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.caching import (eager_checkpoint,
                                  release_local_checkpoint)
-from ..session import tune_for_iterative  # noqa: F401  (re-export: the
-#   graph family's scale knobs live next to the operators — r13 ADVICE)
+from ..session import (  # noqa: F401  (re-export: the graph family's
+    #   scale knobs live next to the operators — r13 ADVICE; r15 adds
+    #   the scoped context-manager form, the right default for mixed
+    #   sessions)
+    iterative_tuning, tune_for_iterative,
+)
 from .similarity import _as_double, cosine, nearest_centroid_lists
 
 
