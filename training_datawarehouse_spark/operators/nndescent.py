@@ -84,18 +84,22 @@ library users don't transcribe a docstring:
   scans; every leaf here is an in-memory RDD) — pure optimizer tax,
   the dominant term of the driver grind above.
 
-SERVING GUIDANCE (measured, r14 — SCALE.md 200 k/500 k serve
-matrices): serve through ``nnd_search_hier`` with IVF-rep entries
-INTO THE COARSE LAYER (layer members only — global hash entries
-strand coarse descent in wrong clusters); 4+4 hops at beam 8 is the
-measured knee (200 k: recall@5 0.648 at ~135 q/s vs 0.284 for flat
-8-hop at the same cost). Past convergence serving is
-NAVIGATION-limited, not graph-limited — a better-refined graph
-(recall@8 0.903 vs 0.886) serves identically, so spend serving
-budget on hops/entries and build refinement only when the consumer
-reads the adjacency itself (near-dup mining). The coarse layer's
-value GROWS with corpus size (500 k: hier 3.8× flat's recall vs
-2.3× at 200 k).
+SERVING GUIDANCE (measured, r14/r15 — SCALE.md 200 k/500 k/1 M
+serve matrices): serve through ``nnd_search_hier`` with IVF-rep
+entries INTO THE COARSE LAYER (layer members only — global hash
+entries strand coarse descent in wrong clusters); 4+4 hops at
+beam 8 is the 200 k knee (recall@5 0.648 at ~135 q/s vs 0.284 for
+flat 8-hop at the same cost), 6+6 from 500 k up. The hop budget
+SATURATES rather than growing without bound: 6+6 holds the
+operating point from 500 k to 1 M (0.646 → 0.644) and 8+8 buys
+nothing — hops track cluster diameter, not corpus size, because
+the 1/64 coarse layer grows with the corpus. Below saturation
+serving is NAVIGATION-limited (a better-refined graph serves
+identically — spend on hops/entries); at saturation it is
+QUALITY-limited (the ceiling tracks adjacency recall@8,
+0.886/0.837/0.765 at fixed refine-2 — spend on ``refine_iters``).
+The coarse layer's value GROWS with corpus size (hier over flat:
+2.4× at 200 k, 4.3× at 500 k, 7.5× at 1 M).
 
 KNOWN RESOLUTION FLOOR (measured, r12 probe): the 6-dp rounding that
 buys oracle portability also SETS THE SIMILARITY RESOLUTION — on a
