@@ -1049,7 +1049,12 @@ def _nnd_scale_probe_body(spark) -> None:
     # SPARK_DRIVER_MEM sized ~3 bytes/corpus-byte per the 500 k row).
     refine3 = "--nnd-refine3" in sys.argv
     if "--nnd-1m" in sys.argv:
-        n_members, refine_iters = 15625, 2
+        # combined with --nnd-refine3 (r15): tests whether build
+        # refinement moves the 1 M serve ceiling the hop budget
+        # saturated at (SCALE.md r15, 0.644 at 6+6 = 8+8) — the
+        # round's own "at saturation the lever is refine_iters"
+        # claim, measured rather than inferred from 200 k.
+        n_members, refine_iters = 15625, (3 if refine3 else 2)
     else:
         n_members, refine_iters = (3125, 3) if refine3 else (7812, 2)
     emb, n = _nnd_mixture(spark, n_members=n_members)
@@ -1095,8 +1100,13 @@ def _nnd_scale_probe_body(spark) -> None:
         nnd_sample_layer, nnd_search, nnd_search_hier,
     )
 
+    # the 1m+refine3 combo trims the query batch: exact ground truth
+    # over 1 M dominates probe wall-clock, and 500 queries bound the
+    # recall@5 standard error at ~0.01 — plenty to read whether the
+    # saturated 0.644 ceiling moved
+    nq_cap = 500 if (refine3 and "--nnd-1m" in sys.argv) else 2000
     qsrc = emb.filter(F.col("vec_id") % 101 == 0) \
-        .limit(2000) \
+        .limit(nq_cap) \
         .select(
             F.col("vec_id").alias("query_id"),
             F.transform(
@@ -1138,9 +1148,10 @@ def _nnd_scale_probe_body(spark) -> None:
               f"({nq / t_serve:.0f} q/s batch) recall@5={rec5:.3f}",
               flush=True)
 
-    serve("flat ivf-entry 8hops", lambda: nnd_search(
-        g, emb, qsrc, k=5, beam=8, hops=8,
-        entry_df=_cell_entries(qsrc, cents, reps)))
+    if nq_cap == 2000:  # the combo run reads the hier ceiling only
+        serve("flat ivf-entry 8hops", lambda: nnd_search(
+            g, emb, qsrc, k=5, beam=8, hops=8,
+            entry_df=_cell_entries(qsrc, cents, reps)))
     serve("hier ivf 4+4hops", lambda: nnd_search_hier(
         g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=4, hops1=4,
         entry_df1=_cell_entries(qsrc, cents, reps1)))
