@@ -93,13 +93,19 @@ flat 8-hop at the same cost), 6+6 from 500 k up. The hop budget
 SATURATES rather than growing without bound: 6+6 holds the
 operating point from 500 k to 1 M (0.646 → 0.644) and 8+8 buys
 nothing — hops track cluster diameter, not corpus size, because
-the 1/64 coarse layer grows with the corpus. Below saturation
-serving is NAVIGATION-limited (a better-refined graph serves
-identically — spend on hops/entries); at saturation it is
-QUALITY-limited (the ceiling tracks adjacency recall@8,
-0.886/0.837/0.765 at fixed refine-2 — spend on ``refine_iters``).
-The coarse layer's value GROWS with corpus size (hier over flat:
-2.4× at 200 k, 4.3× at 500 k, 7.5× at 1 M).
+the 1/64 coarse layer grows with the corpus. Build refinement does
+not buy the saturated ceiling back either (measured at BOTH 200 k
+and 1 M: refine-3 lifts adjacency recall@8 0.765 → 0.792 at 1 M
+yet serves 0.652 vs 0.644 — within noise): at every measured
+scale the serve ceiling is set by the DESCENT STRUCTURE (beam,
+k-list depth, entry coverage, members-per-cluster), so spend
+serving budget on hops/entries up to saturation and stop; a
+consumer needing recall above ~0.65 in million-member regimes
+belongs on IVF/PQ (the recall-at-any-cost path), and
+``refine_iters`` pays only when the consumer reads the adjacency
+itself (near-dup mining). The coarse layer's value GROWS with
+corpus size (hier over flat: 2.4× at 200 k, 4.3× at 500 k, 7.5×
+at 1 M).
 
 KNOWN RESOLUTION FLOOR (measured, r12 probe): the 6-dp rounding that
 buys oracle portability also SETS THE SIMILARITY RESOLUTION — on a
