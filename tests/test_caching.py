@@ -121,14 +121,23 @@ def test_eager_checkpoint_fallback_warns_once_and_counts(spark, monkeypatch):
         warnings.simplefilter("error")  # second call must NOT warn again
         ck2 = eager_checkpoint(df)
     assert caching.FALLBACK_COUNT == before + 2
-    # r14 verdict #6: the count must also be readable OFF-process —
-    # a spark-submit'd job checks the session conf post-run instead
-    # of grepping executor logs for the once-per-process warning.
+    # r14 verdict #6 / r15 ADVICE: the count must also be readable
+    # OFF-process — a spark-submit'd job checks the session conf
+    # post-run instead of grepping executor logs for the
+    # once-per-process warning — and it is PER-SESSION (a
+    # read-modify-write of this session's own conf, seeded here to
+    # prove it increments rather than mirroring the process-wide
+    # FALLBACK_COUNT, which may include other sessions' fallbacks).
     try:
-        assert spark.conf.get(caching.FALLBACK_CONF_KEY) == str(before + 2)
+        assert spark.conf.get(caching.FALLBACK_CONF_KEY) == "2"
+        spark.conf.set(caching.FALLBACK_CONF_KEY, "5")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ck3 = eager_checkpoint(df)
+        assert spark.conf.get(caching.FALLBACK_CONF_KEY) == "6"
     finally:
         spark.conf.unset(caching.FALLBACK_CONF_KEY)
-    for f in (ck1, ck2):
+    for f in (ck1, ck2, ck3):
         release_local_checkpoint(f)
 
 

@@ -133,6 +133,22 @@ def test_rowlocal_bands_match_batch_portable(spark):
     assert not any(k[0] == 4 for k in got)
 
 
+def test_rowlocal_bands_reject_colliding_keep_cols(spark):
+    """r16 (r15 ADVICE low): a kept column named like the kernel's
+    own output/internal columns would silently produce
+    duplicate/ambiguous columns — loud ValueError instead."""
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d").alias("text"),
+        F.lit(1).alias("band"),
+    )
+    for bad in ("band", "sig", "__tk", "bs", "doc_id"):
+        with pytest.raises(ValueError, match="keep_cols"):
+            dd.minhash_band_rows_rowlocal(
+                df, "doc_id", "text", num_hashes=16, bands=4,
+                rows_per_band=4, keep_cols=(bad,))
+
+
 def test_admission_matches_batch_rule_across_batches(spark, tmp_path):
     """The sequential streaming decision == the batch first-writer rule,
     with at least one reject whose ONLY evidence is state written by an
@@ -508,6 +524,120 @@ def test_admission_event_ttl_horizon_is_data_defined(spark, tmp_path):
         assert wait_for(lambda: 10 in {k[0] for k in sink()})
         got = sink()
         assert {got[k] for k in got if k[0] == 10} == {None}
+    finally:
+        q.stop()
+
+
+def test_admission_event_ttl_late_row_does_not_rewind_horizon(
+        spark, tmp_path):
+    """r16 (the r15 ADVICE medium): the event horizon anchors to the
+    bucket's RUNNING MAX event time persisted in state, not to the
+    current batch's max. A late out-of-order row that lands in a
+    batch AFTER a newer row must not rewind the eviction deadline
+    from newer_ts+horizon back to late_ts+horizon — under the old
+    batch-max anchoring, eviction (hence re-admission) depended on
+    which micro-batch boundary a late row fell on. The late row must
+    sit WITHIN the watermark delay (EventTimeTimeout drops
+    older-than-watermark input before it reaches the function), so
+    the delay here is 30 s: bucket opens at T+100, a late dup at
+    T+80 lands in the next batch (wm = 70, passes the gate), then an
+    unrelated doc advances the watermark to T+145 — past the
+    REWOUND deadline (80+60 = 140) but inside the correct one
+    (100+60 = 160); with batch-max anchoring the bucket would evict
+    here and the T+150 duplicate would falsely re-admit. With the
+    running max in state it rejects."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    ts_schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ])
+    spark_ts_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(i, docs):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": d, "text": t, "ts": t0 + timedelta(seconds=dt)}
+                 for d, t, dt in docs],
+                schema=ts_schema,
+            ),
+            src / f"part{i}.parquet",
+        )
+
+    def sink():
+        return {
+            (r["doc_id"], r["band"]): r["match_id"]
+            for r in spark.table("adm_ettl_late").collect()
+        }
+
+    def wait_for(pred, timeout_s=240):
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            if pred():
+                return True
+            _time.sleep(1)
+        return False
+
+    # batch 0: the bucket opens at event T+100 (its NEWEST arrival)
+    write_batch(0, [(0, base, 100)])
+    raw = (
+        spark.readStream.schema(spark_ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 seconds")
+    )
+    bands = dd.minhash_band_rows_rowlocal(
+        raw, "doc_id", "text", num_hashes=16, bands=4,
+        rows_per_band=4, shingle_n=3, keep_cols=("ts",),
+    )
+    q = (
+        streaming_neardup_admission(bands, event_ttl_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("adm_ettl_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_for(lambda: 0 in {k[0] for k in sink()})
+
+        # batch 1: a LATE out-of-order duplicate at event T+80 — 20
+        # event-seconds behind the bucket's newest arrival, inside
+        # the 30 s watermark delay (wm = 70 after batch 0, so the row
+        # is not dropped). It rejects; the deadline must STAY at
+        # 100+60 = 160, not rewind to 80+60 = 140.
+        write_batch(1, [(5, base, 80)])
+        assert wait_for(lambda: 5 in {k[0] for k in sink()})
+        got = sink()
+        assert {got[k] for k in got if k[0] == 5} == {0}
+
+        # batch 2: an unrelated doc at T+175 advances the watermark
+        # to 145 — past the rewound deadline, inside the correct one.
+        # Give the engine a few timeout-check triggers: under
+        # batch-max anchoring the bucket would evict here.
+        write_batch(2, [(6, other, 175)])
+        assert wait_for(lambda: 6 in {k[0] for k in sink()})
+        _time.sleep(3)
+
+        # batch 3: a duplicate at event T+150 — inside the horizon
+        # anchored at the bucket's newest arrival (160 > wm 145).
+        # Running-max anchoring keeps the state row alive, so it
+        # REJECTS; the rewound deadline would have re-admitted it.
+        write_batch(3, [(7, base, 150)])
+        assert wait_for(lambda: 7 in {k[0] for k in sink()})
+        got = sink()
+        assert {got[k] for k in got if k[0] == 7} == {0}
     finally:
         q.stop()
 

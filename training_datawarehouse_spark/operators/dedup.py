@@ -699,9 +699,19 @@ def minhash_band_rows_rowlocal(
     ``keep_cols`` (r15) passes extra row-local columns through beside
     (id, band, sig) — the event-time column an EventTimeTimeout
     admission gate needs must survive the kernel so the watermark can
-    propagate into the stateful operator."""
+    propagate into the stateful operator. Kept names may not collide
+    with the kernel's own output/internal columns (``band``, ``sig``,
+    the ``__tk``/``bs`` internals, or ``id_col``): a silent duplicate
+    column would poison every downstream selection, so that is a
+    ``ValueError`` (r16, r15 ADVICE)."""
     if num_hashes != bands * rows_per_band:
         raise ValueError("num_hashes must equal bands * rows_per_band")
+    reserved = {"band", "sig", "__tk", "bs", id_col} & set(keep_cols)
+    if reserved:
+        raise ValueError(
+            f"keep_cols may not contain {sorted(reserved)}: these "
+            "collide with the kernel's output/internal columns "
+            f"('band', 'sig', '__tk', 'bs') or id_col={id_col!r}")
     p = _LSH_P
     coeffs = lsh_hash_coeffs(num_hashes)
     arr_a = "array(" + ",".join(str(a) for a, _ in coeffs) + ")"

@@ -258,7 +258,9 @@ def streaming_neardup_admission(
     signatures must not need a shuffle). Grouping key = the band
     bucket (band, sig) — the unit of index membership.
 
-    State per bucket: (first_id, n) — TWO LONGS, by construction.
+    State per bucket: (first_id, n) — TWO LONGS, by construction
+    (``event_ttl_ms`` adds a third, the running max event timestamp;
+    see below).
     First-writer-wins admission only ever needs the bucket's EARLIEST
     member: every later arrival matches against it, so storing more
     members adds no information to the decision. This makes the
@@ -314,19 +316,29 @@ def streaming_neardup_admission(
     re-admitted within-horizon duplicates) — the horizon a month-scale
     ingest wants is defined by the DATA's timestamps, not by trigger
     scheduling. A bucket expires when the stream's WATERMARK passes
-    (last arrival's event time + horizon): slow triggers, backfill
-    bursts, and replay at any speed all preserve the decision
-    sequence, because watermark and timestamps replay with the data
-    (``GroupStateTimeout.EventTimeTimeout`` +
-    ``state.setTimeoutTimestamp``). Requirements: ``band_rows`` must
-    carry ``event_time_col`` (pass it through the signature kernel
+    (the bucket's LATEST event time + horizon): slow triggers,
+    backfill bursts, and replay at any speed all preserve the
+    decision sequence, because watermark and timestamps replay with
+    the data (``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp``). "Latest event time" is a RUNNING
+    MAX persisted in state (event mode stores THREE longs per bucket:
+    first_id, n, max_ts — one long over the two the other modes
+    keep), not the current batch's max: a late out-of-order row that
+    lands in a batch AFTER a newer row must not REWIND the bucket's
+    eviction deadline from newer_ts+horizon back to late_ts+horizon,
+    or eviction (hence re-admission) would depend on which
+    micro-batch boundary the late row happened to fall on — exactly
+    the replay-instability this mode exists to remove (r16, from the
+    r15 ADVICE). Requirements: ``band_rows`` must carry
+    ``event_time_col`` (pass it through the signature kernel
     via ``minhash_band_rows_rowlocal(keep_cols=(...,))``) and the
     caller must set ``withWatermark`` on that column upstream —
     EventTimeTimeout without a watermark is rejected by the engine.
-    The timeout is clamped to (watermark + 1 ms) when a late batch's
-    max timestamp already trails the watermark past the horizon, so
-    the bucket still evicts at the next opportunity instead of
-    crashing the query. Mutually exclusive with ``ttl_ms``."""
+    The timeout is clamped to (watermark + 1 ms) when the bucket's
+    running max timestamp already trails the watermark past the
+    horizon, so the bucket still evicts at the next opportunity
+    instead of crashing the query. Mutually exclusive with
+    ``ttl_ms``."""
     if ttl_ms is not None and event_ttl_ms is not None:
         raise ValueError(
             "ttl_ms (wall-clock horizon) and event_ttl_ms (event-time "
@@ -339,8 +351,12 @@ def streaming_neardup_admission(
         if has_ttl and state.hasTimedOut:
             state.remove()   # idle past the horizon: forget the bucket
             return
+        stored_max = 0
         if state.exists:
-            fid, n = state.get
+            if event_ttl_ms is not None:
+                fid, n, stored_max = state.get
+            else:
+                fid, n = state.get
         else:
             fid, n = None, 0
         ids: list[int] = []
@@ -348,8 +364,10 @@ def streaming_neardup_admission(
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf["doc_id"])
             if event_ttl_ms is not None and len(pdf):
-                # .value = ns since epoch (tz-safe); horizon anchors to
-                # the bucket's LATEST arrival in this batch
+                # .value = ns since epoch (tz-safe); horizon anchors
+                # to the bucket's latest arrival SO FAR (running max,
+                # merged with the persisted max below) — never to
+                # this batch alone
                 mx = int(pd.Timestamp(pdf[event_time_col].max()).value
                          // 1_000_000)
                 max_ts_ms = mx if max_ts_ms is None else max(max_ts_ms, mx)
@@ -363,13 +381,21 @@ def streaming_neardup_admission(
             if fid is None:
                 fid = d
             n += 1
-        state.update((int(fid), n))
         if ttl_ms is not None:
+            state.update((int(fid), n))
             state.setTimeoutDuration(ttl_ms)
         elif event_ttl_ms is not None:
+            # a late batch (max_ts < stored_max) keeps the NEWER
+            # deadline: the horizon is anchored to the bucket's
+            # latest event time ever seen, so eviction decisions are
+            # independent of micro-batch boundaries (ADVICE r15)
+            anchor = max(stored_max, max_ts_ms or 0)
+            state.update((int(fid), n, anchor))
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(
-                max(max_ts_ms + event_ttl_ms, wm + 1))
+                max(anchor + event_ttl_ms, wm + 1))
+        else:
+            state.update((int(fid), n))
         yield pd.DataFrame({
             "doc_id": out_id,
             "band": [key[0]] * len(out_id),
@@ -379,7 +405,15 @@ def streaming_neardup_admission(
     return band_rows.groupBy("band", "sig").applyInPandasWithState(
         update,
         outputStructType="doc_id long, band int, match_id long",
-        stateStructType="first_id long, n long",
+        # event mode persists the bucket's running max event time so
+        # late out-of-order arrivals cannot rewind the horizon; the
+        # other modes keep the original two-longs-per-bucket state
+        # byte-identical
+        stateStructType=(
+            "first_id long, n long, max_ts long"
+            if event_ttl_ms is not None
+            else "first_id long, n long"
+        ),
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
