@@ -310,6 +310,106 @@ def test_beam_search_clustered_needs_navigation_entries(spark):
     assert m_nav == 1.0, m_nav
 
 
+def test_search_covers_queries_with_repless_entry_cells(spark):
+    """r16 (the r15 verdict's empty-rep seam): an IVF cell with no
+    layer member yields no representative, so a query assigned only
+    to rep-less cells used to get ZERO frontier rows and silently
+    vanish from ``nnd_search``'s result. The library now provides the
+    safe default (``cover_missing=True``): uncovered queries fall
+    back to the global md5-least entries — bit-identical to the
+    no-``entry_df`` descent for those queries — while covered queries
+    are untouched. The cell is PLANTED: reps for one query's nearest
+    list are deleted before entry derivation."""
+    from pyspark.sql import functions as F
+
+    from training_datawarehouse_spark.operators import similarity as sim
+    from training_datawarehouse_spark.operators.nndescent import nnd_search
+    from training_datawarehouse_spark.sources.tables import load_table
+
+    base = (load_table(spark, "/root/testdata/sf0.001", "embeddings")
+            .filter(F.col("vec_id") < 8).orderBy("vec_id").collect())
+    centers = np.array([r["embedding"] for r in base], dtype="float64")
+    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True) * 6.0
+    rng = np.random.RandomState(41)
+    rows = []
+    for c in range(8):
+        p8 = centers[c] + 0.3 * rng.standard_normal((12, 64))
+        for i, p in enumerate(p8):
+            vid = c if i == 0 else 8 + c * 11 + (i - 1)
+            rows.append((vid, [float(x) for x in np.round(p, 6)]))
+    mog = spark.createDataFrame(
+        sorted(rows), "vec_id long, embedding array<double>")
+    qrows = []
+    for c in range(8):
+        qp = centers[c] + 0.3 * rng.standard_normal(64)
+        qrows.append((200 + c, [float(x) for x in np.round(qp, 6)]))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>")
+    g = nnd_graph(mog, k=8, iters=3)
+
+    init = [r["embedding"] for r in base]
+    cents, _ = sim.kmeans_fit(
+        mog, "embedding", k=8, iters=4, init_vectors=init, round_dp=6)
+    cassign = mog.select(
+        F.col("vec_id").alias("nid"),
+        sim.nearest_centroid_lists(
+            sim._as_double(F.col("embedding")), cents, 1
+        )[0]["list_id"].alias("list_id"),
+    )
+    reps = cassign.groupBy("list_id").agg(F.min("nid").alias("nid"))
+    # 1-probe assignment so a single planted empty cell strands its
+    # queries outright (2-probe would need two adjacent empty cells)
+    qassign = qdf.select(
+        "query_id",
+        sim.nearest_centroid_lists(
+            sim._as_double(F.col("embedding")), cents, 1
+        )[0]["list_id"].alias("list_id"),
+    )
+    victim = qassign.filter(F.col("query_id") == 200) \
+        .select("list_id").first()["list_id"]
+    reps_f = reps.filter(F.col("list_id") != victim)
+    entries = qassign.join(reps_f, "list_id").select("query_id", "nid")
+    stranded = {r["query_id"] for r in qassign
+                .join(reps_f.select("list_id"), "list_id", "left_anti")
+                .select("query_id").collect()}
+    assert 200 in stranded
+
+    # the seam, pinned: without the safe default the stranded queries
+    # are simply ABSENT from the result
+    legacy = nnd_search(g, mog, qdf, k=5, beam=10, hops=3,
+                        entry_df=entries, cover_missing=False).collect()
+    assert {r["query_id"] for r in legacy}.isdisjoint(stranded)
+
+    covered_rows = nnd_search(g, mog, qdf, k=5, beam=10, hops=3,
+                              entry_df=entries).collect()
+    got = {}
+    for r in covered_rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos"]))
+    # every query present with exactly k rows
+    assert set(got) == {200 + c for c in range(8)}
+    assert all(len(v) == 5 for v in got.values())
+    # stranded queries' results are bit-identical to the global
+    # default-entry descent (same rule, same rounding, same ties)
+    fallback = nnd_search(
+        g, mog,
+        qdf.filter(F.col("query_id").isin(*stranded)),
+        k=5, beam=10, hops=3).collect()
+    want = {}
+    for r in fallback:
+        want.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos"]))
+    for qid in stranded:
+        assert sorted(got[qid]) == sorted(want[qid])
+    # covered queries untouched by the fallback arm
+    legacy_by_q = {}
+    for r in legacy:
+        legacy_by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos"]))
+    for qid, v in legacy_by_q.items():
+        assert sorted(got[qid]) == sorted(v)
+
+
 def test_returned_frames_are_releasable(spark):
     """r11 review regression gate: the frames nnd_graph/nnd_search
     RETURN must have the checkpoint as their plan root — a projection

@@ -926,6 +926,7 @@ def nnd_search(
     hops: int = 3,
     n_entry: int = 4,
     entry_df: DataFrame | None = None,
+    cover_missing: bool = True,
 ) -> DataFrame:
     """Greedy beam search over the k-NN graph for NON-member queries
     (the graph family's serving path — member queries read their
@@ -952,6 +953,13 @@ def nnd_search(
     coarse-quantizer-entry + graph-refine composition; gate-tested at
     recall 1.0 on the clustered slice) — and the global default
     remains for structure-free corpora, where any entry works.
+    ``cover_missing`` (default True, r16): queries ABSENT from a
+    caller-supplied ``entry_df`` fall back to the global md5-least
+    entries instead of silently vanishing from the result — the
+    rep-less-IVF-cell seam (a cell with no layer member yields no
+    representative, so a query assigned only to such cells had no
+    frontier). Entry POLICY stays with the caller; entry TOTALITY is
+    the library's job.
 
     Plan shape: the frontier is queries·beam rows; each hop is one
     join against the n·k edge list (on the frontier's node ids — a
@@ -977,18 +985,37 @@ def nnd_search(
     q = queries.select(
         F.col("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    entries = (
+        nodes.select(
+            "nid",
+            F.md5(F.col("nid").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "nid")
+        .limit(n_entry)
+        .select("nid")
+    )
     if entry_df is not None:
         frontier = entry_df.select("query_id", "nid")
+        if cover_missing:
+            # SAFE DEFAULT for uncovered queries (r16 — the r15
+            # verdict's empty-rep seam): a query absent from
+            # ``entry_df`` previously got NO frontier rows and
+            # silently dropped out of the result — real at production
+            # core_frac with small/skewed IVF cells, where a cell may
+            # hold no layer member to serve as its representative.
+            # Such queries fall back to the global md5-least entries
+            # (the no-entry_df default), so every query always
+            # descends from SOMETHING; covered queries are untouched,
+            # making the fallback a no-op whenever entry derivation
+            # is total (every bench/probe composition to date). Cost:
+            # one slim anti-join on query_id against the entry frame
+            # at build time, nothing in the final plan.
+            uncovered = q.select("query_id").join(
+                frontier.select("query_id").distinct(),
+                "query_id", "left_anti")
+            frontier = frontier.unionByName(
+                uncovered.crossJoin(F.broadcast(entries)))
     else:
-        entries = (
-            nodes.select(
-                "nid",
-                F.md5(F.col("nid").cast("string")).alias("__h"),
-            )
-            .orderBy("__h", "nid")
-            .limit(n_entry)
-            .select("nid")
-        )
         frontier = q.select("query_id").crossJoin(F.broadcast(entries))
 
     def score_beam(cand: DataFrame) -> DataFrame:

@@ -3080,7 +3080,12 @@ def _serve_blocks(nnd_final: str, k: int = _ANN_K,
     15-hex-digit conv), its OWN retrained NN-descent graph
     (``_nnd_blocks`` tag 'c'), IVF-navigated coarse entries (the
     shared trained quantizer's cassign/qassign, min-id rep per cell
-    among LAYER members), ``hops`` beam hops on the coarse graph, the
+    among LAYER members — queries whose probed cells are ALL rep-less
+    fall back to the layer's global md5-least ``n_entry`` entries,
+    mirroring ``nnd_search(cover_missing=True)``'s r16 safe default;
+    at gate scale every cell has layer members, so the UNION arm is
+    empty and hashes carry the r15 lineage), ``hops`` beam hops on
+    the coarse graph, the
     top-``n_entry`` coarse winners handed down as full-graph entries,
     ``hops`` more hops on the full graph, then the self-match dropped
     and the top-``k`` re-ranked (member queries find themselves at
@@ -3100,9 +3105,17 @@ sreps AS (
   FROM cassign ca JOIN slay l ON l.vec_id = ca.neighbor_id
   GROUP BY ca.list_id
 ),
-sentry AS (
+scov AS (
   SELECT DISTINCT qa.query_id, r.nid
   FROM qassign qa JOIN sreps r USING (list_id)
+),
+sentry AS (
+  SELECT query_id, nid FROM scov
+  UNION ALL
+  SELECT qq.query_id, d.nid
+  FROM (SELECT query_id FROM q
+        EXCEPT SELECT query_id FROM scov) qq
+  CROSS JOIN (SELECT nid FROM ncperm WHERE rn <= {n_entry}) d
 ),
 {coarse},
 sl1 AS (
