@@ -264,7 +264,7 @@ def main() -> None:
     if "--ckstats" in sys.argv:
         ckstats_probe(spark)
     if ("--nnd-500k" in sys.argv or "--nnd-refine3" in sys.argv
-            or "--nnd-1m" in sys.argv):
+            or "--nnd-1m" in sys.argv or "--nnd-smoke" in sys.argv):
         nnd_scale_probe(spark)
 
 
@@ -1055,6 +1055,12 @@ def _nnd_scale_probe_body(spark) -> None:
         # round's own "at saturation the lever is refine_iters"
         # claim, measured rather than inferred from 200 k.
         n_members, refine_iters = 15625, (3 if refine3 else 2)
+    elif "--nnd-smoke" in sys.argv:
+        # tiny end-to-end pass over every probe code path (incl. the
+        # r16 --nnd-beam16 / --ivfpq-at-scale sections) — validates
+        # the harness in minutes before committing an hour-long run;
+        # numbers from this scale are NOT evidence
+        n_members, refine_iters = 200, 2
     else:
         n_members, refine_iters = (3125, 3) if refine3 else (7812, 2)
     emb, n = _nnd_mixture(spark, n_members=n_members)
@@ -1100,11 +1106,16 @@ def _nnd_scale_probe_body(spark) -> None:
         nnd_sample_layer, nnd_search, nnd_search_hier,
     )
 
-    # the 1m+refine3 combo trims the query batch: exact ground truth
+    # the 1m axis probes trim the query batch: exact ground truth
     # over 1 M dominates probe wall-clock, and 500 queries bound the
     # recall@5 standard error at ~0.01 — plenty to read whether the
     # saturated 0.644 ceiling moved
-    nq_cap = 500 if (refine3 and "--nnd-1m" in sys.argv) else 2000
+    beam16 = "--nnd-beam16" in sys.argv
+    ivfpq_probe = "--ivfpq-at-scale" in sys.argv
+    nq_cap = (500 if ((refine3 or beam16 or ivfpq_probe)
+                      and "--nnd-1m" in sys.argv) else 2000)
+    if "--nnd-smoke" in sys.argv:
+        nq_cap = 100
     qsrc = emb.filter(F.col("vec_id") % 101 == 0) \
         .limit(nq_cap) \
         .select(
@@ -1161,7 +1172,204 @@ def _nnd_scale_probe_body(spark) -> None:
     serve("hier ivf 8+8hops", lambda: nnd_search_hier(
         g, emb, g1, emb1, qsrc, k=5, beam=8, hops0=8, hops1=8,
         entry_df1=_cell_entries(qsrc, cents, reps1)))
+    if beam16:
+        # r16 (r15 verdict #1): the one UNVARIED axis behind the
+        # published ~0.65 serve-ceiling attribution — beam width.
+        # Same build, same query set, same ground truth as the beam-8
+        # rows above, so the pairing is exact. beam 16 doubles the
+        # kept frontier per hop (and the per-hop candidate volume);
+        # if the ceiling is descent structure, these rows price the
+        # lift; if they read ~0.65 too, the attribution narrows to
+        # k-list depth / entry coverage / cluster size.
+        serve("hier ivf 4+4hops beam16", lambda: nnd_search_hier(
+            g, emb, g1, emb1, qsrc, k=5, beam=16, hops0=4, hops1=4,
+            n_entry=4, entry_df1=_cell_entries(qsrc, cents, reps1)))
+        serve("hier ivf 6+6hops beam16", lambda: nnd_search_hier(
+            g, emb, g1, emb1, qsrc, k=5, beam=16, hops0=6, hops1=6,
+            n_entry=4, entry_df1=_cell_entries(qsrc, cents, reps1)))
+        serve("hier ivf 8+8hops beam16", lambda: nnd_search_hier(
+            g, emb, g1, emb1, qsrc, k=5, beam=16, hops0=8, hops1=8,
+            n_entry=4, entry_df1=_cell_entries(qsrc, cents, reps1)))
+    if ivfpq_probe:
+        _ivfpq_at_scale(spark, emb, cents, qsrc, ex_q, nq)
     for df in (g, g1, emb1, qsrc, reps, reps1, emb):
+        release_local_checkpoint(df)
+
+
+def _ivfpq_at_scale(spark, emb, cents, qsrc, ex_q, nq) -> None:
+    """r16 (r15 verdict #2): price IVFPQ at the graph family's scale
+    point so the '>0.65-recall consumers belong on ivfpq' routing
+    advice (SCALE.md r15) becomes a measured comparison, not a
+    cross-scale inference. Runs inside the nnd scale probe on the
+    SAME corpus, the SAME trained coarse quantizer (the recursive
+    build's cents, 64 lists), and the SAME exact ground truth as the
+    serve matrix printed above — recall@5 and q/s are directly
+    comparable row-for-row.
+
+    Production-grade PQ parameters, not the oracle-tractable registry
+    m=4/ksub=8: m=8 subspaces x ksub=64 codes = 48-bit codes (10.7x
+    compression of the 64-dim float64 embedding's 512 B). Codebooks
+    train on a RE-INDEXED ~1/16 md5 sample (``pq_train``'s
+    deterministic init needs ids 0..ksub-1 present; training PQ on a
+    sample is the published recipe and prices what production does).
+    Serving = the IVFADC composition at n_probe in {2, 4, 8} of 64
+    lists, ADC rank alone AND with exact-cosine rerank of the ADC
+    top-50 (the published rerank refinement); plus the residual-
+    encoded variant (ivfpq_res) at the best probe setting, the
+    quality point of the family."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    from training_datawarehouse_spark.functions.caching import (
+        release_local_checkpoint,
+    )
+    from training_datawarehouse_spark.operators import quantization as pq
+    from training_datawarehouse_spark.operators import similarity as sim
+
+    dim, m, ksub, train_mod, rr = 64, 8, 64, 16, 50
+    wq = F.col("query_id")
+
+    def reindexed(df, col):
+        return df.select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1)
+            .alias("vec_id"), F.col(col).alias("embedding"),
+        ).localCheckpoint(eager=True)
+
+    samp = emb.filter(F.expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16,"
+        f" 10) AS BIGINT) % {train_mod} = 0"))
+    t0 = time.time()
+    train = reindexed(samp, "embedding")
+    n_train = train.count()
+    books = pq.pq_train(train, "embedding", dim=dim, m=m, ksub=ksub,
+                        iters=6)
+    release_local_checkpoint(train)
+    t_train = time.time() - t0
+    t0 = time.time()
+    codes = pq.pq_encode(emb, "embedding", books) \
+        .localCheckpoint(eager=True)
+    n_codes = codes.count()
+    t_enc = time.time() - t0
+    print(f"ivfpq[train {n_train} sampled, m={m} ksub={ksub}]: "
+          f"codebooks {t_train:.1f}s  encode {n_codes} rows "
+          f"{t_enc:.1f}s  (quantizer shared with the graph build)",
+          flush=True)
+
+    cassign = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.nearest_centroid_lists(
+            sim._as_double(F.col("embedding")), cents, 1
+        )[0]["list_id"].alias("list_id"),
+    ).localCheckpoint(eager=True)
+    qv = qsrc.select("query_id",
+                     sim._as_double(F.col("embedding")).alias("__qv"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    sim._as_double(F.col("embedding")).alias("__nv"))
+    wiv = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    wcs = W.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                            "neighbor_id")
+
+    def rec5(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return float(np.mean([
+            len(got.get(i, set()) & ex_q[i]) / 5 for i in ex_q]))
+
+    def q_probe(n_probe):
+        return qsrc.select(
+            "query_id",
+            F.explode(F.transform(
+                sim.nearest_centroid_lists(
+                    sim._as_double(F.col("embedding")), cents, n_probe),
+                lambda s: s["list_id"],
+            )).alias("list_id"),
+        )
+
+    for n_probe in (2, 4, 8):
+        pairs = cassign.join(F.broadcast(q_probe(n_probe)), "list_id") \
+            .select("query_id", "neighbor_id")
+        adc = pq.pq_adc_scores(
+            codes, qsrc.select(F.col("query_id").alias("vec_id"),
+                               "embedding"),
+            books, pairs=pairs)
+        t0 = time.time()
+        a5 = adc.withColumn("rn", F.row_number().over(wiv)) \
+            .filter(F.col("rn") <= 5).collect()
+        t_adc = time.time() - t0
+        print(f"ivfpq[probe {n_probe}/64, adc rank]: {nq} queries in "
+              f"{t_adc:.1f}s ({nq / t_adc:.0f} q/s) "
+              f"recall@5={rec5(a5):.3f}", flush=True)
+        t0 = time.time()
+        r5 = (
+            adc.withColumn("rn", F.row_number().over(wiv))
+            .filter(F.col("rn") <= rr)
+            .join(nv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(wq, "neighbor_id",
+                    F.round(sim.cosine(F.col("__qv"), F.col("__nv")),
+                            6).alias("cos"))
+            .withColumn("rk", F.row_number().over(wcs))
+            .filter(F.col("rk") <= 5)
+            .collect()
+        )
+        t_rr = time.time() - t0
+        print(f"ivfpq[probe {n_probe}/64, rerank{rr}]: {nq} queries "
+              f"in {t_rr:.1f}s ({nq / t_rr:.0f} q/s) "
+              f"recall@5={rec5(r5):.3f}", flush=True)
+
+    # residual IVFADC at the widest probe — the family's quality point
+    t0 = time.time()
+    res = pq.residual_frame(emb, "embedding", cents)
+    res_train = reindexed(
+        res.filter(F.expr(
+            "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {train_mod} = 0")), "residual")
+    res_books = pq.pq_train(res_train, "embedding", dim=dim, m=m,
+                            ksub=ksub, iters=6)
+    release_local_checkpoint(res_train)
+    res_codes = pq.pq_encode(res, "residual", res_books,
+                             keep_cols=("list_id",)) \
+        .localCheckpoint(eager=True)
+    res_codes.count()
+    t_resbuild = time.time() - t0
+    qres = (
+        qsrc.select(
+            "query_id",
+            sim._as_double(F.col("embedding")).alias("__qv0"),
+            F.explode(F.transform(
+                sim.nearest_centroid_lists(
+                    sim._as_double(F.col("embedding")), cents, 8),
+                lambda s: s["list_id"],
+            )).alias("list_id"),
+        )
+        .select("query_id", "list_id",
+                F.zip_with(
+                    F.col("__qv0"),
+                    F.element_at(sim.mat_lit(cents), F.col("list_id") + 1),
+                    lambda x, c: x - c,
+                ).alias("qres"))
+    )
+    t0 = time.time()
+    rr5 = (
+        pq.pq_adc_scores_residual(res_codes, qres, res_books)
+        .withColumn("rn", F.row_number().over(wiv))
+        .filter(F.col("rn") <= rr)
+        .join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(wq, "neighbor_id",
+                F.round(sim.cosine(F.col("__qv"), F.col("__nv")),
+                        6).alias("cos"))
+        .withColumn("rk", F.row_number().over(wcs))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    t_res = time.time() - t0
+    print(f"ivfpq_res[probe 8/64, rerank{rr}]: build {t_resbuild:.1f}s"
+          f"  {nq} queries in {t_res:.1f}s ({nq / t_res:.0f} q/s) "
+          f"recall@5={rec5(rr5):.3f}", flush=True)
+    for df in (codes, cassign, res_codes):
         release_local_checkpoint(df)
 
 
@@ -1580,8 +1788,159 @@ def ttl_event_probe(spark) -> None:
               "horizon), old_dup ~1.0 (180 event-s > horizon -> "
               "evicted, re-admitted); wall cadence is seconds — the "
               "horizon is data-defined", flush=True)
+
     finally:
         q.stop()
+        _shutil.rmtree(work, ignore_errors=True)
+    _ttl_event_clamp_phase(spark)
+
+
+def _ttl_event_clamp_phase(spark) -> None:
+    """r16 (r15 verdict #4): the late-data CLAMP path
+    (``streaming/stateful.py``'s ``max(anchor + horizon, wm + 1)``)
+    under a LIVE trigger — the one branch of the event-TTL gate the
+    deterministic pytest replay covered but no probe had measured.
+
+    Mechanics being exercised: Spark splits the watermark per batch —
+    input rows are filtered against the LATE-EVENTS watermark (the
+    previous batch's eviction value) while ``getCurrentWatermarkMs``
+    and state eviction use the CURRENT one. A row stamped between the
+    two passes the input gate yet already trails the eviction
+    watermark; if it trails by more than the horizon, the bucket's
+    natural timeout (anchor + horizon) would land AT or BELOW the
+    watermark — which the engine rejects — so the operator clamps it
+    to wm + 1 ms and the bucket evicts at the next opportunity
+    instead of crashing the query.
+
+    The one-batch watermark lag is only deterministic with NO-DATA
+    micro-batches disabled (otherwise a timeout-check batch between
+    two file triggers catches the late gate up to the eviction value
+    and the late rows are dropped upstream instead), so this phase
+    runs as its OWN query with
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` —
+    restored after — and consecutive single-file triggers:
+
+      anchor (T+300)        wm 0   -> 299 after
+      A      (T+420 fresh)  late gate 299 / eviction 299; wm -> 419
+      B      (T+310 LATE, new texts): passes the 299 late gate,
+             anchors at 310; 310+90 = 400 <= eviction wm 419 ->
+             CLAMP fires, timeout pinned to 419.001 s
+      C      (T+440 fresh)  eviction 419: clamped buckets have data?
+             no -> still alive (timeout 419001 > 419000); wm -> 439
+      C2     (T+445 fresh)  eviction 439: clamped keys receive no
+             data this batch -> EVICTED here
+      D      (T+450): dups of B's texts -> ADMIT (clamp evicted
+             them); dups of A's texts -> REJECT (inside 420+90
+             horizon) — normal buckets' decisions unchanged."""
+    import hashlib
+    import shutil as _shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from training_datawarehouse_spark.operators import dedup as dd
+    from training_datawarehouse_spark.streaming.stateful import (
+        streaming_neardup_admission,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    work = tempfile.mkdtemp(prefix="ttl_clamp_probe_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("ts", pa.timestamp("us"))])
+
+    def fresh_text(w, i):
+        return " ".join(
+            hashlib.md5(f"{w}-{i}-{j}".encode()).hexdigest()[:8]
+            for j in range(8))
+
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_conf = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    raw = (
+        spark.readStream
+        .schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 second")
+    )
+    bands = dd.minhash_band_rows_rowlocal(
+        raw, "doc_id", "text", num_hashes=16, bands=4,
+        rows_per_band=4, shingle_n=3, keep_cols=("ts",))
+    q = (
+        streaming_neardup_admission(bands, event_ttl_ms=90_000)
+        .writeStream.format("memory").queryName("ttl_clamp_probe")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def put_wave(name, rows_):
+        pq.write_table(
+            pa.Table.from_pylist(rows_, schema=schema),
+            os.path.join(src, name))
+        want_ = {r_["doc_id"] for r_ in rows_}
+        deadline_ = time.time() + 180
+        while time.time() < deadline_:
+            got_ = {r["doc_id"]
+                    for r in spark.table("ttl_clamp_probe").collect()
+                    if r["doc_id"] in want_}
+            if got_ == want_:
+                return
+            time.sleep(0.25)
+        raise RuntimeError(f"{name} never fully decided")
+
+    n_late = 300
+    try:
+        put_wave("w0_anchor.parquet", [
+            {"doc_id": i, "text": fresh_text(700, i),
+             "ts": t0 + timedelta(seconds=300)} for i in range(100)])
+        put_wave("w1_adv.parquet", [
+            {"doc_id": 810_000_000 + i, "text": fresh_text(778, i),
+             "ts": t0 + timedelta(seconds=420)} for i in range(500)])
+        put_wave("w2_late.parquet", [
+            {"doc_id": 800_000_000 + i, "text": fresh_text(777, i),
+             "ts": t0 + timedelta(seconds=310)} for i in range(n_late)])
+        put_wave("w3_bump.parquet", [
+            {"doc_id": 820_000_000 + i, "text": fresh_text(779, i),
+             "ts": t0 + timedelta(seconds=440)} for i in range(100)])
+        put_wave("w4_bump2.parquet", [
+            {"doc_id": 825_000_000 + i, "text": fresh_text(780, i),
+             "ts": t0 + timedelta(seconds=445)} for i in range(100)])
+        put_wave("w5_verify.parquet", (
+            [{"doc_id": 830_000_000 + i, "text": fresh_text(777, i),
+              "ts": t0 + timedelta(seconds=450)} for i in range(n_late)]
+            + [{"doc_id": 840_000_000 + i, "text": fresh_text(778, i),
+                "ts": t0 + timedelta(seconds=450)}
+               for i in range(200)]))
+        per_doc = {}
+        for r in spark.table("ttl_clamp_probe").collect():
+            per_doc.setdefault(r["doc_id"], []).append(r["match_id"])
+        b_adm = sum(all(m is None for m in per_doc[800_000_000 + i])
+                    for i in range(n_late))
+        d_late = sum(all(m is None for m in per_doc[830_000_000 + i])
+                     for i in range(n_late))
+        d_adv = sum(all(m is None for m in per_doc[840_000_000 + i])
+                    for i in range(200))
+        print(f"\n--- clamp phase (noDataMicroBatches=false): "
+              f"late wave T+310 vs eviction wm 419 "
+              f"(trails by 109 s > 90 s horizon)", flush=True)
+        print(f"late rows admitted {b_adm}/{n_late} "
+              f"({b_adm / n_late:.3f}, fresh-by-content; the query "
+              f"survived the engine-illegal timeout the clamp "
+              f"prevents)", flush=True)
+        print(f"verify wave: dup-of-clamped ADMITTED {d_late}/{n_late} "
+              f"({d_late / n_late:.3f} — clamped buckets evicted at "
+              f"the first post-watermark trigger); dup-of-T+420 fresh "
+              f"admitted {d_adv}/200 ({d_adv / 200:.3f}, expect ~0.0 "
+              f"— normal buckets' decisions unchanged)", flush=True)
+    finally:
+        q.stop()
+        spark.conf.set(conf_key, prev_conf)
         _shutil.rmtree(work, ignore_errors=True)
 
 
