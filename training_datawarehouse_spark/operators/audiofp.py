@@ -105,13 +105,28 @@ def token_wave_samples(text: str) -> list[int]:
     """256-sample 16-bit PCM mixture: each token adds its carrier
     ``wave[(k·t) mod 64]`` amplitude-modulated by
     ``1 + (t//16 + phase) mod 7``; the sum clamps to int16 (the clamp
-    is deterministic and mirrored by the oracle). Vectorized: one
-    numpy gather+axpy per token, no per-sample Python loop."""
-    s = np.zeros(N_SAMPLES, dtype=np.int64)
-    for tok in text.split(" "):
-        k, phase = token_freq_phase(tok)
-        s += _WAVE_NP[(k * _T) % 64] * (1 + (_AM_FRAME + phase) % AM_PERIOD)
+    is deterministic and mirrored by the oracle). Vectorized over the
+    WHOLE token list (r16): one (n_tokens × 256) gather + one sum
+    instead of a numpy axpy per token — the per-token form was the
+    single largest CPU line of the fused multimodal crossing (~4 s of
+    13 s single-threaded at 5 k docs). Integer math end to end, so
+    the result is bit-identical to the per-token loop."""
+    kp = [token_freq_phase(tok) for tok in text.split(" ")]
+    ks = np.array([k for k, _ in kp], dtype=np.int64)[:, None]
+    ph = np.array([p for _, p in kp], dtype=np.int64)[:, None]
+    terms = (_WAVE_NP[(ks * _T[None, :]) % 64]
+             * (1 + (_AM_FRAME[None, :] + ph) % AM_PERIOD))
+    s = terms.sum(axis=0)
     return np.clip(s, -32768, 32767).tolist()
+
+
+#: module-level int64 DFT basis — `dft_basis_int` rebuilt these 8×16
+#: tables per CALL before r16 (one Python cos/sin comprehension per
+#:row of the crossing, ~1.7 s of the fused crossing's 13 s CPU at
+#: 5 k docs); the function stays the oracle's single source of truth
+_DFT_C_NP = np.array(dft_basis_int()[0], dtype=np.int64)
+_DFT_S_NP = np.array(dft_basis_int()[1], dtype=np.int64)
+_BIT_WEIGHTS = (1 << np.arange(BAND_BITS, dtype=np.int64))
 
 
 def fingerprint_bands(samples: list[int] | np.ndarray) -> list[int]:
@@ -120,21 +135,28 @@ def fingerprint_bands(samples: list[int] | np.ndarray) -> list[int]:
     E[f][b] = re² + im² of the fixed-point frame DFT (|re| <=
     32767·16·1024 ≈ 5.4e8, E <= 5.8e17 — inside int64), bits as in
     the module docstring."""
-    cos, sin = dft_basis_int()
-    s = np.asarray(samples, dtype=np.int64).reshape(N_FRAMES, FRAME)
-    c = np.array(cos, dtype=np.int64)   # (bins, t)
-    sn = np.array(sin, dtype=np.int64)
-    re = s @ c.T                        # (frames, bins)
-    im = s @ sn.T
+    return fingerprint_bands_batch(
+        np.asarray(samples, dtype=np.int64).reshape(1, N_SAMPLES)
+    )[0].tolist()
+
+
+def fingerprint_bands_batch(clips: np.ndarray) -> np.ndarray:
+    """Vectorized `fingerprint_bands` over a BATCH of clips:
+    (n, 256) int64 -> (n, N_BANDS) int64 band values — one stacked
+    matmul + one weighted bit sum instead of n small matmuls and
+    n·64 Python bit-shifts. Bit-identical to the scalar path (same
+    integer math; parity-tested) — the batch form exists because the
+    fused multimodal crossing fingerprints every row of an Arrow
+    batch (the `phash.phash_bands_batch` discipline)."""
+    s = np.ascontiguousarray(clips, dtype=np.int64)
+    s = s.reshape(-1, N_FRAMES, FRAME)
+    re = s @ _DFT_C_NP.T                  # (n, frames, bins)
+    im = s @ _DFT_S_NP.T
     e = re * re + im * im
-    d = e - np.roll(e, -1, axis=1)      # E[f][b] - E[f][(b+1) % 8]
-    bits = (d[1:1 + 8] - d[0:8]) > 0    # frames 1..8 vs their predecessor
-    flat = bits.reshape(-1)
-    bands = [0] * N_BANDS
-    for i, bit in enumerate(flat):
-        if bit:
-            bands[i // BAND_BITS] |= 1 << (i % BAND_BITS)
-    return bands
+    d = e - np.roll(e, -1, axis=2)        # E[f][b] - E[f][(b+1) % 8]
+    bits = (d[:, 1:1 + 8] - d[:, 0:8]) > 0
+    flat = bits.reshape(len(s), N_BANDS, BAND_BITS)
+    return (flat * _BIT_WEIGHTS).sum(axis=2)
 
 
 def audio_fingerprint_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -156,15 +178,20 @@ def audio_fingerprint_signatures(df: DataFrame, id_col: str, text_col: str,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, clips = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 samples = token_wave_samples(text)
                 wav = encode_wav(samples)
                 pcm = decode_wav(wav)["pcm"]
-                decoded = struct.unpack(f"<{N_SAMPLES}h", pcm)
-                rows.append([did, *fingerprint_bands(decoded)])
+                clips.append(struct.unpack(f"<{N_SAMPLES}h", pcm))
+                ids.append(did)
+            cols = ["id"] + [f"b{k}" for k in range(N_BANDS)]
+            if not ids:
+                yield pd.DataFrame(columns=cols)
+                continue
+            ab = fingerprint_bands_batch(np.array(clips, dtype=np.int64))
             yield pd.DataFrame(
-                rows, columns=["id"] + [f"b{k}" for k in range(N_BANDS)])
+                [[did, *ab[j]] for j, did in enumerate(ids)], columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
@@ -209,23 +236,37 @@ def fused_multimodal_signatures(df: DataFrame, id_col: str, text_col: str,
         import numpy as _np
 
         for pdf in batches:
-            rows, vframes = [], []
+            # r16: hash at BATCH grain — the codec round trips stay
+            # row-local (they are the REAL-decode semantics), but the
+            # pHash DCT, the audio DFT, and the bit packs each run as
+            # one stacked numpy op per Arrow batch instead of one
+            # small matmul + 64 Python bit-shifts per row
+            # (phash_bands_batch / fingerprint_bands_batch are
+            # parity-tested bit-identical to the scalar forms)
+            ids, irasters, aclips, vframes = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 pix = _ph.token_grid_pixels(text)
                 png = _ph.encode_png(_ph.GRID, _ph.GRID, pix,
                                      filter_type=len(text) % 5)
-                ibands = _ph.phash_bands(_ph.decode_png(png)["pixels"])
+                irasters.append(_ph.decode_png(png)["pixels"])
                 samples = token_wave_samples(text)
                 pcm = decode_wav(encode_wav(samples))["pcm"]
-                abands = fingerprint_bands(
-                    struct.unpack(f"<{N_SAMPLES}h", pcm))
-                rows.append([did, *ibands, *abands])
+                aclips.append(struct.unpack(f"<{N_SAMPLES}h", pcm))
+                ids.append(did)
                 if include_video:
                     avi = _vd.encode_avi(
                         _vd.frame_token_grids(text, n_frames),
                         _ph.GRID, _ph.GRID)
                     vframes.extend(_vd.decode_avi(avi)["frames"])
-            if include_video and rows:
+            if not ids:
+                yield pd.DataFrame(columns=cols)
+                continue
+            ib = _ph.phash_bands_batch(
+                _np.frombuffer(b"".join(irasters), dtype=_np.uint8))
+            ab = fingerprint_bands_batch(
+                _np.array(aclips, dtype=_np.int64))
+            rows = [[did, *ib[j], *ab[j]] for j, did in enumerate(ids)]
+            if include_video:
                 # one stacked einsum hashes every frame in the batch
                 vb = _ph.phash_bands_batch(
                     _np.frombuffer(b"".join(vframes), dtype=_np.uint8))

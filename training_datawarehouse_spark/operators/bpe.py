@@ -136,13 +136,43 @@ def _train_merges_local(
     return [(w, counts[w], s) for w, s in words.items()], merges
 
 
+def collect_word_counts(
+    docs: DataFrame, text_col: str = "text",
+    driver_vocab_cap: int = 1_000_000,
+) -> list[tuple[str, int]] | None:
+    """The trainers' shared corpus scan, collected once: the
+    (word, count) table over the [a-z]+ trainable alphabet, or
+    ``None`` when it exceeds ``driver_vocab_cap`` (callers then let
+    each trainer run its distributed loop). BPE and WordPiece train
+    on EXACTLY this table, so a caller running both (the
+    ``text_profile`` composite) passes the one collected list to each
+    via ``word_counts=`` instead of paying the scan + aggregation +
+    driver collect twice (r16; identical results by construction)."""
+    head = (
+        _trainable_words(docs, text_col)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .take(driver_vocab_cap + 1)
+    )
+    if len(head) > driver_vocab_cap:
+        return None
+    return [(r["w"], int(r["cnt"])) for r in head]
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
     driver_vocab_cap: int = 1_000_000,
+    word_counts: list[tuple[str, int]] | None = None,
 ):
     """Train ``num_merges`` BPE merges on the corpus.
+
+    ``word_counts`` (r16): a pre-collected ``collect_word_counts``
+    list — skips this trainer's own scan/collect and goes straight to
+    the driver-side loop (the table is the trainers' shared input, so
+    results are identical; callers running several trainers collect
+    it once).
 
     Two-phase, like reference trainers (subword-nmt, HuggingFace
     tokenizers): the corpus-scale work is ONE distributed
@@ -172,22 +202,20 @@ def train_bpe(
     differential oracle unrolls exactly k stages).
     """
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    if word_counts is None and driver_vocab_cap > 0:
+        word_counts = collect_word_counts(docs, text_col, driver_vocab_cap)
+    if word_counts is not None:
+        rows, merges = _train_merges_local(word_counts, num_merges)
+        spark = docs.sparkSession
+        words = spark.createDataFrame(
+            rows, "w string, cnt long, syms array<string>"
+        )
+        return words, merges
     counts_df = (
         _trainable_words(docs, text_col)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if driver_vocab_cap > 0:
-        head = counts_df.take(driver_vocab_cap + 1)
-        if len(head) <= driver_vocab_cap:
-            rows, merges = _train_merges_local(
-                [(r["w"], int(r["cnt"])) for r in head], num_merges
-            )
-            spark = docs.sparkSession
-            words = spark.createDataFrame(
-                rows, "w string, cnt long, syms array<string>"
-            )
-            return words, merges
 
     # Each generation is localCheckpoint'ed (not merely persisted):
     # an iterative fold nests every prior generation's plan inside the

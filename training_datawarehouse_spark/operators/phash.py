@@ -210,10 +210,15 @@ def token_grid_pixels(text: str, params: PhashParams = DEFAULT_PARAMS) -> bytes:
     min(255, gain·count). Tokenization is a bare split on ' ' to match
     DuckDB's ``string_split(text, ' ')``."""
     ncells = params.grid * params.grid
-    counts = [0] * ncells
-    for tok in text.split(" "):
-        counts[_token_cell(tok, ncells)] += 1
-    return bytes(min(255, params.pixel_gain * c) for c in counts)
+    cells = np.fromiter(
+        (_token_cell(tok, ncells) for tok in text.split(" ")),
+        dtype=np.int64,
+    )
+    counts = np.bincount(cells, minlength=ncells)
+    # min(255, gain·count) — exact integers, so the vectorized form is
+    # bit-identical to the former per-cell Python loop (r16: the loop
+    # was ~9 % of the fused-crossing CPU at 5 k docs)
+    return np.minimum(255, params.pixel_gain * counts).astype(np.uint8).tobytes()
 
 
 def phash_bands(
@@ -300,14 +305,23 @@ def image_phash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, rasters = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 pix = token_grid_pixels(text, params)
                 png = encode_png(params.grid, params.grid, pix,
                                  filter_type=len(text) % 5)
-                decoded = decode_png(png)["pixels"]
-                rows.append([did, *phash_bands(decoded, params)])
-            yield pd.DataFrame(rows, columns=["id"] + band_cols)
+                rasters.append(decode_png(png)["pixels"])
+                ids.append(did)
+            cols = ["id"] + band_cols
+            if not ids:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # r16: one stacked einsum hashes the whole Arrow batch
+            # (phash_bands_batch is parity-tested bit-identical)
+            bands = phash_bands_batch(
+                np.frombuffer(b"".join(rasters), dtype=np.uint8), params)
+            yield pd.DataFrame(
+                [[did, *bands[j]] for j, did in enumerate(ids)], columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 

@@ -220,6 +220,31 @@ def _estep_distributed(words_df: DataFrame, probs: dict,
     return micro
 
 
+def collect_word_counts(
+    docs: DataFrame, text_col: str = "text",
+    driver_vocab_cap: int = 1_000_000,
+) -> list[tuple[str, int]] | None:
+    """The unigram family's corpus scan, collected once: the
+    (word, count) table over ``ULM_WORD_RE``, or ``None`` above the
+    cap. A caller that both trains (``train_unigram``) and scores
+    (``doc_unigram_scores``) passes the one collected list to each —
+    the scorer's distinct-word set is exactly these keys, so the
+    former second corpus scan + collect is free (r16; identical
+    results by construction)."""
+    head = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w").rlike(ULM_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .take(driver_vocab_cap + 1)
+    )
+    if len(head) > driver_vocab_cap:
+        return None
+    return [(r["w"], int(r["n"])) for r in head]
+
+
 def train_unigram(
     docs: DataFrame,
     text_col: str = "text",
@@ -227,13 +252,20 @@ def train_unigram(
     max_len: int = 3,
     iters: int = 2,
     driver_vocab_cap: int = 1_000_000,
+    word_counts: list[tuple[str, int]] | None = None,
 ) -> dict:
     """Train the unigram model on the corpus; returns the final
     ``{piece: prob}`` dict (model-sized). One corpus scan (the word
     frequency aggregation); the EM loop is driver-side under the cap
     and per-iteration ``mapInPandas`` passes above it (identical
     results — the two E-steps run the same per-word Python function
-    and the micro-unit sums are exact; parity-tested)."""
+    and the micro-unit sums are exact; parity-tested).
+
+    ``word_counts`` (r16): a pre-collected ``collect_word_counts``
+    list — skips this trainer's own scan/collect (identical results;
+    the composite caller shares the scan with the scorer)."""
+    if word_counts is not None:
+        return _train_local(word_counts, vocab_size, max_len, iters)
     counts_df = (
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
@@ -302,16 +334,23 @@ def doc_unigram_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_len: int = 3,
+    words: list[str] | None = None,
 ) -> DataFrame:
     """Per-document scores under the trained model: ``ulm_nll`` =
     Σ over trainable word occurrences of −ln Z(word), and
     ``ulm_exp_tokens`` = Σ of E[#pieces] — both via exact micro-unit
     longs through a broadcast (vocabulary-sized) word-stats join.
     Documents with no trainable word are absent (LEFT-join from the
-    caller)."""
+    caller).
+
+    ``words`` (r16): the distinct trainable words, when the caller
+    already holds them (``collect_word_counts`` keys — the trainer's
+    table has exactly the scorer's distinct-word set, so passing it
+    drops this function's own corpus scan + collect; sorted here
+    either way)."""
     spark = docs.sparkSession
     # the distinct-word stats table: vocabulary-sized, computed once
-    words = sorted({
+    words = sorted(set(words) if words is not None else {
         r["w"] for r in (
             docs.select(
                 F.explode(

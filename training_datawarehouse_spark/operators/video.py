@@ -327,13 +327,20 @@ def frame_token_grids(text: str, n_frames: int = N_FRAMES,
     ``min(255, gain·count)`` — `phash.token_grid_pixels` per frame
     subset, so the oracle re-derives every pixel in SQL."""
     ncells = params.grid * params.grid
-    counts = [[0] * ncells for _ in range(n_frames)]
-    for i, tok in enumerate(text.split(" ")):
-        counts[i % n_frames][ph._token_cell(tok, ncells)] += 1
-    return [
-        bytes(min(255, params.pixel_gain * c) for c in row)
-        for row in counts
-    ]
+    toks = text.split(" ")
+    # composite (frame, cell) index -> one bincount for every frame;
+    # min(255, gain·count) over exact ints is bit-identical to the
+    # former per-cell Python loop (r16: that loop + its genexprs were
+    # ~1/3 of the fused-crossing CPU at 5 k docs)
+    idx = np.fromiter(
+        ((i % n_frames) * ncells + ph._token_cell(tok, ncells)
+         for i, tok in enumerate(toks)),
+        dtype=np.int64, count=len(toks),
+    )
+    counts = np.bincount(idx, minlength=n_frames * ncells)
+    pix = np.minimum(255, params.pixel_gain * counts).astype(np.uint8)
+    return [pix[f * ncells:(f + 1) * ncells].tobytes()
+            for f in range(n_frames)]
 
 
 def video_phash_signatures(df: DataFrame, id_col: str, text_col: str,

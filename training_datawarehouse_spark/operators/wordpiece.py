@@ -136,6 +136,7 @@ def train_wordpiece(
     text_col: str = "text",
     num_merges: int = 6,
     driver_vocab_cap: int = 1_000_000,
+    word_counts: list[tuple[str, int]] | None = None,
 ):
     """Train ``num_merges`` WordPiece merges; returns ``(words,
     merges)`` shaped exactly like ``bpe.train_bpe`` (``words`` =
@@ -146,22 +147,27 @@ def train_wordpiece(
     one pair-count job and one symbol-count job per merge — both
     vocabulary-sized, map-side combinable, scalar-only driver
     traffic — with the BPE generation-checkpoint release discipline
-    (incl. the error path)."""
+    (incl. the error path).
+
+    ``word_counts`` (r16): a pre-collected ``bpe.collect_word_counts``
+    list — WordPiece trains on EXACTLY the same (word, count) table as
+    BPE, so a caller running both collects it once and passes it to
+    each trainer (identical results by construction)."""
+    from .bpe import collect_word_counts
+
+    if word_counts is None and driver_vocab_cap > 0:
+        word_counts = collect_word_counts(docs, text_col, driver_vocab_cap)
+    if word_counts is not None:
+        rows, merges = _train_local(word_counts, num_merges)
+        words = docs.sparkSession.createDataFrame(
+            rows, "w string, cnt long, syms array<string>"
+        )
+        return words, merges
     counts_df = (
         _trainable_words(docs, text_col)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if driver_vocab_cap > 0:
-        head = counts_df.take(driver_vocab_cap + 1)
-        if len(head) <= driver_vocab_cap:
-            rows, merges = _train_local(
-                [(r["w"], int(r["cnt"])) for r in head], num_merges
-            )
-            words = docs.sparkSession.createDataFrame(
-                rows, "w string, cnt long, syms array<string>"
-            )
-            return words, merges
 
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
     init = F.transform(

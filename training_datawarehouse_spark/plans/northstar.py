@@ -748,13 +748,26 @@ def similarity_topk(spark: SparkSession, sf_dir: str,
     sub-plan for the bench twin."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 8)
-    cos = sim.cosine_topk(emb, qv, "vec_id", "embedding", k=_RETR_K)
-    base = cos.select(
-        F.lit("cosine").alias("stage"), "query_id", "rank",
-        "neighbor_id", F.col("cosine").alias("score"),
-    )
     if not include_retrieval:
-        return base
+        cos = sim.cosine_topk(emb, qv, "vec_id", "embedding", k=_RETR_K)
+        return cos.select(
+            F.lit("cosine").alias("stage"), "query_id", "rank",
+            "neighbor_id", F.col("cosine").alias("score"),
+        )
+    # ONE exact-cosine pass serves BOTH vector consumers (r16): the
+    # 'cosine' stage needs top-_RETR_K for queries 0..7 and the RRF
+    # fusion needs top-_RRF_DEPTH for queries 0.._MLT_N_QUERIES-1 —
+    # `cosine_topk` ranks by the TOTAL order (cosine desc,
+    # neighbor_id asc), so the top-5 rows are exactly the rank<=5
+    # prefix of one k=_RRF_DEPTH ranking over the union query set,
+    # and the deeper ranking for the MLT queries is its
+    # query_id-filter. Before, the corpus was scanned and
+    # broadcast-joined twice for byte-identical arithmetic.
+    # materialized (eager localCheckpoint, <= 8·_RRF_DEPTH rows): the
+    # two consumers' pushed-down filters would otherwise
+    # de-canonicalize the shared subplan and re-run the scoring pass
+    # per consumer — the same statically-duplicated-subplan failure
+    # the r16 lsh_cross_modal plan audit caught
     docs = load_table(spark, sf_dir, "documents")
     qmap = spark.createDataFrame(
         [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
@@ -774,8 +787,22 @@ def similarity_topk(spark: SparkSession, sf_dir: str,
     # more-like-this ranking paths would otherwise each statically
     # re-derive the whole scoring pipeline — plan-gate-asserted at 12
     # corpus scans before, 0 in the final plan after.
-    scored = rtr.bm25_scores(docs, qmap.unionByName(qterms)).localCheckpoint(
-        eager=True
+    # r16: the cosine pass and the BM25 scoring pass are independent
+    # eager builds — overlap them (guide §2.6) instead of two serial
+    # barriers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_deep = ex.submit(lambda: sim.cosine_topk(
+            emb, qv, "vec_id", "embedding", k=_RRF_DEPTH,
+        ).localCheckpoint(eager=True))
+        f_scored = ex.submit(lambda: rtr.bm25_scores(
+            docs, qmap.unionByName(qterms)).localCheckpoint(eager=True))
+        deep = f_deep.result()
+        scored = f_scored.result()
+    base = deep.filter(F.col("rank") <= _RETR_K).select(
+        F.lit("cosine").alias("stage"), "query_id", "rank",
+        "neighbor_id", F.col("cosine").alias("score"),
     )
     bm = rtr.topk_per_query(
         scored.filter(F.col("query_id") >= 100), k=_RETR_K
@@ -791,10 +818,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str,
         ),
         k=_RRF_DEPTH,
     )
-    vec_rank = sim.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < _MLT_N_QUERIES),
-        "vec_id", "embedding", k=_RRF_DEPTH,
-    )
+    vec_rank = deep.filter(F.col("query_id") < _MLT_N_QUERIES)
     rrf = rtr.rrf_fuse(lex_rank, vec_rank, k=_RETR_K)
     rrf_s = rrf.select(
         F.lit("mlt_rrf").alias("stage"), "query_id", "rank",
@@ -2152,41 +2176,104 @@ def text_profile(spark: SparkSession, sf_dir: str,
         "group_size",
         F.count(F.lit(1)).over(Window.partitionBy("fp")),
     )
-    if include_lm:
-        lm = tx.bigram_lm_scores(docs, "doc_id", "text", top_k=200)
-        prof = prof.join(lm, "doc_id", "left")
-    if include_bpe:
-        vocab, merges = bpe.train_bpe(docs, "text", num_merges=8)
-        enc = bpe.encode_token_counts(docs, vocab, "doc_id", "text")
-        prof = prof.join(enc, "doc_id", "left").withColumn(
-            "bpe_merges", F.lit(bpe.merges_tag(merges))
-        )
-    if include_dsir:
-        ds = tx.dsir_importance(
+    # r16: the trained stages are INDEPENDENT of each other (each
+    # derives from `docs` alone), but each runs 1–3 eager driver
+    # round-trip jobs at build time (LM top-k checkpoint, DSIR model
+    # collect, 3 logreg epoch collects, trainer vocabulary collects).
+    # Serially those barriers were most of this entry's wall-clock at
+    # bench scale and leave the cluster idle per barrier at any scale
+    # — so the stage builds OVERLAP in a thread pool (guide §2.6),
+    # and the tokenizer trainers share their corpus scans: BPE and
+    # WordPiece train on the SAME (word, count) table (collected
+    # once, `bpe.collect_word_counts`), and the unigram scorer's
+    # distinct-word set is exactly its trainer's vocabulary keys.
+    # Join order and every model are unchanged, so the result is
+    # byte-identical to the serial build.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lm_track():
+        return tx.bigram_lm_scores(docs, "doc_id", "text", top_k=200)
+
+    def _bpe_wp_track():
+        wc = bpe.collect_word_counts(docs, "text")
+        got = {}
+        if include_bpe:
+            got["bpe"] = bpe.train_bpe(docs, "text", num_merges=8,
+                                       word_counts=wc)
+        if include_wp:
+            got["wp"] = wpc.train_wordpiece(docs, "text", num_merges=6,
+                                            word_counts=wc)
+        return got
+
+    def _dsir_track():
+        return tx.dsir_importance(
             docs, "doc_id", "text",
             target_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
             n_buckets=256, select_frac=DSIR_SELECT_FRAC,
             domain_col="source",
         )
-        prof = prof.join(ds, "doc_id", "left").withColumn(
-            "dsir_selected", F.coalesce("dsir_selected", F.lit(False))
-        )
-    if include_lrq:
-        lrq = clf.logreg_quality(
+
+    def _lrq_track():
+        return clf.logreg_quality(
             docs, "doc_id", "text",
             label_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
             n_buckets=256, epochs=3, lr=0.5,
         )
-        prof = prof.join(lrq, "doc_id", "left")
-    if include_ulm:
+
+    def _ulm_track():
+        wc = ug.collect_word_counts(docs, "text")
         uprobs = ug.train_unigram(docs, "text", vocab_size=40,
-                                  max_len=3, iters=2)
-        usc = ug.doc_unigram_scores(docs, uprobs, "doc_id", "text")
+                                  max_len=3, iters=2, word_counts=wc)
+        usc = ug.doc_unigram_scores(
+            docs, uprobs, "doc_id", "text",
+            words=[w for w, _ in wc] if wc is not None else None,
+        )
+        return uprobs, usc
+
+    tracks = {}
+    if include_lm:
+        tracks["lm"] = _lm_track
+    if include_bpe or include_wp:
+        tracks["bpe_wp"] = _bpe_wp_track
+    if include_dsir:
+        tracks["dsir"] = _dsir_track
+    if include_lrq:
+        tracks["lrq"] = _lrq_track
+    if include_ulm:
+        tracks["ulm"] = _ulm_track
+    built = {}
+    if tracks:
+        with ThreadPoolExecutor(len(tracks)) as ex:
+            futs = {k: ex.submit(fn) for k, fn in tracks.items()}
+            errs = []
+            for k, f in futs.items():
+                try:
+                    built[k] = f.result()
+                except BaseException as e:  # noqa: BLE001
+                    errs.append(e)
+            if errs:
+                raise errs[0]
+    if include_lm:
+        prof = prof.join(built["lm"], "doc_id", "left")
+    if include_bpe:
+        vocab, merges = built["bpe_wp"]["bpe"]
+        enc = bpe.encode_token_counts(docs, vocab, "doc_id", "text")
+        prof = prof.join(enc, "doc_id", "left").withColumn(
+            "bpe_merges", F.lit(bpe.merges_tag(merges))
+        )
+    if include_dsir:
+        prof = prof.join(built["dsir"], "doc_id", "left").withColumn(
+            "dsir_selected", F.coalesce("dsir_selected", F.lit(False))
+        )
+    if include_lrq:
+        prof = prof.join(built["lrq"], "doc_id", "left")
+    if include_ulm:
+        uprobs, usc = built["ulm"]
         prof = prof.join(usc, "doc_id", "left").withColumn(
             "ulm_vocab", F.lit(ug.vocab_tag(uprobs))
         )
     if include_wp:
-        wvocab, wmerges = wpc.train_wordpiece(docs, "text", num_merges=6)
+        wvocab, wmerges = built["bpe_wp"]["wp"]
         wenc = wpc.encode_token_counts(docs, wvocab, "doc_id", "text")
         prof = prof.join(wenc, "doc_id", "left").withColumn(
             "wp_merges", F.lit(wpc.merges_tag(wmerges))
@@ -3956,29 +4043,49 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
 
     The LSH threshold only gates the final verified-Jaccard filter, so
     ONE candidate pass at τ=0.3 feeds both stages (τ=0.5 is a filter of
-    it); the union's branches then share a canonical-identical subplan
-    and Spark's exchange reuse turns the second branch's shuffles into
-    ReusedExchange nodes instead of a full recompute.
+    it). r16: that sharing is now a MATERIALIZED candidate frame
+    (eager localCheckpoint) instead of a shared subplan — the r15 plan
+    showed ZERO ReusedExchange nodes (the pushed-down τ=0.5 filter
+    de-canonicalizes the second branch), so the whole
+    shingle→signature→band→verify pipeline was statically duplicated
+    and EXECUTED TWICE per run; the pair frame is (id, id, double),
+    trivially resident at any scale.
+
+    r16 also OVERLAPS the independent builder-time jobs (guide §2.6:
+    concurrent jobs back-fill each other's stragglers): the text-LSH
+    candidate pass runs concurrently with the fused codec crossing,
+    and the three modality pair builds (independent given the fused
+    signatures) run concurrently with each other. Results are
+    byte-identical — the same frames are materialized, just not
+    serially.
 
     Round 3: runs on the engine-portable md5 minhash family
     (``lsh_candidate_pairs_portable``) so the ENTIRE pipeline —
     signatures, banding, bucket expansion, exact-Jaccard verification,
     cosine scoring — hash-checks against the DuckDB oracle below
     (round 2 it was rows-only; the plan shape is unchanged)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs_portable(docs, "doc_id", "text", num_hashes=32,
-                                            bands=8, rows_per_band=4,
-                                            jaccard_threshold=0.3)
-    cand = pairs.filter(F.col("jaccard") >= 0.5).select(
-        F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
-        F.lit(None).cast("double").alias("cosine"),
-        F.lit(None).cast("int").alias("agree"),
-    )
-    cm = cross_modal_dedup(spark, sf_dir, pairs=pairs).select(
-        F.lit("cross_modal").alias("stage"), "id_a", "id_b", "jaccard",
-        "cosine", "agree",
-    )
-    out = cand.unionByName(cm)
+
+    def _lsh_pairs() -> DataFrame:
+        return dd.lsh_candidate_pairs_portable(
+            docs, "doc_id", "text", num_hashes=32, bands=8,
+            rows_per_band=4, jaccard_threshold=0.3,
+        ).localCheckpoint(eager=True)
+
+    def _out_from(pairs: DataFrame) -> DataFrame:
+        cand = pairs.filter(F.col("jaccard") >= 0.5).select(
+            F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("agree"),
+        )
+        cm = cross_modal_dedup(spark, sf_dir, pairs=pairs).select(
+            F.lit("cross_modal").alias("stage"), "id_a", "id_b", "jaccard",
+            "cosine", "agree",
+        )
+        return cand.unionByName(cm)
+
     if include_image_stage and include_audio_stage:
         # all included modalities read the same (id, text) rows — fuse
         # the codec crossings into ONE (scan + repartition + Arrow
@@ -3987,40 +4094,93 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
         # to the stages. r10: the video frames ride the same crossing
         # as 16 vf{f}b{k} columns, exploded back to frame grain
         # JVM-side before the banded pass.
-        fused = afp.fused_multimodal_signatures(
-            docs, "doc_id", "text",
-            parallelism=spark.sparkContext.defaultParallelism,
-            include_video=include_video_stage,
-        ).localCheckpoint(eager=True)
-        isig = fused.select(
-            "id", *[F.col(f"ib{k}").alias(f"b{k}") for k in range(4)])
-        asig = fused.select(
-            "id", *[F.col(f"ab{k}").alias(f"b{k}") for k in range(4)])
-        ipairs = ph.phash_candidate_pairs(isig).localCheckpoint(eager=True)
-        apairs = ph.phash_candidate_pairs(
-            asig,
-            max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
-        vpairs = None
-        if include_video_stage:
-            vsig = fused.select(
-                "id",
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(f).alias("frame"),
-                        *[F.col(f"vf{f}b{k}").alias(f"b{k}")
-                          for k in range(4)])
-                    for f in range(vd.N_FRAMES)
-                ])).alias("s"),
-            ).select("id", "s.frame",
-                     *[F.col(f"s.b{k}").alias(f"b{k}") for k in range(4)])
-            vpairs = vd.video_pair_matches(vsig).localCheckpoint(eager=True)
-        release_local_checkpoint(fused)
+        def _modality_pairs():
+            fused = afp.fused_multimodal_signatures(
+                docs, "doc_id", "text",
+                parallelism=spark.sparkContext.defaultParallelism,
+                include_video=include_video_stage,
+            ).localCheckpoint(eager=True)
+            done = []
+            try:
+                isig = fused.select(
+                    "id",
+                    *[F.col(f"ib{k}").alias(f"b{k}") for k in range(4)])
+                asig = fused.select(
+                    "id",
+                    *[F.col(f"ab{k}").alias(f"b{k}") for k in range(4)])
+                builds = [
+                    lambda: ph.phash_candidate_pairs(
+                        isig).localCheckpoint(eager=True),
+                    lambda: ph.phash_candidate_pairs(
+                        asig, max_hamming=afp.DEFAULT_MAX_HAMMING,
+                    ).localCheckpoint(eager=True),
+                ]
+                if include_video_stage:
+                    vsig = fused.select(
+                        "id",
+                        F.explode(F.array(*[
+                            F.struct(
+                                F.lit(f).alias("frame"),
+                                *[F.col(f"vf{f}b{k}").alias(f"b{k}")
+                                  for k in range(4)])
+                            for f in range(vd.N_FRAMES)
+                        ])).alias("s"),
+                    ).select(
+                        "id", "s.frame",
+                        *[F.col(f"s.b{k}").alias(f"b{k}") for k in range(4)])
+                    builds.append(lambda: vd.video_pair_matches(
+                        vsig).localCheckpoint(eager=True))
+                with ThreadPoolExecutor(len(builds)) as ex:
+                    futs = [ex.submit(b) for b in builds]
+                    # collect every outcome before raising, so a
+                    # failed sibling can't leak the materialized ones
+                    results, errs = [], []
+                    for f in futs:
+                        try:
+                            results.append(f.result())
+                        except BaseException as e:  # noqa: BLE001
+                            errs.append(e)
+                    done = list(results)
+                    if errs:
+                        raise errs[0]
+            except BaseException:
+                for frame in done:
+                    release_local_checkpoint(frame)
+                raise
+            finally:
+                release_local_checkpoint(fused)
+            if include_video_stage:
+                return results[0], results[1], results[2]
+            return results[0], results[1], None
+
+        with ThreadPoolExecutor(2) as ex:
+            f_lsh = ex.submit(_lsh_pairs)
+            f_mm = ex.submit(_modality_pairs)
+            lsh_err = mm_err = None
+            try:
+                pairs = f_lsh.result()
+            except BaseException as e:  # noqa: BLE001
+                lsh_err = e
+            try:
+                ipairs, apairs, vpairs = f_mm.result()
+            except BaseException as e:  # noqa: BLE001
+                mm_err = e
+            if lsh_err is not None or mm_err is not None:
+                if lsh_err is None:
+                    release_local_checkpoint(pairs)
+                if mm_err is None:
+                    for frame in (ipairs, apairs, vpairs):
+                        if frame is not None:
+                            release_local_checkpoint(frame)
+                raise lsh_err if lsh_err is not None else mm_err
+        out = _out_from(pairs)
         out = out.unionByName(image_phash_stage(spark, sf_dir, pairs=ipairs))
         out = out.unionByName(audio_fp_stage(spark, sf_dir, pairs=apairs))
         if include_video_stage:
             out = out.unionByName(
                 video_fp_stage(spark, sf_dir, pairs=vpairs))
         return out
+    out = _out_from(_lsh_pairs())
     if include_image_stage:
         out = out.unionByName(image_phash_stage(spark, sf_dir))
     elif include_audio_stage:
@@ -4038,11 +4198,16 @@ def lsh_cross_modal_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters; only the per-shingle hash cost differs, so timing both
     separates "cost of the algorithm" from "cost of oracle
     portability". Not registered: md5 can't be beaten for
-    DuckDB-checkability, xxhash64 can't be reproduced there."""
+    DuckDB-checkability, xxhash64 can't be reproduced there.
+
+    r16: the shared candidate pass is materialized (eager
+    localCheckpoint) exactly like the headline entry, so the twin
+    keeps pricing ONLY the hash-family delta."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
                                    bands=8, rows_per_band=4,
-                                   jaccard_threshold=0.3)
+                                   jaccard_threshold=0.3
+                                   ).localCheckpoint(eager=True)
     cand = pairs.filter(F.col("jaccard") >= 0.5).select(
         F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
         F.lit(None).cast("double").alias("cosine"),

@@ -1754,16 +1754,38 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
             nb.alias("q99_in_rank_band"),
         )
     out = per_type.unionByName(weekly)
+    # r16: the CMS / KMV / quantile-sketch families are independent
+    # builds over the same `ev` frame, and each materializes its
+    # bounded stage output eagerly (1–2 localCheckpoint jobs + a
+    # types collect each). Serially those barriers dominated the
+    # builder's wall-clock; overlapped (guide §2.6) they back-fill
+    # each other's stragglers and the union below is assembled in the
+    # SAME order from the same frames — byte-identical output.
+    from concurrent.futures import ThreadPoolExecutor
+
+    family = {}
     if include_cms:
-        out = out.unionByName(_cms_stages(spark, ev))
+        family["cms"] = lambda: _cms_stages(spark, ev)
     if include_kmv:
-        out = out.unionByName(
-            _kmv_stages(spark, ev, include_exact=include_kmv_exact)
-        )
+        family["kmv"] = lambda: _kmv_stages(
+            spark, ev, include_exact=include_kmv_exact)
     if include_qsk:
-        out = out.unionByName(
-            _qsk_stages(spark, ev, include_exact=include_qsk_exact)
-        )
+        family["qsk"] = lambda: _qsk_stages(
+            spark, ev, include_exact=include_qsk_exact)
+    if family:
+        with ThreadPoolExecutor(len(family)) as ex:
+            futs = {k: ex.submit(fn) for k, fn in family.items()}
+            built, errs = {}, []
+            for k, f in futs.items():
+                try:
+                    built[k] = f.result()
+                except BaseException as e:  # noqa: BLE001
+                    errs.append(e)
+            if errs:
+                raise errs[0]
+        for k in ("cms", "kmv", "qsk"):
+            if k in built:
+                out = out.unionByName(built[k])
     return out
 
 
@@ -2964,10 +2986,19 @@ def windowed_batch(spark: SparkSession, sf_dir: str,
     t = tumbling_window(spark, sf_dir).withColumn("kind", F.lit("tumbling"))
     s = sliding_window(spark, sf_dir).withColumn("kind", F.lit("sliding"))
     pcts = FUNNEL_TTC_PERCENTILES if include_ttc else ()
+    # persist_steps=True (r16): the funnel frame `fc` is referenced
+    # once per output kind below (1 + len(pcts) union branches), and
+    # the r15 plan showed the whole min-chain statically re-derived
+    # per reference — 30 event scans in one entry, zero
+    # ReusedExchange. The persist mode materializes the steps-sized
+    # count table once (identical rows, parity-pinned by
+    # test_funnel.py), so every branch reads that instead of
+    # re-walking the chain; the bench lineage twin `op_funnel_only`
+    # still times the unpersisted operator.
     fc = funnel_counts(
         load_table(spark, sf_dir, "events"),
         FUNNEL_STEPS, within_days=FUNNEL_WITHIN_DAYS,
-        convert_percentiles=pcts,
+        convert_percentiles=pcts, persist_steps=True,
     )
     fn = fc.select(
         F.lit(None).cast("timestamp").alias("window_start"),
