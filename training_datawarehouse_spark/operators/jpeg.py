@@ -132,26 +132,44 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
 
 
 class _BitWriter:
+    """Deferred MSB-first bit writer (r16): fields are recorded as
+    (value, length) pairs and packed in ONE numpy pass at ``flush``
+    — per-field big-int shifting plus the per-byte stuffing loop was
+    ~25 % of the encode cost. The emitted bytes are identical: bits
+    are packed MSB-first in write order, the final partial byte is
+    padded with 1-bits, and a 0x00 is inserted after every 0xFF
+    (T.81 §B.1.1.5) exactly as the streaming writer did."""
+
     def __init__(self) -> None:
+        self.vals: list[int] = []
+        self.lens: list[int] = []
         self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
 
     def write(self, value: int, length: int) -> None:
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:          # byte stuffing (T.81 §B.1.1.5)
-                self.out.append(0x00)
-        self.acc &= (1 << self.nbits) - 1
+        if length:
+            self.vals.append(value & ((1 << length) - 1))
+            self.lens.append(length)
 
     def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+        if not self.vals:
+            return
+        vals = np.asarray(self.vals, dtype=np.int64)
+        lens = np.asarray(self.lens, dtype=np.int64)
+        j = np.arange(16, dtype=np.int64)
+        # write-order bit j of a field = bit (length-1-j) of its value
+        shifts = lens[:, None] - 1 - j
+        bits = ((vals[:, None] >> np.maximum(shifts, 0)) & 1).astype(np.uint8)
+        mask = j < lens[:, None]
+        flat = bits[mask]
+        pad = (-len(flat)) % 8
+        if pad:
+            flat = np.concatenate([flat, np.ones(pad, dtype=np.uint8)])
+        packed = np.packbits(flat, bitorder="big")
+        stuff_at = np.flatnonzero(packed == 0xFF)
+        if len(stuff_at):
+            packed = np.insert(packed, stuff_at + 1, 0)
+        self.out += packed.tobytes()
+        self.vals, self.lens = [], []
 
 
 def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -174,35 +192,44 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def _encode_block(w: _BitWriter, coef: np.ndarray, pred: int,
+def _encode_block(w: _BitWriter, zz: list[int], pred: int,
                   dc_map: dict, ac_map: dict) -> int:
-    """Huffman-encode one quantized 8×8 block; returns the new DC pred."""
-    zz = coef.ravel()[ZIGZAG]
-    diff = int(zz[0]) - pred
+    """Huffman-encode one quantized 8×8 block; returns the new DC
+    pred. ``zz`` is the ZIGZAG-ordered coefficient list (r16: callers
+    batch the zigzag gather + ``tolist`` across every block — looping
+    a Python list of ints beats per-element ndarray indexing ~3×, and
+    the emitted fields append straight onto the deferred writer)."""
+    vals, lens = w.vals, w.lens
+    diff = zz[0] - pred
     size, bitsv = _magnitude(diff)
     code, ln = dc_map[size]
-    w.write(code, ln)
+    vals.append(code)
+    lens.append(ln)
     if size:
-        w.write(bitsv, size)
+        vals.append(bitsv)
+        lens.append(size)
     run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
+    zrl = ac_map[0xF0]
+    for v in zz[1:]:
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_map[0xF0]     # ZRL
-            w.write(code, ln)
+            vals.append(zrl[0])         # ZRL
+            lens.append(zrl[1])
             run -= 16
         size, bitsv = _magnitude(v)
         code, ln = ac_map[(run << 4) | size]
-        w.write(code, ln)
-        w.write(bitsv, size)
+        vals.append(code)
+        lens.append(ln)
+        vals.append(bitsv)
+        lens.append(size)
         run = 0
     if run:
         code, ln = ac_map[0x00]         # EOB
-        w.write(code, ln)
-    return int(zz[0])
+        vals.append(code)
+        lens.append(ln)
+    return zz[0]
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -275,13 +302,18 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
                   .reshape(gy * gx, 8, 8))
         return np.round((_A @ (blocks - 128.0) @ _A.T) / qt8).astype(np.int32)
 
+    def zz_lists(coefs: np.ndarray) -> list[list[int]]:
+        """Batched zigzag gather + tolist for every block at once."""
+        return coefs.reshape(-1, 64)[:, ZIGZAG].tolist()
+
     w = _BitWriter()
     if not subsample:
         padded, by, bx = blocks_of(img)
         coefs = grid_coefs(padded, ql.astype(np.float64).reshape(8, 8))
+        zzs = zz_lists(coefs)
         pred = 0
         for i in range(by * bx):
-            pred = _encode_block(w, coefs[i], pred, dc_l, ac_l)
+            pred = _encode_block(w, zzs[i], pred, dc_l, ac_l)
     else:
         # YCbCr 4:2:0: luma = img; chroma planes synthesized from the
         # 2×2-mean of the luma (deterministic, content-derived) so the
@@ -303,19 +335,19 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
                      mode="edge")
         crp = np.pad(cr, ((0, mby * 8 - cr.shape[0]), (0, mbx * 8 - cr.shape[1])),
                      mode="edge")
-        ycoefs = grid_coefs(ypad, ql8)          # (2·mby × 2·mbx) grid
-        ccoefs = [grid_coefs(cbp, qc8), grid_coefs(crp, qc8)]
+        yzz = zz_lists(grid_coefs(ypad, ql8))   # (2·mby × 2·mbx) grid
+        czz = [zz_lists(grid_coefs(cbp, qc8)), zz_lists(grid_coefs(crp, qc8))]
         preds = [0, 0, 0]
         for my in range(mby):
             for mx in range(mbx):
                 for sy in range(2):
                     for sx in range(2):
                         i = (my * 2 + sy) * (mbx * 2) + (mx * 2 + sx)
-                        preds[0] = _encode_block(w, ycoefs[i], preds[0],
+                        preds[0] = _encode_block(w, yzz[i], preds[0],
                                                  dc_l, ac_l)
                 for ci in (1, 2):
                     i = my * mbx + mx
-                    preds[ci] = _encode_block(w, ccoefs[ci - 1][i],
+                    preds[ci] = _encode_block(w, czz[ci - 1][i],
                                               preds[ci], dc_c, ac_c)
     w.flush()
     out += w.out
@@ -408,7 +440,13 @@ class _BitReader:
 
 
 class _HuffTable:
-    """Canonical Huffman decode via (length → [min_code, max_code])."""
+    """Canonical Huffman decode via (length → [min_code, max_code]).
+
+    r16: codes of length ≤ 8 — which is every standard-table symbol
+    the synthetic corpus actually hits on its hot path — decode
+    through a 256-entry PEEK TABLE (one list index + skip); longer
+    codes fall through to the original per-length comparison loop,
+    so symbols and error behavior are unchanged."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.min_code = [0] * 17
@@ -424,12 +462,32 @@ class _HuffTable:
                 self.max_code[ln] = code - 1
             code <<= 1
         self.vals = vals
+        lut: list[tuple[int, int] | None] = [None] * 256
+        code, k = 0, 0
+        for ln in range(1, 9):
+            for _ in range(bits[ln]):
+                base = code << (8 - ln)
+                ent = (vals[k], ln)
+                for fill in range(1 << (8 - ln)):
+                    lut[base | fill] = ent
+                code += 1
+                k += 1
+            code <<= 1
+        self._lut = lut
 
     def decode(self, br: _BitReader) -> int:
-        """Peek-16 canonical decode: compare the code prefix per length
-        against max_code without a Python call per bit."""
-        peeked = br.peek16()
-        for ln in range(1, 17):
+        """Peek canonical decode: LUT on the top 8 bits, per-length
+        comparison loop for longer codes (peek16 inlined — one call
+        per coded symbol)."""
+        if br.nbits < 16:
+            br._fill()
+        peeked = (br.acc >> (br.nbits - 16)) & 0xFFFF
+        hit = self._lut[peeked >> 8]
+        if hit is not None:
+            sym, ln = hit
+            br.nbits -= ln
+            return sym
+        for ln in range(9, 17):
             code = peeked >> (16 - ln)
             if self.max_code[ln] >= 0 and code <= self.max_code[ln]:
                 br.skip(ln)
@@ -556,6 +614,21 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
     pending: dict[int, tuple[list, list]] = {
         c["id"]: ([], []) for c in scan
     }
+    # r16: table lookups hoisted out of the MCU loop (they are
+    # constant per scan — formerly 3 dict probes per component per
+    # MCU), the zigzag buffer is a plain Python list (per-element
+    # ndarray stores were ~1/4 of the scan loop), and dequantization
+    # moved into the batched matmul stage below (one broadcast
+    # multiply per component instead of one 8×8 multiply per block —
+    # identical elementwise arithmetic).
+    comp_tabs = []
+    for c in scan:
+        dc_t = htables.get((0, c["dc"]))
+        ac_t = htables.get((1, c["ac"]))
+        qt = qtables.get(c["tq"])
+        if dc_t is None or ac_t is None or qt is None:
+            raise ValueError("missing Huffman/quant table")
+        comp_tabs.append((c, dc_t, ac_t))
     for m in range(n_mcus):
         if dri and m and m % dri == 0:
             marker = br.resync_to_marker()
@@ -563,19 +636,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
                 raise ValueError("expected restart marker")
             preds = {c["id"]: 0 for c in scan}
         my, mx = divmod(m, mcux)
-        for c in scan:
-            dc_t = htables.get((0, c["dc"]))
-            ac_t = htables.get((1, c["ac"]))
-            qt = qtables.get(c["tq"])
-            if dc_t is None or ac_t is None or qt is None:
-                raise ValueError("missing Huffman/quant table")
+        for c, dc_t, ac_t in comp_tabs:
+            cid = c["id"]
+            coefs_list, pos_list = pending[cid]
             for sy in range(c["v"]):
                 for sx in range(c["h"]):
                     size = dc_t.decode(br)
                     diff = _extend(br.read_bits(size), size)
-                    preds[c["id"]] += diff
-                    zz = np.zeros(64, dtype=np.float64)
-                    zz[0] = preds[c["id"]]
+                    preds[cid] += diff
+                    zz = [0] * 64
+                    zz[0] = preds[cid]
                     k = 1
                     while k < 64:
                         rs = ac_t.decode(br)
@@ -590,17 +660,18 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
                             raise ValueError("AC run past block end")
                         zz[k] = _extend(br.read_bits(s), s)
                         k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[ZIGZAG] = zz
                     y0 = (my * c["v"] + sy) * 8
                     x0 = (mx * c["h"] + sx) * 8
-                    pending[c["id"]][0].append(coef.reshape(8, 8) * qt)
-                    pending[c["id"]][1].append((y0, x0))
+                    coefs_list.append(zz)
+                    pos_list.append((y0, x0))
     for c in scan:
         coefs, positions = pending[c["id"]]
         if not coefs:
             continue
-        blocks = (_A.T @ np.stack(coefs) @ _A) + 128.0
+        qt = qtables[c["tq"]]
+        dezig = np.empty((len(coefs), 64), dtype=np.float64)
+        dezig[:, ZIGZAG] = np.asarray(coefs, dtype=np.float64)
+        blocks = (_A.T @ (dezig.reshape(-1, 8, 8) * qt) @ _A) + 128.0
         plane = planes[c["id"]]
         for blk, (y0, x0) in zip(blocks, positions):
             plane[y0:y0 + 8, x0:x0 + 8] = blk

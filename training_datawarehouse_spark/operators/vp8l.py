@@ -80,26 +80,68 @@ class _BitReader:
         self.nbits -= 1
         return v
 
+    def peek8(self) -> int:
+        """Next 8 stream bits WITHOUT consuming, zero-padded past the
+        end of the stream (r16 — feeds the prefix-code peek table;
+        consumption past the end still raises, in ``skip``)."""
+        while self.nbits < 8 and self.bytepos < len(self.data):
+            self.buf |= self.data[self.bytepos] << self.nbits
+            self.bytepos += 1
+            self.nbits += 8
+        return self.buf & 0xFF
+
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            raise EOFError("VP8L bitstream truncated")
+        self.buf >>= n
+        self.nbits -= n
+
+
+def _bitrev(code: int, length: int) -> int:
+    """Reverse the low ``length`` bits of ``code``."""
+    out = 0
+    for _ in range(length):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
+
 
 class _BitWriter:
+    """Deferred bit writer (r16): fields are recorded as
+    (value, nbits) pairs with bits already in WRITE order LSB-first,
+    and ``tobytes`` expands + packs them in ONE numpy pass. The former
+    per-bit Python list appends (one generator + extend per field,
+    ~2.2 M bit appends per 1000 bench images) were ~25 % of the whole
+    VP8L encode cost. The emitted bit sequence is identical."""
+
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self.vals: list[int] = []
+        self.lens: list[int] = []
 
     def write(self, value: int, n: int) -> None:
-        self.bits.extend((value >> i) & 1 for i in range(n))
+        if n:
+            self.vals.append(value & ((1 << n) - 1))
+            self.lens.append(n)
 
     def write_code(self, code: int, length: int) -> None:
-        """Prefix codes are written MSB-of-code first (DEFLATE rule)."""
-        self.bits.extend(
-            (code >> i) & 1 for i in range(length - 1, -1, -1)
-        )
+        """Prefix codes are written MSB-of-code first (DEFLATE rule) —
+        stored bit-reversed so every record is LSB-first in the
+        expansion."""
+        if length:
+            self.vals.append(_bitrev(code, length))
+            self.lens.append(length)
 
     def tobytes(self) -> bytes:
         import numpy as np
 
-        return np.packbits(
-            np.asarray(self.bits, dtype=np.uint8), bitorder="little"
-        ).tobytes()
+        if not self.vals:
+            return b""
+        vals = np.asarray(self.vals, dtype=np.int64)
+        lens = np.asarray(self.lens, dtype=np.int64)
+        j = np.arange(32, dtype=np.int64)
+        bits = ((vals[:, None] >> j) & 1).astype(np.uint8)
+        mask = j < lens[:, None]
+        return np.packbits(bits[mask], bitorder="little").tobytes()
 
 
 # ------------------------------------------------------ canonical codes
@@ -130,7 +172,20 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 class _PrefixCode:
     """Decode side of a canonical prefix code. A single-symbol code
-    (the spec's 0-bit degenerate form) consumes no bits."""
+    (the spec's 0-bit degenerate form) consumes no bits.
+
+    r16: symbols whose code fits 8 bits decode through a 256-entry
+    PEEK TABLE (one ``peek8`` + one list index + one ``skip`` — the
+    structure every production DEFLATE/VP8L decoder uses) instead of
+    the per-bit dict-probe loop, which was the single hottest line of
+    the whole codec (2.5 M calls / 4.3 M ``read1`` per 1000 bench
+    images). Codes longer than 8 bits (possible for the green
+    channel's wide alphabet) and invalid/truncated streams fall back
+    to the ORIGINAL bit loop, so symbols, errors, and consumption
+    semantics are unchanged — parity is pinned by the round-trip
+    suite."""
+
+    _PEEK_BITS = 8
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [s for s, ln in enumerate(lengths) if ln]
@@ -142,6 +197,18 @@ class _PrefixCode:
             for sym, (code, ln) in _canonical_codes(lengths).items()
         }
         self.max_len = max(ln for ln, _ in self.table) if self.table else 0
+        self._build_lut()
+
+    def _build_lut(self) -> None:
+        k = self._PEEK_BITS
+        lut: list[tuple[int, int] | None] = [None] * (1 << k)
+        for (ln, code), sym in self.table.items():
+            if ln > k:
+                continue
+            base = _bitrev(code, ln)  # stream order: MSB of code first
+            for fill in range(1 << (k - ln)):
+                lut[base | (fill << ln)] = (sym, ln)
+        self._lut = lut
 
     @classmethod
     def simple(cls, symbols: list[int], alphabet_size: int) -> "_PrefixCode":
@@ -150,16 +217,45 @@ class _PrefixCode:
             pc.single = symbols[0]
             pc.table = {}
             pc.max_len = 0
+            pc._build_lut()
             return pc
         # spec: PARSE order maps to codes 0/1 (not canonical-by-symbol)
         pc.single = None
         pc.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
         pc.max_len = 1
+        pc._build_lut()
         return pc
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # peek8 + skip inlined: this is THE hot call of the codec
+        # (one call per coded symbol) and the two extra method calls
+        # were ~30 % of its cost
+        nbits = br.nbits
+        buf = br.buf
+        if nbits < 8:
+            data = br.data
+            pos = br.bytepos
+            end = len(data)
+            while nbits < 8 and pos < end:
+                buf |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            br.bytepos = pos
+            br.buf = buf
+            br.nbits = nbits
+        hit = self._lut[buf & 0xFF]
+        if hit is not None:
+            sym, ln = hit
+            if nbits < ln:
+                raise EOFError("VP8L bitstream truncated")
+            br.buf = buf >> ln
+            br.nbits = nbits - ln
+            return sym
+        return self._decode_slow(br)
+
+    def _decode_slow(self, br: _BitReader) -> int:
         code = 0
         table = self.table
         for ln in range(1, self.max_len + 1):
@@ -624,10 +720,24 @@ def _write_prefix_code(
     )
     single_clc = len(clc_lengths) == 1
     bw.write(0, 1)  # no max_symbol cap: all alphabet_size lengths coded
-    for ln in lengths:
-        if not single_clc:  # single-symbol CLC decodes with 0 bits
-            code, cl = clc_codes[ln]
-            bw.write_code(code, cl)
+    if not single_clc:  # single-symbol CLC decodes with 0 bits
+        # bulk-append the per-symbol CLC records (r16): one numpy
+        # gather over the alphabet instead of alphabet_size
+        # write_code calls (these header loops were ~1 M calls per
+        # 1000 bench images)
+        import numpy as np
+
+        rev19 = [0] * 19
+        len19 = [0] * 19
+        for s, (c, cl) in clc_codes.items():
+            rev19[s] = _bitrev(c, cl)
+            len19[s] = cl
+        la = np.asarray(lengths, dtype=np.int64)
+        lns = np.asarray(len19, dtype=np.int64)[la]
+        revs = np.asarray(rev19, dtype=np.int64)[la]
+        keep = lns > 0
+        bw.vals.extend(revs[keep].tolist())
+        bw.lens.extend(lns[keep].tolist())
     if sum(1 for ln in lengths if ln) == 1:
         # degenerate full-form code: the reader decodes it with 0 bits,
         # so the data pass must emit none
@@ -740,31 +850,56 @@ def encode_vp8l(
 def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
                    top_level: bool = True) -> None:
     """One spatially-coded image: literal/cache symbols only. Only the
-    top-level ARGB image carries the meta-partition flag bit."""
+    top-level ARGB image carries the meta-partition flag bit.
+
+    r16: the no-cache path (every pixel a 4-symbol literal) counts
+    frequencies by bincount and emits the data pass as one numpy
+    gather — `_huffman_lengths` ties break on (count, symbol), never
+    on dict order, so bincount frequencies produce the identical code
+    tables (byte-parity pinned by the round-trip suite). The
+    color-cache path keeps the serial loop (the cache is sequential
+    state)."""
+    import numpy as np
+
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
-    # first pass: symbol streams + frequencies
+    px_arr = np.asarray(pixels, dtype=np.int64)
+    chan = {
+        "g": ((px_arr >> 8) & 0xFF),
+        "r": ((px_arr >> 16) & 0xFF),
+        "b": (px_arr & 0xFF),
+        "a": ((px_arr >> 24) & 0xFF),
+    }
     syms: list[tuple[int, ...]] = []
-    for px in pixels:
-        if cache_bits:
+    if cache_bits:
+        # first pass: symbol streams + frequencies (sequential cache)
+        for px in pixels:
             idx = _cache_index(px, cache_bits)
             if cache[idx] == px:
                 syms.append((_GREEN_BASE + _NUM_LENGTH_CODES + idx,))
                 continue
             cache[idx] = px
-        syms.append((
-            (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF, (px >> 24) & 0xFF,
-        ))
-    freq: list[dict[int, int]] = [{}, {}, {}, {}]
-    for s in syms:
-        if len(s) == 1:
-            freq[0][s[0]] = freq[0].get(s[0], 0) + 1
-        else:
-            g, r, b, a = s
-            freq[0][g] = freq[0].get(g, 0) + 1
-            freq[1][r] = freq[1].get(r, 0) + 1
-            freq[2][b] = freq[2].get(b, 0) + 1
-            freq[3][a] = freq[3].get(a, 0) + 1
+            syms.append((
+                (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF,
+                (px >> 24) & 0xFF,
+            ))
+        freq: list[dict[int, int]] = [{}, {}, {}, {}]
+        for s in syms:
+            if len(s) == 1:
+                freq[0][s[0]] = freq[0].get(s[0], 0) + 1
+            else:
+                g, r, b, a = s
+                freq[0][g] = freq[0].get(g, 0) + 1
+                freq[1][r] = freq[1].get(r, 0) + 1
+                freq[2][b] = freq[2].get(b, 0) + 1
+                freq[3][a] = freq[3].get(a, 0) + 1
+    else:
+        freq = []
+        for key in ("g", "r", "b", "a"):
+            counts = np.bincount(chan[key])
+            freq.append({
+                int(v): int(counts[v]) for v in np.flatnonzero(counts)
+            })
     for f in freq[1:]:
         if not f:
             f[0] = 1  # unused channel still needs a valid code
@@ -785,22 +920,53 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
     d_codes = _write_prefix_code(bw, {0: 0}, 40)  # unused distance code
     assert d_codes[0] == (0, 0)
 
-    # precomputed per-symbol bit tuples: one list.extend per symbol in
-    # the data pass instead of per-bit arithmetic
+    # precomputed per-symbol (bit-reversed code, length) records: the
+    # data pass appends ONE deferred-writer record per channel symbol
+    # (r16 — formerly one Python list.extend of a per-bit tuple);
+    # _BitWriter.tobytes packs everything in one numpy pass
     def seq(codes: dict) -> dict:
-        return {
-            s: tuple((c >> i) & 1 for i in range(ln - 1, -1, -1))
-            for s, (c, ln) in codes.items()
-        }
+        return {s: (_bitrev(c, ln), ln) for s, (c, ln) in codes.items()}
+
+    vals, lens = bw.vals, bw.lens
+    if not cache_bits:
+        # all-literal data pass as ONE interleaved numpy gather:
+        # per pixel the symbols are (g, r, b, a) in that order, so a
+        # row-major ravel of the (n, 4) code matrices preserves the
+        # exact bit sequence; zero-length (degenerate) codes are
+        # masked out just as the append path skips them
+        n = len(px_arr)
+        revm = np.zeros((n, 4), dtype=np.int64)
+        lnm = np.zeros((n, 4), dtype=np.int64)
+        for col, (key, codes) in enumerate((
+            ("g", g_codes), ("r", r_codes), ("b", b_codes),
+            ("a", a_codes),
+        )):
+            size = int(chan[key].max()) + 1 if n else 1
+            rev_t = np.zeros(size, dtype=np.int64)
+            len_t = np.zeros(size, dtype=np.int64)
+            for s, (c, ln) in codes.items():
+                if s < size:
+                    rev_t[s] = _bitrev(c, ln)
+                    len_t[s] = ln
+            revm[:, col] = rev_t[chan[key]]
+            lnm[:, col] = len_t[chan[key]]
+        flat_rev = revm.ravel()
+        flat_len = lnm.ravel()
+        keep = flat_len > 0
+        vals.extend(flat_rev[keep].tolist())
+        lens.extend(flat_len[keep].tolist())
+        return
 
     gs, rs, bs, as_ = seq(g_codes), seq(r_codes), seq(b_codes), seq(a_codes)
-    bits = bw.bits
     for s in syms:
         if len(s) == 1:
-            bits.extend(gs[s[0]])
+            v, ln = gs[s[0]]
+            if ln:
+                vals.append(v)
+                lens.append(ln)
         else:
             g, r, b, a = s
-            bits.extend(gs[g])
-            bits.extend(rs[r])
-            bits.extend(bs[b])
-            bits.extend(as_[a])
+            for v, ln in (gs[g], rs[r], bs[b], as_[a]):
+                if ln:
+                    vals.append(v)
+                    lens.append(ln)
