@@ -159,7 +159,19 @@ SHUFFLE_BUDGET = {
     # Hamming verify, AND the offset-voting window all run at build
     # time behind the same eager-checkpoint discipline; the final
     # plan gains only a third video-grain pair RDD branch.
-    "ns_dedup_lsh_cross_modal": 10,
+    # r16: 10 → 0. The round's plan audit found the "2 semantic
+    # shuffles × branches counted statically" caveat was REAL
+    # EXECUTION, not double counting: the pushed-down τ=0.5 filter
+    # de-canonicalizes the candidates branch, so zero ReusedExchange
+    # fired and the whole md5 LSH pipeline ran twice per run. The
+    # shared τ=0.3 candidate pass now materializes at build time
+    # (lsh_candidate_pairs_portable materialize=True — signature
+    # table internally checkpointed for its 3 consumers, pair frame
+    # checkpointed, internal checkpoint released), so the FINAL plan
+    # is a union of pair RDDs left-joined to broadcast embeddings:
+    # the 2 semantic LSH shuffles are priced once at build, like the
+    # modality stages' since r9.
+    "ns_dedup_lsh_cross_modal": 0,
     # family: similarity/retrieval — corpus never shuffles for the
     # cosine stage (1: top-k window). r7: +9 for BM25 + RRF — the
     # shared scored candidate set materializes at build time behind a
@@ -167,8 +179,13 @@ SHUFFLE_BUDGET = {
     # corpus scans in this plan), leaving the two 2-level top-k window
     # pairs (bm25 k=5, more-like-this k=20), the RRF full join's two
     # repartitions, the fused top-k pair, and the depth-20 cosine
-    # ranking's window — every one over candidate-set-sized rows
-    "ns_similarity_topk": 10,
+    # ranking's window — every one over candidate-set-sized rows.
+    # r16: 10 → 8 — ONE shared k=20 cosine pass (materialized at
+    # build, ≤160 rows) now serves both the 'cosine' stage (its
+    # rank ≤ 5 prefix) and the RRF vector ranking, so the second
+    # ranking's 2 window exchanges (and its corpus scan + broadcast
+    # join) left the final plan.
+    "ns_similarity_topk": 8,
     # family: text analysis — profile: fp dupe-group window + the r5
     # bigram-LM stage (bigram groupBy, unigram groupBy, per-doc score
     # groupBy; the model itself broadcasts, top-K select is

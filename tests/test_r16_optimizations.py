@@ -157,6 +157,65 @@ def test_train_wordpiece_word_counts_injection_parity(docs):
     assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
 
 
+def test_lsh_pair_materialize_parity(spark):
+    """materialize=True must return the identical pair set (it only
+    changes WHERE the shared signature table is computed), release its
+    internal checkpoint, and work for both hash families."""
+    from training_datawarehouse_spark.operators import dedup as dd
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} "
+                f"w{i % 3} w{(i + 1) % 3} filler{i % 11}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (dd.lsh_candidate_pairs, dd.lsh_candidate_pairs_portable):
+        lazy = fn(docs, "doc_id", "text", num_hashes=8, bands=4,
+                  rows_per_band=2, jaccard_threshold=0.2).collect()
+        mat = fn(docs, "doc_id", "text", num_hashes=8, bands=4,
+                 rows_per_band=2, jaccard_threshold=0.2,
+                 materialize=True).collect()
+        assert sorted(map(tuple, lazy)) == sorted(map(tuple, mat)), fn
+
+
+def test_phash_pair_materialize_and_fused_expansion_parity(spark):
+    """The fused within/across pair expansion + materialize=True must
+    reproduce the two-branch union's pair multiset exactly, for both
+    cap grains, including a planted identical-fingerprint group (the
+    within-group C(g,2) path) and near-dup reps (the across path)."""
+    from training_datawarehouse_spark.operators import phash as ph
+
+    rows = []
+    for i in range(12):
+        rows.append((i, 0xAAAA, 0x1111, 0x2222, 0x3333))  # exact group
+    rows.append((100, 0xAAAB, 0x1111, 0x2222, 0x3333))    # 2-bit neighbor
+    rows.append((101, 0xAAAA, 0x1113, 0x2222, 0x3333))
+    rows.append((200, 0x0F0F, 0xF0F0, 0x00FF, 0xFF00))    # far away
+    sig = spark.createDataFrame(
+        rows, "id long, b0 int, b1 int, b2 int, b3 int")
+    for grain in ("doc", "rep"):
+        lazy = ph.phash_candidate_pairs(sig, cap_grain=grain).collect()
+        mat = ph.phash_candidate_pairs(
+            sig, cap_grain=grain, materialize=True).collect()
+        assert sorted(map(tuple, lazy)) == sorted(map(tuple, mat)), grain
+        assert len(lazy) > 0
+
+
+def test_video_pair_matches_materialize_parity(spark):
+    from training_datawarehouse_spark.operators import video as vd
+
+    rows = []
+    for vid in range(6):
+        for f in range(4):
+            # videos 0 and 1 share frame fingerprints at offset 0
+            base = 0x100 * (vid if vid > 1 else 0)
+            rows.append((vid, f, base + f, 7 * f, 3 * f, f))
+    sig = spark.createDataFrame(
+        rows, "id long, frame int, b0 int, b1 int, b2 int, b3 int")
+    lazy = vd.video_pair_matches(sig).collect()
+    mat = vd.video_pair_matches(sig, materialize=True).collect()
+    assert sorted(map(tuple, lazy)) == sorted(map(tuple, mat))
+    assert len(lazy) > 0
+
+
 def test_unigram_word_counts_and_words_injection_parity(docs):
     wc = ug.collect_word_counts(docs, "text")
     assert wc is not None

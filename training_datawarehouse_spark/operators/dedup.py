@@ -173,6 +173,7 @@ def lsh_candidate_pairs_portable(
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
     jaccard_threshold: float = 0.5, shingle_n: int = 3,
     max_bucket: int = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """``lsh_candidate_pairs`` on the engine-portable hash family —
     identical plan shape (one groupBy(id) for signature AND shingle
@@ -181,11 +182,21 @@ def lsh_candidate_pairs_portable(
     md5-derived so a DuckDB oracle reproduces the full pipeline
     bit-for-bit (see plans/northstar.py). Jaccard is computed over the
     60-bit g1 shingle ids in BOTH engines, so even a prefix collision
-    cannot diverge them."""
+    cannot diverge them.
+
+    ``materialize=True`` (r16): eager-checkpoints the shared
+    (signature + shingle-set) table for its THREE consumers (band
+    explode and both Jaccard-verify sides — without it each consumer
+    statically re-derives the whole shingle→md5→aggregate pipeline;
+    the r16 plan audit measured zero exchange reuse across them),
+    materializes the returned pair frame, and releases the internal
+    checkpoint. Identical rows either way."""
     sh = hashed_shingles_portable(df, id_col, text_col, shingle_n)
     per_doc = sh.groupBy(id_col).agg(
         *_portable_min_exprs(num_hashes), F.collect_set("g1").alias("sh")
     )
+    if materialize:
+        per_doc = per_doc.localCheckpoint(eager=True)
 
     band_structs = F.array(*[
         F.struct(
@@ -221,11 +232,20 @@ def lsh_candidate_pairs_portable(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not materialize:
+        return out
+    try:
+        out = out.localCheckpoint(eager=True)
+    except BaseException:
+        release_local_checkpoint(per_doc)
+        raise
+    release_local_checkpoint(per_doc)
+    return out
 
 
 def minhash_signatures(
@@ -258,6 +278,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
     jaccard_threshold: float = 0.5, shingle_n: int = 3,
     max_bucket: int = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Banded-LSH near-dup pairs verified with exact shingle Jaccard.
 
@@ -267,6 +288,10 @@ def lsh_candidate_pairs(
     shuffle of slim (band, sig, id) triples, no self-join) → distinct
     pairs → join shingle sets for the exact-Jaccard verification (only
     candidate pairs ever carry shingle arrays through a shuffle).
+
+    ``materialize=True``: see ``lsh_candidate_pairs_portable`` — the
+    same three-consumer signature-table materialization, same
+    identical-rows contract.
     """
     sh = hashed_shingles(df, id_col, text_col, shingle_n)
     # ONE groupBy(id) produces both the k-min signature and the exact
@@ -274,6 +299,8 @@ def lsh_candidate_pairs(
     # share a single shuffle over slim (id, g) longs.
     mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     per_doc = sh.groupBy(id_col).agg(*mins, F.collect_set("g").alias("sh"))
+    if materialize:
+        per_doc = per_doc.localCheckpoint(eager=True)
 
     band_structs = F.array(*[
         F.struct(
@@ -317,11 +344,20 @@ def lsh_candidate_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not materialize:
+        return out
+    try:
+        out = out.localCheckpoint(eager=True)
+    except BaseException:
+        release_local_checkpoint(per_doc)
+        raise
+    release_local_checkpoint(per_doc)
+    return out
 
 
 def _pairs_expr(ids: str) -> Column:

@@ -52,6 +52,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..functions.caching import release_local_checkpoint
 from .dedup import _pairs_expr
 from .multimodal import decode_png, encode_png
 
@@ -332,6 +333,7 @@ def phash_candidate_pairs(
     n_bands: int = N_BANDS,
     band_bits: int = BAND_BITS,
     cap_grain: str = "doc",
+    materialize: bool = False,
 ) -> DataFrame:
     """Hamming-banded near-dup pairs from (id, b0..b3) signatures.
     Returns (id_a, id_b, hamming) with hamming <= max_hamming,
@@ -409,6 +411,16 @@ def phash_candidate_pairs(
         F.array_sort(F.collect_list("id")).alias("ids"),
         F.count(F.lit(1)).alias("gn"),
     )
+    # ``materialize=True`` (r16): the rep-grain group table feeds THREE
+    # consumers (band explode + both Hamming-verify sides) — without
+    # materialization each consumer statically re-derives the whole
+    # signature aggregation (3 upstream executions; the r16 plan audit
+    # measured zero exchange reuse across them). Eager-checkpoint it,
+    # materialize the pair frame before returning, and release the
+    # group checkpoint (BPE discipline). Callers that keep the default
+    # get the fully-lazy plan.
+    if materialize:
+        groups = groups.localCheckpoint(eager=True)
 
     band_structs = F.array(*[
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
@@ -475,20 +487,41 @@ def phash_candidate_pairs(
                            F.col("ids_a")).otherwise(F.array("ga"))
         ids_b_exp = F.when(F.size("ids_b") <= max_bucket,
                            F.col("ids_b")).otherwise(F.array("gb"))
-    within = (
-        verified.filter(F.col("ga") == F.col("gb"))
-        .select(F.explode(_pairs_expr("ids_a")).alias("p"), "hamming")
+    # r16: the within-group and across-group doc expansions are ONE
+    # conditional pair-array explode instead of a two-branch union —
+    # the union's branches each statically re-derived the whole
+    # groups→band→verify subtree (the r16 plan audits found such
+    # duplicated subplans EXECUTE twice: exchange reuse does not fire
+    # across the diverging branch filters). Same pair multiset: the
+    # within branch is exactly the old `_pairs_expr` expansion, the
+    # across branch the old ia×ib least/greatest cross product.
+    pair_arr = F.when(
+        F.col("ga") == F.col("gb"), _pairs_expr("ids_a")
+    ).otherwise(
+        F.flatten(F.transform(
+            ids_a_exp,
+            lambda x: F.transform(
+                ids_b_exp,
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"),
+                    F.greatest(x, y).alias("id_b"),
+                ),
+            ),
+        ))
+    )
+    out = (
+        verified.select(F.explode(pair_arr).alias("p"), "hamming")
         .select(F.col("p.id_a"), F.col("p.id_b"), "hamming")
     )
-    across = (
-        verified.filter(F.col("ga") != F.col("gb"))
-        .select(F.explode(ids_a_exp).alias("ia"),
-                ids_b_exp.alias("ids_b"), "hamming")
-        .select(F.col("ia"), F.explode("ids_b").alias("ib"), "hamming")
-        .select(F.least("ia", "ib").alias("id_a"),
-                F.greatest("ia", "ib").alias("id_b"), "hamming")
-    )
-    return within.unionByName(across)
+    if not materialize:
+        return out
+    try:
+        out = out.localCheckpoint(eager=True)
+    except BaseException:
+        release_local_checkpoint(groups)
+        raise
+    release_local_checkpoint(groups)
+    return out
 
 
 def phash_band_index(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:

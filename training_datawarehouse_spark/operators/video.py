@@ -65,6 +65,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from ..functions.caching import release_local_checkpoint
 from . import phash as ph
 from .jpeg import decode_jpeg, encode_jpeg
 
@@ -399,6 +400,7 @@ def video_pair_matches(
     min_frames: int = DEFAULT_MIN_FRAMES,
     params: ph.PhashParams = ph.DEFAULT_PARAMS,
     cap_grain: str = "doc",
+    materialize: bool = False,
 ) -> DataFrame:
     """Video-grain near-dup pairs from (id, frame, b0..b3) signatures:
     (id_a, id_b, offset, n_match, score) with id_a < id_b, where
@@ -446,10 +448,14 @@ def video_pair_matches(
         ).alias("id"),
         *params.band_cols,
     )
+    # materialize=True (r16): passes the phash operator's
+    # three-consumer group materialization through AND materializes
+    # the frame-grain pair set (it feeds the voting aggregation —
+    # identical rows, one execution of the banding subtree)
     fp = ph.phash_candidate_pairs(
         comp, max_hamming=max_hamming, max_bucket=max_bucket,
         n_bands=params.n_bands, band_bits=params.band_bits,
-        cap_grain=cap_grain)
+        cap_grain=cap_grain, materialize=materialize)
     pairs = fp.select(
         F.expr(f"id_a div {n_frames}").alias("va"),
         F.expr(f"id_b div {n_frames}").alias("vb"),
@@ -460,7 +466,7 @@ def video_pair_matches(
         F.count(F.lit(1)).alias("n_match"))
     w = Window.partitionBy("va", "vb").orderBy(
         F.col("n_match").desc(), F.abs("offset"), F.col("offset"))
-    return (
+    out = (
         votes.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("n_match") >= min_frames))
         .select(F.col("va").alias("id_a"), F.col("vb").alias("id_b"),
@@ -468,6 +474,15 @@ def video_pair_matches(
                 F.round(F.col("n_match") / F.lit(float(n_frames)), 6)
                 .alias("score"))
     )
+    if not materialize:
+        return out
+    try:
+        out = out.localCheckpoint(eager=True)
+    except BaseException:
+        release_local_checkpoint(fp)
+        raise
+    release_local_checkpoint(fp)
+    return out
 
 
 # ------------------------------------------------- metadata payloads

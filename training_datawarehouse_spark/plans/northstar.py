@@ -3902,24 +3902,17 @@ def image_phash_stage(spark: SparkSession, sf_dir: str,
     frame in, the same sharing seam as ``cross_modal_dedup(pairs=)``."""
     if pairs is None:
         docs = load_table(spark, sf_dir, "documents")
-        # signatures feed THREE consumers (band explode + both Hamming
-        # verify sides) — materialize the one Arrow/codec crossing
-        # behind a localCheckpoint (the BM25 scored-set discipline)
-        # instead of re-decoding the corpus per consumer; the frame is
-        # (id, 4×int), i.e. ~20 bytes/doc resident
-        sig = ph.image_phash_signatures(
+        # materialize=True (r16): the operator checkpoints its
+        # rep-grain group table for the three internal consumers (band
+        # explode + both Hamming-verify sides — the group table, one
+        # agg above the signatures, is the real sharing point; the
+        # former signature-level checkpoint still re-derived the group
+        # agg per consumer), materializes the verified pair frame, and
+        # releases the internal checkpoint
+        pairs = ph.phash_candidate_pairs(ph.image_phash_signatures(
             docs, "doc_id", "text",
             parallelism=spark.sparkContext.defaultParallelism,
-        ).localCheckpoint(eager=True)
-        # the verified pair set is candidate-grain (Hamming-filtered
-        # at rep grain before expansion) — materialize it too, so the
-        # final plan's union branches read one RDD instead of
-        # statically re-deriving the group/band/verify subplan per
-        # branch; the signature checkpoint has no consumer after this,
-        # so release it (BPE discipline — blocks are the only copy,
-        # freed only once the successor is materialized)
-        pairs = ph.phash_candidate_pairs(sig).localCheckpoint(eager=True)
-        release_local_checkpoint(sig)
+        ), materialize=True)
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -3951,16 +3944,14 @@ def audio_fp_stage(spark: SparkSession, sf_dir: str,
     ``pairs`` is the fused-crossing sharing seam."""
     if pairs is None:
         docs = load_table(spark, sf_dir, "documents")
-        # same three-consumer materialization as image_phash_stage:
-        # one synth+codec+DFT crossing, (id, 4×int) resident
-        sig = afp.audio_fingerprint_signatures(
-            docs, "doc_id", "text",
-            parallelism=spark.sparkContext.defaultParallelism,
-        ).localCheckpoint(eager=True)
+        # same internal group-table materialization as
+        # image_phash_stage (phash_candidate_pairs materialize=True)
         pairs = ph.phash_candidate_pairs(
-            sig,
-            max_hamming=afp.DEFAULT_MAX_HAMMING).localCheckpoint(eager=True)
-        release_local_checkpoint(sig)
+            afp.audio_fingerprint_signatures(
+                docs, "doc_id", "text",
+                parallelism=spark.sparkContext.defaultParallelism,
+            ),
+            max_hamming=afp.DEFAULT_MAX_HAMMING, materialize=True)
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -3993,15 +3984,13 @@ def video_fp_stage(spark: SparkSession, sf_dir: str,
     shared-crossing seam (a video-grain (id_a, id_b, score) frame)."""
     if pairs is None:
         docs = load_table(spark, sf_dir, "documents")
-        # same consumer shape as the image/audio stages: the codec
-        # crossing feeds banding + both Hamming-verify sides, so
-        # materialize it once; the video-grain pair set is then tiny
-        sig = vd.video_phash_signatures(
+        # same internal group-table materialization as the image/audio
+        # stages (video_pair_matches materialize=True — passes through
+        # to phash_candidate_pairs and materializes the voting output)
+        pairs = vd.video_pair_matches(vd.video_phash_signatures(
             docs, "doc_id", "text",
             parallelism=spark.sparkContext.defaultParallelism,
-        ).localCheckpoint(eager=True)
-        pairs = vd.video_pair_matches(sig).localCheckpoint(eager=True)
-        release_local_checkpoint(sig)
+        ), materialize=True)
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
@@ -4069,10 +4058,13 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents")
 
     def _lsh_pairs() -> DataFrame:
+        # materialize=True: the operator eager-checkpoints its shared
+        # signature table (3 internal consumers), materializes the
+        # returned pair frame, and releases the internal checkpoint
         return dd.lsh_candidate_pairs_portable(
             docs, "doc_id", "text", num_hashes=32, bands=8,
-            rows_per_band=4, jaccard_threshold=0.3,
-        ).localCheckpoint(eager=True)
+            rows_per_band=4, jaccard_threshold=0.3, materialize=True,
+        )
 
     def _out_from(pairs: DataFrame) -> DataFrame:
         cand = pairs.filter(F.col("jaccard") >= 0.5).select(
@@ -4110,10 +4102,10 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
                     *[F.col(f"ab{k}").alias(f"b{k}") for k in range(4)])
                 builds = [
                     lambda: ph.phash_candidate_pairs(
-                        isig).localCheckpoint(eager=True),
+                        isig, materialize=True),
                     lambda: ph.phash_candidate_pairs(
                         asig, max_hamming=afp.DEFAULT_MAX_HAMMING,
-                    ).localCheckpoint(eager=True),
+                        materialize=True),
                 ]
                 if include_video_stage:
                     vsig = fused.select(
@@ -4129,7 +4121,7 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
                         "id", "s.frame",
                         *[F.col(f"s.b{k}").alias(f"b{k}") for k in range(4)])
                     builds.append(lambda: vd.video_pair_matches(
-                        vsig).localCheckpoint(eager=True))
+                        vsig, materialize=True))
                 with ThreadPoolExecutor(len(builds)) as ex:
                     futs = [ex.submit(b) for b in builds]
                     # collect every outcome before raising, so a
@@ -4206,8 +4198,8 @@ def lsh_cross_modal_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32,
                                    bands=8, rows_per_band=4,
-                                   jaccard_threshold=0.3
-                                   ).localCheckpoint(eager=True)
+                                   jaccard_threshold=0.3,
+                                   materialize=True)
     cand = pairs.filter(F.col("jaccard") >= 0.5).select(
         F.lit("candidates").alias("stage"), "id_a", "id_b", "jaccard",
         F.lit(None).cast("double").alias("cosine"),
