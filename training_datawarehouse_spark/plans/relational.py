@@ -1753,16 +1753,20 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
             nb.alias("q95_in_rank_band"),
             nb.alias("q99_in_rank_band"),
         )
-    out = per_type.unionByName(weekly)
     # r16: the CMS / KMV / quantile-sketch families are independent
     # builds over the same `ev` frame, and each materializes its
     # bounded stage output eagerly (1–2 localCheckpoint jobs + a
     # types collect each). Serially those barriers dominated the
     # builder's wall-clock; overlapped (guide §2.6) they back-fill
     # each other's stragglers and the union below is assembled in the
-    # SAME order from the same frames — byte-identical output.
+    # SAME order from the same frames — byte-identical output. (A
+    # fourth track materializing per_type ∪ weekly was tried and
+    # MEASURED NEUTRAL-to-negative — 4.42 s three-track vs 4.55–5.3 s
+    # four-track: the extra checkpoint job costs what the moved scans
+    # save; the final collect keeps those two scans.)
     from concurrent.futures import ThreadPoolExecutor
 
+    out = per_type.unionByName(weekly)
     family = {}
     if include_cms:
         family["cms"] = lambda: _cms_stages(spark, ev)
