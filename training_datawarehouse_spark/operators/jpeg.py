@@ -31,6 +31,7 @@ progressive files, junk) mapping to the documented error classes.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -232,6 +233,208 @@ def _encode_block(w: _BitWriter, zz: list[int], pred: int,
     return zz[0]
 
 
+@functools.lru_cache(maxsize=64)
+def _enc_arrays(bits: tuple, vals: tuple, size: int):
+    """(code, length) lookup ARRAYS for a canonical Huffman table —
+    the r17 batch entropy encoder's gather tables. length 0 marks a
+    symbol the table cannot code (probed only if the stream actually
+    needs it — the lazy-ZRL discipline). Cached: the encoder always
+    uses the four Annex-K tables, formerly rebuilt as dicts per call
+    (~2.4 s / 5 k docs in the r17 profile)."""
+    table = _huff_encode_map(list(bits), list(vals))
+    code_t = np.zeros(size, dtype=np.int64)
+    len_t = np.zeros(size, dtype=np.int64)
+    for s, (c, ln) in table.items():
+        if s < size:
+            code_t[s] = c
+            len_t[s] = ln
+    return code_t, len_t
+
+
+def _bit_sizes(v: np.ndarray) -> np.ndarray:
+    """T.81 magnitude category per element: bit_length(|v|), exact for
+    |v| < 2^53 (frexp's exponent IS the bit length for integers)."""
+    return np.where(v == 0, 0, np.frexp(np.abs(v).astype(np.float64))[1])
+
+
+def _entropy_encode_segments(Z: np.ndarray, tid: np.ndarray,
+                             comp: np.ndarray, seg: np.ndarray,
+                             dc_tabs, ac_tabs) -> list[bytes]:
+    """Array-at-once T.81 baseline entropy encoder (r17, guide §4.2):
+    one numpy pass emits the ENTIRE Huffman field stream for every
+    8×8 block of every segment, replacing the per-coefficient
+    ``_encode_block`` Python loop (which stays as the parity
+    reference in tests). Byte-identical output by construction: the
+    (value, length) field sequence is the exact sequence the scalar
+    loop appends — DC diff code + magnitude bits, per-nonzero-AC
+    ZRL×(run>>4) + run/size code + magnitude bits, EOB on trailing
+    zeros — packed MSB-first, 1-padded to the byte, 0x00-stuffed
+    after 0xFF, per segment.
+
+    ``Z``: (nblocks, 64) ZIGZAG-ordered quantized coefficients in
+    EMIT order. ``tid``: per-block Huffman table row (indexes the
+    stacked ``dc_tabs``/``ac_tabs``). ``comp``: per-block component
+    id — DC predictions chain per (segment, comp) in emit order,
+    starting at 0. ``seg``: per-block segment id, NON-DECREASING;
+    each segment becomes one independently padded+stuffed byte
+    string (one JPEG scan / one MJPEG frame)."""
+    dc_code, dc_len = dc_tabs
+    ac_code, ac_len = ac_tabs
+    n = Z.shape[0]
+    if n == 0:
+        return []
+    Z = Z.astype(np.int64, copy=False)
+
+    # --- DC: per-(segment, component) chained diffs in emit order
+    dc0 = Z[:, 0]
+    key = seg.astype(np.int64) * 8 + comp
+    order = np.argsort(key, kind="stable")
+    v_s = dc0[order]
+    k_s = key[order]
+    prev_s = np.empty_like(v_s)
+    prev_s[0] = 0
+    prev_s[1:] = np.where(k_s[1:] == k_s[:-1], v_s[:-1], 0)
+    pred = np.empty_like(dc0)
+    pred[order] = prev_s
+    d = dc0 - pred
+    dsize = _bit_sizes(d)
+    dcv = dc_code[tid, dsize]
+    dcl = dc_len[tid, dsize]
+    if not dcl.all():
+        raise KeyError(int(dsize[np.argmin(dcl)]))
+    dbits = np.where(d >= 0, d, d + (1 << dsize) - 1)
+    dc_has_bits = dsize > 0
+
+    # --- AC: nonzero entries in block-major order
+    A = Z[:, 1:]
+    flat = A.ravel()
+    nzidx = np.flatnonzero(flat)
+    nzb = nzidx // 63
+    nzc = nzidx % 63
+    m = len(nzidx)
+    if m:
+        first = np.empty(m, dtype=bool)
+        first[0] = True
+        first[1:] = nzb[1:] != nzb[:-1]
+        prevc = np.empty_like(nzc)
+        prevc[1:] = nzc[:-1]
+        prevc[first] = -1
+        run = nzc - prevc - 1
+        nzrl = run >> 4
+        rem = run & 15
+        v = flat[nzidx]
+        asize = _bit_sizes(v)
+        sym = (rem << 4) | asize
+        acv = ac_code[tid[nzb], sym]
+        acl = ac_len[tid[nzb], sym]
+        if not acl.all():
+            raise KeyError(int(sym[np.argmin(acl)]))
+        abits = np.where(v >= 0, v, v + (1 << asize) - 1)
+        ac_counts = nzrl + 2
+    else:
+        nzrl = np.zeros(0, dtype=np.int64)
+        ac_counts = np.zeros(0, dtype=np.int64)
+
+    # trailing zeros (incl. all-zero AC) → EOB; a nonzero at column 62
+    # (coefficient 63) ends the block with no EOB, as in the scalar loop
+    lastc = np.full(n, -1, dtype=np.int64)
+    if m:
+        lastc[nzb] = nzc  # emit-order scatter: later (larger) wins
+    eob = lastc < 62
+    eobv = ac_code[tid, 0]
+    eobl = ac_len[tid, 0]
+    if eob.any() and not eobl[eob].all():
+        raise KeyError(0x00)
+
+    # --- field layout: per-block offsets, then scatter every field
+    ac_per_block = np.zeros(n, dtype=np.int64)
+    if m:
+        np.add.at(ac_per_block, nzb, ac_counts)
+    total_block = 1 + dc_has_bits.astype(np.int64) + ac_per_block \
+        + eob.astype(np.int64)
+    block_off = np.concatenate(([0], np.cumsum(total_block)))
+    nfields = int(block_off[-1])
+    vals = np.zeros(nfields, dtype=np.int64)
+    lens = np.zeros(nfields, dtype=np.int64)
+
+    pos_dc = block_off[:-1]
+    vals[pos_dc] = dcv
+    lens[pos_dc] = dcl
+    pos_db = pos_dc[dc_has_bits] + 1
+    vals[pos_db] = dbits[dc_has_bits]
+    lens[pos_db] = dsize[dc_has_bits]
+    if m:
+        cum_ac = np.cumsum(ac_counts) - ac_counts
+        start_idx = np.flatnonzero(first)
+        seg_len = np.diff(np.append(start_idx, m))
+        within = cum_ac - np.repeat(cum_ac[start_idx], seg_len)
+        entry_off = block_off[nzb] + 1 + dc_has_bits[nzb] + within
+        tot_zrl = int(nzrl.sum())
+        if tot_zrl:
+            zrl_v = ac_code[tid[nzb], 0xF0]
+            zrl_l = ac_len[tid[nzb], 0xF0]
+            need = nzrl > 0
+            if not zrl_l[need].all():
+                raise KeyError(0xF0)
+            czr = np.cumsum(nzrl) - nzrl
+            zpos = (np.repeat(entry_off, nzrl)
+                    + np.arange(tot_zrl) - np.repeat(czr, nzrl))
+            vals[zpos] = np.repeat(zrl_v, nzrl)
+            lens[zpos] = np.repeat(zrl_l, nzrl)
+        pos_ac = entry_off + nzrl
+        vals[pos_ac] = acv
+        lens[pos_ac] = acl
+        vals[pos_ac + 1] = abits
+        lens[pos_ac + 1] = asize
+    pos_eob = block_off[:-1][eob] + total_block[eob] - 1
+    vals[pos_eob] = eobv[eob]
+    lens[pos_eob] = eobl[eob]
+
+    # --- pack ALL segments in one pass: MSB-first bit expansion, each
+    # segment independently 1-padded to its byte boundary (scattered
+    # into a ones-initialized global bit array), one packbits, one
+    # global 0x00-after-0xFF stuffing insert (a stuffed 0x00 is never
+    # 0xFF, so no cascade; a segment-final 0xFF's stuffed byte lands
+    # inside its own segment, exactly as the per-segment writer did)
+    bitoff = np.concatenate(([0], np.cumsum(lens)))
+    flatbits = np.empty(int(bitoff[-1]), dtype=np.uint8)
+    # expand fields → bits in bounded chunks: one (nfields, 16) int64
+    # matrix thrashes RAM past ~1M fields (measured 1.9 µs/field vs
+    # 0.3 µs chunked at the 5 k-image batch) — chunking keeps every
+    # temporary cache-sized while staying one vector op per chunk
+    j = np.arange(16, dtype=np.int64)
+    step = 1 << 18
+    for c0 in range(0, nfields, step):
+        c1 = min(c0 + step, nfields)
+        lv = lens[c0:c1, None]
+        shifts = lv - 1 - j
+        bits = ((vals[c0:c1, None] >> np.maximum(shifts, 0)) & 1).astype(np.uint8)
+        flatbits[bitoff[c0]:bitoff[c1]] = bits[j < lv]
+    # segment boundaries in block space (seg is non-decreasing)
+    seg_change = np.flatnonzero(seg[1:] != seg[:-1]) + 1
+    starts = np.concatenate(([0], seg_change, [n]))
+    nseg = len(starts) - 1
+    seg_bit_off = bitoff[block_off[starts]]
+    seg_bits = np.diff(seg_bit_off)
+    seg_bytes = (seg_bits + 7) // 8
+    out_bit_off = np.concatenate(([0], np.cumsum(seg_bytes * 8)))
+    allbits = np.ones(int(out_bit_off[-1]), dtype=np.uint8)
+    pos = (np.arange(len(flatbits), dtype=np.int64)
+           - np.repeat(seg_bit_off[:-1], seg_bits)
+           + np.repeat(out_bit_off[:-1], seg_bits))
+    allbits[pos] = flatbits
+    packed = np.packbits(allbits, bitorder="big")
+    byte_off = out_bit_off // 8
+    ff = packed == 0xFF
+    ff_idx = np.flatnonzero(ff)
+    if len(ff_idx):
+        packed = np.insert(packed, ff_idx + 1, 0)
+        ff_cum = np.concatenate(([0], np.cumsum(ff)))
+        byte_off = byte_off + ff_cum[byte_off]
+    buf = packed.tobytes()
+    return [buf[byte_off[s]:byte_off[s + 1]] for s in range(nseg)]
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -240,31 +443,14 @@ def _dht_seg(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return _seg(0xFFC4, bytes([tc_th] + bits[1:17] + vals))
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes,
-                quality: int = 85, subsample: bool = False) -> bytes:
-    """Minimal REAL baseline JPEG encoder.
-
-    ``pixels`` is a grayscale raster (width·height bytes) — encoded as a
-    1-component JFIF. ``subsample=True`` instead encodes a 3-component
-    YCbCr 4:2:0 image (chroma synthesized from the luma so the decoder's
-    interleaved-MCU and upsampling paths get exercised); the decoded
-    luma plane still round-trips against ``pixels``."""
-    if len(pixels) != width * height:
-        raise ValueError("pixels must be width*height bytes")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+@functools.lru_cache(maxsize=4096)
+def _jpeg_header(width: int, height: int, quality: int,
+                 subsample: bool) -> bytes:
+    """SOI..SOS marker prefix — fully determined by (dims, quality,
+    layout), so cached across the corpus (the DQT byte construction
+    was a measurable per-image cost in the r17 profile)."""
     ql = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
-    dc_l = _huff_encode_map(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _huff_encode_map(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _huff_encode_map(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _huff_encode_map(AC_CHROMA_BITS, AC_CHROMA_VALS)
-
-    def blocks_of(plane: np.ndarray):
-        h, w0 = plane.shape
-        ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
-        padded = np.pad(plane, ((0, ph - h), (0, pw - w0)), mode="edge")
-        return padded.astype(np.float64), ph // 8, pw // 8
-
     # DQT payload is the table in ZIGZAG serialization (T.81 §B.4.1):
     # payload[k] = natural_table[ZIGZAG[k]]
     out = bytearray(b"\xFF\xD8")                       # SOI
@@ -272,7 +458,6 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
     out += _seg(0xFFDB, bytes([0x00]) + bytes(int(ql[z]) for z in ZIGZAG))
     if subsample:
         out += _seg(0xFFDB, bytes([0x01]) + bytes(int(qc[z]) for z in ZIGZAG))
-
     ncomp = 3 if subsample else 1
     sof_comps = b""
     if subsample:
@@ -287,72 +472,221 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
     if subsample:
         out += _dht_seg(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht_seg(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
-
     if subsample:
         sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11])
     else:
         sos_comps = bytes([1, 0x00])
     out += _seg(0xFFDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-
-    def grid_coefs(plane: np.ndarray, qt8: np.ndarray) -> np.ndarray:
-        """Batched FDCT+quantize of an 8-aligned plane: one broadcast
-        matmul over all blocks (identical per-block arithmetic)."""
-        gy, gx = plane.shape[0] // 8, plane.shape[1] // 8
-        blocks = (plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
-                  .reshape(gy * gx, 8, 8))
-        return np.round((_A @ (blocks - 128.0) @ _A.T) / qt8).astype(np.int32)
-
-    def zz_lists(coefs: np.ndarray) -> list[list[int]]:
-        """Batched zigzag gather + tolist for every block at once."""
-        return coefs.reshape(-1, 64)[:, ZIGZAG].tolist()
-
-    w = _BitWriter()
-    if not subsample:
-        padded, by, bx = blocks_of(img)
-        coefs = grid_coefs(padded, ql.astype(np.float64).reshape(8, 8))
-        zzs = zz_lists(coefs)
-        pred = 0
-        for i in range(by * bx):
-            pred = _encode_block(w, zzs[i], pred, dc_l, ac_l)
-    else:
-        # YCbCr 4:2:0: luma = img; chroma planes synthesized from the
-        # 2×2-mean of the luma (deterministic, content-derived) so the
-        # decoder's subsampled MCU path is exercised for real.
-        ch, cw = -(-height // 2), -(-width // 2)
-        pad_y = np.pad(img, ((0, ch * 2 - height), (0, cw * 2 - width)),
-                       mode="edge").astype(np.float64)
-        mean2 = (pad_y[0::2, 0::2] + pad_y[0::2, 1::2]
-                 + pad_y[1::2, 0::2] + pad_y[1::2, 1::2]) / 4.0
-        cb = (255.0 - mean2)
-        cr = mean2.copy()
-        ql8 = ql.astype(np.float64).reshape(8, 8)
-        qc8 = qc.astype(np.float64).reshape(8, 8)
-        # MCU = 16×16 luma + 8×8 cb + 8×8 cr
-        mby, mbx = -(-height // 16), -(-width // 16)
-        ypad = np.pad(img, ((0, mby * 16 - height), (0, mbx * 16 - width)),
-                      mode="edge").astype(np.float64)
-        cbp = np.pad(cb, ((0, mby * 8 - cb.shape[0]), (0, mbx * 8 - cb.shape[1])),
-                     mode="edge")
-        crp = np.pad(cr, ((0, mby * 8 - cr.shape[0]), (0, mbx * 8 - cr.shape[1])),
-                     mode="edge")
-        yzz = zz_lists(grid_coefs(ypad, ql8))   # (2·mby × 2·mbx) grid
-        czz = [zz_lists(grid_coefs(cbp, qc8)), zz_lists(grid_coefs(crp, qc8))]
-        preds = [0, 0, 0]
-        for my in range(mby):
-            for mx in range(mbx):
-                for sy in range(2):
-                    for sx in range(2):
-                        i = (my * 2 + sy) * (mbx * 2) + (mx * 2 + sx)
-                        preds[0] = _encode_block(w, yzz[i], preds[0],
-                                                 dc_l, ac_l)
-                for ci in (1, 2):
-                    i = my * mbx + mx
-                    preds[ci] = _encode_block(w, czz[ci - 1][i],
-                                              preds[ci], dc_c, ac_c)
-    w.flush()
-    out += w.out
-    out += b"\xFF\xD9"                                 # EOI
     return bytes(out)
+
+
+def _grid_coefs(plane: np.ndarray, qt8: np.ndarray) -> np.ndarray:
+    """Batched FDCT+quantize of an 8-aligned plane: one broadcast
+    matmul over all blocks (identical per-block arithmetic)."""
+    gy, gx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
+              .reshape(gy * gx, 8, 8))
+    return np.round((_A @ (blocks - 128.0) @ _A.T) / qt8).astype(np.int64)
+
+
+def _image_zigzag_blocks(img: np.ndarray, quality: int, subsample: bool):
+    """(Z, tid, comp) for one image in scan-emit order — the batch
+    entropy encoder's input (Z zigzag-ordered; tid the Huffman table
+    row, comp the DC-chain id)."""
+    height, width = img.shape
+    ql = _quality_scale(QUANT_LUMA, quality)
+    ql8 = ql.astype(np.float64).reshape(8, 8)
+    if not subsample:
+        ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+        padded = np.pad(img, ((0, ph - height), (0, pw - width)),
+                        mode="edge").astype(np.float64)
+        Z = _grid_coefs(padded, ql8).reshape(-1, 64)[:, ZIGZAG]
+        zeros = np.zeros(Z.shape[0], dtype=np.int64)
+        return Z, zeros, zeros
+    # YCbCr 4:2:0: luma = img; chroma planes synthesized from the
+    # 2×2-mean of the luma (deterministic, content-derived) so the
+    # decoder's subsampled MCU path is exercised for real.
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    ch, cw = -(-height // 2), -(-width // 2)
+    pad_y = np.pad(img, ((0, ch * 2 - height), (0, cw * 2 - width)),
+                   mode="edge").astype(np.float64)
+    mean2 = (pad_y[0::2, 0::2] + pad_y[0::2, 1::2]
+             + pad_y[1::2, 0::2] + pad_y[1::2, 1::2]) / 4.0
+    cb = (255.0 - mean2)
+    cr = mean2.copy()
+    qc8 = qc.astype(np.float64).reshape(8, 8)
+    # MCU = 16×16 luma + 8×8 cb + 8×8 cr
+    mby, mbx = -(-height // 16), -(-width // 16)
+    ypad = np.pad(img, ((0, mby * 16 - height), (0, mbx * 16 - width)),
+                  mode="edge").astype(np.float64)
+    cbp = np.pad(cb, ((0, mby * 8 - cb.shape[0]), (0, mbx * 8 - cb.shape[1])),
+                 mode="edge")
+    crp = np.pad(cr, ((0, mby * 8 - cr.shape[0]), (0, mbx * 8 - cr.shape[1])),
+                 mode="edge")
+    yz = _grid_coefs(ypad, ql8).reshape(-1, 64)[:, ZIGZAG]
+    cbz = _grid_coefs(cbp, qc8).reshape(-1, 64)[:, ZIGZAG]
+    crz = _grid_coefs(crp, qc8).reshape(-1, 64)[:, ZIGZAG]
+    # interleaved MCU emit order: 4 luma (sy, sx) + Cb + Cr per MCU
+    nmcu = mby * mbx
+    my, mx = np.divmod(np.arange(nmcu), mbx)
+    yidx = ((my[:, None] * 2 + np.array([0, 0, 1, 1])) * (2 * mbx)
+            + (mx[:, None] * 2 + np.array([0, 1, 0, 1])))
+    cidx = my * mbx + mx
+    M = np.empty((nmcu, 6, 64), dtype=np.int64)
+    M[:, :4] = yz[yidx]
+    M[:, 4] = cbz[cidx]
+    M[:, 5] = crz[cidx]
+    Z = M.reshape(-1, 64)
+    tid = np.tile(np.array([0, 0, 0, 0, 1, 1], dtype=np.int64), nmcu)
+    comp = np.tile(np.array([0, 0, 0, 0, 1, 2], dtype=np.int64), nmcu)
+    return Z, tid, comp
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                quality: int = 85, subsample: bool = False) -> bytes:
+    """Minimal REAL baseline JPEG encoder.
+
+    ``pixels`` is a grayscale raster (width·height bytes) — encoded as a
+    1-component JFIF. ``subsample=True`` instead encodes a 3-component
+    YCbCr 4:2:0 image (chroma synthesized from the luma so the decoder's
+    interleaved-MCU and upsampling paths get exercised); the decoded
+    luma plane still round-trips against ``pixels``.
+
+    r17: the per-coefficient ``_encode_block`` Python loop is replaced
+    by the array-at-once entropy encoder (guide §4.2) — one numpy pass
+    emits the identical field stream (byte-parity pinned in
+    tests/test_r17_optimizations.py against the scalar loop, which
+    remains above as the reference)."""
+    return encode_jpeg_batch([(width, height, pixels, subsample)],
+                             quality=quality)[0]
+
+
+def encode_jpeg_batch(items: list[tuple[int, int, bytes, bool]],
+                      quality: int = 85) -> list[bytes]:
+    """Batch encoder: each item is (width, height, pixels, subsample);
+    the per-image outputs are byte-identical to ``encode_jpeg`` calls,
+    but the Huffman field emission + bit packing for EVERY image runs
+    as ONE numpy pass (per-image numpy fixed costs were the dominant
+    residual of the r17 JPEG profile — §4.2 batch-at-once). Batches
+    larger than ~384 images are processed in chunks: the emission
+    arrays stop fitting cache past ~1M fields and the pass turns
+    memory-bound (measured 2.9× slower un-chunked at 5 k images)."""
+    if not items:
+        return []
+    if len(items) > 384:
+        out: list[bytes] = []
+        for c0 in range(0, len(items), 384):
+            out += encode_jpeg_batch(items[c0:c0 + 384], quality=quality)
+        return out
+    zs, tids, comps, segs = [], [], [], []
+    for i, (width, height, pixels, subsample) in enumerate(items):
+        if len(pixels) != width * height:
+            raise ValueError("pixels must be width*height bytes")
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        Z, tid, comp = _image_zigzag_blocks(img, quality, bool(subsample))
+        zs.append(Z)
+        tids.append(tid)
+        comps.append(comp)
+        segs.append(np.full(Z.shape[0], i, dtype=np.int64))
+    ents = _entropy_encode_segments(
+        np.concatenate(zs), np.concatenate(tids), np.concatenate(comps),
+        np.concatenate(segs), _stacked_tables("dc"), _stacked_tables("ac"))
+    return [
+        _jpeg_header(w, h, quality, bool(sub)) + ent + b"\xFF\xD9"
+        for (w, h, _px, sub), ent in zip(items, ents)
+    ]
+
+
+@functools.lru_cache(maxsize=2)
+def _stacked_tables(kind: str):
+    """Annex-K encode tables stacked luma/chroma for the batch
+    encoder's per-block gather (row 0 = luma, row 1 = chroma)."""
+    if kind == "dc":
+        lu = _enc_arrays(tuple(DC_LUMA_BITS), tuple(DC_LUMA_VALS), 12)
+        ch = _enc_arrays(tuple(DC_CHROMA_BITS), tuple(DC_CHROMA_VALS), 12)
+    else:
+        lu = _enc_arrays(tuple(AC_LUMA_BITS), tuple(AC_LUMA_VALS), 256)
+        ch = _enc_arrays(tuple(AC_CHROMA_BITS), tuple(AC_CHROMA_VALS), 256)
+    return (np.stack([lu[0], ch[0]]), np.stack([lu[1], ch[1]]))
+
+
+def encode_jpeg_frames(width: int, height: int, frames: list[bytes],
+                       quality: int = 85) -> list[bytes]:
+    """Batch grayscale encoder for same-dimension frame sequences (the
+    MJPEG synthesis path): ONE numpy pass runs the FDCT+quantize and
+    the array-at-once entropy encode across every block of every
+    frame (per-frame DC chains and byte padding preserved — each
+    returned element is byte-identical to ``encode_jpeg(width,
+    height, frame, quality)``; parity pinned in tests). The marker
+    header is dimension/quality-derived and shared."""
+    return encode_jpeg_frames_many([(width, height, frames)],
+                                   quality=quality)[0]
+
+
+def _clip_zigzag_blocks(width: int, height: int, frames: list[bytes],
+                        quality: int) -> np.ndarray:
+    """(nf·blocks, 64) zigzag coefficients for a same-dim grayscale
+    frame stack: ONE padded FDCT matmul across every frame."""
+    nf = len(frames)
+    imgs = np.frombuffer(b"".join(frames), dtype=np.uint8).reshape(
+        nf, height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.pad(imgs, ((0, 0), (0, ph - height), (0, pw - width)),
+                    mode="edge").astype(np.float64)
+    gy, gx = ph // 8, pw // 8
+    blocks = (padded.reshape(nf, gy, 8, gx, 8).transpose(0, 1, 3, 2, 4)
+              .reshape(nf * gy * gx, 8, 8))
+    qt8 = _quality_scale(QUANT_LUMA, quality).astype(np.float64).reshape(8, 8)
+    coefs = np.round((_A @ (blocks - 128.0) @ _A.T) / qt8).astype(np.int64)
+    return coefs.reshape(-1, 64)[:, ZIGZAG]
+
+
+def encode_jpeg_frames_many(
+    clips: list[tuple[int, int, list[bytes]]], quality: int = 85,
+) -> list[list[bytes]]:
+    """Batch-of-clips grayscale encoder: each clip is (width, height,
+    frames). Every frame of every clip rides ONE entropy-encode +
+    bit-pack numpy pass (per-clip fixed numpy costs amortize across
+    the Arrow batch — §4.2); outputs are byte-identical to per-frame
+    ``encode_jpeg`` calls. Chunked past ~384 clips like
+    ``encode_jpeg_batch`` (cache-bound emission arrays)."""
+    if not clips:
+        return []
+    if len(clips) > 384:
+        out2: list[list[bytes]] = []
+        for c0 in range(0, len(clips), 384):
+            out2 += encode_jpeg_frames_many(clips[c0:c0 + 384],
+                                            quality=quality)
+        return out2
+    zs, segs, counts = [], [], []
+    seg0 = 0
+    for width, height, frames in clips:
+        for f in frames:
+            if len(f) != width * height:
+                raise ValueError("pixels must be width*height bytes")
+        counts.append(len(frames))
+        if not frames:
+            continue
+        Z = _clip_zigzag_blocks(width, height, frames, quality)
+        per_frame = Z.shape[0] // len(frames)
+        zs.append(Z)
+        segs.append(seg0 + np.repeat(np.arange(len(frames), dtype=np.int64),
+                                     per_frame))
+        seg0 += len(frames)
+    if not zs:
+        return [[] for _ in clips]
+    Z = np.concatenate(zs)
+    seg = np.concatenate(segs)
+    zeros = np.zeros(Z.shape[0], dtype=np.int64)
+    ents = _entropy_encode_segments(
+        Z, zeros, zeros, seg, _stacked_tables("dc"), _stacked_tables("ac"))
+    out: list[list[bytes]] = []
+    k = 0
+    for (width, height, _frames), nf in zip(clips, counts):
+        header = _jpeg_header(width, height, quality, False)
+        out.append([header + ents[k + i] + b"\xFF\xD9" for i in range(nf)])
+        k += nf
+    return out
 
 
 def _dezig(qt_zigzag: np.ndarray) -> np.ndarray:
@@ -449,6 +783,10 @@ class _HuffTable:
     so symbols and error behavior are unchanged."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
+        # (bits, vals) retained so the r17 batch decoder can key its
+        # shared full-width LUTs by table CONTENT (every image from
+        # this encoder carries the same four Annex-K tables)
+        self.src = (tuple(bits), tuple(vals))
         self.min_code = [0] * 17
         self.max_code = [-1] * 17
         self.val_ptr = [0] * 17
@@ -462,6 +800,13 @@ class _HuffTable:
                 self.max_code[ln] = code - 1
             code <<= 1
         self.vals = vals
+        self._lut: list[tuple[int, int] | None] | None = None
+
+    def _build_lut(self) -> list:
+        """256-entry peek table, built LAZILY on the first scalar
+        decode (r17): the batch decoder never touches it, and every
+        image used to pay this build eagerly per table."""
+        bits, vals = self.src
         lut: list[tuple[int, int] | None] = [None] * 256
         code, k = 0, 0
         for ln in range(1, 9):
@@ -474,6 +819,7 @@ class _HuffTable:
                 k += 1
             code <<= 1
         self._lut = lut
+        return lut
 
     def decode(self, br: _BitReader) -> int:
         """Peek canonical decode: LUT on the top 8 bits, per-length
@@ -482,7 +828,10 @@ class _HuffTable:
         if br.nbits < 16:
             br._fill()
         peeked = (br.acc >> (br.nbits - 16)) & 0xFFFF
-        hit = self._lut[peeked >> 8]
+        lut = self._lut
+        if lut is None:
+            lut = self._build_lut()
+        hit = lut[peeked >> 8]
         if hit is not None:
             sym, ln = hit
             br.nbits -= ln
@@ -513,6 +862,20 @@ def decode_jpeg(data: bytes) -> dict:
     streams and ``NotImplementedError`` for non-baseline variants
     (progressive SOF2, arithmetic coding, 12-bit) — callers fall back
     to the stub path via ``multimodal._CODEC_ERRORS``."""
+    parsed = _parse_jpeg(data)
+    return _decode_scan(data, *parsed)
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_table_cached(bits: tuple, vals: tuple) -> "_HuffTable":
+    return _HuffTable(list(bits), list(vals))
+
+
+def _parse_jpeg(data: bytes) -> tuple:
+    """Marker walk up to (and including) SOS: returns the
+    ``_decode_scan`` argument tuple (pos, frame, scan, qtables,
+    htables, dri). Factored out so the batch decoder shares the exact
+    header semantics and error classes."""
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -560,7 +923,10 @@ def decode_jpeg(data: bytes) -> dict:
                 vals = list(body[p + 17:p + 17 + n])
                 if len(vals) != n:
                     raise ValueError("short DHT")
-                htables[(tc, th)] = _HuffTable(bits, vals)
+                # content-cached: every stream from this encoder
+                # carries the same four Annex-K tables (r17)
+                htables[(tc, th)] = _huff_table_cached(
+                    tuple(bits), tuple(vals))
                 p += 17 + n
         elif marker == 0xFFC0:                    # SOF0
             prec, h, w0, nc = struct.unpack(">BHHB", body[:6])
@@ -584,8 +950,7 @@ def decode_jpeg(data: bytes) -> dict:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
             pos += seglen
-            return _decode_scan(data, pos, frame, scan, qtables, htables,
-                                restart_interval)
+            return (pos, frame, scan, qtables, htables, restart_interval)
         pos += seglen
     raise ValueError("no SOS marker found")
 
@@ -664,9 +1029,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
                     x0 = (mx * c["h"] + sx) * 8
                     coefs_list.append(zz)
                     pos_list.append((y0, x0))
+    return _finish_scan(frame, scan, qtables, planes, pending, hmax, vmax)
+
+
+def _finish_scan(frame, scan, qtables, planes, pending, hmax, vmax) -> dict:
+    """Dequantize + batched IDCT + plane paste + luma extraction —
+    shared by the scalar and the r17 batch entropy decoders."""
+    w0, h0 = frame["w"], frame["h"]
     for c in scan:
         coefs, positions = pending[c["id"]]
-        if not coefs:
+        if not len(coefs):
             continue
         qt = qtables[c["tq"]]
         dezig = np.empty((len(coefs), 64), dtype=np.float64)
@@ -689,3 +1061,274 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, dri) -> dict:
         "width": w0, "height": h0, "n_components": len(frame["comps"]),
         "pixels": raster.tobytes(),
     }
+
+
+@functools.lru_cache(maxsize=32)
+def _dec_lut16(bits: tuple, vals: tuple):
+    """Full-width 16-bit decode LUT for one canonical table: peek the
+    next 16 stream bits, gather (symbol, code length) in one step.
+    length 0 marks an invalid code (no symbol owns that prefix).
+    Cached by table CONTENT — every stream from this encoder carries
+    the four Annex-K tables, so the batch decoder shares four LUTs
+    across all lanes (~128 KB each, built once per worker)."""
+    sym_t = np.zeros(1 << 16, dtype=np.int16)
+    len_t = np.zeros(1 << 16, dtype=np.int8)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            base = code << (16 - ln)
+            sym_t[base:base + (1 << (16 - ln))] = vals[k]
+            len_t[base:base + (1 << (16 - ln))] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return sym_t, len_t
+
+
+def _unstuff_entropy(data: bytes, pos: int):
+    """Entropy segment starting at ``pos`` → (unstuffed byte array
+    padded with 8 zero bytes, real unstuffed length). Stuffed 0x00
+    bytes after 0xFF are removed; the segment ends at the first
+    marker (0xFF followed by a non-zero byte), matching the scalar
+    reader's zero-fill-at-marker semantics."""
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    if len(arr) == 0:
+        return np.zeros(8, dtype=np.uint8), 0
+    ff = arr[:-1] == 0xFF
+    nxt = arr[1:]
+    marker = np.flatnonzero(ff & (nxt != 0x00))
+    end = int(marker[0]) if len(marker) else len(arr)
+    head = arr[:end]
+    stuffed = np.flatnonzero((head[:-1] == 0xFF) & (head[1:] == 0x00)) + 1
+    if len(stuffed):
+        head = np.delete(head, stuffed)
+    out = np.concatenate([head, np.zeros(8, dtype=np.uint8)])
+    return out, len(head)
+
+
+def decode_jpeg_many(payloads: list[bytes]) -> list[dict]:
+    """Array-at-once batch JPEG decoder (r17, guide §4.2): headers
+    parse per image through the exact scalar code, then the entropy
+    decode of EVERY eligible image advances as vectorized LANE STEPS —
+    one Huffman symbol (one shared-LUT gather + one value-bit extract)
+    per active image per step — instead of a per-coefficient Python
+    loop per image. Any lane that leaves the fast path's envelope
+    (restart markers, an invalid/over-long code, reading past the
+    stream) is re-decoded by the scalar path from scratch, so results
+    AND error classes are identical to ``decode_jpeg`` per payload
+    (byte-parity pinned in tests/test_r17_optimizations.py)."""
+    n_lanes = len(payloads)
+    results: list[dict | None] = [None] * n_lanes
+    lanes = []   # per eligible lane: dict of prepared state
+    for i, data in enumerate(payloads):
+        parsed = _parse_jpeg(data)
+        pos, frame, scan, qtables, htables, dri = parsed
+        hmax = max(c["h"] for c in scan)
+        vmax = max(c["v"] for c in scan)
+        if hmax > 2 or vmax > 2:
+            raise NotImplementedError(
+                "sampling factors above 2 unsupported")
+        if dri:
+            # restart markers re-sync the bit reader mid-stream —
+            # scalar path handles them; lane stepping does not
+            results[i] = _decode_scan(data, *parsed)
+            continue
+        comp_tabs = []
+        for c in scan:
+            dc_t = htables.get((0, c["dc"]))
+            ac_t = htables.get((1, c["ac"]))
+            qt = qtables.get(c["tq"])
+            if dc_t is None or ac_t is None or qt is None:
+                raise ValueError("missing Huffman/quant table")
+            comp_tabs.append((c, dc_t, ac_t))
+        # block schedule in scan-emit order: per MCU, per component,
+        # v×h blocks — (dc lut, ac lut, comp index, y0, x0) per block
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        dcids, acids, compidx, posyx = [], [], [], []
+        lut_pairs: list[tuple] = []
+
+        def _lut_id(t):
+            pair = _dec_lut16(*t.src)
+            for pi, have in enumerate(lut_pairs):
+                if have[0] is pair[0]:
+                    return pi
+            lut_pairs.append(pair)
+            return len(lut_pairs) - 1
+
+        lut_ids = []
+        for c, dc_t, ac_t in comp_tabs:
+            lut_ids.append((_lut_id(dc_t), _lut_id(ac_t)))
+        per_mcu = []
+        for ci, (c, _dc, _ac) in enumerate(comp_tabs):
+            for sy in range(c["v"]):
+                for sx in range(c["h"]):
+                    per_mcu.append((ci, sy, sx))
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, sy, sx in per_mcu:
+                c = comp_tabs[ci][0]
+                dcids.append(lut_ids[ci][0])
+                acids.append(lut_ids[ci][1])
+                compidx.append(ci)
+                posyx.append(((my * c["v"] + sy) * 8,
+                              (mx * c["h"] + sx) * 8))
+        stream, real_len = _unstuff_entropy(data, pos)
+        lanes.append({
+            "i": i, "data": data, "parsed": parsed,
+            "frame": frame, "scan": scan, "qtables": qtables,
+            "hmax": hmax, "vmax": vmax,
+            "mcux": mcux, "mcuy": mcuy,
+            "dcids": np.asarray(dcids, dtype=np.int64),
+            "acids": np.asarray(acids, dtype=np.int64),
+            "compidx": compidx, "posyx": posyx,
+            "luts": lut_pairs, "stream": stream,
+            "limit": real_len * 8,
+        })
+
+    if lanes:
+        _decode_lanes(lanes, results)
+    return results
+
+
+def _decode_lanes(lanes: list[dict], results: list) -> None:
+    nl = len(lanes)
+    maxb = max(len(ln["compidx"]) for ln in lanes)
+    maxs = max(len(ln["stream"]) for ln in lanes) + 8
+    stream = np.zeros((nl, maxs), dtype=np.int64)
+    # per-block (dc, ac) LUT ids interleaved so ONE flat gather keyed
+    # by the phase bit picks the table
+    tab2 = np.zeros((nl, maxb, 2), dtype=np.int64)
+    nblocks = np.empty(nl, dtype=np.int64)
+    limit = np.empty(nl, dtype=np.int64)
+    # stack every distinct LUT across lanes; remap per-lane ids
+    lut_key_list: list = []
+    lut_map: dict[int, int] = {}
+    for ln in lanes:
+        for pair in ln["luts"]:
+            if id(pair[0]) not in lut_map:
+                lut_map[id(pair[0])] = len(lut_key_list)
+                lut_key_list.append(pair)
+    for li, ln in enumerate(lanes):
+        s = ln["stream"]
+        stream[li, :len(s)] = s
+        nb = len(ln["compidx"])
+        nblocks[li] = nb
+        remap = np.asarray(
+            [lut_map[id(pair[0])] for pair in ln["luts"]], dtype=np.int64)
+        tab2[li, :nb, 0] = remap[ln["dcids"]]
+        tab2[li, :nb, 1] = remap[ln["acids"]]
+        limit[li] = ln["limit"]
+    # combined (sym << 8 | len) LUT: one gather yields both fields
+    lut = np.stack([
+        (s.astype(np.int64) << 8) | l.astype(np.int64)
+        for s, l in lut_key_list
+    ]).ravel()
+    tab2f = tab2.reshape(nl, -1)
+    # precomputed 40-bit big-endian word at every byte offset: one
+    # gather per lane-step covers peek16 + code + value bits
+    # (off<=7 + code<=16 + value<=11 = 34 <= 40)
+    s64 = stream
+    w40 = ((s64[:, :-4] << 32) | (s64[:, 1:-3] << 24)
+           | (s64[:, 2:-2] << 16) | (s64[:, 3:-1] << 8) | s64[:, 4:])
+    w40f = w40.ravel()
+    w40w = w40.shape[1]
+
+    Z = np.zeros((nl, maxb, 64), dtype=np.int64)
+    Zf = Z.reshape(nl, -1)
+    bitpos = np.zeros(nl, dtype=np.int64)
+    blk = np.zeros(nl, dtype=np.int64)
+    kpos = np.zeros(nl, dtype=np.int64)      # 0 = DC phase, else AC index
+    preds = np.zeros((nl, 4), dtype=np.int64)
+    predsf = preds.ravel()
+    comp_of = np.zeros((nl, maxb), dtype=np.int64)
+    for li, ln in enumerate(lanes):
+        comp_of[li, :nblocks[li]] = ln["compidx"]
+    active = nblocks > 0
+    failed = np.zeros(nl, dtype=bool)
+    lane_rows = np.arange(nl)
+
+    idx = lane_rows[active]
+    while len(idx):
+        bp = bitpos[idx]
+        byte = bp >> 3
+        off = bp & 7
+        word = w40f[idx * w40w + byte]
+        kp = kpos[idx]
+        ac_phase = kp > 0
+        b = blk[idx]
+        tab = tab2f[idx, b * 2 + ac_phase]
+        ent = lut[(tab << 16) | ((word >> (24 - off)) & 0xFFFF)]
+        sym = ent >> 8
+        ln_ = ent & 0xFF
+        bad = ln_ == 0
+        # value-bit sizes: DC size = sym; AC size = sym & 15; a 0-size
+        # mask makes the unconditional extract yield 0, branch-free
+        size = np.where(ac_phase, sym & 15, sym)
+        v = (word >> (40 - off - ln_ - size)) & ((1 << size) - 1)
+        bitpos[idx] = bp + ln_ + size
+        # T.81 EXTEND: size appended bits → signed value
+        ext = np.where(v < (1 << np.maximum(size - 1, 0)),
+                       v - (1 << size) + 1, v)
+        ext = np.where(size > 0, ext, 0)
+
+        # DC lanes: new prediction, coefficient 0, move to AC phase
+        dsel = ~ac_phase & ~bad
+        if dsel.any():
+            di = idx[dsel]
+            pslot = di * 4 + comp_of[di, b[dsel]]
+            predsf[pslot] += ext[dsel]
+            Zf[di, b[dsel] * 64] = predsf[pslot]
+            kpos[di] = 1
+        # AC lanes
+        asel = ac_phase & ~bad
+        if asel.any():
+            ai = idx[asel]
+            sa = sym[asel]
+            r = sa >> 4
+            s = sa & 15
+            k = kp[asel]
+            coef = s > 0
+            k = k + np.where(coef, r, np.where(r == 15, 16, 0))
+            overrun = coef & (k > 63)
+            if overrun.any():
+                failed[ai[overrun]] = True
+                coef = coef & ~overrun
+            ci2 = ai[coef]
+            if len(ci2):
+                Zf[ci2, blk[ci2] * 64 + k[coef]] = ext[asel][coef]
+            k = k + coef
+            done = ((s == 0) & (r != 15)) | (k >= 64)
+            kpos[ai] = np.where(done, 0, k)
+            adone = ai[done & ~overrun]
+            blk[adone] += 1
+        # invalid codes / stream overruns → scalar fallback (a lane
+        # whose consumed bits exceed the real stream falls back even
+        # if it "completed" — the scalar reader owns zero-fill rules)
+        if bad.any():
+            failed[idx[bad]] = True
+        failed[idx] |= bitpos[idx] > limit[idx]
+        active[idx] = ~failed[idx] & (blk[idx] < nblocks[idx])
+        idx = idx[active[idx]]
+
+    for li, ln in enumerate(lanes):
+        if failed[li]:
+            results[ln["i"]] = _decode_scan(ln["data"], *ln["parsed"])
+            continue
+        frame, scan, qtables = ln["frame"], ln["scan"], ln["qtables"]
+        mcux, mcuy = ln["mcux"], ln["mcuy"]
+        planes = {}
+        for c in scan:
+            pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+            planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+        compidx = np.asarray(ln["compidx"])
+        pending = {}
+        zl = Z[li, :len(compidx)]
+        posyx = ln["posyx"]
+        for ci, c in enumerate(scan):
+            sel = np.flatnonzero(compidx == ci)
+            pending[c["id"]] = (
+                zl[sel], [posyx[b] for b in sel]
+            )
+        results[ln["i"]] = _finish_scan(
+            frame, scan, qtables, planes, pending, ln["hmax"], ln["vmax"])

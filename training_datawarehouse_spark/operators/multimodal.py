@@ -412,15 +412,15 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            items = []
             for text in pdf[text_col]:
                 w, h, digest = _md5_dims(text)
                 n = w * h
                 pixels = (digest * (n // len(digest) + 1))[:n]
-                payloads.append(jpeg.encode_jpeg(
-                    w, h, pixels, quality=85,
-                    subsample=bool(digest[3] % 2),
-                ))
+                items.append((w, h, pixels, bool(digest[3] % 2)))
+            # r17: every image in the Arrow batch rides one entropy-
+            # encode numpy pass (byte-identical to per-row encode_jpeg)
+            payloads = jpeg.encode_jpeg_batch(items, quality=85)
             yield pd.DataFrame({
                 "id": pdf[id_col].to_numpy(), "payload": payloads,
             })
@@ -492,7 +492,10 @@ def jpeg_decode_meta(payload: bytes) -> dict:
         raise ValueError("empty payload")
     from . import jpeg
 
-    img = jpeg.decode_jpeg(payload)
+    return _jpeg_meta(jpeg.decode_jpeg(payload))
+
+
+def _jpeg_meta(img: dict) -> dict:
     return {
         "n_bytes": len(img["pixels"]),
         "format": "jpeg",
@@ -500,6 +503,25 @@ def jpeg_decode_meta(payload: bytes) -> dict:
         "height": img["height"],
         "checksum": hashlib.sha256(img["pixels"]).hexdigest()[:16],
     }
+
+
+def _jpeg_decode_meta_batch(payloads: list) -> list[dict]:
+    """Batch twin of ``jpeg_decode_meta`` riding the lane-stepped
+    ``decode_jpeg_many`` (r17, §4.2 array-at-once entropy decode):
+    per-payload results and error classes are identical — any lane
+    outside the fast path's envelope is re-decoded scalar."""
+    from . import jpeg
+
+    for p in payloads:
+        if p is None or len(p) == 0:
+            raise ValueError("empty payload")
+    return [
+        _jpeg_meta(img)
+        for img in jpeg.decode_jpeg_many([bytes(p) for p in payloads])
+    ]
+
+
+jpeg_decode_meta.batch = _jpeg_decode_meta_batch
 
 
 def wav_decode_meta(payload: bytes) -> dict:
@@ -529,9 +551,17 @@ def decode_metadata(
     output — downstream aggregations never shuffle payload bytes.
     """
 
+    # r17: a decode_fn may expose a ``batch`` twin (same per-payload
+    # results and error classes) that decodes the whole Arrow batch
+    # array-at-once — the lane-stepped JPEG decoder rides this seam
+    batch_fn = getattr(decode_fn, "batch", None)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_fn(p) for p in pdf["payload"]]
+            if batch_fn is not None:
+                metas = batch_fn(list(pdf["payload"]))
+            else:
+                metas = [decode_fn(p) for p in pdf["payload"]]
             out = pd.DataFrame(metas)
             out.insert(0, "id", pdf["id"].to_numpy())
             yield out[["id", "n_bytes", "format", "width", "height", "checksum"]]

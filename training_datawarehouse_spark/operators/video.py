@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..functions.caching import release_local_checkpoint
 from . import phash as ph
-from .jpeg import decode_jpeg, encode_jpeg
+from .jpeg import decode_jpeg, encode_jpeg, encode_jpeg_frames_many
 
 N_FRAMES = 4           # frames per synthesized fingerprint clip
 DEFAULT_FPS = 8
@@ -78,6 +78,9 @@ DEFAULT_MIN_FRAMES = 2
 
 _AVIF_HASINDEX = 0x10
 _AVIIF_KEYFRAME = 0x10
+# 8-bit grayscale DIB palette — constant; formerly rebuilt per
+# encode_avi call (256 struct.packs each, visible in the r17 profile)
+_GRAY_PALETTE = b"".join(struct.pack("<4B", g, g, g, 0) for g in range(256))
 
 
 # --------------------------------------------------------- container
@@ -141,7 +144,7 @@ def encode_avi(frames: list[bytes], width: int, height: int,
         0xFFFFFFFF, 0,             # quality, samplesize
         0, 0, width, height,       # rcFrame
     )
-    palette = b"".join(struct.pack("<4B", g, g, g, 0) for g in range(256))
+    palette = _GRAY_PALETTE
     strf = struct.pack(
         "<IiiHHIIiiII",
         40, width, height, 1, 8, compression,
@@ -502,7 +505,7 @@ def synthesize_avi_payload(df: DataFrame, id_col: str, text_col: str,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            clips = []
             for text in pdf[text_col]:
                 digest = hashlib.md5(text.encode("utf-8")).digest()
                 w, h = 16 + digest[0] % 16, 16 + digest[1] % 16
@@ -513,11 +516,20 @@ def synthesize_avi_payload(df: DataFrame, id_col: str, text_col: str,
                 for f in range(nf):
                     stripe = digest[f % 16:] + digest[:f % 16]
                     frames.append((stripe * (n // 16 + 1))[:n])
-                if codec == "MJPG":
-                    enc = [encode_jpeg(w, h, fr) for fr in frames]
-                    payloads.append(encode_avi(enc, w, h, fps, codec="MJPG"))
-                else:
-                    payloads.append(encode_avi(frames, w, h, fps))
+                clips.append((w, h, frames, fps))
+            if codec == "MJPG":
+                # r17: one vectorized entropy pass encodes every frame
+                # of every clip in the Arrow batch (byte-identical to
+                # per-frame encode_jpeg — §4.2 batch-at-once)
+                encs = encode_jpeg_frames_many(
+                    [(w, h, frames) for w, h, frames, _fps in clips])
+                payloads = [
+                    encode_avi(enc, w, h, fps, codec="MJPG")
+                    for (w, h, _frames, fps), enc in zip(clips, encs)
+                ]
+            else:
+                payloads = [encode_avi(frames, w, h, fps)
+                            for w, h, frames, fps in clips]
             yield pd.DataFrame({
                 "id": pdf[id_col].to_numpy(), "payload": payloads,
             })

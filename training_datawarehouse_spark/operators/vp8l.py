@@ -387,6 +387,103 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
     raise ValueError(f"bad predictor mode {mode}")
 
 
+def _avg2_np(a, b):
+    """Vectorized ``_avg2``: per-channel (a+b)>>1 on uint8 planes."""
+    import numpy as np
+
+    return ((a.astype(np.uint16) + b.astype(np.uint16)) >> 1).astype(np.uint8)
+
+
+def _predict_plane(mode: int, ch) -> "np.ndarray":
+    """Vectorized spec predictor over a whole (h, w, 4) ARGB channel
+    array (r17): returns the per-pixel prediction INCLUDING the spec
+    edge rules ((0,0) = opaque black, first row = L, first col = T,
+    TR of the last column = the current row's first pixel). Reads only
+    the ORIGINAL pixels, so it serves the ENCODER's forward residual
+    for every mode with no recurrence — element-for-element the
+    ``_predict`` scalar loop (parity pinned in tests)."""
+    import numpy as np
+
+    h, w, _ = ch.shape
+    pred = np.zeros_like(ch)
+    pred[0, 0, 0] = 255  # 0xFF000000 in ARGB channel order
+    if w > 1:
+        pred[0, 1:] = ch[0, :-1]                       # first row: L
+    if h > 1:
+        pred[1:, 0] = ch[:-1, 0]                       # first col: T
+    if h == 1 or w == 1:
+        return pred
+    L = ch[1:, :-1]
+    T = ch[:-1, 1:]
+    TL = ch[:-1, :-1]
+    TR = np.empty_like(L)
+    TR[:, :-1] = ch[:-1, 2:]
+    TR[:, -1] = ch[1:, 0]  # spec: TR of the last column wraps
+    if mode == 0:
+        interior = np.zeros_like(L)
+        interior[..., 0] = 255
+    elif mode == 1:
+        interior = L
+    elif mode == 2:
+        interior = T
+    elif mode == 3:
+        interior = TR
+    elif mode == 4:
+        interior = TL
+    elif mode == 5:
+        interior = _avg2_np(_avg2_np(L, TR), T)
+    elif mode == 6:
+        interior = _avg2_np(L, TL)
+    elif mode == 7:
+        interior = _avg2_np(L, T)
+    elif mode == 8:
+        interior = _avg2_np(TL, T)
+    elif mode == 9:
+        interior = _avg2_np(T, TR)
+    elif mode == 10:
+        interior = _avg2_np(_avg2_np(L, TL), _avg2_np(T, TR))
+    elif mode == 11:
+        p_l = np.abs(T.astype(np.int16) - TL).sum(axis=-1)
+        p_t = np.abs(L.astype(np.int16) - TL).sum(axis=-1)
+        interior = np.where((p_l < p_t)[..., None], L, T)
+    elif mode == 12:
+        full = L.astype(np.int16) + T.astype(np.int16) - TL.astype(np.int16)
+        interior = np.clip(full, 0, 255).astype(np.uint8)
+    elif mode == 13:
+        ave = _avg2_np(L, T).astype(np.int16)
+        d = ave - TL.astype(np.int16)
+        # spec divides C-style: truncation toward zero, not floor
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+        interior = np.clip(ave + half, 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"bad predictor mode {mode}")
+    pred[1:, 1:] = interior
+    return pred
+
+
+def _inverse_avg2_lt(ch) -> None:
+    """In-place inverse of the uniform mode-7 predictor (r17): the
+    recurrence px[y,x] = res + avg2(px[y,x-1], px[y-1,x]) has a serial
+    dependency along BOTH axes, but every anti-diagonal is independent
+    given the previous one — h+w-2 vectorized wavefront steps replace
+    the per-pixel Python loop. Spec edge rules: (0,0) += opaque black,
+    first row accumulates L, first col accumulates T."""
+    import numpy as np
+
+    h, w, _ = ch.shape
+    ch[0, 0, 0] += 255
+    np.add.accumulate(ch[0], axis=0, out=ch[0])        # first row: L
+    np.add.accumulate(ch[:, 0], axis=0, out=ch[:, 0])  # first col: T
+    for d in range(2, h + w - 1):
+        ylo = max(1, d - w + 1)
+        yhi = min(h - 1, d - 1)
+        if ylo > yhi:
+            continue
+        ys = np.arange(ylo, yhi + 1)
+        xs = d - ys
+        ch[ys, xs] += _avg2_np(ch[ys, xs - 1], ch[ys - 1, xs])
+
+
 def _add_pixels(residual: int, pred: int) -> int:
     out = 0
     for sh in (24, 16, 8, 0):
@@ -579,7 +676,12 @@ def decode_vp8l(data: bytes) -> dict:
                 np.add.accumulate(ch[0], axis=0, out=ch[0])
                 np.add.accumulate(ch, axis=0, out=ch)
             continue
-        # general modes: scalar loop (spec edge rules)
+        if len(modes) == 1 and next(iter(modes)) == 7:
+            # uniform avg2(L, T): anti-diagonal wavefront (r17) —
+            # identical arithmetic to the scalar loop, h+w-2 steps
+            _inverse_avg2_lt(ch)
+            continue
+        # remaining general modes: scalar loop (spec edge rules)
         px_ints = _to_ints(ch)
         for y in range(h):
             for x in range(w):
@@ -796,28 +898,11 @@ def encode_vp8l(
             res[0, 0, 0] -= 255  # alpha of the 0xff000000 seed
             ch = res
         else:
-            pixels = _to_ints(ch)
-            res = list(pixels)
-            for y in range(height - 1, -1, -1):
-                for x in range(width - 1, -1, -1):
-                    i = y * width + x
-                    if x == 0 and y == 0:
-                        pred = 0xFF000000
-                    elif y == 0:
-                        pred = pixels[i - 1]
-                    elif x == 0:
-                        pred = pixels[i - width]
-                    else:
-                        left, top, tl = (
-                            pixels[i - 1], pixels[i - width],
-                            pixels[i - width - 1],
-                        )
-                        # TR of the last column = current row's first
-                        # pixel (spec rule; i-w+1 lands there exactly)
-                        tr = pixels[i - width + 1]
-                        pred = _predict(predictor_mode, left, top, tl, tr)
-                    res[i] = _sub_pixels(pixels[i], pred)
-            ch = _from_ints(res, height, width)
+            # r17: forward residuals read ORIGINAL neighbors — no
+            # recurrence, so one vectorized plane predictor replaces
+            # the per-pixel _predict/_sub_pixels loop (kept as the
+            # parity reference in tests); uint8 wrap IS mod-256
+            ch = ch - _predict_plane(predictor_mode, ch)
         bw.write(1, 1)   # transform present
         bw.write(0, 2)   # predictor
         size_bits = max(2, max(width, height).bit_length())
@@ -862,7 +947,6 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
     import numpy as np
 
     cache_size = (1 << cache_bits) if cache_bits else 0
-    cache = [None] * cache_size
     px_arr = np.asarray(pixels, dtype=np.int64)
     chan = {
         "g": ((px_arr >> 8) & 0xFF),
@@ -870,36 +954,36 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
         "b": (px_arr & 0xFF),
         "a": ((px_arr >> 24) & 0xFF),
     }
-    syms: list[tuple[int, ...]] = []
-    if cache_bits:
-        # first pass: symbol streams + frequencies (sequential cache)
-        for px in pixels:
-            idx = _cache_index(px, cache_bits)
-            if cache[idx] == px:
-                syms.append((_GREEN_BASE + _NUM_LENGTH_CODES + idx,))
-                continue
-            cache[idx] = px
-            syms.append((
-                (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF,
-                (px >> 24) & 0xFF,
-            ))
-        freq: list[dict[int, int]] = [{}, {}, {}, {}]
-        for s in syms:
-            if len(s) == 1:
-                freq[0][s[0]] = freq[0].get(s[0], 0) + 1
-            else:
-                g, r, b, a = s
-                freq[0][g] = freq[0].get(g, 0) + 1
-                freq[1][r] = freq[1].get(r, 0) + 1
-                freq[2][b] = freq[2].get(b, 0) + 1
-                freq[3][a] = freq[3].get(a, 0) + 1
+    n = len(px_arr)
+    if cache_bits and n:
+        # r17: the cache is SEQUENTIAL state, but its content is fully
+        # determined — slot s at step i holds the most recent pixel
+        # j<i whose hash lands on s (hits rewrite the same value, so
+        # hit/miss writes are indistinguishable). A stable sort by
+        # slot therefore yields every hit as "equal to the previous
+        # pixel of my slot group" — the per-pixel Python loop becomes
+        # three vector ops (byte-parity pinned in tests).
+        hv = ((px_arr * _HASH_MUL) & 0xFFFFFFFF) >> (32 - cache_bits)
+        order = np.argsort(hv, kind="stable")
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (hv[order][1:] == hv[order][:-1]) & (
+            px_arr[order][1:] == px_arr[order][:-1])
+        hit = np.empty(n, dtype=bool)
+        hit[order] = same
+        gsym = np.where(hit, _GREEN_BASE + _NUM_LENGTH_CODES + hv,
+                        chan["g"])
     else:
-        freq = []
-        for key in ("g", "r", "b", "a"):
-            counts = np.bincount(chan[key])
-            freq.append({
-                int(v): int(counts[v]) for v in np.flatnonzero(counts)
-            })
+        hit = np.zeros(n, dtype=bool)
+        gsym = chan["g"]
+    lit = ~hit
+    freq = []
+    counts = np.bincount(gsym)
+    freq.append({int(v): int(counts[v]) for v in np.flatnonzero(counts)})
+    for key in ("r", "b", "a"):
+        counts = np.bincount(chan[key][lit])
+        freq.append({
+            int(v): int(counts[v]) for v in np.flatnonzero(counts)
+        })
     for f in freq[1:]:
         if not f:
             f[0] = 1  # unused channel still needs a valid code
@@ -920,53 +1004,33 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
     d_codes = _write_prefix_code(bw, {0: 0}, 40)  # unused distance code
     assert d_codes[0] == (0, 0)
 
-    # precomputed per-symbol (bit-reversed code, length) records: the
-    # data pass appends ONE deferred-writer record per channel symbol
-    # (r16 — formerly one Python list.extend of a per-bit tuple);
-    # _BitWriter.tobytes packs everything in one numpy pass
-    def seq(codes: dict) -> dict:
-        return {s: (_bitrev(c, ln), ln) for s, (c, ln) in codes.items()}
-
+    # data pass as ONE interleaved numpy gather (r16, generalized to
+    # the color-cache path in r17): per pixel the symbols are
+    # (g, r, b, a) — or the lone cache symbol in the green column —
+    # so a row-major ravel of the (n, 4) code matrices preserves the
+    # exact bit sequence; zero-length (degenerate) codes and the
+    # r/b/a columns of cache hits are masked out just as the append
+    # path skipped them
     vals, lens = bw.vals, bw.lens
-    if not cache_bits:
-        # all-literal data pass as ONE interleaved numpy gather:
-        # per pixel the symbols are (g, r, b, a) in that order, so a
-        # row-major ravel of the (n, 4) code matrices preserves the
-        # exact bit sequence; zero-length (degenerate) codes are
-        # masked out just as the append path skips them
-        n = len(px_arr)
-        revm = np.zeros((n, 4), dtype=np.int64)
-        lnm = np.zeros((n, 4), dtype=np.int64)
-        for col, (key, codes) in enumerate((
-            ("g", g_codes), ("r", r_codes), ("b", b_codes),
-            ("a", a_codes),
-        )):
-            size = int(chan[key].max()) + 1 if n else 1
-            rev_t = np.zeros(size, dtype=np.int64)
-            len_t = np.zeros(size, dtype=np.int64)
-            for s, (c, ln) in codes.items():
-                if s < size:
-                    rev_t[s] = _bitrev(c, ln)
-                    len_t[s] = ln
-            revm[:, col] = rev_t[chan[key]]
-            lnm[:, col] = len_t[chan[key]]
-        flat_rev = revm.ravel()
-        flat_len = lnm.ravel()
-        keep = flat_len > 0
-        vals.extend(flat_rev[keep].tolist())
-        lens.extend(flat_len[keep].tolist())
-        return
-
-    gs, rs, bs, as_ = seq(g_codes), seq(r_codes), seq(b_codes), seq(a_codes)
-    for s in syms:
-        if len(s) == 1:
-            v, ln = gs[s[0]]
-            if ln:
-                vals.append(v)
-                lens.append(ln)
-        else:
-            g, r, b, a = s
-            for v, ln in (gs[g], rs[r], bs[b], as_[a]):
-                if ln:
-                    vals.append(v)
-                    lens.append(ln)
+    revm = np.zeros((n, 4), dtype=np.int64)
+    lnm = np.zeros((n, 4), dtype=np.int64)
+    for col, (sym_arr, codes) in enumerate((
+        (gsym, g_codes), (chan["r"], r_codes), (chan["b"], b_codes),
+        (chan["a"], a_codes),
+    )):
+        size = int(sym_arr.max()) + 1 if n else 1
+        rev_t = np.zeros(size, dtype=np.int64)
+        len_t = np.zeros(size, dtype=np.int64)
+        for s, (c, ln) in codes.items():
+            if s < size:
+                rev_t[s] = _bitrev(c, ln)
+                len_t[s] = ln
+        revm[:, col] = rev_t[sym_arr]
+        lnm[:, col] = len_t[sym_arr]
+    if cache_bits:
+        lnm[hit, 1:] = 0  # a cache hit emits only its green symbol
+    flat_rev = revm.ravel()
+    flat_len = lnm.ravel()
+    keep = flat_len > 0
+    vals.extend(flat_rev[keep].tolist())
+    lens.extend(flat_len[keep].tolist())
