@@ -24,6 +24,7 @@ All variants are compositions of built-in expressions — no Python UDFs:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -184,19 +185,26 @@ def lsh_candidate_pairs_portable(
     60-bit g1 shingle ids in BOTH engines, so even a prefix collision
     cannot diverge them.
 
-    ``materialize=True`` (r16): eager-checkpoints the shared
+    ``materialize=True`` (r16): materializes the shared
     (signature + shingle-set) table for its THREE consumers (band
     explode and both Jaccard-verify sides — without it each consumer
     statically re-derives the whole shingle→md5→aggregate pipeline;
     the r16 plan audit measured zero exchange reuse across them),
     materializes the returned pair frame, and releases the internal
-    checkpoint. Identical rows either way."""
+    table. Identical rows either way. r17 hardening (r16 verdict #1):
+    the internal table is CORPUS-SIZED (minhash signature + shingle
+    set per document), so it persists at MEMORY_AND_DISK — lineage
+    kept (executor loss recomputes instead of failing the job) and
+    overflow spills by policy — with an eager count to compute it
+    once; only the bounded (id, id, jaccard) pair frame keeps
+    ``localCheckpoint``."""
     sh = hashed_shingles_portable(df, id_col, text_col, shingle_n)
     per_doc = sh.groupBy(id_col).agg(
         *_portable_min_exprs(num_hashes), F.collect_set("g1").alias("sh")
     )
     if materialize:
-        per_doc = per_doc.localCheckpoint(eager=True)
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        per_doc.count()
 
     band_structs = F.array(*[
         F.struct(
@@ -242,9 +250,9 @@ def lsh_candidate_pairs_portable(
     try:
         out = out.localCheckpoint(eager=True)
     except BaseException:
-        release_local_checkpoint(per_doc)
+        per_doc.unpersist()
         raise
-    release_local_checkpoint(per_doc)
+    per_doc.unpersist()
     return out
 
 
@@ -300,7 +308,8 @@ def lsh_candidate_pairs(
     mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     per_doc = sh.groupBy(id_col).agg(*mins, F.collect_set("g").alias("sh"))
     if materialize:
-        per_doc = per_doc.localCheckpoint(eager=True)
+        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        per_doc.count()
 
     band_structs = F.array(*[
         F.struct(
@@ -354,9 +363,9 @@ def lsh_candidate_pairs(
     try:
         out = out.localCheckpoint(eager=True)
     except BaseException:
-        release_local_checkpoint(per_doc)
+        per_doc.unpersist()
         raise
-    release_local_checkpoint(per_doc)
+    per_doc.unpersist()
     return out
 
 

@@ -50,9 +50,9 @@ from typing import Iterator, NamedTuple
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..functions.caching import release_local_checkpoint
 from .dedup import _pairs_expr
 from .multimodal import decode_png, encode_png
 
@@ -415,12 +415,20 @@ def phash_candidate_pairs(
     # consumers (band explode + both Hamming-verify sides) — without
     # materialization each consumer statically re-derives the whole
     # signature aggregation (3 upstream executions; the r16 plan audit
-    # measured zero exchange reuse across them). Eager-checkpoint it,
-    # materialize the pair frame before returning, and release the
-    # group checkpoint (BPE discipline). Callers that keep the default
-    # get the fully-lazy plan.
+    # measured zero exchange reuse across them). Callers that keep the
+    # default get the fully-lazy plan.
+    #
+    # r17 hardening (r16 verdict #1): this internal table is
+    # CORPUS-SIZED (one row per distinct fingerprint, carrying its id
+    # list), so it persists at MEMORY_AND_DISK — lineage kept (an
+    # executor loss recomputes instead of failing the job, unlike
+    # localCheckpoint's truncated lineage) and overflow spills to disk
+    # by policy. The eager count materializes the cache ONCE for the
+    # three consumers; the bounded (id, id, hamming) PAIR frame below
+    # keeps its localCheckpoint, and the cache releases before return.
     if materialize:
-        groups = groups.localCheckpoint(eager=True)
+        groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+        groups.count()
 
     band_structs = F.array(*[
         F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("val"))
@@ -518,9 +526,9 @@ def phash_candidate_pairs(
     try:
         out = out.localCheckpoint(eager=True)
     except BaseException:
-        release_local_checkpoint(groups)
+        groups.unpersist()
         raise
-    release_local_checkpoint(groups)
+    groups.unpersist()
     return out
 
 
