@@ -156,6 +156,23 @@ def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         return ck
 
 
+def release_checkpoints_in(obj) -> None:
+    """Best-effort ``release_local_checkpoint`` over an arbitrary nest
+    of builder results (DataFrames, tuples, lists, dicts) — the
+    error-path companion for overlapped track builders (r16 ADVICE):
+    when one track fails, the siblings that already materialized must
+    not leak their checkpoint blocks until session end. Non-checkpoint
+    values are safe no-ops."""
+    if isinstance(obj, DataFrame):
+        release_local_checkpoint(obj)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            release_checkpoints_in(v)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            release_checkpoints_in(v)
+
+
 def release_local_checkpoint(df: DataFrame, blocking: bool = False) -> bool:
     """Free the persisted RDD behind a ``localCheckpoint``'ed frame.
 

@@ -210,12 +210,16 @@ def _encode_block(w: _BitWriter, zz: list[int], pred: int,
         vals.append(bitsv)
         lens.append(size)
     run = 0
-    zrl = ac_map[0xF0]
+    zrl = None
     for v in zz[1:]:
         if v == 0:
             run += 1
             continue
         while run > 15:
+            if zrl is None:
+                # probed on demand (r16 ADVICE): a custom AC table
+                # lacking ZRL only errors when a >15 zero-run occurs
+                zrl = ac_map[0xF0]
             vals.append(zrl[0])         # ZRL
             lens.append(zrl[1])
             run -= 16

@@ -10,7 +10,9 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.caching import release_local_checkpoint
+from ..functions.caching import (
+    release_checkpoints_in, release_local_checkpoint,
+)
 from ..functions.scalars import round_half_away
 from ..operators import bpe
 from ..operators import classifier as clf
@@ -792,12 +794,27 @@ def similarity_topk(spark: SparkSession, sf_dir: str,
     # barriers.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as ex:
-        f_deep = ex.submit(lambda: sim.cosine_topk(
+    # ``deep`` / ``scored`` are BUILDER-LIFETIME checkpoints by design
+    # (r16 ADVICE, documented r17): both feed the RETURNED union plan,
+    # so the builder can never release them — the caller's collect
+    # still needs their blocks (release_local_checkpoint's contract).
+    # Residency is bounded: deep is ≤ 8·_RRF_DEPTH rows, scored is
+    # candidate-grain (docs matching ≥1 query term, slim columns);
+    # both die with the session like any cached result a caller holds.
+    def _deep_build():
+        spark.sparkContext.setJobDescription("similarity_topk: cosine pass")
+        return sim.cosine_topk(
             emb, qv, "vec_id", "embedding", k=_RRF_DEPTH,
-        ).localCheckpoint(eager=True))
-        f_scored = ex.submit(lambda: rtr.bm25_scores(
-            docs, qmap.unionByName(qterms)).localCheckpoint(eager=True))
+        ).localCheckpoint(eager=True)
+
+    def _scored_build():
+        spark.sparkContext.setJobDescription("similarity_topk: BM25 scoring")
+        return rtr.bm25_scores(
+            docs, qmap.unionByName(qterms)).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(2) as ex:
+        f_deep = ex.submit(_deep_build)
+        f_scored = ex.submit(_scored_build)
         deep = f_deep.result()
         scored = f_scored.result()
     base = deep.filter(F.col("rank") <= _RETR_K).select(
@@ -2191,10 +2208,19 @@ def text_profile(spark: SparkSession, sf_dir: str,
     # byte-identical to the serial build.
     from concurrent.futures import ThreadPoolExecutor
 
+    def _label(name):
+        # overlapped builders run on plain pool threads, which under
+        # pinned-thread PySpark do not inherit driver thread-locals —
+        # label inside the worker so its jobs attribute correctly in
+        # the UI (guide §1.5; r16 ADVICE)
+        spark.sparkContext.setJobDescription(f"text_profile: {name}")
+
     def _lm_track():
+        _label("bigram-LM track")
         return tx.bigram_lm_scores(docs, "doc_id", "text", top_k=200)
 
     def _bpe_wp_track():
+        _label("BPE/WordPiece track")
         wc = bpe.collect_word_counts(docs, "text")
         got = {}
         if include_bpe:
@@ -2206,6 +2232,7 @@ def text_profile(spark: SparkSession, sf_dir: str,
         return got
 
     def _dsir_track():
+        _label("DSIR track")
         return tx.dsir_importance(
             docs, "doc_id", "text",
             target_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
@@ -2214,6 +2241,7 @@ def text_profile(spark: SparkSession, sf_dir: str,
         )
 
     def _lrq_track():
+        _label("logreg-quality track")
         return clf.logreg_quality(
             docs, "doc_id", "text",
             label_flag=F.col("source").isin(*DSIR_TARGET_SOURCES),
@@ -2221,6 +2249,7 @@ def text_profile(spark: SparkSession, sf_dir: str,
         )
 
     def _ulm_track():
+        _label("unigram-LM track")
         wc = ug.collect_word_counts(docs, "text")
         uprobs = ug.train_unigram(docs, "text", vocab_size=40,
                                   max_len=3, iters=2, word_counts=wc)
@@ -2252,6 +2281,10 @@ def text_profile(spark: SparkSession, sf_dir: str,
                 except BaseException as e:  # noqa: BLE001
                     errs.append(e)
             if errs:
+                # r17 (r16 ADVICE): siblings that already materialized
+                # release their checkpoints before the raise — the
+                # _modality_pairs discipline
+                release_checkpoints_in(built)
                 raise errs[0]
     if include_lm:
         prof = prof.join(built["lm"], "doc_id", "left")
@@ -4058,9 +4091,10 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
     docs = load_table(spark, sf_dir, "documents")
 
     def _lsh_pairs() -> DataFrame:
-        # materialize=True: the operator eager-checkpoints its shared
+        # materialize=True: the operator materializes its shared
         # signature table (3 internal consumers), materializes the
-        # returned pair frame, and releases the internal checkpoint
+        # returned pair frame, and releases the internal table
+        spark.sparkContext.setJobDescription("lsh_cross_modal: text LSH pass")
         return dd.lsh_candidate_pairs_portable(
             docs, "doc_id", "text", num_hashes=32, bands=8,
             rows_per_band=4, jaccard_threshold=0.3, materialize=True,
@@ -4087,6 +4121,8 @@ def lsh_cross_modal(spark: SparkSession, sf_dir: str,
         # as 16 vf{f}b{k} columns, exploded back to frame grain
         # JVM-side before the banded pass.
         def _modality_pairs():
+            spark.sparkContext.setJobDescription(
+                "lsh_cross_modal: fused codec crossing")
             fused = afp.fused_multimodal_signatures(
                 docs, "doc_id", "text",
                 parallelism=spark.sparkContext.defaultParallelism,

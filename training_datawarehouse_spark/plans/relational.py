@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.caching import release_local_checkpoint
+from ..functions.caching import (
+    release_checkpoints_in, release_local_checkpoint,
+)
 from ..operators import funnel as _funnel
 from ..sources.tables import load_table
 from .base import Query
@@ -1767,15 +1769,23 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
     from concurrent.futures import ThreadPoolExecutor
 
     out = per_type.unionByName(weekly)
+    def _family(name, fn):
+        def run():
+            # pool threads don't inherit driver thread-locals under
+            # pinned-thread PySpark — label inside the worker (§1.5)
+            spark.sparkContext.setJobDescription(f"approx_aggs: {name}")
+            return fn()
+        return run
+
     family = {}
     if include_cms:
-        family["cms"] = lambda: _cms_stages(spark, ev)
+        family["cms"] = _family("CMS family", lambda: _cms_stages(spark, ev))
     if include_kmv:
-        family["kmv"] = lambda: _kmv_stages(
-            spark, ev, include_exact=include_kmv_exact)
+        family["kmv"] = _family("KMV family", lambda: _kmv_stages(
+            spark, ev, include_exact=include_kmv_exact))
     if include_qsk:
-        family["qsk"] = lambda: _qsk_stages(
-            spark, ev, include_exact=include_qsk_exact)
+        family["qsk"] = _family("quantile-sketch family", lambda: _qsk_stages(
+            spark, ev, include_exact=include_qsk_exact))
     if family:
         with ThreadPoolExecutor(len(family)) as ex:
             futs = {k: ex.submit(fn) for k, fn in family.items()}
@@ -1786,6 +1796,9 @@ def approx_aggs(spark: SparkSession, sf_dir: str,
                 except BaseException as e:  # noqa: BLE001
                     errs.append(e)
             if errs:
+                # r17 (r16 ADVICE): release successfully built sibling
+                # families' checkpoints before re-raising
+                release_checkpoints_in(built)
                 raise errs[0]
         for k in ("cms", "kmv", "qsk"):
             if k in built:
