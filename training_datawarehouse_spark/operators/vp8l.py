@@ -117,6 +117,7 @@ class _BitWriter:
     def __init__(self) -> None:
         self.vals: list[int] = []
         self.lens: list[int] = []
+        self._chunks: list = []   # numpy (vals, lens) segments, in order
 
     def write(self, value: int, n: int) -> None:
         if n:
@@ -131,14 +132,37 @@ class _BitWriter:
             self.vals.append(_bitrev(code, length))
             self.lens.append(length)
 
+    def _flush_scalars(self) -> None:
+        if self.vals:
+            import numpy as np
+
+            self._chunks.append((np.asarray(self.vals, dtype=np.int64),
+                                 np.asarray(self.lens, dtype=np.int64)))
+            self.vals, self.lens = [], []
+
+    def write_arrays(self, vals, lens) -> None:
+        """Bulk append of already-LSB-first (value, nbits) records as
+        numpy arrays (r17) — the data passes formerly round-tripped
+        these through Python lists (`.tolist()` + re-`asarray`)."""
+        import numpy as np
+
+        self._flush_scalars()
+        self._chunks.append((vals.astype(np.int64, copy=False),
+                             lens.astype(np.int64, copy=False)))
+
     def tobytes(self) -> bytes:
         import numpy as np
 
-        if not self.vals:
+        self._flush_scalars()
+        if not self._chunks:
             return b""
-        vals = np.asarray(self.vals, dtype=np.int64)
-        lens = np.asarray(self.lens, dtype=np.int64)
-        j = np.arange(32, dtype=np.int64)
+        vals = np.concatenate([c[0] for c in self._chunks])
+        lens = np.concatenate([c[1] for c in self._chunks])
+        # field widths here are <= 15 (prefix codes) / <= 14 (dims) —
+        # half the former fixed 32-wide expansion; 32 stays the
+        # fallback for any wider caller
+        width = int(max(16, lens.max() if len(lens) else 1))
+        j = np.arange(width, dtype=np.int64)
         bits = ((vals[:, None] >> j) & 1).astype(np.uint8)
         mask = j < lens[:, None]
         return np.packbits(bits[mask], bitorder="little").tobytes()
@@ -838,8 +862,7 @@ def _write_prefix_code(
         lns = np.asarray(len19, dtype=np.int64)[la]
         revs = np.asarray(rev19, dtype=np.int64)[la]
         keep = lns > 0
-        bw.vals.extend(revs[keep].tolist())
-        bw.lens.extend(lns[keep].tolist())
+        bw.write_arrays(revs[keep], lns[keep])
     if sum(1 for ln in lengths if ln) == 1:
         # degenerate full-form code: the reader decodes it with 0 bits,
         # so the data pass must emit none
@@ -1011,7 +1034,6 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
     # exact bit sequence; zero-length (degenerate) codes and the
     # r/b/a columns of cache hits are masked out just as the append
     # path skipped them
-    vals, lens = bw.vals, bw.lens
     revm = np.zeros((n, 4), dtype=np.int64)
     lnm = np.zeros((n, 4), dtype=np.int64)
     for col, (sym_arr, codes) in enumerate((
@@ -1032,5 +1054,4 @@ def _encode_pixels(bw: _BitWriter, pixels: list[int], cache_bits: int,
     flat_rev = revm.ravel()
     flat_len = lnm.ravel()
     keep = flat_len > 0
-    vals.extend(flat_rev[keep].tolist())
-    lens.extend(flat_len[keep].tolist())
+    bw.write_arrays(flat_rev[keep], flat_len[keep])
