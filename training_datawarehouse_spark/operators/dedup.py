@@ -169,12 +169,22 @@ def _portable_min_exprs(num_hashes: int) -> list[Column]:
     ]
 
 
+def _release_internal(frame: DataFrame, internal_storage: str) -> None:
+    """Free a materialized internal table built under either
+    ``internal_storage`` mode (see ``lsh_candidate_pairs_portable``)."""
+    if internal_storage == "persist":
+        frame.unpersist()
+    else:
+        release_local_checkpoint(frame)
+
+
 def lsh_candidate_pairs_portable(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 32, bands: int = 8, rows_per_band: int = 4,
     jaccard_threshold: float = 0.5, shingle_n: int = 3,
     max_bucket: int = 10_000,
     materialize: bool = False,
+    internal_storage: str = "checkpoint",
 ) -> DataFrame:
     """``lsh_candidate_pairs`` on the engine-portable hash family —
     identical plan shape (one groupBy(id) for signature AND shingle
@@ -191,20 +201,30 @@ def lsh_candidate_pairs_portable(
     statically re-derives the whole shingle→md5→aggregate pipeline;
     the r16 plan audit measured zero exchange reuse across them),
     materializes the returned pair frame, and releases the internal
-    table. Identical rows either way. r17 hardening (r16 verdict #1):
-    the internal table is CORPUS-SIZED (minhash signature + shingle
-    set per document), so it persists at MEMORY_AND_DISK — lineage
-    kept (executor loss recomputes instead of failing the job) and
-    overflow spills by policy — with an eager count to compute it
-    once; only the bounded (id, id, jaccard) pair frame keeps
-    ``localCheckpoint``."""
+    table. Identical rows either way.
+
+    ``internal_storage`` (r17, r16 verdict #1): the internal table is
+    CORPUS-SIZED (minhash signature + shingle set per document).
+    ``"persist"`` stores it as a MEMORY_AND_DISK cache — lineage kept
+    (an executor loss recomputes instead of failing the job), spill
+    by policy — with an eager count. MEASURED at sf0.1: the columnar
+    cache build/read of the shingle-set arrays costs 15–30 % on this
+    entry (persist 4.8–5.6 s vs checkpoint 4.0–4.4 s warm, same
+    session), outside the verdict's own ±10 % acceptance, so
+    ``"checkpoint"`` (the r16 localCheckpoint) stays the default;
+    deployments where executor loss is routine should pass
+    ``"persist"`` and pay the measured premium. The bounded
+    (id, id, jaccard) pair frame always uses ``localCheckpoint``."""
     sh = hashed_shingles_portable(df, id_col, text_col, shingle_n)
     per_doc = sh.groupBy(id_col).agg(
         *_portable_min_exprs(num_hashes), F.collect_set("g1").alias("sh")
     )
     if materialize:
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
-        per_doc.count()
+        if internal_storage == "persist":
+            per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+            per_doc.count()
+        else:
+            per_doc = per_doc.localCheckpoint(eager=True)
 
     band_structs = F.array(*[
         F.struct(
@@ -250,9 +270,9 @@ def lsh_candidate_pairs_portable(
     try:
         out = out.localCheckpoint(eager=True)
     except BaseException:
-        per_doc.unpersist()
+        _release_internal(per_doc, internal_storage)
         raise
-    per_doc.unpersist()
+    _release_internal(per_doc, internal_storage)
     return out
 
 
@@ -287,6 +307,7 @@ def lsh_candidate_pairs(
     jaccard_threshold: float = 0.5, shingle_n: int = 3,
     max_bucket: int = 10_000,
     materialize: bool = False,
+    internal_storage: str = "checkpoint",
 ) -> DataFrame:
     """Banded-LSH near-dup pairs verified with exact shingle Jaccard.
 
@@ -308,8 +329,11 @@ def lsh_candidate_pairs(
     mins = [F.min(F.hash("g", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     per_doc = sh.groupBy(id_col).agg(*mins, F.collect_set("g").alias("sh"))
     if materialize:
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
-        per_doc.count()
+        if internal_storage == "persist":
+            per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+            per_doc.count()
+        else:
+            per_doc = per_doc.localCheckpoint(eager=True)
 
     band_structs = F.array(*[
         F.struct(
@@ -363,9 +387,9 @@ def lsh_candidate_pairs(
     try:
         out = out.localCheckpoint(eager=True)
     except BaseException:
-        per_doc.unpersist()
+        _release_internal(per_doc, internal_storage)
         raise
-    per_doc.unpersist()
+    _release_internal(per_doc, internal_storage)
     return out
 
 

@@ -39,6 +39,10 @@ from pyspark.sql import types as T
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _JPEG_SIG = b"\xFF\xD8\xFF"
 
+#: minimum Arrow-batch payload count before ``decode_metadata`` routes
+#: through a decoder's vectorized ``batch`` twin (see decode_metadata)
+_BATCH_DECODE_MIN = 1024
+
 # Format sniffing is signature-only, so a payload that *starts* like a
 # PNG/JPEG/RIFF container but isn't one these codecs support (palette
 # PNG, progressive JPEG, WebP/AVI — RIFF too) must degrade to the
@@ -553,12 +557,17 @@ def decode_metadata(
 
     # r17: a decode_fn may expose a ``batch`` twin (same per-payload
     # results and error classes) that decodes the whole Arrow batch
-    # array-at-once — the lane-stepped JPEG decoder rides this seam
+    # array-at-once — the lane-stepped JPEG decoder rides this seam.
+    # Engaged only at >= _BATCH_DECODE_MIN payloads: the lane
+    # decoder's per-step vector costs amortize with batch width
+    # (measured: ~break-even at 312 lanes, 1.6x at 5000), so small
+    # bench-scale batches keep the scalar path and production-width
+    # Arrow batches (10k rows) get the vectorized one.
     batch_fn = getattr(decode_fn, "batch", None)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if batch_fn is not None:
+            if batch_fn is not None and len(pdf) >= _BATCH_DECODE_MIN:
                 metas = batch_fn(list(pdf["payload"]))
             else:
                 metas = [decode_fn(p) for p in pdf["payload"]]
